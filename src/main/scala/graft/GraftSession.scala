@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended defaults.
+  *
+  * Local mode is for dev/test only; on a real cluster the same settings
+  * arrive via spark-submit conf. AQE stays on everywhere: it gives runtime
+  * join re-selection, skew-join splitting and partition coalescing, which
+  * is our first line of defense at 100 TB (SURVEY.md §4).
+  */
+object GraftSession {
+  def local(appName: String = "graft", cores: Int = defaultCores): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(c => scala.util.Try(c.toInt).toOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+}

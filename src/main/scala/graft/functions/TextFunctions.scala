@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for large-scale training-data pipelines: token
+  * counting, quality ratios, language-ID heuristic, fingerprinting,
+  * shingling. All pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd, no UDFs — and each designed to be reproducible in ANSI SQL
+  * for oracle testing.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty/blank text → empty array). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count as LONG. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L)).otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** Whitespace-normalized text: lowercase, runs of whitespace collapsed,
+    * trimmed — the canonical form used for fingerprinting and exact dedup.
+    */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Document fingerprint: md5 (hex) of the normalized text. 128-bit, so
+    * grouping/joining on it instead of the document body keeps shuffles
+    * narrow at 100 TB.
+    */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Number of ASCII-alphabetic characters. */
+  def alphaChars(c: Column): Column =
+    length(regexp_replace(c, "[^A-Za-z]", "")).cast("long")
+
+  /** Count of non-overlapping occurrences of literal `needle` — replace-
+    * based so no regex-engine semantics are involved (portable to any SQL
+    * oracle).
+    */
+  def literalCount(c: Column, needle: String): Column =
+    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Quality-scoring ratio columns (select alongside the doc id):
+    * alphabetic ratio, whitespace ratio, mean token length. Divisions are
+    * exact-int → double, bit-stable across engines.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val len = length(text).cast("long")
+    val alpha = alphaChars(text)
+    val spaces = (length(text) - length(replace(text, lit(" "), lit("")))).cast("long")
+    val nTok = tokenCount(text)
+    Seq(
+      len.as("len_chars"),
+      nTok.as("n_tokens"),
+      (alpha.cast("double") / len).as("alpha_ratio"),
+      (spaces.cast("double") / len).as("space_ratio"),
+      (alpha.cast("double") / nTok).as("mean_token_len"))
+  }
+
+  /** Marker words per language for the language-ID heuristic. Counted as
+    * literal " word "-padded substrings so the same logic is expressible
+    * with `replace` in any SQL dialect.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "es" -> Seq(" el ", " la ", " que ", " los "),
+    "fr" -> Seq(" le ", " les ", " des ", " est "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Language-ID heuristic: argmax of marker-word hit counts, ties broken
+    * by the fixed order en > de > es > fr > zh, no hits at all → "und"
+    * (undetermined). Deterministic and SQL-expressible.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => literalCount(padded, m)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val firstBest = scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+    firstBest
+  }
+
+  /** Word n-gram shingles over whitespace tokens; texts shorter than n
+    * tokens yield one shingle = the whole normalized text.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(normalized(c))
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+  }
+
+  /** Character n-gram shingles of the normalized text. */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = normalized(c)
+    when(length(s) < n, array(s))
+      .otherwise(transform(
+        sequence(lit(0), length(s) - n),
+        i => s.substr(i + lit(1), lit(n))))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** MinHash + LSH near-duplicate detection over a text column — the
+  * standard shingle → minhash signature → band-bucket join pipeline.
+  *
+  * Scale shape (the part that matters at 100 TB): candidate generation is
+  * a shuffle join on (band, band-hash) — documents only ever meet inside a
+  * bucket, never via a cross join — and verification touches only the
+  * candidate pairs. All hashing is the built-in `xxhash64` (codegen'd).
+  */
+object MinHashDedup {
+
+  /** MinHash signature: per hash function i, min over shingles of
+    * xxhash64(i, shingle). `numHashes` independent permutations are
+    * simulated by seeding the hash with the function index.
+    */
+  def signature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+
+  /** LSH candidate pairs (id_a < id_b): documents sharing at least one
+    * band of their minhash signature. bands × rowsPerBand = numHashes.
+    */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWords: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs.select(
+      col(idCol).as("id"),
+      signature(TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
+    // one (band, bucket-hash) row per band; the bucket key hashes the
+    // band's slice of the signature so the join key is a single long
+    val bandKeys = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bkey")))
+    bandKeys.as("l")
+      .join(bandKeys.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs verified with the exact shingle-set Jaccard
+    * similarity; keeps pairs with jaccard >= threshold.
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWords: Int = 3): DataFrame = {
+    val pairs = candidatePairs(docs, idCol, textCol, numHashes, bands, shingleWords)
+    val sh = docs.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleWords)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

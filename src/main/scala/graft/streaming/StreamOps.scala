@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming variants of the engine's operators — the
+  * capability surface the reference only designed (`design.pdf` pp.1-2:
+  * stream ingestion, dedup with TTL, windowed aggregation, dim join).
+  *
+  * File-source streams over the test corpus let a bounded parquet table
+  * drive a real streaming query synchronously (memory sink +
+  * `processAllAvailable`), so streaming semantics are oracle-testable
+  * against batch SQL.
+  */
+object StreamOps {
+
+  private val nameCounter = new AtomicInteger()
+
+  /** Run a bounded streaming DataFrame to completion through a memory
+    * sink; returns the sink table as a batch DataFrame.
+    */
+  def runToBatch(spark: SparkSession, stream: DataFrame, outputMode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = stream.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** File-source stream over one parquet table (schema from a batch peek,
+    * as file streams require an explicit schema).
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Tumbling-window counts + exact decimal sums per event type. */
+  def windowedEventStats(events: DataFrame, windowDuration: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+
+  /** Streaming dedup by key (state-backed `dropDuplicates`) — the
+    * streaming analog of the reference's dedup-by-detection_oid with the
+    * conditional-write design from design.pdf. For TTL-bounded state use
+    * `withWatermark` + `dropDuplicatesWithinWatermark`.
+    */
+  def dedupByKey(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicates(keys)
+
+  /** Watermarked streaming dedup: state for a key is dropped once the
+    * watermark passes `ttl` — bounded state at 100 TB/day event volumes.
+    */
+  def dedupByKeyWithTtl(events: DataFrame, keys: Seq[String], tsCol: String, ttl: String): DataFrame =
+    events.withWatermark(tsCol, ttl).dropDuplicatesWithinWatermark(keys)
+}
