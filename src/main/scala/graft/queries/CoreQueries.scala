@@ -13,16 +13,24 @@ object CoreQueries {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
-  /** Deduped lineitem: one survivor per l_orderkey, min l_linenumber —
-    * the corpus mapping of reference A1 (dedup by detection_oid with a
-    * pinned deterministic survivor, SURVEY.md §7.3).
+  /** Deduped lineitem: one survivor per l_orderkey — the corpus mapping of
+    * reference A1 (dedup by detection_oid with a pinned deterministic
+    * survivor, SURVEY.md §7.3). The driver corpus injects duplicate
+    * (l_orderkey, l_linenumber) pairs, so the tie-break must span every
+    * remaining column to be a total order (interchangeable full-row
+    * duplicates aside).
     */
+  private val dedupTieBreak = Seq(
+    "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
   private def dedupedLineitem(s: SparkSession, d: String): DataFrame =
-    Dedup.byKeyMin(li(s, d), Seq("l_orderkey"), Seq("l_linenumber"))
+    Dedup.byKeyMin(li(s, d), Seq("l_orderkey"), dedupTieBreak)
 
   private val dedupSql =
-    """SELECT * FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS __rn
+    s"""SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY ${dedupTieBreak.mkString(", ")}) AS __rn
       |  FROM lineitem) t WHERE __rn = 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
@@ -194,25 +202,28 @@ object CoreQueries {
       Some("""SELECT l_suppkey, count(*) AS cnt FROM lineitem
              |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
-    // §2.5 extension: window frames (running sum) + lag.
+    // §2.5 extension: window frames (running sum) + lag. The corpus has
+    // duplicate (l_orderkey, l_linenumber) pairs, so the window order adds
+    // l_quantity to stay total (identical (ln, qty) rows interchangeable).
     "q15_window_running" -> Q(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("l_orderkey").orderBy("l_linenumber")
+          .partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
         li(s, d).select(
             col("l_orderkey"), col("l_linenumber"),
             sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
               .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
               .cast("double").as("running_qty"),
             lag(col("l_quantity"), 1).over(w).as("prev_qty"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "running_qty")
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
-             |         PARTITION BY l_orderkey ORDER BY l_linenumber
+             |         PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-             |       lag(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_qty
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |       lag(l_quantity, 1) OVER (
+             |         PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS prev_qty
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin)),
 
     // S7/A11: SparkSQL text entry over a temp view.
     "q16_sql_agg" -> Q(
@@ -246,11 +257,7 @@ object CoreQueries {
             col("l_partkey").cast("string").as("item_name"))
           .orderBy(col("geographical_location"), col("item_rank").cast("int"), col("item_name"))
       },
-      Some("""WITH dd AS (
-             |  SELECT l_suppkey, l_partkey FROM (
-             |    SELECT l_suppkey, l_partkey,
-             |           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
-             |    FROM lineitem) t WHERE rn = 1),
+      Some(s"""WITH dd AS (SELECT l_suppkey, l_partkey FROM ($dedupSql) x),
              |cnts AS (SELECT l_suppkey, l_partkey, count(*) AS cnt FROM dd GROUP BY 1, 2),
              |ranked AS (
              |  SELECT l_suppkey, l_partkey,
