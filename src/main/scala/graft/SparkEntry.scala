@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,14 +16,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.queries("q17_top_items").fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def allQueries = CoreQueries.queries ++ LlmQueries.queries
+
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline tier (dedup / text analysis / similarity). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries.view.mapValues(_.fn).toMap
+    allQueries.view.mapValues(_.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.queries.collect {
+    allQueries.collect {
       case (name, q) if q.oracle.isDefined => name -> q.oracle.get
     }
 }

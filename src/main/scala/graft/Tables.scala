@@ -22,7 +22,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** The events table's `ts` column is parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read it as raw nanos
+    * (`nanosAsLong`) and convert to a proper timestamp at micros
+    * precision (Spark's native resolution; the sub-microsecond remainder
+    * is dropped, which no window/aggregation here can observe).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

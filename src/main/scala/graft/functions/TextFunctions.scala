@@ -45,19 +45,23 @@ object TextFunctions {
 
   /** Quality-scoring ratio columns (select alongside the doc id):
     * alphabetic ratio, whitespace ratio, mean token length. Divisions are
-    * exact-int → double, bit-stable across engines.
+    * exact-int → double, bit-stable across engines. Empty documents yield
+    * NULL ratios — the zero-denominator guard matters because Spark 4 runs
+    * ANSI mode by default, where an unguarded /0 fails the whole job.
     */
   def qualityColumns(text: Column): Seq[Column] = {
     val len = length(text).cast("long")
     val alpha = alphaChars(text)
     val spaces = (length(text) - length(replace(text, lit(" "), lit("")))).cast("long")
     val nTok = tokenCount(text)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double")).otherwise(num.cast("double") / den)
     Seq(
       len.as("len_chars"),
       nTok.as("n_tokens"),
-      (alpha.cast("double") / len).as("alpha_ratio"),
-      (spaces.cast("double") / len).as("space_ratio"),
-      (alpha.cast("double") / nTok).as("mean_token_len"))
+      ratio(alpha, len).as("alpha_ratio"),
+      ratio(spaces, len).as("space_ratio"),
+      ratio(alpha, nTok).as("mean_token_len"))
   }
 
   /** Marker words per language for the language-ID heuristic. Counted as

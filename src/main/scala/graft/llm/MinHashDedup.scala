@@ -24,6 +24,11 @@ object MinHashDedup {
 
   /** LSH candidate pairs (id_a < id_b): documents sharing at least one
     * band of their minhash signature. bands × rowsPerBand = numHashes.
+    *
+    * `maxBucketSize` drops degenerate hot buckets (e.g. empty/boilerplate
+    * documents whose one shingle makes every band collide) before the
+    * self-join, bounding worst-case fan-out at maxBucketSize² per bucket
+    * instead of quadratic in the corpus. 0 = no cap.
     */
   def candidatePairs(
       docs: DataFrame,
@@ -31,7 +36,8 @@ object MinHashDedup {
       textCol: String,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleWords: Int = 3): DataFrame = {
+      shingleWords: Int = 3,
+      maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = docs.select(
@@ -43,8 +49,15 @@ object MinHashDedup {
       col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bkey")))
-    bandKeys.as("l")
-      .join(bandKeys.as("r"),
+    val capped =
+      if (maxBucketSize <= 0) bandKeys
+      else bandKeys
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    capped.as("l")
+      .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -61,8 +74,9 @@ object MinHashDedup {
       threshold: Double,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleWords: Int = 3): DataFrame = {
-    val pairs = candidatePairs(docs, idCol, textCol, numHashes, bands, shingleWords)
+      shingleWords: Int = 3,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val pairs = candidatePairs(docs, idCol, textCol, numHashes, bands, shingleWords, maxBucketSize)
     val sh = docs.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), shingleWords)).as("sh"))

@@ -4,16 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
-/** Exact n-gram Jaccard similarity via an inverted-index join: explode
-  * distinct shingles to (shingle, id) postings, self-join postings to
-  * count common shingles per document pair, then
-  * jaccard = common / (|A| + |B| - common).
+/** Exact n-gram Jaccard similarity via an inverted-index join.
   *
-  * Unlike an all-pairs cross join this only materializes pairs that share
-  * at least one shingle, and `maxDocFreq` drops stop-shingles (posting
-  * lists longer than the cutoff) before the self-join — the standard
-  * guard that keeps the join quadratic-in-bucket, not quadratic-in-corpus,
-  * at 100 TB.
+  * Candidate generation: explode distinct shingles to (shingle, id)
+  * postings, drop stop-shingles (posting lists longer than `maxDocFreq` —
+  * the guard that keeps the self-join quadratic-in-bucket, not
+  * quadratic-in-corpus, at 100 TB), self-join postings on the shingle.
+  *
+  * Verification: candidates are then scored with the EXACT Jaccard over
+  * the full (unfiltered) shingle sets — so `maxDocFreq` never distorts a
+  * reported similarity, it only bounds which pairs become candidates. A
+  * pair whose every common shingle is a stop-shingle is not generated;
+  * with any meaningful threshold such pairs are far below it (all their
+  * common shingles occur in > maxDocFreq documents).
   */
 object NGramJaccard {
 
@@ -25,24 +28,25 @@ object NGramJaccard {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Long = 1000L): DataFrame = {
-    val sh = docs.select(
+    val sets = docs.select(
       col(idCol).as("id"),
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("s"))
-    val filtered = sh
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    val postings = sets.select(col("id"), explode(col("sh")).as("s"))
+    val filtered = postings
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDocFreq)
       .drop("df")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val common = filtered.as("a")
+    val candidates = filtered.as("a")
       .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

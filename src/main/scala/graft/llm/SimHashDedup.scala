@@ -7,10 +7,24 @@ import graft.functions.TextFunctions
 import graft.plans.{SimHash64 => SimHash64Expr}
 
 /** SimHash near-duplicate detection: 64-bit per-document signature (native
-  * Catalyst expression, `graft.plans.SimHash64`), candidate pairs from
-  * documents agreeing on at least one of four 16-bit signature blocks
-  * (any pair within Hamming distance 3 must agree on one block —
-  * pigeonhole), verified by exact Hamming distance via `bit_count`.
+  * Catalyst expression, `graft.plans.SimHash64`), multi-index block
+  * banding for candidate generation, exact Hamming verification via
+  * `bit_count`.
+  *
+  * Banding (the scale-critical part): the 64-bit signature is split into
+  * `blocks` contiguous blocks. A pair within Hamming distance `radius`
+  * differs in at most `radius` blocks, so at least `blocks - radius`
+  * blocks agree — by pigeonhole the pair collides on at least one
+  * combination key built from `blocks - radius` blocks. With the default
+  * blocks=6 / radius=3 each document emits C(6,3)=20 keys of ~32
+  * signature bits (the multi-index scheme of Manku et al., WWW'07
+  * "Detecting Near-Duplicates for Web Crawling") — a ~4-billion-value key
+  * space per index, vs 65k for naive 16-bit banding, which is what keeps
+  * bucket sizes sub-quadratic at billions of documents.
+  *
+  * `maxBucketSize` additionally drops degenerate hot buckets (e.g. empty
+  * or boilerplate documents that all hash identically) before the
+  * self-join — the same guard as `NGramJaccard.maxDocFreq`.
   */
 object SimHashDedup {
 
@@ -24,26 +38,62 @@ object SimHashDedup {
       col(idCol).as("id"),
       simhash64(TextFunctions.tokens(TextFunctions.normalized(col(textCol)))).as("simhash"))
 
-  private val Blocks = 4
+  /** Bit ranges of `blocks` contiguous blocks covering 64 bits as
+    * (shift, width); widths differ by at most one bit.
+    */
+  private def blockRanges(blocks: Int): Seq[(Int, Int)] = {
+    val base = 64 / blocks
+    val extra = 64 % blocks
+    val widths = Seq.tabulate(blocks)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (shift, w) => (shift, w) }
+  }
 
-  /** Pairs (id_a < id_b) within `radius` Hamming distance (radius < 4 for
-    * the 4-block banding to be lossless).
+  /** All size-k index combinations of 0 until n, deterministic order. */
+  private def combinations(n: Int, k: Int): Seq[Seq[Int]] =
+    (0 until n).combinations(k).map(_.toSeq).toSeq
+
+  /** Pairs (id_a < id_b) within `radius` Hamming distance.
+    *
+    * @param blocks number of signature blocks; must exceed `radius` for
+    *               the banding to be lossless (pigeonhole)
+    * @param maxBucketSize drop (combo, key) buckets holding more documents
+    *               than this before the self-join; bounds worst-case join
+    *               fan-out at maxBucketSize² per bucket. 0 = no cap.
     */
   def nearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      radius: Int = 3): DataFrame = {
-    require(radius < Blocks, s"4-block banding is only complete for radius < $Blocks")
+      radius: Int = 3,
+      blocks: Int = 6,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    require(blocks > radius, "banding is only complete for radius < blocks")
+    require(blocks <= 64, "at most one block per signature bit")
+    val ranges = blockRanges(blocks)
+    val combos = combinations(blocks, blocks - radius)
     val sig = signatures(docs, idCol, textCol)
-    val blocks = sig.select(
+    // one row per (combo, key): key hashes the combo id with the chosen
+    // blocks' values, so each multi-index join key is a single long drawn
+    // from the full combined block width (~(blocks-radius) * 64/blocks bits)
+    val keyed = sig.select(
       col("id"), col("simhash"),
-      posexplode(array((0 until Blocks).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("block", "bkey")))
-    blocks.as("l")
-      .join(blocks.as("r"),
-        col("l.block") === col("r.block") && col("l.bkey") === col("r.bkey") &&
+      posexplode(array(combos.zipWithIndex.map { case (combo, ci) =>
+        val parts = combo.map { b =>
+          val (shift, width) = ranges(b)
+          shiftright(col("simhash"), shift).bitwiseAND(lit((1L << width) - 1L))
+        }
+        xxhash64((lit(ci) +: parts): _*)
+      }: _*)).as(Seq("combo", "bkey")))
+    val capped =
+      if (maxBucketSize <= 0) keyed
+      else keyed
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("combo"), col("bkey"))))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    capped.as("l")
+      .join(capped.as("r"),
+        col("l.combo") === col("r.combo") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
       .select(
         col("l.id").as("id_a"), col("r.id").as("id_b"),

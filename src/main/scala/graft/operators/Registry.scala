@@ -95,11 +95,15 @@ object ReferenceAggregations {
     */
   def locationStats(dataA: DataFrame, dataB: DataFrame, params: Map[String, Any]): DataFrame = {
     val dd = dedupDetections(dataA)
+    // countDistinct(col) would skip NULL item names, but the reference
+    // counts null as a distinct item (`Aggregations.scala:123` toSet on
+    // raw values; null keys are legitimate per its tests) — wrapping in a
+    // struct makes the aggregation key non-null so nulls are counted.
     val stats = dd
       .groupBy(col(Loc))
       .agg(
         count(lit(1)).as("total_detections"),
-        countDistinct(col("item_name")).as("unique_items"))
+        countDistinct(struct(col("item_name"))).as("unique_items"))
     // arg-max camera: count per (loc, camera), then min_by over
     // (-count, camera) = max count with smallest-oid tie-break; stays a
     // two-phase hash aggregate (no window sort).

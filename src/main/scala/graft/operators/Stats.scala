@@ -31,7 +31,10 @@ object Stats {
         count(col(c)).as(s"__${c}_n"),
         min(col(c)).cast("double").as(s"__${c}_min"),
         max(col(c)).cast("double").as(s"__${c}_max"),
-        (decimalSum(col(c)) / count(col(c))).as(s"__${c}_mean"))
+        // all-null column → count 0; guard the /0 (ANSI mode is on by
+        // default in Spark 4 and would fail the job)
+        when(count(col(c)) === 0, lit(null).cast("double"))
+          .otherwise(decimalSum(col(c)) / count(col(c))).as(s"__${c}_mean"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.llm.{EmbeddingKnn, MinHashDedup, NGramJaccard, SimHashDedup}
+import graft.operators.{Dedup, Stats, TopK}
+
+/** Training-data-pipeline operator corpus over the `documents`,
+  * `embeddings` and `events` tables: dedup, text analysis, similarity
+  * search, time windows, JSON extraction.
+  *
+  * Oracle-parity rules are the same as [[Q]]'s. Queries whose operators
+  * hinge on seeded hashing (minhash/simhash/hyperplane LSH) have no
+  * SQL-expressible oracle — the driver records a rows-only check and their
+  * semantics are pinned by unit tests on fixed fixtures instead.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** DuckDB SQL fragment mirroring `TextFunctions.normalized`. */
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** DuckDB SQL replicating `TextFunctions.langId` marker counting:
+    * non-overlapping replace-based counts over the padded lowercase text,
+    * argmax with ties broken in marker-list order, no hits → 'und'.
+    */
+  private val langIdSql: String = {
+    val scores = TextFunctions.langMarkers.map { case (lang, ms) =>
+      val cnt = ms.map(m =>
+        s"(length(p) - length(replace(p, '$m', ''))) // ${m.length}").mkString(" + ")
+      s"($cnt) AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val g = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+    s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+       |sc AS (SELECT doc_id,
+       |         $scores
+       |       FROM p)
+       |SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $cases END AS lang_id
+       |FROM sc""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact content dedup: one survivor (min doc_id) per distinct text.
+    // The md5-fingerprint grouping keeps the shuffle key 32 bytes at 100 TB;
+    // the oracle groups on the text itself (collision-free by construction).
+    "q20_dedup_content" -> Q(
+      (s, d) => Dedup.exactByContent(docs(s, d), "doc_id", Seq("text"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY coalesce(text, chr(1)) ORDER BY doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Text quality scoring: per-document length/token/ratio columns.
+    "q21_text_quality" -> Q(
+      (s, d) => docs(s, d)
+        .select((col("doc_id") +: TextFunctions.qualityColumns(col("text"))): _*)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  length(text) AS len_chars,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             |    / nullif(length(text), 0) AS alpha_ratio,
+             |  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+             |    / nullif(length(text), 0) AS space_ratio,
+             |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             |    / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+             |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0)
+             |    AS mean_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic, per document (oracle replicates the marker
+    // arithmetic so the check is cross-engine, not self-referential).
+    "q22_lang_id" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id"),
+      Some(s"$langIdSql ORDER BY doc_id")),
+
+    // Exact n-gram Jaccard near-dup pairs via the inverted-index join.
+    // The sf0.01 corpus carries 25 injected near-dup pairs at j >= 0.8
+    // with a clean gap below 0.1 — threshold 0.5 isolates exactly them.
+    "q23_ngram_jaccard" -> Q(
+      (s, d) => NGramJaccard
+        .similarPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5,
+          maxDocFreq = 1000000L)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |sets AS (SELECT doc_id, list_distinct(
+              |    CASE WHEN len(t) < 3 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 1),
+              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+              |  FROM tok),
+              |post AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
+              |sc AS (SELECT id_a, id_b,
+              |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+              |  FROM cand JOIN sets sa ON sa.doc_id = id_a
+              |            JOIN sets sb ON sb.doc_id = id_b)
+              |SELECT id_a, id_b, jaccard FROM sc WHERE jaccard >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Exact brute-force KNN: 8 broadcast queries vs the corpus, cosine
+    // top-5. Similarity is rounded to 6 dp on BOTH sides and the rounded
+    // value drives the rank order, so engine-level ulp drift in the double
+    // fold cannot flip ranks.
+    "q24_knn_brute" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = broadcast(emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+        val scored = emb
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+          .crossJoin(q)
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim", round(VectorFunctions.cosine(col("qv"), col("nv")), 6))
+        TopK.perGroup(scored,
+            Seq(col("query_id")), Seq(col("sim").desc, col("neighbor_id").asc),
+            k = 5, rankCol = "knn_rank")
+          .select(col("query_id"), col("neighbor_id"),
+            col("knn_rank").cast("long").as("knn_rank"), col("sim"))
+          .orderBy("query_id", "knn_rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             |           FROM embeddings WHERE vec_id < 8),
+             |sc AS (SELECT query_id, vec_id AS neighbor_id,
+             |    round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+             |                                 CAST(embedding AS DOUBLE[])), 6) AS sim
+             |  FROM embeddings CROSS JOIN q WHERE vec_id != query_id),
+             |rk AS (SELECT query_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY sim DESC, neighbor_id) AS knn_rank
+             |  FROM sc)
+             |SELECT query_id, neighbor_id, knn_rank, sim FROM rk
+             |WHERE knn_rank <= 5 ORDER BY query_id, knn_rank""".stripMargin)),
+
+    // Tumbling 1-hour event-time windows (batch form of the streaming
+    // windowed stats). Window start emitted as a formatted string so
+    // timestamp-zone representation can't perturb the hash.
+    "q25_event_windows" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Stats.decimalSum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |       event_type, count(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
+    // JSON extraction from the events props column.
+    "q26_json_extract" -> Q(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified. Same threshold
+    // as q23; seeded xxhash64 signatures are not SQL-expressible, so no
+    // oracle — semantics pinned by MinHashDedupSpec + cross-checked
+    // against q23's exact pair set in tests.
+    "q27_minhash_neardup" -> Q(
+      (s, d) => MinHashDedup
+        .nearDupPairs(docs(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // SimHash near-dup pairs (multi-index banding + Hamming verify).
+    "q28_simhash_neardup" -> Q(
+      (s, d) => SimHashDedup
+        .nearDupPairs(docs(s, d), "doc_id", "text", radius = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // Hyperplane-LSH approximate KNN (bucketed; recall measured in tests).
+    "q29_knn_lsh" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        EmbeddingKnn.lshApproximate(
+            emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, numPlanes = 8, dim = 64)
+          .orderBy("query_id", "knn_rank")
+      },
+      None))
+}
