@@ -30,11 +30,18 @@ object StreamOps {
   }
 
   /** File-source stream over one parquet table (schema from a batch peek,
-    * as file streams require an explicit schema).
+    * as file streams require an explicit schema). Works for both directory
+    * tables and single-file tables: for a non-glob path FileStreamSource
+    * force-sets `basePath` to the path itself and then requires it to be a
+    * directory, so a plain file is rewritten to the `{name}` glob form
+    * (same match, but basePath inference falls back to the parent dir).
     */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(path)
+    val f = new java.io.File(path.stripPrefix("file:"))
+    val streamPath =
+      if (f.isFile) s"${f.getParent}/{${f.getName}}" else path
+    spark.readStream.schema(schema).parquet(streamPath)
   }
 
   /** Tumbling-window counts + exact decimal sums per event type. */

@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.VectorFunctions
+
+class KnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine/dot/norm on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 2.0f), Seq(3.0f, 4.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("c")).as("dot"),
+      VectorFunctions.l2Norm(col("c")).as("norm"),
+      VectorFunctions.cosine(col("a"), col("b")).as("ortho"),
+      VectorFunctions.cosine(col("a"), col("a")).as("self")).collect()(0)
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0.0, not NaN") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("z", "v")
+    assert(df.select(VectorFunctions.cosine(col("z"), col("v"))).as[Double].head() == 0.0)
+  }
+
+  private def corpus = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f)),
+    (4L, Seq(1.0f, 0.05f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("bruteForce: correct neighbor order, self excluded") {
+    val out = EmbeddingKnn.bruteForce(corpus, corpus.filter(col("vec_id") === 0L),
+        k = 2)
+      .orderBy("knn_rank").as[(Long, Long, Int, Double)].collect()
+    // nearest to (1,0,0): vec 4 (cos ~0.9988) then vec 1 (cos ~0.9939)
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq((4L, 1), (1L, 2)))
+    assert(!out.exists(_._2 == 0L))
+  }
+
+  test("lshApproximate finds identical-direction vectors (same bucket by construction)") {
+    val out = EmbeddingKnn.lshApproximate(corpus,
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 3, numPlanes = 4, dim = 3)
+      .as[(Long, Long, Int, Double)].collect()
+    // vectors 1 and 4 point almost the same way as query 0 -> same signs
+    // under any hyperplane set, so they share its bucket and are returned
+    assert(out.map(_._2).toSet.contains(4L))
+    assert(!out.exists(_._2 == 0L))
+  }
+}
