@@ -78,17 +78,26 @@ object TextFunctions {
   /** Language-ID heuristic: argmax of marker-word hit counts, ties broken
     * by the fixed order en > de > es > fr > zh, no hits at all → "und"
     * (undetermined). Deterministic and SQL-expressible.
+    *
+    * Shape matters: each score is packed once into an array of
+    * (score, priority) structs and the argmax is `array_max` (lexicographic
+    * struct compare, priority descending in marker order for ties). A naive
+    * `when(s === greatest(...))` chain would inline every score tree into
+    * every branch — ~7× the `replace` calls per row.
     */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, ms) =>
-      lang -> ms.map(m => literalCount(padded, m)).reduce(_ + _)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val firstBest = scores.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(s === best && best > 0, lit(lang)).otherwise(els)
-    }
-    firstBest
+    val n = langMarkers.size
+    val scored = array(langMarkers.zipWithIndex.map { case ((_, ms), i) =>
+      struct(
+        ms.map(m => literalCount(padded, m)).reduce(_ + _).as("s"),
+        lit(n - 1 - i).as("p")) // earlier marker wins ties via larger p
+    }: _*)
+    val langsByP = array(langMarkers.reverse.map(m => lit(m._1)): _*)
+    val best = array_max(scored)
+    when(text.isNull, lit(null).cast("string")) // null doc → null lang (SQL CASE parity)
+      .when(best.getField("s") === 0, lit("und"))
+      .otherwise(element_at(langsByP, best.getField("p").cast("int") + 1))
   }
 
   /** Word n-gram shingles over whitespace tokens; texts shorter than n

@@ -40,9 +40,14 @@ object MinHashDedup {
       maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = docs.select(
-      col(idCol).as("id"),
-      signature(TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
+    // stage shingles into their own projection first: `signature` references
+    // its input 32 times, and passing the raw wordShingles expression would
+    // inline (and re-execute) the whole tokenize+slice tree per hash
+    // function — staging makes it a cheap attribute reference instead
+    val sig = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleWords).as("__sh"))
+      .select(col("id"), signature(col("__sh"), numHashes).as("sig"))
     // one (band, bucket-hash) row per band; the bucket key hashes the
     // band's slice of the signature so the join key is a single long
     val bandKeys = sig.select(

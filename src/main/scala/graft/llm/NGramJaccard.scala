@@ -1,22 +1,31 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
-/** Exact n-gram Jaccard similarity via an inverted-index join.
+/** Exact n-gram Jaccard similarity via a prefix-filtered inverted-index
+  * join (the AllPairs/PPJoin scheme, Bayardo et al., WWW'07 "Scaling Up
+  * All Pairs Similarity Search").
   *
-  * Candidate generation: explode distinct shingles to (shingle, id)
-  * postings, drop stop-shingles (posting lists longer than `maxDocFreq` —
-  * the guard that keeps the self-join quadratic-in-bucket, not
-  * quadratic-in-corpus, at 100 TB), self-join postings on the shingle.
+  * Candidate generation: under a global shingle order (document frequency
+  * ascending, then shingle), a document of distinct-shingle size `s` only
+  * indexes its first `s - ceil(t*s) + 1` shingles. Any pair with
+  * jaccard >= t must overlap within these prefixes, so no true pair is
+  * lost — but candidates now only form on each document's RAREST
+  * shingles, which keeps the posting self-join small even on dense
+  * corpora where every common shingle is shared by thousands of
+  * documents (where a naive full-posting join goes quadratic).
   *
-  * Verification: candidates are then scored with the EXACT Jaccard over
-  * the full (unfiltered) shingle sets — so `maxDocFreq` never distorts a
-  * reported similarity, it only bounds which pairs become candidates. A
-  * pair whose every common shingle is a stop-shingle is not generated;
-  * with any meaningful threshold such pairs are far below it (all their
-  * common shingles occur in > maxDocFreq documents).
+  * Verification: candidates are scored with the EXACT Jaccard over the
+  * full shingle sets — the output is precisely {pairs : jaccard >= t}.
+  *
+  * `maxDocFreq` remains as a last-resort guard for degenerate data where
+  * even prefix shingles are ultra-hot (e.g. a corpus of identical
+  * boilerplate); when it fires, pairs whose every prefix shingle exceeds
+  * the cutoff are not generated (documented approximation, off by
+  * default).
   */
 object NGramJaccard {
 
@@ -27,18 +36,25 @@ object NGramJaccard {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Long = 1000L): DataFrame = {
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val sets = docs.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
-    val postings = sets.select(col("id"), explode(col("sh")).as("s"))
-    val filtered = postings
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+    val postings = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val withDf = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDocFreq)
-      .drop("df")
-    val candidates = filtered.as("a")
-      .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    // global order: rarest shingles first; each doc indexes only its
+    // prefix — enough that any >= threshold pair still collides
+    val prefix = withDf
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("__rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "s")
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     candidates

@@ -18,7 +18,14 @@ import graft.operators.{Dedup, Stats, TopK}
   */
 object LlmQueries {
 
-  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  /** The documents table arrives as one small parquet file → one input
+    * partition, which serializes the CPU-heavy text expressions (shingling,
+    * marker counting) onto a single core. Spreading it across the cluster
+    * costs one tiny shuffle and is what a 100 TB corpus gets for free from
+    * its file count.
+    */
+  private def docs(s: SparkSession, d: String) =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
   /** DuckDB SQL fragment mirroring `TextFunctions.normalized`. */
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -91,8 +98,7 @@ object LlmQueries {
     // with a clean gap below 0.1 — threshold 0.5 isolates exactly them.
     "q23_ngram_jaccard" -> Q(
       (s, d) => NGramJaccard
-        .similarPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5,
-          maxDocFreq = 1000000L)
+        .similarPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
               |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
