@@ -51,6 +51,76 @@ object EmbeddingKnn {
       when(VectorFunctions.dot(vec, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Corpus-self exact near-duplicate pairs: every (id_a < id_b) with
+    * cosine >= threshold. The corpus is broadcast against itself (a
+    * 100k-vector × 64-dim corpus is ~25 MB — broadcastable), so this is a
+    * BroadcastNestedLoopJoin: exact, shuffle-free, but O(n²) compare —
+    * the correctness baseline. The scale path is [[nearDupPairsLsh]].
+    * Similarity is rounded to `roundSim` decimals before the threshold
+    * test so results are engine-reproducible.
+    */
+  def nearDupPairsExact(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      roundSim: Int = 6): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = broadcast(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), roundSim))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Corpus-self approximate near-duplicate pairs — the all-pairs ANN a
+    * training-data pipeline runs at 100 TB (embedding-level dedup).
+    * Banded hyperplane LSH: `tables` independent signatures of
+    * `planesPerTable` sign bits each; vectors meet iff some table's
+    * signature matches exactly, then candidates are verified with the
+    * exact cosine. Recall for pairs at angle θ is
+    * 1-(1-(1-θ/π)^planesPerTable)^tables — tune tables up for recall,
+    * planesPerTable up for precision/bucket size. `maxBucketSize` drops
+    * degenerate buckets (e.g. zero vectors) like the text-LSH caps.
+    */
+  def nearDupPairsLsh(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      tables: Int = 8,
+      planesPerTable: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L,
+      roundSim: Int = 6): DataFrame = {
+    val keyed = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col(vecCol), hyperplanes(planesPerTable, dim, seed + t))): _*))
+        .as(Seq("table", "sig")))
+    val capped =
+      if (maxBucketSize <= 0) keyed
+      else keyed
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("sig"))))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    val pairs = capped.as("l")
+      .join(capped.as("r"),
+        col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct() // dedup on the narrow id pair BEFORE rejoining vectors
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), roundSim))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Approximate top-k: queries only meet corpus vectors in the same LSH
     * bucket. Recall/cost is tuned by numPlanes (fewer planes → bigger
     * buckets → higher recall, more comparisons).

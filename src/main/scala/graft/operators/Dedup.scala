@@ -27,9 +27,12 @@ object Dedup {
 
   /** Deterministic dedup: per key keep the row minimal under `tieBreak`
     * (lexicographic struct comparison). Uses `min_by` rather than a
-    * `row_number()` window so the plan stays a two-phase HashAggregate —
-    * at 100 TB a window formulation would sort every partition; this one
-    * partial-aggregates map-side and shuffles one row per key per mapper.
+    * `row_number()` window: the struct-typed aggregation buffer makes
+    * Spark pick SortAggregate (not HashAggregate), but it still runs as
+    * partial → final aggregation — each mapper reduces to one row per key
+    * BEFORE the shuffle, which a window formulation cannot do (it must
+    * shuffle every duplicate and sort whole partitions). At 100 TB the
+    * shuffle-volume difference dominates the local sort cost.
     *
     * `tieBreak` must be a total order within each key group for the
     * result to be deterministic (it is for every use in this repo).

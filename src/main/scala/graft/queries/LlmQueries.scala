@@ -203,5 +203,45 @@ object LlmQueries {
             k = 5, numPlanes = 8, dim = 64)
           .orderBy("query_id", "knn_rank")
       },
-      None))
+      None),
+
+    // Corpus-self EXACT embedding near-dup pairs (broadcast nested-loop
+    // all-pairs cosine — the correctness baseline for embedding dedup).
+    "q30_embed_neardup_exact" -> Q(
+      (s, d) => EmbeddingKnn
+        .nearDupPairsExact(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Corpus-self ANN near-dup via banded hyperplane LSH — the 100 TB
+    // scale path (seeded hyperplanes, not SQL-expressible; recall vs q30
+    // pinned in KnnSpec).
+    "q31_embed_neardup_lsh" -> Q(
+      (s, d) => EmbeddingKnn
+        .nearDupPairsLsh(Tables.embeddings(s, d), threshold = 0.4,
+          tables = 8, planesPerTable = 8, dim = 64)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // Multimodal plumbing over a binary payload column (document text
+    // bytes standing in for media): expression-level metadata extraction.
+    // Only the real (non-stub) columns are oracle-checked.
+    "q32_media_meta" -> Q(
+      (s, d) => {
+        import graft.multimodal.MultimodalOps
+        docs(s, d)
+          .withColumn("media", col("text").cast("binary"))
+          .select((col("doc_id") +: MultimodalOps.decodeMetaColumns(col("media"))): _*)
+          .select("doc_id", "byte_len", "checksum")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |       md5(text) AS checksum
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 }

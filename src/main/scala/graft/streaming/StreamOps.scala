@@ -65,4 +65,34 @@ object StreamOps {
     */
   def dedupByKeyWithTtl(events: DataFrame, keys: Seq[String], tsCol: String, ttl: String): DataFrame =
     events.withWatermark(tsCol, ttl).dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-static broadcast enrich — the design.pdf "cached Dataset B
+    * join": each microbatch joins the broadcast static dim map-side, with
+    * a default for missing keys; no streaming state involved. Delegates
+    * to the batch operator (stream-static left join is directly supported
+    * by Structured Streaming).
+    */
+  def enrichWithStaticDim(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String,
+      defaults: Map[String, String] = Map.empty): DataFrame =
+    graft.operators.Joins.enrichLeftBroadcast(stream, dim, streamKey, dimKey, defaults)
+
+  /** Per-microbatch top-items ranking via foreachBatch — the design.pdf
+    * top-K component. Ranking (window + filter) isn't directly available
+    * on an unaggregated stream, so each microbatch runs the full batch
+    * TOP_ITEMS aggregation and hands the result to `sink`.
+    */
+  def topItemsForEachBatch(
+      stream: DataFrame,
+      dataB: DataFrame,
+      topX: Int)(sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.ReferenceAggregations.topItems(
+          batch, dataB, Map[String, Any]("topX" -> topX)), batchId)
+      }
+      .start()
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-quality assertions over the real parquet corpus: these pin the
+  * physical-plan properties the engine's 100 TB posture depends on
+  * (pushdown, pruning, broadcast, map-side top-K, aggregate-not-window
+  * dedup). A regression here means a silent scale cliff even while
+  * results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filters are pushed to the parquet scan (q02)") {
+    val plan = formatted(SparkEntry.queries("q02_filter")(spark, sf))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("projection reaches the scan's ReadSchema (q01 reads 3 of 11 columns)") {
+    val plan = formatted(SparkEntry.queries("q01_scan_project")(spark, sf))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("grouped top-K plans as WindowGroupLimit (map-side K pushdown, q05)") {
+    val plan = formatted(SparkEntry.queries("q05_topk_per_group")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("dim joins broadcast (q17 flagship)") {
+    val plan = formatted(SparkEntry.queries("q17_top_items")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("dedup-by-key is partial->final aggregation, not a window sort") {
+    val dd = operators.Dedup.byKeyMin(
+      Tables.lineitem(spark, sf), Seq("l_orderkey"), Seq("l_linenumber"))
+    val plan = formatted(dd)
+    // struct-buffer min_by plans as SortAggregate, but crucially in two
+    // phases (map-side partial below the Exchange) and with no Window:
+    // mappers reduce to one row per key before shuffling
+    assert("(?s)SortAggregate.*Exchange.*SortAggregate".r.findFirstIn(plan).isDefined
+      || "(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(plan).isDefined)
+    assert(!plan.contains("Window"))
+  }
+
+  test("whole-stage codegen covers the scan->aggregate path (q04)") {
+    // AQE's pre-execution explain hides codegen stages, and df.write spawns
+    // a separate queryExecution — collect() drives THIS one to its final
+    // adaptive plan
+    val df = SparkEntry.queries("q04_group_count")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    // codegen spans render as "*(n) Operator" in the final adaptive plan
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"))
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")))
+  }
+}

@@ -44,6 +44,34 @@ class KnnSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == 0L))
   }
 
+  test("nearDupPairsExact: all-pairs cosine with threshold, id_a < id_b") {
+    val out = EmbeddingKnn.nearDupPairsExact(corpus, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // (0,1) cos ~0.9939, (0,4) ~0.9988, (1,4) ~0.9858; orthogonals excluded
+    assert(out.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 4L), (1L, 4L)))
+    assert(out.forall(p => p._3 >= 0.9 && p._1 < p._2))
+  }
+
+  test("nearDupPairsLsh: recovers the exact pair set on clustered vectors") {
+    val exact = EmbeddingKnn.nearDupPairsExact(corpus, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = EmbeddingKnn.nearDupPairsLsh(corpus, threshold = 0.9,
+        tables = 16, planesPerTable = 4, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // near-identical directions agree on every sign bit with high
+    // probability per table; 16 tables of 4 planes make a miss vanishing,
+    // and the seeded hyperplanes make the outcome deterministic
+    assert(lsh == exact)
+  }
+
+  test("nearDupPairsLsh: hot-bucket cap bounds the self-join") {
+    val flood = (1L to 30L).map(i => (i, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(EmbeddingKnn.nearDupPairsLsh(flood, threshold = 0.9, tables = 2,
+      planesPerTable = 4, dim = 3, maxBucketSize = 5L).count() == 0)
+    assert(EmbeddingKnn.nearDupPairsLsh(flood, threshold = 0.9, tables = 2,
+      planesPerTable = 4, dim = 3, maxBucketSize = 0L).count() == 30L * 29 / 2)
+  }
+
   test("lshApproximate finds identical-direction vectors (same bucket by construction)") {
     val out = EmbeddingKnn.lshApproximate(corpus,
         corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",

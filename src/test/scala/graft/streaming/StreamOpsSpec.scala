@@ -42,6 +42,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static broadcast enrich: Unknown default inside a streaming query") {
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-join").toString
+    Seq((1L, "a"), (2L, "b"), (9L, "c")).toDF("loc", "payload")
+      .write.mode("overwrite").parquet(s"$dir/facts.parquet")
+    val dim = Seq((1L, "Loc1"), (2L, "Loc2")).toDF("loc_d", "name")
+    val out = StreamOps.runToBatch(spark,
+      StreamOps.enrichWithStaticDim(
+        StreamOps.readStream(spark, s"$dir/facts.parquet"), dim,
+        "loc", "loc_d", Map("name" -> "Unknown")),
+      "append")
+    val m = out.select("loc", "name").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "Loc1", 2L -> "Loc2", 9L -> "Unknown"))
+  }
+
+  test("foreachBatch top-items: per-batch ranking equals the batch aggregation") {
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-topk").toString
+    val dataA = Seq(
+      (1L, 10L, 100L, "apple", 1000L), (1L, 10L, 101L, "apple", 1001L),
+      (1L, 11L, 102L, "pear", 1002L), (2L, 20L, 200L, "fig", 2000L))
+      .toDF("geographical_location_oid", "video_camera_oid", "detection_oid",
+        "item_name", "timestamp_detected")
+    dataA.write.mode("overwrite").parquet(s"$dir/a.parquet")
+    val dataB = Seq((1L, "Loc1"), (2L, "Loc2"))
+      .toDF("geographical_location_oid", "geographical_location")
+    val results = scala.collection.mutable.ArrayBuffer.empty[Array[(String, String, String)]]
+    val q = StreamOps.topItemsForEachBatch(
+      StreamOps.readStream(spark, s"$dir/a.parquet"), dataB, topX = 2) { (df, _) =>
+        results += df.orderBy("geographical_location", "item_rank")
+          .as[(String, String, String)].collect()
+      }
+    try q.processAllAvailable() finally q.stop()
+    val batch = graft.operators.ReferenceAggregations
+      .topItems(dataA, dataB, Map[String, Any]("topX" -> 2))
+      .orderBy("geographical_location", "item_rank")
+      .as[(String, String, String)].collect()
+    assert(results.size == 1) // single file -> single microbatch
+    assert(results.head.toSeq == batch.toSeq)
+  }
+
   test("dedupByKey (unbounded state) keeps one row per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-spec2").toString
     Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
