@@ -25,6 +25,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // long-lived bench JVM: reclaim the previous query's broadcast/shuffle
+      // garbage so its GC debt isn't billed to this query's wall clock
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

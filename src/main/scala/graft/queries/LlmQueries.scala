@@ -27,6 +27,13 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) =
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
+  /** Same single-file-fan-out treatment for the embeddings table (the
+    * O(n²) similarity joins below parallelize over the left side's
+    * partitions).
+    */
+  private def emb(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** DuckDB SQL fragment mirroring `TextFunctions.normalized`. */
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -209,7 +216,7 @@ object LlmQueries {
     // all-pairs cosine — the correctness baseline for embedding dedup).
     "q30_embed_neardup_exact" -> Q(
       (s, d) => EmbeddingKnn
-        .nearDupPairsExact(Tables.embeddings(s, d), threshold = 0.4)
+        .nearDupPairsExact(emb(s, d), threshold = 0.4)
         .orderBy("id_a", "id_b"),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -224,7 +231,7 @@ object LlmQueries {
     // pinned in KnnSpec).
     "q31_embed_neardup_lsh" -> Q(
       (s, d) => EmbeddingKnn
-        .nearDupPairsLsh(Tables.embeddings(s, d), threshold = 0.4,
+        .nearDupPairsLsh(emb(s, d), threshold = 0.4,
           tables = 8, planesPerTable = 8, dim = 64)
         .orderBy("id_a", "id_b"),
       None),
