@@ -20,6 +20,21 @@ object TextFunctions {
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L)).otherwise(size(split(trim(c), "\\s+")).cast("long"))
 
+  /** GPT-2-style pre-tokenizer pattern (simplified): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * residual whitespace. Counting its matches approximates a BPE
+    * tokenizer's token count well enough for length-based quality
+    * filtering/budgeting without shipping a vocabulary. The pattern
+    * avoids lookarounds and unicode classes so it means the same thing
+    * in Java regex and RE2-style engines (oracle-portable).
+    */
+  val bpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** Approximate BPE token count (matches of [[bpeTokenPattern]]). */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(bpeTokenPattern)).cast("long")
+
   /** Whitespace-normalized text: lowercase, runs of whitespace collapsed,
     * trimmed — the canonical form used for fingerprinting and exact dedup.
     */

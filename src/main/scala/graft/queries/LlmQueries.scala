@@ -92,6 +92,21 @@ object LlmQueries {
              |    AS mean_token_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Approximate BPE token counting (GPT-2-style pre-tokenizer regex) —
+    // the length signal an LLM-data pipeline budgets with. The oracle
+    // runs the same pattern through DuckDB's RE2.
+    "q33_bpe_tokens" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          TextFunctions.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '${TextFunctions.bpeTokenPattern.replace("'", "''")}')) AS n_bpe_tokens,
+              |  CASE WHEN length(trim(text)) = 0 THEN 0
+              |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Language-ID heuristic, per document (oracle replicates the marker
     // arithmetic so the check is cross-engine, not self-referential).
     "q22_lang_id" -> Q(

@@ -58,6 +58,13 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(seqOf(TextFunctions.charShingles(col("t"), 5), "ab") == Seq("ab"))
   }
 
+  test("bpeTokenCount: contractions, digit runs, punctuation runs") {
+    // "it's 2024, really!" -> [it][,s][ 2024][,][ really][!] = 6
+    assert(one[Long](TextFunctions.bpeTokenCount(col("t")), "it's 2024, really!") == 6L)
+    assert(one[Long](TextFunctions.bpeTokenCount(col("t")), "") == 0L)
+    assert(one[Long](TextFunctions.bpeTokenCount(col("t")), "plain words here") == 3L)
+  }
+
   test("qualityColumns: zero-length and zero-token guards return null, not error") {
     val out = Seq(Tuple1("")).toDF("t")
       .select(TextFunctions.qualityColumns(col("t")): _*).collect()(0)
