@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's native expressions as
+  * SQL functions, so `spark.sql("SELECT simhash64(tokens) ...")` works
+  * anywhere the Scala `Column` API does — including pure-SQL clients.
+  *
+  * Wire up with either:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  * or `--conf spark.sql.extensions=graft.plans.GraftExtensions` on
+  * spark-submit (the zero-code path for an existing deployment).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** The function catalog, shared by the extensions path and [[register]]. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(children.head)
+      }),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(array<float|double>, array<float|double>) - dot product as double"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(children(0), children(1))
+      }),
+    (FunctionIdentifier("sum_of_squares"),
+      info("sum_of_squares",
+        "sum_of_squares(array<float|double>) - sum of squared elements as double"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "sum_of_squares takes exactly 1 argument")
+        SumOfSquares(children.head)
+      }))
+
+  /** Runtime registration on an ALREADY-BUILT session — the path for
+    * notebooks/REPLs where `getOrCreate()` would silently ignore
+    * `withExtensions` because the session exists. Idempotent.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

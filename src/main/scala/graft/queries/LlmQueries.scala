@@ -199,6 +199,45 @@ object LlmQueries {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Sessionization: split each user's event stream at >6h gaps (lag +
+    // running sum of session-start flags), then per-session stats — the
+    // standard event-log shaping step before per-session training examples.
+    // Gap arithmetic runs on integer microseconds so both engines compare
+    // exactly.
+    "q34_sessionize" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = 6L * 3600 * 1000000
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("new_sess",
+            when(lag(col("us"), 1).over(w).isNull ||
+              col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("sess_id", sum("new_sess").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            count(lit(1)).as("n_events"),
+            Stats.decimalSum(col("value")).as("sum_value"))
+          .select("user_id", "session_start", "n_events", "sum_value")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |                       OR us - lag(us) OVER w > 21600000000
+             |                     THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (SELECT *, SUM(new_sess) OVER (
+             |        PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g)
+             |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       count(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, sess_id
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // MinHash+LSH near-dup pairs, exact-Jaccard verified. Same threshold
     // as q23; seeded xxhash64 signatures are not SQL-expressible, so no
     // oracle — semantics pinned by MinHashDedupSpec + cross-checked

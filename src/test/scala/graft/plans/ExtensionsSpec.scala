@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The SQL registration surface: graft's native expressions must be
+  * callable from pure SQL once GraftExtensions is installed.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // the shared test session already exists, so withExtensions would be
+  // silently ignored by getOrCreate — use the runtime registration path
+  // (which is also what notebook/REPL users need)
+  private lazy val spark: SparkSession = {
+    val s = graft.TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("simhash64 / dot_product / sum_of_squares are SQL-callable") {
+    val row = spark.sql(
+      """SELECT
+        |  simhash64(array('a', 'b')) AS sh,
+        |  dot_product(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |              CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS dp,
+        |  sum_of_squares(CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS sq
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Double]("dp") == 11.0)
+    assert(row.getAs[Double]("sq") == 25.0)
+    // same value the Column API produces
+    val viaColumn = {
+      import org.apache.spark.sql.functions._
+      spark.range(1).select(
+        graft.llm.SimHashDedup.simhash64(array(lit("a"), lit("b"))).as("sh"))
+        .collect()(0).getAs[Long]("sh")
+    }
+    assert(row.getAs[Long]("sh") == viaColumn)
+  }
+
+  test("wrong arity fails analysis with the function's own message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1.0))").collect()
+    }
+    assert(e.getMessage.contains("dot_product"))
+  }
+
+  test("typed models round-trip the registry outputs") {
+    import spark.implicits._
+    val dataA = Seq(
+      graft.Models.DetectionRecord(1L, 10L, 100L, "apple", 1000L),
+      graft.Models.DetectionRecord(1L, 10L, 101L, "pear", 1001L)).toDS().toDF()
+    val dataB = Seq(graft.Models.LocationRecord(1L, "Loc1")).toDS().toDF()
+    val typed = graft.Results.topItems(
+      graft.operators.ReferenceAggregations.topItems(dataA, dataB,
+        Map[String, Any]("topX" -> 5)))
+    val rows = typed.collect().sortBy(_.item_rank)
+    assert(rows.map(_.geographical_location).toSet == Set("Loc1"))
+    assert(rows.map(_.item_rank).toSeq == Seq("1", "2"))
+  }
+}
