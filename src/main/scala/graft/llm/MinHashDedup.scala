@@ -16,11 +16,15 @@ object MinHashDedup {
 
   /** MinHash signature: per hash function i, min over shingles of
     * xxhash64(i, shingle). `numHashes` independent permutations are
-    * simulated by seeding the hash with the function index.
+    * simulated by seeding the hash with the function index. Computed by
+    * the single-pass native `MinHashSignature` expression (bit-compatible
+    * with the composed `array_min(transform(...))` form, but one Long[]
+    * allocation per row instead of `numHashes` hashed array copies).
     */
   def signature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.MinHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingles), numHashes))
 
   /** LSH candidate pairs (id_a < id_b): documents sharing at least one
     * band of their minhash signature. bands × rowsPerBand = numHashes.

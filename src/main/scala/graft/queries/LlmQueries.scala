@@ -238,6 +238,66 @@ object LlmQueries {
              |FROM s GROUP BY user_id, sess_id
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Native session_window, cross-checked against a FIRST-PRINCIPLES
+    // sessionization in the oracle (lag + running sum, split at >= gap —
+    // session_window starts a new session when the gap equals the
+    // duration, since windows are [start, end)). Agreement here pins
+    // Spark's stateful session semantics against an independent
+    // construction.
+    "q35_session_window" -> Q(
+      (s, d) => graft.streaming.StreamOps
+        .sessionStats(Tables.events(s, d), "user_id", "6 hours")
+        .select(
+          col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |                       OR us - lag(us) OVER w >= 21600000000
+             |                     THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (SELECT *, SUM(new_sess) OVER (
+             |        PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g)
+             |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       count(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, sess_id
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Exact linear-interpolation percentiles (profiling surface beyond
+    // min/max/mean — the quantile cut a data pipeline filters on).
+    "q36_percentiles" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       quantile_cont(l_quantity, 0.5) AS p50,
+             |       quantile_cont(l_quantity, 0.9) AS p90,
+             |       quantile_cont(l_extendedprice, 0.99) AS p99_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Multimodal frame sampling through the correctness gate: synthetic
+    // per-doc frame counts, one row per sampled frame via the pure
+    // sequence+explode plumbing (never leaves codegen).
+    "q37_frame_sample" -> Q(
+      (s, d) => {
+        import graft.multimodal.MultimodalOps
+        val withFrames = docs(s, d)
+          .select(col("doc_id"), (pmod(col("doc_id"), lit(20)) + 1).cast("int").as("n_frames"))
+        MultimodalOps.sampleFrames(withFrames, "n_frames", every = 5)
+          .select("doc_id", "n_frames", "frame_idx")
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, n_frames, unnest(range(0, n_frames, 5)) AS frame_idx
+             |FROM (SELECT doc_id, CAST(doc_id % 20 + 1 AS INT) AS n_frames FROM documents) t
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // MinHash+LSH near-dup pairs, exact-Jaccard verified. Same threshold
     // as q23; seeded xxhash64 signatures are not SQL-expressible, so no
     // oracle — semantics pinned by MinHashDedupSpec + cross-checked

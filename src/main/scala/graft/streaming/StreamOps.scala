@@ -66,6 +66,17 @@ object StreamOps {
   def dedupByKeyWithTtl(events: DataFrame, keys: Seq[String], tsCol: String, ttl: String): DataFrame =
     events.withWatermark(tsCol, ttl).dropDuplicatesWithinWatermark(keys)
 
+  /** Gap-based session windows per key (`session_window` — state merges
+    * adjacent events closer than `gap`). Works identically over batch and
+    * streaming frames; streaming use needs a watermark on `ts` first.
+    */
+  def sessionStats(events: DataFrame, keyCol: String, gap: String): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+
   /** Stream-static broadcast enrich — the design.pdf "cached Dataset B
     * join": each microbatch joins the broadcast static dim map-side, with
     * a default for missing keys; no streaming state involved. Delegates

@@ -83,6 +83,21 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(results.head.toSeq == batch.toSeq)
   }
 
+  test("session windows: streaming equals batch (complete mode)") {
+    // complete mode sidesteps append-mode's emission timing (the final
+    // no-data microbatch that flushes watermark-expired sessions races
+    // processAllAvailable) and lets us assert exact parity
+    val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "1 hour")
+    val streamed = StreamOps.runToBatch(spark,
+      StreamOps.sessionStats(stream, "user_id", "6 hours"), "complete")
+    val batch = StreamOps.sessionStats(Tables.events(spark, sfDir), "user_id", "6 hours")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("dedupByKey (unbounded state) keeps one row per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-spec2").toString
     Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
