@@ -55,6 +55,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    import operators.Bucketing
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    // drop any leftovers from a previous run (the in-memory catalog forgets
+    // tables between JVMs but their warehouse directories survive)
+    Seq("graft_li_bucketed", "graft_ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Bucketing.writeBucketed(li, "graft_li_bucketed", Seq("l_orderkey"), 4)
+    Bucketing.writeBucketed(ord, "graft_ord_bucketed", Seq("l_orderkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark,
+        "graft_li_bucketed", "graft_ord_bucketed", Seq("l_orderkey"))
+      val plan = formatted(joined)
+      assert(plan.contains("SortMergeJoin"))
+      // bucket layout satisfies the join's required distribution: no
+      // Exchange (shuffle) anywhere in the plan
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the scan->aggregate path (q04)") {
     // AQE's pre-execution explain hides codegen stages, and df.write spawns
     // a separate queryExecution — collect() drives THIS one to its final
