@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, LlmQueries}
+import graft.queries.{CoreQueries, ExtendedQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.queries("q17_top_items").fn(spark, "/root/testdata/sf0.001")
 
-  private def allQueries = CoreQueries.queries ++ LlmQueries.queries
+  private def allQueries =
+    CoreQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * training-data-pipeline tier (dedup / text analysis / similarity). */

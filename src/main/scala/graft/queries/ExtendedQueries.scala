@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational surface beyond the reference's own operator list (the
+  * reference has no set difference/intersection, pivots, or grouping
+  * sets — SURVEY.md §2.7/§2.4 notes) — capabilities a user migrating a
+  * broader SQL workload onto this engine would expect. All
+  * DuckDB-oracle-checked.
+  */
+object ExtendedQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // Set difference + intersection, bag semantics (exceptAll /
+    // intersectAll): high-value orders that are/aren't flagged F.
+    "q38_set_ops" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val flagged = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_custkey")
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+          .select("o_orderkey", "o_custkey")
+        big.exceptAll(flagged).withColumn("tag", lit("only_big"))
+          .union(big.intersectAll(flagged).withColumn("tag", lit("both")))
+          .orderBy("tag", "o_orderkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_custkey, 'only_big' AS tag FROM (
+             |    SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0
+             |    EXCEPT ALL
+             |    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F') a
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'both' AS tag FROM (
+             |    SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0
+             |    INTERSECT ALL
+             |    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F') b) u
+             |ORDER BY tag, o_orderkey""".stripMargin)),
+
+    // Pivot: returnflag x linestatus count matrix (oracle uses portable
+    // conditional aggregation rather than dialect PIVOT syntax).
+    "q39_pivot" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .count()
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+             |       count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Rollup subtotals; grouping keys coalesced to a sentinel so subtotal
+    // rows sort identically in both engines (Spark and DuckDB disagree on
+    // NULL ordering).
+    "q40_rollup" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("n"))
+        .orderBy("flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS flag,
+             |       coalesce(l_linestatus, '<all>') AS status,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)))
+}
