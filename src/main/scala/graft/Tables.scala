@@ -34,7 +34,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer division: `/` is double division, and 2024-epoch nanos
+        // (~1.7e18) exceed double's 2^53 exact range — the 256 ns ulp
+        // would shift roughly half the microsecond values by one
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -51,6 +51,21 @@ object EmbeddingKnn {
       when(VectorFunctions.dot(vec, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Fail fast if the corpus vector width differs from the configured
+    * `dim`: a mismatched hyperplane makes every dot product NULL, which
+    * would silently collapse all vectors into signature 0 — one giant
+    * bucket that either gets capped away (empty result) or goes
+    * quadratic. Costs one single-row Spark job.
+    */
+  private def validateDim(corpus: DataFrame, vecCol: String, dim: Int): Unit = {
+    val head = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    head.headOption.foreach { r =>
+      val actual = r.getInt(0)
+      require(actual == dim,
+        s"embedding dim mismatch: column '$vecCol' has $actual elements, LSH configured for $dim")
+    }
+  }
+
   /** Corpus-self exact near-duplicate pairs: every (id_a < id_b) with
     * cosine >= threshold. The corpus is broadcast against itself (a
     * 100k-vector × 64-dim corpus is ~25 MB — broadcastable), so this is a
@@ -94,18 +109,14 @@ object EmbeddingKnn {
       seed: Long = 42L,
       maxBucketSize: Long = 100000L,
       roundSim: Int = 6): DataFrame = {
+    validateDim(corpus, vecCol, dim)
     val keyed = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(array((0 until tables).map(t =>
         lshSignature(col(vecCol), hyperplanes(planesPerTable, dim, seed + t))): _*))
         .as(Seq("table", "sig")))
-    val capped =
-      if (maxBucketSize <= 0) keyed
-      else keyed
-        .withColumn("__bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("sig"))))
-        .filter(col("__bsz") <= maxBucketSize)
-        .drop("__bsz")
+    val capped = graft.operators.BucketCaps.capBuckets(
+      keyed, Seq(col("table"), col("sig")), maxBucketSize)
     val pairs = capped.as("l")
       .join(capped.as("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
@@ -134,6 +145,7 @@ object EmbeddingKnn {
       numPlanes: Int = 8,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    validateDim(corpus, vecCol, dim)
     val planes = hyperplanes(numPlanes, dim, seed)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("nv"),

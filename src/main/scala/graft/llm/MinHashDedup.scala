@@ -58,13 +58,8 @@ object MinHashDedup {
       col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bkey")))
-    val capped =
-      if (maxBucketSize <= 0) bandKeys
-      else bandKeys
-        .withColumn("__bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
-        .filter(col("__bsz") <= maxBucketSize)
-        .drop("__bsz")
+    val capped = graft.operators.BucketCaps.capBuckets(
+      bandKeys, Seq(col("band"), col("bkey")), maxBucketSize)
     capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&

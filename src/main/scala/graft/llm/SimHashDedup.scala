@@ -84,13 +84,8 @@ object SimHashDedup {
         }
         xxhash64((lit(ci) +: parts): _*)
       }: _*)).as(Seq("combo", "bkey")))
-    val capped =
-      if (maxBucketSize <= 0) keyed
-      else keyed
-        .withColumn("__bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("combo"), col("bkey"))))
-        .filter(col("__bsz") <= maxBucketSize)
-        .drop("__bsz")
+    val capped = graft.operators.BucketCaps.capBuckets(
+      keyed, Seq(col("combo"), col("bkey")), maxBucketSize)
     capped.as("l")
       .join(capped.as("r"),
         col("l.combo") === col("r.combo") && col("l.bkey") === col("r.bkey") &&

@@ -16,9 +16,11 @@ object Stats {
     * last ulps; this form is bit-stable. Safe because binary doubles are
     * never exact midpoints of scale>=1 decimals, so round-to-nearest agrees
     * across engines regardless of their midpoint rounding mode.
+    * Precision 38 (not 18) so 64-bit-magnitude inputs — epoch nanos, hash
+    * values — don't overflow the cast, which under ANSI mode fails the job.
     */
   def decimalSum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(c.cast(DecimalType(38, scale))).cast("double")
 
   /** min/max/count/mean per requested numeric column, one scan (all
     * aggregates computed in a single Aggregate node, rows then unpivoted

@@ -8,6 +8,14 @@ import org.apache.spark.sql.types._
 
 /** Shared MinHash kernel (interpreted + generated paths). */
 object MinHashKernel {
+  // per-function seeds are loop-invariant (hashInt(i, 42) depends only on
+  // i); cache them per numHashes rather than recomputing per element
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seeds(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes,
+      n => Array.tabulate(n)(i => XXH64.hashInt(i, 42L)))
+
   /** Per hash function i in [0, numHashes): min over non-null elements of
     * the hash chain seed42 → hashInt(i) → hashString(s) — exactly the
     * value the built-in `xxhash64(lit(i), s)` produces, so signatures are
@@ -16,6 +24,7 @@ object MinHashKernel {
     * has no signature and drops out of banding).
     */
   def compute(arr: ArrayData, numHashes: Int): GenericArrayData = {
+    val sds = seeds(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var any = false
     var j = 0
@@ -25,8 +34,7 @@ object MinHashKernel {
         val s = arr.getUTF8String(j)
         var i = 0
         while (i < numHashes) {
-          val seeded = XXH64.hashInt(i, 42L)
-          val h = XxHash64Function.hash(s, StringType, seeded)
+          val h = XxHash64Function.hash(s, StringType, sds(i))
           if (h < mins(i)) mins(i) = h
           i += 1
         }

@@ -45,6 +45,10 @@ object ExtendedQueries {
         .groupBy("l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
         .count()
+        // empty pivot cells are NULL in Spark but 0 under the oracle's
+        // FILTER aggregation — normalize
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("F"), coalesce(col("O"), lit(0L)).as("O"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |       count(*) FILTER (WHERE l_linestatus = 'F') AS "F",

@@ -38,7 +38,11 @@ object StreamOps {
     */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path.stripPrefix("file:"))
+    // getAbsoluteFile: a bare relative filename has a null getParent,
+    // which would produce a "null/{name}" glob. (Known limitation: Hadoop
+    // {} alternation cannot escape commas, so a FILE name containing ','
+    // is not streamable this way — directory tables are unaffected.)
+    val f = new java.io.File(path.stripPrefix("file:")).getAbsoluteFile
     val streamPath =
       if (f.isFile) s"${f.getParent}/{${f.getName}}" else path
     spark.readStream.schema(schema).parquet(streamPath)

@@ -17,7 +17,7 @@ class StreamOpsSpec extends AnyFunSuite {
 
   test("windowedEventStats: streaming result equals batch result") {
     val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowedEventStats(stream, "1 hour"), "complete")
     val batch = StreamOps.windowedEventStats(Tables.events(spark, sfDir), "1 hour")
@@ -88,7 +88,7 @@ class StreamOpsSpec extends AnyFunSuite {
     // no-data microbatch that flushes watermark-expired sessions races
     // processAllAvailable) and lets us assert exact parity
     val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.sessionStats(stream, "user_id", "6 hours"), "complete")
