@@ -52,9 +52,15 @@ object NGramJaccard {
       .withColumn("__rnk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
       .filter(col("__rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "s")
+      .select("id", "sz", "s")
+    // length filter (also from AllPairs): jaccard >= t forces
+    // t*|b| <= |a| and t*|a| <= |b|, so size-mismatched pairs are pruned
+    // inside the join, before the distinct
     val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     candidates
