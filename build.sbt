@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 executor threads in this one JVM; an 8g heap forced
+  // near-continuous full GCs on array-heavy queries (observed as 10-50 s
+  // run-to-run bench variance and executor-heartbeat RPC timeouts). The
+  // host has 128 GiB; size the heap so GC stays off the critical path.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pre-commit the heap: growing from the default -Xms under 32-thread
+  // allocation pressure causes repeated full GCs early in a run
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

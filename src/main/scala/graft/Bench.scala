@@ -20,6 +20,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // a long GC pause must not escalate into executor-heartbeat RPC
+      // timeouts mid-query (observed once in a driver-side run)
+      .config("spark.network.timeout", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -40,8 +43,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report -1 in `queries` but are EXCLUDED from the
+    // total (summing the sentinel would make a failing run look faster);
+    // `failures` makes cross-round total comparisons honest
+    val failures = results.count(_._2 < 0)
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,12 @@ object Tables {
     * (`nanosAsLong`) and convert to a proper timestamp at micros
     * precision (Spark's native resolution; the sub-microsecond remainder
     * is dropped, which no window/aggregation here can observe).
+    *
+    * NOTE: `nanosAsLong` is a session-wide SQL conf (there is no per-read
+    * option for it), so this getter mutates how TIMESTAMP(NANOS) parquet
+    * columns are read for the rest of the session. All entry points
+    * (GraftSession / Verify / Bench) also pin it at session build time;
+    * the set here only covers ad-hoc sessions, and is idempotent.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,10 +40,11 @@ object Tables {
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // integer division: `/` is double division, and 2024-epoch nanos
-        // (~1.7e18) exceed double's 2^53 exact range — the 256 ns ulp
-        // would shift roughly half the microsecond values by one
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // floor division via pmod so hypothetical pre-1970 nanos would
+        // still land in the correct microsecond; `div` alone truncates
+        // toward zero. Plain `/` is double division and 2024-epoch nanos
+        // (~1.7e18) exceed double's 2^53 exact range.
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => raw
     }
   }

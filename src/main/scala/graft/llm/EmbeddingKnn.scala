@@ -34,13 +34,33 @@ object EmbeddingKnn {
       .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("sim"))
   }
 
-  /** Deterministic seeded hyperplanes (driver-side constants, shipped as
-    * literals into the plan).
+  /** Deterministic seeded Gaussian hyperplanes (driver-side constants,
+    * shipped as literals into the plan).
     */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Deterministic ±1 (Rademacher) hyperplanes, reproducible OUTSIDE the
+    * JVM: entry (p, j) is +1 iff the 32-bit Weyl mix
+    * `((p*dim + j + seed) * 2654435761) mod 2^32` has its top bit clear.
+    * Sign projections with ±1 entries are a standard LSH family
+    * (Achlioptas' database-friendly random projections, PODS'01); using
+    * integer mixing instead of a JVM PRNG means an external engine (the
+    * DuckDB oracle) can rebuild the identical planes in plain SQL, so the
+    * WHOLE approximate pipeline is cross-engine checkable. A further
+    * exactness bonus: products flip only the sign bit of float32 inputs,
+    * so bucket dots are exact in double and engine-order-independent.
+    */
+  def rademacherPlanes(
+      numPlanes: Int, dim: Int, seed: Long, planeOffset: Int = 0): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        val mixed = (((p + planeOffset).toLong * dim + j + seed) * 2654435761L) & 0xffffffffL
+        if (mixed < 0x80000000L) 1.0 else -1.0
+      }
+    }
 
   /** Sign-bit LSH signature of a vector under the given hyperplanes,
     * packed into a single long (numPlanes <= 63).
@@ -58,8 +78,11 @@ object EmbeddingKnn {
     * quadratic. Costs one single-row Spark job.
     */
   private def validateDim(corpus: DataFrame, vecCol: String, dim: Int): Unit = {
-    val head = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-    head.headOption.foreach { r =>
+    // sample a non-null vector: size(NULL) is NULL (sizeOfNull=false) and
+    // getInt on it would throw an opaque NPE instead of this diagnostic
+    val head = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
+    head.headOption.filterNot(_.isNullAt(0)).foreach { r =>
       val actual = r.getInt(0)
       require(actual == dim,
         s"embedding dim mismatch: column '$vecCol' has $actual elements, LSH configured for $dim")
@@ -113,7 +136,8 @@ object EmbeddingKnn {
     val keyed = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(array((0 until tables).map(t =>
-        lshSignature(col(vecCol), hyperplanes(planesPerTable, dim, seed + t))): _*))
+        lshSignature(col(vecCol),
+          rademacherPlanes(planesPerTable, dim, seed, planeOffset = t * planesPerTable))): _*))
         .as(Seq("table", "sig")))
     val capped = graft.operators.BucketCaps.capBuckets(
       keyed, Seq(col("table"), col("sig")), maxBucketSize)
@@ -134,7 +158,9 @@ object EmbeddingKnn {
 
   /** Approximate top-k: queries only meet corpus vectors in the same LSH
     * bucket. Recall/cost is tuned by numPlanes (fewer planes → bigger
-    * buckets → higher recall, more comparisons).
+    * buckets → higher recall, more comparisons). Similarity is rounded to
+    * `roundSim` decimals BEFORE ranking so rank order is engine-
+    * reproducible (same convention as [[nearDupPairsExact]]).
     */
   def lshApproximate(
       corpus: DataFrame,
@@ -144,9 +170,10 @@ object EmbeddingKnn {
       k: Int = 5,
       numPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      roundSim: Int = 6): DataFrame = {
     validateDim(corpus, vecCol, dim)
-    val planes = hyperplanes(numPlanes, dim, seed)
+    val planes = rademacherPlanes(numPlanes, dim, seed)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       lshSignature(col(vecCol), planes).as("bucket"))
@@ -155,7 +182,7 @@ object EmbeddingKnn {
       lshSignature(col(vecCol), planes).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("nv")))
+      .withColumn("sim", round(VectorFunctions.cosine(col("qv"), col("nv")), roundSim))
     TopK.perGroup(scored,
         partitionCols = Seq(col("query_id")),
         orderCols = Seq(col("sim").desc, col("neighbor_id").asc),

@@ -79,18 +79,8 @@ object MinHashDedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleWords: Int = 3,
-      maxBucketSize: Long = 100000L): DataFrame = {
-    val pairs = candidatePairs(docs, idCol, textCol, numHashes, bands, shingleWords, maxBucketSize)
-    val sh = docs.select(
-      col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleWords)).as("sh"))
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+      maxBucketSize: Long = 100000L): DataFrame =
+    JaccardVerify.verify(
+      candidatePairs(docs, idCol, textCol, numHashes, bands, shingleWords, maxBucketSize),
+      docs, idCol, textCol, threshold, shingleWords)
 }

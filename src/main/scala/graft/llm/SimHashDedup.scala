@@ -52,7 +52,12 @@ object SimHashDedup {
   private def combinations(n: Int, k: Int): Seq[Seq[Int]] =
     (0 until n).combinations(k).map(_.toSeq).toSeq
 
-  /** Pairs (id_a < id_b) within `radius` Hamming distance.
+  /** Banding candidate pairs (id_a < id_b, with their exact Hamming
+    * distance): every pair within `radius` Hamming distance is GUARANTEED
+    * to appear (pigeonhole over the block combos — deterministic, not
+    * probabilistic); farther pairs may appear when a combo key happens to
+    * collide. Callers decide membership: [[nearDupPairs]] verifies by
+    * Hamming radius, [[nearDupPairsJaccard]] by exact shingle Jaccard.
     *
     * @param blocks number of signature blocks; must exceed `radius` for
     *               the banding to be lossless (pigeonhole)
@@ -60,13 +65,14 @@ object SimHashDedup {
     *               than this before the self-join; bounds worst-case join
     *               fan-out at maxBucketSize² per bucket. 0 = no cap.
     */
-  def nearDupPairs(
+  def candidatePairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       radius: Int = 3,
       blocks: Int = 6,
       maxBucketSize: Long = 100000L): DataFrame = {
+    require(radius >= 0, "radius must be non-negative")
     require(blocks > radius, "banding is only complete for radius < blocks")
     require(blocks <= 64, "at most one block per signature bit")
     val ranges = blockRanges(blocks)
@@ -80,7 +86,10 @@ object SimHashDedup {
       posexplode(array(combos.zipWithIndex.map { case (combo, ci) =>
         val parts = combo.map { b =>
           val (shift, width) = ranges(b)
-          shiftright(col("simhash"), shift).bitwiseAND(lit((1L << width) - 1L))
+          // width == 64 (blocks=1, radius=0): (1L << 64) wraps to 1 under
+          // Java shift semantics, so the mask must be special-cased to -1
+          val mask = if (width == 64) -1L else (1L << width) - 1L
+          shiftright(col("simhash"), shift).bitwiseAND(lit(mask))
         }
         xxhash64((lit(ci) +: parts): _*)
       }: _*)).as(Seq("combo", "bkey")))
@@ -94,6 +103,38 @@ object SimHashDedup {
         col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= radius)
   }
+
+  /** Pairs (id_a < id_b) within `radius` Hamming distance — pure SimHash
+    * semantics (banding + Hamming verification).
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      radius: Int = 3,
+      blocks: Int = 6,
+      maxBucketSize: Long = 100000L): DataFrame =
+    candidatePairs(docs, idCol, textCol, radius, blocks, maxBucketSize)
+      .filter(col("hamming") <= radius)
+
+  /** SimHash banding as CANDIDATE GENERATION with exact shingle-Jaccard
+    * verification deciding membership: output is a subset of
+    * `{pairs : jaccard >= threshold}`, with equality whenever every true
+    * pair's signatures are within `radius` Hamming bits (guaranteed
+    * candidates). Dedup pipelines that must not emit false positives use
+    * this form; the Hamming radius trades candidate volume for recall.
+    */
+  def nearDupPairsJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      radius: Int = 5,
+      blocks: Int = 7,
+      shingleWords: Int = 3,
+      maxBucketSize: Long = 100000L): DataFrame =
+    JaccardVerify.verify(
+      candidatePairs(docs, idCol, textCol, radius, blocks, maxBucketSize),
+      docs, idCol, textCol, threshold, shingleWords)
 }

@@ -19,9 +19,14 @@ object MinHashKernel {
   /** Per hash function i in [0, numHashes): min over non-null elements of
     * the hash chain seed42 → hashInt(i) → hashString(s) — exactly the
     * value the built-in `xxhash64(lit(i), s)` produces, so signatures are
-    * bit-compatible with the composed-expression formulation.
-    * An array with no non-null elements yields NULL (the document simply
-    * has no signature and drops out of banding).
+    * bit-compatible with the composed-expression formulation FOR arrays of
+    * non-null strings (the only shape `wordShingles` emits). Two edge
+    * shapes deliberately diverge from the composed form: null elements are
+    * SKIPPED here (builtin xxhash64 would fold a null child to the running
+    * seed, i.e. treat it as a value), and an all-null/empty array yields a
+    * NULL row (the composed form would emit an array of fold seeds). Both
+    * choices make degenerate documents drop out of banding instead of
+    * colliding on a seed-only signature.
     */
   def compute(arr: ArrayData, numHashes: Int): GenericArrayData = {
     val sds = seeds(numHashes)

