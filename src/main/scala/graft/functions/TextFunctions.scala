@@ -94,13 +94,27 @@ object TextFunctions {
     * by the fixed order en > de > es > fr > zh, no hits at all → "und"
     * (undetermined). Deterministic and SQL-expressible.
     *
-    * Shape matters: each score is packed once into an array of
+    * Backed by the native [[graft.plans.LangId]] expression: the composed
+    * column form below generates thousands of lines of projection code
+    * whose one-time janino+JIT cost (6-50 s per JVM) dominated the q22
+    * bench; the native kernel is one static call. [[langIdComposed]] is
+    * retained as the executable specification — TextFunctionsSpec pins
+    * the two equal on every fixture.
+    */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.LangId(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), langMarkers))
+
+  /** Reference formulation of [[langId]] from built-in functions only.
+    *
+    * Shape matters even here: each score is packed once into an array of
     * (score, priority) structs and the argmax is `array_max` (lexicographic
     * struct compare, priority descending in marker order for ties). A naive
     * `when(s === greatest(...))` chain would inline every score tree into
     * every branch — ~7× the `replace` calls per row.
     */
-  def langId(text: Column): Column = {
+  def langIdComposed(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val n = langMarkers.size
     val scored = array(langMarkers.zipWithIndex.map { case ((_, ms), i) =>
@@ -116,9 +130,20 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles over whitespace tokens; texts shorter than n
-    * tokens yield one shingle = the whole normalized text.
+    * tokens yield one shingle = the whole normalized text. Backed by the
+    * native [[graft.plans.WordShingles]] kernel (one byte-scan per doc) —
+    * the composed form below re-executed sequence/slice/concat trees in
+    * every branch of the near-dup DAGs and dominated q23's profile.
     */
-  def wordShingles(c: Column, n: Int): Column = {
+  def wordShingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.WordShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
+  /** Reference formulation of [[wordShingles]] from built-ins only;
+    * TextFunctionsSpec pins the two equal on every fixture.
+    */
+  def wordShinglesComposed(c: Column, n: Int): Column = {
     val t = tokens(normalized(c))
     when(size(t) < n, array(concat_ws(" ", t)))
       .otherwise(transform(

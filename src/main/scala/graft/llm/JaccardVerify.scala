@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -19,7 +19,9 @@ import graft.functions.TextFunctions
 object JaccardVerify {
 
   /** Keep the candidate pairs whose exact word-shingle Jaccard is at
-    * least `threshold`; emits (id_a, id_b, jaccard).
+    * least `threshold`; emits (id_a, id_b, jaccard). The set-Jaccard runs
+    * as the native [[graft.plans.JaccardSimilarity]] kernel (dedups
+    * internally, so no array_distinct materialization per document).
     */
   def verify(
       pairs: DataFrame,
@@ -30,13 +32,16 @@ object JaccardVerify {
       shingleWords: Int = 3): DataFrame = {
     val sets = docs.select(
       col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleWords)).as("sh"))
+      TextFunctions.wordShingles(col(textCol), shingleWords).as("sh"))
+    def jaccardSim(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.JaccardSimilarity(
+          org.apache.spark.sql.graft.ColumnBridge.expression(a),
+          org.apache.spark.sql.graft.ColumnBridge.expression(b)))
     pairs.select("id_a", "id_b")
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -41,8 +41,15 @@ object NGramJaccard {
     val sets = docs.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    // candidate generation runs on xxhash64'd shingles: the posting rows
+    // (and all three shuffles over them) carry an 8-byte long instead of
+    // a multi-word string. A hash collision can only ADD a candidate
+    // pair, which exact verification below then rejects — candidate-side
+    // hashing cannot change the output. (`sz` stays the true string-set
+    // size, so prefix lengths and the length filter are unaffected.)
     val postings = sets.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
+      explode(col("sh")).as("s0"))
+      .select(col("id"), col("sz"), xxhash64(col("s0")).as("s"))
     val withDf = postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDocFreq)
@@ -63,13 +70,6 @@ object NGramJaccard {
           col("b.sz") >= lit(threshold) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    JaccardVerify.verify(candidates, docs, idCol, textCol, threshold, n)
   }
 }

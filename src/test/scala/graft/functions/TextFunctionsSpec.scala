@@ -43,6 +43,50 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[String](TextFunctions.langId(col("t")), "这是一个测试 的 文本") == "zh")
   }
 
+  test("native wordShingles equals the composed-builtin reference formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq("", "   ", "one", "one two", "a\tb\nc  d", " A  b\t C ",
+        "这是 一个 测试 的 文本 here").map(Tuple1(_)).toDF("text"))
+    for (n <- Seq(1, 3, 5)) {
+      val diff = docs.select(
+          TextFunctions.wordShingles(col("text"), n).as("native"),
+          TextFunctions.wordShinglesComposed(col("text"), n).as("composed"))
+        .filter(not(col("native") <=> col("composed")))
+      assert(diff.count() == 0, s"n=$n")
+    }
+  }
+
+  test("native JaccardSimilarity equals intersect/union on shingle sets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sets = docs.limit(40).select(col("doc_id"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val pairs = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+    def native(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.JaccardSimilarity(
+          org.apache.spark.sql.graft.ColumnBridge.expression(a),
+          org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+    val diff = pairs.select(
+        native(col("a.sh"), col("b.sh")).as("nat"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("comp"))
+      .filter(not(col("nat") <=> col("comp")))
+    assert(diff.count() == 0)
+  }
+
+  test("native langId equals the composed-builtin reference formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, null: String), (-2L, ""), (-3L, " the und der "),
+        (-4L, "el la the que los"), (-5L, "的是 le les 了")).toDF("doc_id", "text"))
+    val diff = docs.select(
+        TextFunctions.langId(col("text")).as("native"),
+        TextFunctions.langIdComposed(col("text")).as("composed"))
+      .filter(not(col("native") <=> col("composed")))
+    assert(diff.count() == 0)
+  }
+
   private def seqOf(c: org.apache.spark.sql.Column, text: String): Seq[String] =
     Seq(Tuple1(text)).toDF("t").select(c.as("r")).collect()(0).getSeq[String](0).toList
 
