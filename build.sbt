@@ -26,12 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 executor threads in this one JVM; an 8g heap forced
-  // near-continuous full GCs on array-heavy queries (observed as 10-50 s
-  // run-to-run bench variance and executor-heartbeat RPC timeouts). The
-  // host has 128 GiB; size the heap so GC stays off the critical path.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // pre-commit the heap: growing from the default -Xms under 32-thread
-  // allocation pressure causes repeated full GCs early in a run
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Heap sizing for local[32] (32 executor threads in one JVM). 8g
+  // thrashed GC on array-heavy queries (10-50 s variance + heartbeat RPC
+  // timeouts); very large heaps were WORSE in a different way — lazy
+  // first-touch of tens of GB mid-run stalled single queries for minutes
+  // (page zeroing/THP work, invisible to GC+JIT counters; a measured q28
+  // first run went 6.7 s -> 280 s under -Xms48g). 16g pre-touched at
+  // startup keeps both failure modes off the timed path.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
+  // 41 codegen-heavy queries in one JVM generate far more compiled code
+  // than the 240m default code cache; overflow triggers flush/recompile
+  // storms (bench diagnostics showed 20-40s of JIT wall time billed to
+  // single queries late in a run)
+  "-XX:ReservedCodeCacheSize=1g",
 )

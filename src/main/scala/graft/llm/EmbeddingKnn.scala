@@ -156,6 +156,54 @@ object EmbeddingKnn {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** IVF-style approximate top-k (inverted-file ANN): the corpus is
+    * coarse-quantized once — every vector lands in the cell of its
+    * nearest `centroid` (argmax cosine) — and each query exhaustively
+    * searches only its `nProbe` nearest cells. Cost shape at 100 TB:
+    * build = |corpus| × |centroids| broadcast compares (one scan, no
+    * shuffle of the corpus beyond the cell join), query = |queries| ×
+    * |centroids| + the probed cells' contents; with |centroids| ~ √n and
+    * the cell join pre-partitioned by cell this is the standard IVF
+    * trade (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI'11 — the IVF part, without PQ compression).
+    *
+    * The quantizer is PLUGGABLE: pass any centroid set (production
+    * trains k-means offline and ships it like a dim table). Assignment
+    * uses rounded similarity + centroid-id tie-breaks, so given the same
+    * centroids the whole pipeline is deterministic and cross-engine
+    * reproducible (the q41 oracle re-runs it in DuckDB).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nProbe: Int = 4,
+      roundSim: Int = 6): DataFrame = {
+    val cents = broadcast(centroids.select(col(idCol).as("cell"), col(vecCol).as("cv")))
+    def cellRank(side: DataFrame, id: String, v: String, kk: Int): DataFrame =
+      TopK.perGroup(
+        side.select(col(idCol).as(id), col(vecCol).as(v))
+          .crossJoin(cents)
+          .withColumn("csim", round(VectorFunctions.cosine(col(v), col("cv")), roundSim)),
+        Seq(col(id)), Seq(col("csim").desc, col("cell").asc), kk, "__cr")
+    // corpus vectors live in exactly one cell; queries probe nProbe cells
+    val cells = cellRank(corpus, "neighbor_id", "nv", 1)
+      .select("cell", "neighbor_id", "nv")
+    val probes = cellRank(queries, "query_id", "qv", math.max(1, nProbe))
+      .select("cell", "query_id", "qv")
+    val scored = cells.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("qv"), col("nv")), roundSim))
+    TopK.perGroup(scored,
+        partitionCols = Seq(col("query_id")),
+        orderCols = Seq(col("sim").desc, col("neighbor_id").asc),
+        k = k, rankCol = "knn_rank")
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("sim"))
+  }
+
   /** Approximate top-k: queries only meet corpus vectors in the same LSH
     * bucket. Recall/cost is tuned by numPlanes (fewer planes → bigger
     * buckets → higher recall, more comparisons). Similarity is rounded to

@@ -131,7 +131,7 @@ object SimHashDedup {
       textCol: String,
       threshold: Double,
       radius: Int = 5,
-      blocks: Int = 7,
+      blocks: Int = 8,
       shingleWords: Int = 3,
       maxBucketSize: Long = 100000L): DataFrame =
     JaccardVerify.verify(

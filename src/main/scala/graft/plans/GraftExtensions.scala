@@ -46,6 +46,32 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "sum_of_squares takes exactly 1 argument")
         SumOfSquares(children.head)
+      }),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(string, n) - lowercase word n-gram shingles (< n tokens -> whole text)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_shingles takes exactly 2 arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(children.head, n)
+      }),
+    (FunctionIdentifier("jaccard_similarity"),
+      info("jaccard_similarity",
+        "jaccard_similarity(array<string>, array<string>) - exact set Jaccard as double"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaccard_similarity takes exactly 2 arguments")
+        JaccardSimilarity(children(0), children(1))
+      }),
+    (FunctionIdentifier("lang_id"),
+      info("lang_id",
+        "lang_id(string) - marker-count language-ID heuristic (en/de/es/fr/zh/und)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "lang_id takes exactly 1 argument")
+        LangId(children.head, graft.functions.TextFunctions.langMarkers)
       }))
 
   /** Runtime registration on an ALREADY-BUILT session — the path for

@@ -72,6 +72,31 @@ class KnnSpec extends AnyFunSuite {
       planesPerTable = 4, dim = 3, maxBucketSize = 0L).count() == 30L * 29 / 2)
   }
 
+  test("ivfTopK with nProbe >= nCells equals brute force exactly") {
+    val queries = corpus.filter(col("vec_id") < 2)
+    val ivf = EmbeddingKnn.ivfTopK(corpus, queries, centroids = corpus,
+        k = 3, nProbe = 5)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = EmbeddingKnn.bruteForce(corpus, queries, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    // probing every cell degrades IVF to exhaustive search — the recall
+    // knob's boundary case pins the pipeline's correctness
+    assert(brute.nonEmpty && ivf == brute)
+  }
+
+  test("ivfTopK single probe only searches the query's own cell") {
+    // centroids at the two axes split the corpus into two cells; a query
+    // on the x-axis with nProbe=1 must never see the y/z-cell vectors
+    val cents = Seq((100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = EmbeddingKnn.ivfTopK(corpus, corpus.filter(col("vec_id") === 0L),
+        centroids = cents, k = 5, nProbe = 1)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.map(_._2).toSet == Set(1L, 4L)) // x-cell mates only
+  }
+
   test("lshApproximate finds identical-direction vectors (same bucket by construction)") {
     val out = EmbeddingKnn.lshApproximate(corpus,
         corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",

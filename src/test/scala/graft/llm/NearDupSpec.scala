@@ -93,6 +93,25 @@ class NearDupSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("SimHash jaccard-verified: equals the exact pair set when banding covers the radius") {
+    val exact = NGramJaccard.similarPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 1000L)
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = SimHashDedup.nearDupPairsJaccard(docs, "doc_id", "text",
+        threshold = 0.5, radius = 5, blocks = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // near-identical docs sit within hamming 5 -> guaranteed candidates;
+    // exact verification then reproduces the exact scores, not estimates
+    assert(banded == exact)
+  }
+
+  test("SimHash: radius 0 with blocks 1 keys on the full signature (width-64 mask)") {
+    val banded = SimHashDedup.nearDupPairs(docs, "doc_id", "text", radius = 0, blocks = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // only the exact duplicates (identical signatures) pair at radius 0
+    assert(banded.map(p => (p._1, p._2)) == Set((1L, 4L)))
+  }
+
   test("SimHash: hot-bucket cap bounds the self-join") {
     val flood = (1L to 40L).map(i => (i, "same text for everyone")).toDF("doc_id", "text")
     assert(SimHashDedup.nearDupPairs(flood, "doc_id", "text",
