@@ -58,4 +58,28 @@ object Dedup {
       .agg(min_by(payload, col(idCol)).as("__survivor"))
       .select("__survivor.*")
   }
+
+  /** Near-duplicate GROUP dedup — the last stage of the fuzzy-dedup
+    * pipeline. Near-dup similarity is not transitive (a~b and b~c does
+    * not imply a~c), so pairwise output alone can't answer "which rows do
+    * I keep": the standard resolution is to treat pairs as edges, take
+    * connected components as the duplicate groups, and keep one survivor
+    * per group. Survivor = the minimum `idCol` of the group (== the
+    * component representative); rows in no pair survive untouched.
+    *
+    * Scale shape: CC runs over the pair graph only (edges, typically ≪
+    * the corpus), then one left-anti equi-join of the corpus against the
+    * non-survivor id set.
+    */
+  def byNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val losers = ConnectedComponents.run(pairs.select(aCol, bCol), aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -58,8 +58,8 @@ object LlmQueries {
     * candidates + exact verification): each outputs precisely
     * `{(a,b,jaccard) : jaccard >= 0.5}`, so they share this oracle.
     */
-  private val jaccardPairsSql: String =
-    s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+  private val jaccardPairsCtes: String =
+    s"""nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
        |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
        |sets AS (SELECT doc_id, list_distinct(
        |    CASE WHEN len(t) < 3 THEN [nm]
@@ -73,9 +73,28 @@ object LlmQueries {
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
        |  FROM cand JOIN sets sa ON sa.doc_id = id_a
-       |            JOIN sets sb ON sb.doc_id = id_b)
+       |            JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
+
+  private val jaccardPairsSql: String =
+    s"""WITH $jaccardPairsCtes
        |SELECT id_a, id_b, jaccard FROM sc WHERE jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Recursive-CTE transitive closure over the exact-Jaccard pair graph:
+    * `comp` maps every paired doc to its duplicate group's minimum id —
+    * the oracle for the connected-components stage (q42/q43). Small-data
+    * closure (quadratic per component) is fine for an oracle; the engine
+    * runs large-star/small-star instead.
+    */
+  private val dupGroupsCtes: String =
+    s"""$jaccardPairsCtes,
+       |pr AS (SELECT id_a, id_b FROM sc WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(u, v) AS (SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS group_id
+       |         FROM reach GROUP BY u)""".stripMargin
 
   /** DuckDB SQL replicating `TextFunctions.langId` marker counting:
     * non-overlapping replace-based counts over the padded lowercase text,
@@ -468,6 +487,46 @@ object LlmQueries {
              |  FROM sc)
              |SELECT query_id, neighbor_id, knn_rank, sim FROM rk
              |WHERE knn_rank <= 5 ORDER BY query_id, knn_rank""".stripMargin)),
+
+    // Near-dup GROUPS: exact-Jaccard pairs (q23's edge set) clustered by
+    // alternating large-star/small-star connected components; every doc
+    // gets its group's min doc_id (singletons: itself). The oracle
+    // recomputes the closure with a recursive CTE, so the WHOLE
+    // pairs→groups pipeline is hash-checked, not just pair membership.
+    "q42_neardup_groups" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = NGramJaccard
+          .similarPairs(dd, "doc_id", "text", n = 3, threshold = 0.5)
+        val cc = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        dd.select("doc_id").join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("group_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes
+              |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+              |FROM documents d LEFT JOIN comp c USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Full fuzzy-dedup pipeline: pairs → components → keep the min-id
+    // survivor per group, untouched docs pass through (the corpus a
+    // training run would actually consume).
+    "q43_dedup_neardup" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = NGramJaccard
+          .similarPairs(dd, "doc_id", "text", n = 3, threshold = 0.5)
+        Dedup.byNearDupPairs(dd, "doc_id", pairs)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes
+              |SELECT doc_id, lang, source, n_chars FROM documents
+              |WHERE doc_id NOT IN
+              |  (SELECT doc_id FROM comp WHERE group_id <> doc_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing over a binary payload column (document text
     // bytes standing in for media): expression-level metadata extraction.
