@@ -323,6 +323,41 @@ object LlmQueries {
              |FROM s GROUP BY user_id, sess_id
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Interval join (event correlation / attribution): every click joined
+    // to the same user's purchases within the following hour. The
+    // operator is the shared batch/stream-stream `StreamOps.intervalJoin`
+    // (watermarked state-bounded in streaming; here the batch plan).
+    // coalesce(…, 0): a click with no purchases must report 0.0, and the
+    // left-outer sum is NULL on both engines otherwise.
+    "q44_interval_join" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        graft.streaming.StreamOps.intervalJoin(clicks, purchases,
+            "user_id", "p_user", "click_ts", "p_ts", "1 hour", "left_outer")
+          .groupBy("click_id")
+          .agg(
+            count(col("p_ts")).as("n_purchases"),
+            coalesce(Stats.decimalSum(col("p_value")), lit(0.0))
+              .as("attributed_value"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT click_id, count(p_ts) AS n_purchases,
+             |  coalesce(CAST(SUM(CAST(p_value AS DECIMAL(38,4))) AS DOUBLE), 0.0)
+             |    AS attributed_value
+             |FROM c LEFT JOIN p ON p_user = user_id
+             |  AND p_ts >= click_ts AND p_ts <= click_ts + INTERVAL 1 HOUR
+             |GROUP BY click_id ORDER BY click_id""".stripMargin)),
+
     // Exact linear-interpolation percentiles (profiling surface beyond
     // min/max/mean — the quantile cut a data pipeline filters on).
     "q36_percentiles" -> Q(

@@ -14,6 +14,14 @@ import org.apache.spark.sql.types.DecimalType
   * `processAllAvailable`), so streaming semantics are oracle-testable
   * against batch SQL.
   */
+/** Mutable per-key state for [[StreamOps.userRunningStats]]; BigDecimal
+  * keeps the running sum exact and order-independent.
+  */
+case class UserState(n: Long, total: BigDecimal)
+
+/** Emitted row of [[StreamOps.userRunningStats]]. */
+case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double)
+
 object StreamOps {
 
   private val nameCounter = new AtomicInteger()
@@ -94,6 +102,69 @@ object StreamOps {
       dimKey: String,
       defaults: Map[String, String] = Map.empty): DataFrame =
     graft.operators.Joins.enrichLeftBroadcast(stream, dim, streamKey, dimKey, defaults)
+
+  /** Interval join: right rows match left rows with equal key and
+    * `rightTs` within `[leftTs, leftTs + within]` — the ad-attribution /
+    * event-correlation shape (click → purchases in the next hour).
+    *
+    * Works over batch AND stream-stream: in streaming, callers watermark
+    * both sides first (`withWatermark`) — the time-range predicate then
+    * lets Spark expire join state once the watermark passes
+    * `leftTs + within`, so state stays bounded at any volume. In batch
+    * the same plan is an ordinary range-predicated equi-join.
+    *
+    * The two inputs must have disjoint column names (rename before the
+    * call — required anyway for stream-stream self-joins, where Spark
+    * cannot disambiguate same-name columns).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      joinType: String = "inner"): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      joinType)
+
+  /** Arbitrary stateful processing (`mapGroupsWithState`): per-user
+    * running count and exact decimal sum of `value`. The state machine
+    * the built-in aggregations can't express is the point here — state is
+    * an explicit typed object the caller owns, updated once per key per
+    * microbatch (update output mode; batch runs it as one "microbatch",
+    * so batch output == final streaming state, which is what the parity
+    * spec pins).
+    *
+    * Accumulation is BigDecimal at scale 6 — order-independent, so
+    * stream/batch/partitioning differences can't drift the sum the way
+    * naive double accumulation would.
+    */
+  def userRunningStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserRunningStats](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, BigDecimal(0)))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) =>
+            n += 1
+            total += BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+          }
+          state.update(UserState(n, total))
+          UserRunningStats(uid, n, total.toDouble)
+      }
+      .toDF()
+  }
 
   /** Per-microbatch top-items ranking via foreachBatch — the design.pdf
     * top-K component. Ranking (window + filter) isn't directly available

@@ -98,6 +98,43 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("stream-stream interval join: streaming equals batch (inner)") {
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    def joined(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      StreamOps.intervalJoin(l, r, "user_id", "p_user", "click_ts", "p_ts", "1 hour")
+        .select("click_id", "p_id")
+    val raw = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // stream-stream self-join: two watermarked derivations of one source
+    val streamed = StreamOps.runToBatch(spark,
+      joined(
+        clicks(raw).withWatermark("click_ts", "1 hour"),
+        purchases(raw).withWatermark("p_ts", "1 hour")),
+      "append")
+    val ev = Tables.events(spark, sfDir)
+    val batch = joined(clicks(ev), purchases(ev))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("userRunningStats (mapGroupsWithState): final streaming state equals batch") {
+    val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
+    // single input file -> one microbatch, so update-mode emission is the
+    // final per-key state
+    val streamed = StreamOps.runToBatch(spark,
+      StreamOps.userRunningStats(stream), "update")
+    val batch = StreamOps.userRunningStats(Tables.events(spark, sfDir))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("dedupByKey (unbounded state) keeps one row per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-spec2").toString
     Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
