@@ -358,6 +358,38 @@ object LlmQueries {
              |  AND p_ts >= click_ts AND p_ts <= click_ts + INTERVAL 1 HOUR
              |GROUP BY click_id ORDER BY click_id""".stripMargin)),
 
+    // As-of join: each click paired with the user's most recent purchase
+    // at-or-before it (operators/AsOfJoin — single-shuffle union+window,
+    // no range-join fan-out). DuckDB's native ASOF JOIN is the oracle;
+    // purchases are pre-deduped to one row per (user, ts) because ASOF
+    // leaves the equal-ts tie unspecified.
+    "q45_asof_join" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .agg(max(col("value")).as("p_value"))
+        graft.operators.AsOfJoin.lastAtOrBefore(clicks, purchases,
+            "user_id", "p_user", "click_ts", "p_ts")
+          .select(col("click_id"),
+            date_format(col("asof_p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_purchase_ts"),
+            col("asof_p_value").as("last_purchase_value"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id AS p_user, ts AS p_ts, max(value) AS p_value
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT click_id,
+             |  strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts,
+             |  p_value AS last_purchase_value
+             |FROM c ASOF LEFT JOIN p ON user_id = p_user AND click_ts >= p_ts
+             |ORDER BY click_id""".stripMargin)),
+
     // Exact linear-interpolation percentiles (profiling surface beyond
     // min/max/mean — the quantile cut a data pipeline filters on).
     "q36_percentiles" -> Q(

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(
+      left: Seq[(Long, Long, String)],
+      right: Seq[(Long, Long, Double)]): Map[String, Option[Double]] =
+    AsOfJoin.lastAtOrBefore(
+        left.toDF("k", "lts", "tag"),
+        right.toDF("rk", "rts", "v"),
+        "k", "rk", "lts", "rts")
+      .select(col("tag"), col("asof_v"))
+      .as[(String, Option[Double])].collect().toMap
+
+  test("picks the greatest right ts at or before each left ts, per key") {
+    val out = run(
+      left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 10L, "c")),
+      right = Seq((1L, 5L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0), (2L, 10L, 9.0)))
+    // a: only ts=5 is <= 10; b: ts=20; c: equal ts matches ("at or before")
+    assert(out == Map("a" -> Some(1.0), "b" -> Some(2.0), "c" -> Some(9.0)))
+  }
+
+  test("no prior right row yields null payload (left outer)") {
+    val out = run(
+      left = Seq((1L, 3L, "early"), (3L, 10L, "nokey")),
+      right = Seq((1L, 5L, 1.0)))
+    assert(out == Map("early" -> None, "nokey" -> None))
+  }
+
+  test("duplicate right timestamps resolve to the greatest payload, deterministically") {
+    val out = run(
+      left = Seq((1L, 10L, "a")),
+      right = Seq((1L, 10L, 2.0), (1L, 10L, 7.0), (1L, 10L, 4.0)))
+    assert(out == Map("a" -> Some(7.0)))
+  }
+
+  test("plans as a single window over the union - no join operator") {
+    val df = AsOfJoin.lastAtOrBefore(
+      Seq((1L, 10L, "a")).toDF("k", "lts", "tag"),
+      Seq((1L, 5L, 1.0)).toDF("rk", "rts", "v"),
+      "k", "rk", "lts", "rts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.toLowerCase.contains("join"),
+      s"as-of join must not plan an actual join:\n$plan")
+  }
+}
