@@ -390,6 +390,75 @@ object LlmQueries {
              |FROM c ASOF LEFT JOIN p ON user_id = p_user AND click_ts >= p_ts
              |ORDER BY click_id""".stripMargin)),
 
+    // Sketch aggregates — the approximate tier a 100 TB profile actually
+    // runs (exact count-distinct shuffles every key; HLL ships a 2^p
+    // register sketch). HLL/t-digest internals aren't replayable in
+    // DuckDB, so the oracle checks the PROPERTY instead: the sketch
+    // estimate must sit within its error envelope of the exact value
+    // (which IS replayed). Deterministic: Spark's sketches are
+    // seed-fixed, so the booleans are a fixed object per dataset.
+    "q46_sketch_agg" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("__hll"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("__p50a"),
+          expr("percentile(value, 0.5)").as("__p50e"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__hll") - col("exact_users"))
+            <= col("exact_users") * 0.15).as("hll_within_15pct"),
+          (abs(col("__p50a") - col("__p50e"))
+            <= abs(col("__p50e")) * 0.01 + 0.01).as("p50_within_1pct"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  TRUE AS hll_within_15pct, TRUE AS p50_within_1pct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1): vocabulary
+    // diversity and the mass of the most repeated word bigram — the
+    // boilerplate/spam cut of a training-data quality pipeline. The
+    // word array is staged ONCE as its own projection (an inline Column
+    // referenced k times re-executes its whole subtree k times).
+    "q47_repetition" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val words = split(TextFunctions.normalized(col("text")), " ")
+        val staged = docs(s, d).select(col("doc_id"), words.as("__w"))
+          .select(col("doc_id"), col("__w"),
+            when(size(col("__w")) < 2,
+              lit(Array.empty[String]).cast(ArrayType(StringType)))
+              .otherwise(expr(
+                "transform(sequence(1, size(__w) - 1), " +
+                  "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
+              .as("__bg"))
+        staged.select(col("doc_id"),
+          round(size(array_distinct(col("__w"))).cast("double")
+            / size(col("__w")), 6).as("distinct_word_ratio"),
+          when(size(col("__bg")) === 0, lit(null).cast("double"))
+            .otherwise(round(
+              expr("array_max(transform(array_distinct(__bg), " +
+                "x -> size(filter(__bg, y -> y = x))))").cast("double")
+                / size(col("__bg")), 6))
+            .as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, string_split($normSql, ' ') AS w
+              |            FROM documents),
+              |bg AS (SELECT doc_id, w,
+              |    CASE WHEN len(w) < 2 THEN []
+              |         ELSE list_transform(range(1, len(w)),
+              |                i -> w[i] || ' ' || w[i+1]) END AS b
+              |  FROM nrm)
+              |SELECT doc_id,
+              |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+              |    AS distinct_word_ratio,
+              |  CASE WHEN len(b) = 0 THEN NULL
+              |       ELSE round(CAST(list_max(list_transform(list_distinct(b),
+              |              x -> len(list_filter(b, y -> y = x)))) AS DOUBLE)
+              |            / len(b), 6) END AS top_bigram_frac
+              |FROM bg ORDER BY doc_id""".stripMargin)),
+
     // Exact linear-interpolation percentiles (profiling surface beyond
     // min/max/mean — the quantile cut a data pipeline filters on).
     "q36_percentiles" -> Q(
