@@ -624,16 +624,18 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, knn_rank, sim FROM rk
              |WHERE knn_rank <= 5 ORDER BY query_id, knn_rank""".stripMargin)),
 
-    // Near-dup GROUPS: exact-Jaccard pairs (q23's edge set) clustered by
+    // Near-dup GROUPS: the production fuzzy-dedup front half — MinHash
+    // LSH candidates + exact-Jaccard verification (q27's pipeline, whose
+    // output provably equals q23's exact pair set) — clustered by
     // alternating large-star/small-star connected components; every doc
     // gets its group's min doc_id (singletons: itself). The oracle
-    // recomputes the closure with a recursive CTE, so the WHOLE
-    // pairs→groups pipeline is hash-checked, not just pair membership.
+    // recomputes the closure with a recursive CTE over the EXACT pair
+    // set, so the WHOLE pairs→groups pipeline is hash-checked.
     "q42_neardup_groups" -> Q(
       (s, d) => {
         val dd = docs(s, d)
-        val pairs = NGramJaccard
-          .similarPairs(dd, "doc_id", "text", n = 3, threshold = 0.5)
+        val pairs = MinHashDedup
+          .nearDupPairs(dd, "doc_id", "text", threshold = 0.5)
         val cc = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
           .withColumnRenamed("id", "doc_id")
         dd.select("doc_id").join(cc, Seq("doc_id"), "left")
@@ -652,8 +654,8 @@ object LlmQueries {
     "q43_dedup_neardup" -> Q(
       (s, d) => {
         val dd = docs(s, d)
-        val pairs = NGramJaccard
-          .similarPairs(dd, "doc_id", "text", n = 3, threshold = 0.5)
+        val pairs = MinHashDedup
+          .nearDupPairs(dd, "doc_id", "text", threshold = 0.5)
         Dedup.byNearDupPairs(dd, "doc_id", pairs)
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
