@@ -151,6 +151,32 @@ object TextFunctions {
         i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
   }
 
+  /** Vocabulary-diversity ratio over a word-array column: distinct words
+    * / total words (empty → NULL). Low values flag repetitive spam.
+    */
+  def distinctWordRatio(w: Column): Column =
+    when(size(w) === 0, lit(null).cast("double"))
+      .otherwise(round(size(array_distinct(w)).cast("double") / size(w), 6))
+
+  /** Word bigrams (MULTISET — repetition counting needs duplicates, so
+    * this is deliberately not the distinct-set `wordShingles`).
+    */
+  def wordBigrams(w: Column): Column =
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+
+  /** Fraction of bigram mass held by the single most frequent bigram
+    * (Gopher §A1.1-style repetition signal; empty → NULL). O(d·n) per
+    * row over the staged bigram array — documents are the small side.
+    */
+  def topBigramFrac(bg: Column): Column =
+    when(size(bg) === 0, lit(null).cast("double"))
+      .otherwise(round(
+        array_max(transform(array_distinct(bg),
+          x => size(filter(bg, y => y === x)))).cast("double") / size(bg), 6))
+
   /** Character n-gram shingles of the normalized text. */
   def charShingles(c: Column, n: Int): Column = {
     val s = normalized(c)

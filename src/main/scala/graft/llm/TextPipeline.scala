@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Composed corpus quality gate — the filter pass a training-data
+  * pipeline runs over every document before tokenization.
+  *
+  * All signals (token count, alphabetic ratio, language, vocabulary
+  * diversity, bigram repetition) are computed in ONE pass over the text:
+  * the word array and bigram array are staged once as their own
+  * projections (an inline Column referenced k times re-executes its
+  * subtree k times — the dominant perf bug class in pure-Column code)
+  * and every signal reads the staged arrays. No joins, no shuffles —
+  * a narrow-dependency map over the corpus, so it scales linearly and
+  * fuses into whatever scan feeds it.
+  */
+object TextPipeline {
+
+  /** Filter cuts; defaults drop ~70% of the synthetic corpus with every
+    * rule doing real work (tuned on the sf0.01 signal quantiles).
+    */
+  case class QualityThresholds(
+      minTokens: Long = 25,
+      maxTokens: Long = 100000,
+      minAlphaRatio: Double = 0.75,
+      minDistinctWordRatio: Double = 0.5,
+      maxTopBigramFrac: Double = 0.08,
+      dropUndeterminedLang: Boolean = true)
+
+  /** Annotate every document with its quality signals (no filtering). */
+  def withQualitySignals(docs: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    docs
+      .withColumn("__w", TextFunctions.tokens(TextFunctions.normalized(text)))
+      .withColumn("__bg", TextFunctions.wordBigrams(col("__w")))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("alpha_ratio",
+        when(length(text) === 0, lit(null).cast("double"))
+          .otherwise(TextFunctions.alphaChars(text).cast("double") / length(text)))
+      .withColumn("lang_id", TextFunctions.langId(text))
+      .withColumn("distinct_word_ratio", TextFunctions.distinctWordRatio(col("__w")))
+      .withColumn("top_bigram_frac", TextFunctions.topBigramFrac(col("__bg")))
+      .drop("__w", "__bg")
+  }
+
+  /** One-pass quality gate: annotate + filter. Null signals (empty text)
+    * never pass — every predicate must affirmatively hold.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      textCol: String,
+      t: QualityThresholds = QualityThresholds()): DataFrame = {
+    val langOk: Column =
+      if (t.dropUndeterminedLang) col("lang_id") =!= "und" else lit(true)
+    withQualitySignals(docs, textCol).filter(
+      col("n_tokens").between(t.minTokens, t.maxTokens) &&
+        col("alpha_ratio") >= t.minAlphaRatio &&
+        col("distinct_word_ratio") >= t.minDistinctWordRatio &&
+        col("top_bigram_frac") <= t.maxTopBigramFrac &&
+        langOk)
+  }
+}

@@ -45,14 +45,20 @@ object Dedup {
       .select("__survivor.*")
   }
 
+  /** 32-byte content fingerprint: md5 over the NUL-joined content columns
+    * (NUL keeps (a,"bc") distinct from ("ab",c); SOH keeps NULL distinct
+    * from ""). The aggregation/state key stays 32 bytes regardless of
+    * document size — shared by [[exactByContent]] and the streaming
+    * content dedup.
+    */
+  def contentFingerprint(contentCols: Seq[String]): Column =
+    md5(concat_ws("\u0000", contentCols.map(c => coalesce(col(c), lit("\u0001"))): _*))
+
   /** Exact content dedup (documents-style): one surviving row per distinct
-    * content, survivor = smallest `idCol`. Groups on an md5 fingerprint of
-    * the content columns so the aggregation key is 32 bytes regardless of
-    * document size. NUL-joining the columns keeps (a,"bc") distinct from
-    * ("ab",c).
+    * content, survivor = smallest `idCol`.
     */
   def exactByContent(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val fp = md5(concat_ws("\u0000", contentCols.map(c => coalesce(col(c), lit("\u0001"))): _*))
+    val fp = contentFingerprint(contentCols)
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(fp.as("__fp"))
       .agg(min_by(payload, col(idCol)).as("__survivor"))

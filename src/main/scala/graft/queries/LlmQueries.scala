@@ -422,25 +422,13 @@ object LlmQueries {
     // referenced k times re-executes its whole subtree k times).
     "q47_repetition" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.types.{ArrayType, StringType}
         val words = split(TextFunctions.normalized(col("text")), " ")
-        val staged = docs(s, d).select(col("doc_id"), words.as("__w"))
+        docs(s, d).select(col("doc_id"), words.as("__w"))
           .select(col("doc_id"), col("__w"),
-            when(size(col("__w")) < 2,
-              lit(Array.empty[String]).cast(ArrayType(StringType)))
-              .otherwise(expr(
-                "transform(sequence(1, size(__w) - 1), " +
-                  "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
-              .as("__bg"))
-        staged.select(col("doc_id"),
-          round(size(array_distinct(col("__w"))).cast("double")
-            / size(col("__w")), 6).as("distinct_word_ratio"),
-          when(size(col("__bg")) === 0, lit(null).cast("double"))
-            .otherwise(round(
-              expr("array_max(transform(array_distinct(__bg), " +
-                "x -> size(filter(__bg, y -> y = x))))").cast("double")
-                / size(col("__bg")), 6))
-            .as("top_bigram_frac"))
+            TextFunctions.wordBigrams(col("__w")).as("__bg"))
+          .select(col("doc_id"),
+            TextFunctions.distinctWordRatio(col("__w")).as("distinct_word_ratio"),
+            TextFunctions.topBigramFrac(col("__bg")).as("top_bigram_frac"))
           .orderBy("doc_id")
       },
       Some(s"""WITH nrm AS (SELECT doc_id, string_split($normSql, ' ') AS w
@@ -458,6 +446,42 @@ object LlmQueries {
               |              x -> len(list_filter(b, y -> y = x)))) AS DOUBLE)
               |            / len(b), 6) END AS top_bigram_frac
               |FROM bg ORDER BY doc_id""".stripMargin)),
+
+    // Composed one-pass quality gate (llm/TextPipeline): every signal —
+    // token count, alpha ratio, language, vocabulary diversity, bigram
+    // repetition — from one staged projection, then one filter. The
+    // oracle recomputes all five signals AND the cuts, so the whole
+    // gate's selectivity is hash-checked, not just the signal math.
+    "q48_quality_filter" -> Q(
+      (s, d) => graft.llm.TextPipeline.qualityFilter(docs(s, d), "text")
+        .select("doc_id", "lang_id", "n_tokens", "alpha_ratio",
+          "distinct_word_ratio", "top_bigram_frac")
+        .orderBy("doc_id"),
+      Some(s"""WITH sig0 AS (SELECT doc_id, text, string_split($normSql, ' ') AS w
+              |             FROM documents),
+              |sig1 AS (SELECT doc_id, text, w,
+              |    CASE WHEN len(w) < 2 THEN []
+              |         ELSE list_transform(range(1, len(w)),
+              |                i -> w[i] || ' ' || w[i+1]) END AS b
+              |  FROM sig0),
+              |lang AS ($langIdSql),
+              |sig AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              |      / nullif(length(text), 0) AS alpha_ratio,
+              |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+              |      AS distinct_word_ratio,
+              |    CASE WHEN len(b) = 0 THEN NULL
+              |         ELSE round(CAST(list_max(list_transform(list_distinct(b),
+              |                x -> len(list_filter(b, y -> y = x)))) AS DOUBLE)
+              |              / len(b), 6) END AS top_bigram_frac
+              |  FROM sig1)
+              |SELECT s.doc_id, l.lang_id, n_tokens, alpha_ratio,
+              |       distinct_word_ratio, top_bigram_frac
+              |FROM sig s JOIN lang l USING (doc_id)
+              |WHERE n_tokens BETWEEN 25 AND 100000 AND alpha_ratio >= 0.75
+              |  AND distinct_word_ratio >= 0.5 AND top_bigram_frac <= 0.08
+              |  AND lang_id <> 'und'
+              |ORDER BY doc_id""".stripMargin)),
 
     // Exact linear-interpolation percentiles (profiling surface beyond
     // min/max/mean — the quantile cut a data pipeline filters on).

@@ -78,6 +78,23 @@ object StreamOps {
   def dedupByKeyWithTtl(events: DataFrame, keys: Seq[String], tsCol: String, ttl: String): DataFrame =
     events.withWatermark(tsCol, ttl).dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming exact-content dedup — the ingestion-time half of corpus
+    * dedup (drop resubmitted/crawled-again documents before they ever
+    * land). State is keyed on the 32-byte md5 fingerprint of the content
+    * columns, NOT the document body, so per-key state stays constant-size
+    * at any document length; the watermark TTL bounds state count.
+    */
+  def dedupByContentWithTtl(
+      docs: DataFrame,
+      contentCols: Seq[String],
+      tsCol: String,
+      ttl: String): DataFrame =
+    docs
+      .withColumn("__fp", graft.operators.Dedup.contentFingerprint(contentCols))
+      .withWatermark(tsCol, ttl)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+
   /** Gap-based session windows per key (`session_window` — state merges
     * adjacent events closer than `gap`). Works identically over batch and
     * streaming frames; streaming use needs a watermark on `ts` first.

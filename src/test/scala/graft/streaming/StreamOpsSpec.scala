@@ -135,6 +135,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("dedupByContentWithTtl drops re-ingested identical content") {
+    val docs = Seq(
+      (1L, "2024-01-01 00:00:01", "same text"),
+      (2L, "2024-01-01 00:00:05", "same text"), // re-crawl inside ttl
+      (3L, "2024-01-01 00:01:00", "other text"))
+      .toDF("id", "ts_s", "text")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val out = StreamOps.runToBatch(spark,
+      StreamOps.dedupByContentWithTtl(
+        StreamOps.readStream(spark, s"$dir/docs.parquet"),
+        Seq("text"), "ts", "10 minutes"),
+      "append")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("dedupByKey (unbounded state) keeps one row per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-spec2").toString
     Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
