@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{EmbeddingKnn, MinHashDedup, NGramJaccard, SimHashDedup}
+import graft.llm.{EmbeddingKnn, MinHashDedup, NGramJaccard, ProductQuantization, SimHashDedup}
 import graft.operators.{Dedup, Stats, TopK}
 
 /** Training-data-pipeline operator corpus over the `documents`,
@@ -689,6 +689,48 @@ object LlmQueries {
               |WHERE doc_id NOT IN
               |  (SELECT doc_id FROM comp WHERE group_id <> doc_id)
               |ORDER BY doc_id""".stripMargin)),
+
+    // Product-quantization ANN (ADC): corpus encoded to 8 code bytes per
+    // 64-dim vector (32x compression — the billion-scale in-memory ANN
+    // trick), queries score candidates via per-subspace distance-table
+    // lookups. Codebook = 16 deterministic corpus vectors (production: an
+    // offline k-means codebook shipped like a dim table). Exact fixed-
+    // order sub-distance sums + rounded argmin/rank with id tie-breaks
+    // let DuckDB replay ENCODING AND SEARCH — codes, tables, ranks.
+    "q49_knn_pq" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        ProductQuantization.pqTopK(
+            corpus = e, queries = e.filter(col("vec_id") < 8),
+            codebook = e.filter(col("vec_id") < 16), subspaces = 8, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            col("pq_rank").cast("long").as("pq_rank"), col("approx_dist"))
+          .orderBy("query_id", "pq_rank")
+      },
+      Some("""WITH cb AS (SELECT CAST(vec_id AS INT) AS c, embedding AS cv
+             |            FROM embeddings WHERE vec_id < 16),
+             |dist AS (SELECT e.vec_id AS vid, r.j AS j, cb.c AS c,
+             |    round(list_sum(list_transform(range(1, 9), i ->
+             |      (CAST(e.embedding[r.j*8 + i] AS DOUBLE)
+             |        - CAST(cv[r.j*8 + i] AS DOUBLE))
+             |      * (CAST(e.embedding[r.j*8 + i] AS DOUBLE)
+             |        - CAST(cv[r.j*8 + i] AS DOUBLE)))), 6) AS d2
+             |  FROM embeddings e, range(0, 8) r(j), cb),
+             |enc AS (SELECT vid, j, c AS code FROM (
+             |    SELECT vid, j, c,
+             |      row_number() OVER (PARTITION BY vid, j ORDER BY d2, c) AS rn
+             |    FROM dist) t WHERE rn = 1),
+             |adc AS (SELECT qd.vid AS query_id, e.vid AS neighbor_id,
+             |    round(list_sum(list(qd.d2 ORDER BY qd.j)), 6) AS approx_dist
+             |  FROM enc e JOIN dist qd ON qd.j = e.j AND qd.c = e.code
+             |  WHERE qd.vid < 8 AND e.vid <> qd.vid
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT query_id, neighbor_id, approx_dist,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY approx_dist, neighbor_id) AS pq_rank
+             |  FROM adc)
+             |SELECT query_id, neighbor_id, pq_rank, approx_dist FROM rk
+             |WHERE pq_rank <= 5 ORDER BY query_id, pq_rank""".stripMargin)),
 
     // Multimodal plumbing over a binary payload column (document text
     // bytes standing in for media): expression-level metadata extraction.

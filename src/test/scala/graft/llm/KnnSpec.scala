@@ -97,6 +97,40 @@ class KnnSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet == Set(1L, 4L)) // x-cell mates only
   }
 
+  test("pqTopK with codebook == corpus reproduces exact L2 ranking") {
+    // every vector encodes to (a centroid with) its own slices, so the ADC
+    // distance IS the exact squared L2 — PQ's zero-quantization-error case
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)), (3L, Seq(0.0f, 0.0f, 1.0f)),
+      (4L, Seq(1.0f, 0.05f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = ProductQuantization.pqTopK(df, df.filter(col("vec_id") === 0L),
+        codebook = df, subspaces = 3, k = 4)
+      .select("neighbor_id", "pq_rank").as[(Long, Int)].collect().toMap
+    val q = vecs.head._2.map(_.toDouble)
+    val exact = vecs.tail
+      .map { case (id, v) =>
+        (id, v.map(_.toDouble).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.map(_._1).zipWithIndex
+      .map { case (id, i) => (id, i + 1) }.toMap
+    assert(out == exact)
+  }
+
+  test("pqTopK quantizes: distances snap to the codebook's resolution") {
+    // 2 centroids on the axes; every vector's code is its nearest axis, so
+    // ADC distances only depend on codes, not exact positions
+    val cb = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = ProductQuantization.pqTopK(corpus,
+        corpus.filter(col("vec_id") === 0L), cb, subspaces = 1, k = 4)
+      .select("neighbor_id", "approx_dist").as[(Long, Double)].collect().toMap
+    // 1 and 4 share query's code -> approx 0; 2 is the other axis; 3 codes
+    // to centroid 0 (tie at equal distance) -> approx 0 as well
+    assert(out(1L) == 0.0 && out(4L) == 0.0 && out(3L) == 0.0 && out(2L) == 2.0)
+  }
+
   test("lshApproximate finds identical-direction vectors (same bucket by construction)") {
     val out = EmbeddingKnn.lshApproximate(corpus,
         corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
