@@ -151,10 +151,25 @@ object TextFunctions {
         i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
   }
 
+  /** Repetition signals over a word-array column as ONE native kernel
+    * call: `struct<distinct_word_ratio, top_bigram_frac>` (empty array →
+    * null fields). Use this (staged once, then `.getField`) in anything
+    * that FILTERS on the signals: optimizer inlining of the composed
+    * array-lambda forms into a filter re-executes the whole
+    * tokenize→bigram tree per array element (a measured 78 s cliff in
+    * q48); the kernel is O(n) per row however often it's inlined.
+    */
+  def repetitionStats(w: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.RepetitionStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(w)))
+
   /** Vocabulary-diversity ratio over a word-array column: distinct words
     * / total words (empty → NULL). Low values flag repetitive spam.
+    * Composed executable spec of `repetitionStats.distinct_word_ratio`
+    * (TextFunctionsSpec pins them equal).
     */
-  def distinctWordRatio(w: Column): Column =
+  def distinctWordRatioComposed(w: Column): Column =
     when(size(w) === 0, lit(null).cast("double"))
       .otherwise(round(size(array_distinct(w)).cast("double") / size(w), 6))
 
@@ -168,10 +183,11 @@ object TextFunctions {
         i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
 
   /** Fraction of bigram mass held by the single most frequent bigram
-    * (Gopher §A1.1-style repetition signal; empty → NULL). O(d·n) per
-    * row over the staged bigram array — documents are the small side.
+    * (Gopher §A1.1-style repetition signal; empty → NULL). Composed
+    * executable spec of `repetitionStats.top_bigram_frac`; O(d·n) per
+    * row over the staged bigram array.
     */
-  def topBigramFrac(bg: Column): Column =
+  def topBigramFracComposed(bg: Column): Column =
     when(size(bg) === 0, lit(null).cast("double"))
       .otherwise(round(
         array_max(transform(array_distinct(bg),

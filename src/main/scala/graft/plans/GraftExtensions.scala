@@ -72,6 +72,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "lang_id takes exactly 1 argument")
         LangId(children.head, graft.functions.TextFunctions.langMarkers)
+      }),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(array<string>) - struct(distinct_word_ratio, top_bigram_frac)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "repetition_stats takes exactly 1 argument")
+        RepetitionStats(children.head)
       }))
 
   /** Runtime registration on an ALREADY-BUILT session — the path for

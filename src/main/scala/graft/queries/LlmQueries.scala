@@ -423,12 +423,11 @@ object LlmQueries {
     "q47_repetition" -> Q(
       (s, d) => {
         val words = split(TextFunctions.normalized(col("text")), " ")
-        docs(s, d).select(col("doc_id"), words.as("__w"))
-          .select(col("doc_id"), col("__w"),
-            TextFunctions.wordBigrams(col("__w")).as("__bg"))
+        docs(s, d)
+          .select(col("doc_id"), TextFunctions.repetitionStats(words).as("__rep"))
           .select(col("doc_id"),
-            TextFunctions.distinctWordRatio(col("__w")).as("distinct_word_ratio"),
-            TextFunctions.topBigramFrac(col("__bg")).as("top_bigram_frac"))
+            col("__rep.distinct_word_ratio").as("distinct_word_ratio"),
+            col("__rep.top_bigram_frac").as("top_bigram_frac"))
           .orderBy("doc_id")
       },
       Some(s"""WITH nrm AS (SELECT doc_id, string_split($normSql, ' ') AS w

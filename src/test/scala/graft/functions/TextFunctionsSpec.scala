@@ -57,6 +57,35 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native repetitionStats equals the composed-builtin reference formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq("", "   ", "one", "one one", "one two one two",
+        "a a a a", "x y x y x", "这是 一个 的 的 的").map(Tuple1(_)).toDF("text"))
+    val w = TextFunctions.tokens(TextFunctions.normalized(col("text")))
+    val diff = docs
+      .select(w.as("__w"))
+      .select(col("__w"), TextFunctions.wordBigrams(col("__w")).as("__bg"),
+        TextFunctions.repetitionStats(col("__w")).as("rep"))
+      .select(
+        col("rep.distinct_word_ratio").as("n_dwr"),
+        col("rep.top_bigram_frac").as("n_tbf"),
+        TextFunctions.distinctWordRatioComposed(col("__w")).as("c_dwr"),
+        TextFunctions.topBigramFracComposed(col("__bg")).as("c_tbf"))
+      .filter(not(col("n_dwr") <=> col("c_dwr")) || not(col("n_tbf") <=> col("c_tbf")))
+    assert(diff.count() == 0)
+  }
+
+  test("repetitionStats known values") {
+    val w = TextFunctions.tokens(TextFunctions.normalized(col("t")))
+    val rep = TextFunctions.repetitionStats(w)
+    // "a b a b a": 2 distinct / 5 words; bigrams [ab, ba, ab, ba] -> 2/4
+    assert(one[Double](rep.getField("distinct_word_ratio"), "a b a b a") == 0.4)
+    assert(one[Double](rep.getField("top_bigram_frac"), "a b a b a") == 0.5)
+    // single word: no bigrams -> null
+    assert(one[java.lang.Double](rep.getField("top_bigram_frac"), "solo") == null)
+  }
+
   test("native JaccardSimilarity equals intersect/union on shingle sets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sets = docs.limit(40).select(col("doc_id"),
