@@ -66,4 +66,48 @@ object AsOfJoin {
     val rightOut = rPayloadCols.map(c => col(s"__m.$c").as(s"$payloadPrefix$c"))
     matched.select(leftOut ++ rightOut: _*)
   }
+
+  /** Same semantics via the NATIVE whole-operator path: a custom logical
+    * node planned by [[graft.plans.AsOfJoinStrategy]] into a streaming
+    * sort-merge [[graft.plans.AsOfJoinExec]]. Both formulations shuffle
+    * each side once by key, but the merge streams per-partition with O(1)
+    * state — no unioned null-padded rows, no window buffer — so prefer
+    * this one at scale; [[lastAtOrBefore]] stays as the composed
+    * executable spec (AsOfJoinSpec pins them equal).
+    *
+    * Input column names must be disjoint; right rows sharing (key, ts)
+    * should be pre-deduped for full determinism (same caveat as the
+    * window form's payload tie-break, and as DuckDB ASOF).
+    */
+  def lastAtOrBeforeMerge(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payloadPrefix: String = "asof_"): DataFrame = {
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTs), attr(rPlan, rightTs))
+    require(lk.dataType == rk.dataType,
+      s"key type mismatch: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"timestamp type mismatch: ${lt.dataType} vs ${rt.dataType}")
+    val joined = org.apache.spark.sql.graft.PlanBridge.ofRows(
+      spark, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
+    val leftOut = left.columns.toSeq.map(col)
+    val rightOut = right.columns.toSeq.filterNot(_ == rightKey)
+      .map(c => col(c).as(s"$payloadPrefix$c"))
+    joined.select(leftOut ++ rightOut: _*)
+  }
 }

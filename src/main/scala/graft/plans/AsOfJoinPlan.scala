@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join: logical node + planner strategy + physical
+  * sort-merge operator — the SURVEY §2 "custom operator, preference (c)"
+  * path (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan` via
+  * `SparkSessionExtensions`), used where composition genuinely leaves
+  * efficiency on the table.
+  *
+  * Versus the union+window formulation ([[graft.operators.AsOfJoin]]):
+  * both shuffle each side once by key, but the window must buffer and
+  * sort the UNION (left rows carry null right-payloads through the
+  * shuffle and the running `last()` scan), while this operator shuffles
+  * each side in its native shape and streams a two-pointer merge per
+  * partition — no widened rows, no window buffer, O(1) state per key.
+  * Plan shape: two hash exchanges + two sorts + AsOfJoinExec; Spark's
+  * EnsureRequirements aligns the partitioning exactly as it does for
+  * SortMergeJoin.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTs: Attribute,
+    rightTs: Attribute)
+  extends BinaryNode {
+
+  // left outer: right side columns go nullable
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. Injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
+  * `spark.experimental.extraStrategies` at runtime.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Streaming two-pointer merge per co-partitioned (key, ts)-sorted
+  * partition pair. For every left row: the greatest right row with equal
+  * key and `rightTs <= leftTs` (nulls → no match; a null left key/ts
+  * matches nothing, mirroring SQL equality).
+  *
+  * Rows sharing (key, ts) on the right resolve to whichever sorts last —
+  * callers wanting full determinism dedup the right side per (key, ts)
+  * first (the q45 pipeline does), same caveat as DuckDB's native ASOF.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTs: Attribute,
+    rightTs: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = PhysicalDataType.ordering(leftKey.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val tsOrd = PhysicalDataType.ordering(leftTs.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(leftKey), lOut)
+      val lTsProj = UnsafeProjection.create(Seq(leftTs), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rightKey), rOut)
+      val rTsProj = UnsafeProjection.create(Seq(rightTs), rOut)
+      // input schema must carry the widened nullability: binding uses the
+      // INPUT attribute's nullable flag, and a non-nullable BoundReference
+      // skips the null check — the null-padded right side would read as 0s
+      val outProj = UnsafeProjection.create(
+        allOut, lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      // current right-side candidate: the greatest (key, ts) right row
+      // consumed so far (its key/ts cached as values, row copied)
+      var candKey: Any = null
+      var candTs: Any = null
+      var candRow: InternalRow = null
+      var rHead: InternalRow = null
+      var rHeadKey: Any = null
+      var rHeadTs: Any = null
+
+      def advanceRight(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rKeyProj(r)
+          val t = rTsProj(r)
+          if (!k.isNullAt(0) && !t.isNullAt(0)) { // null key/ts never matches
+            rHead = r
+            rHeadKey = k.copy().get(0, rightKey.dataType)
+            rHeadTs = t.copy().get(0, rightTs.dataType)
+          }
+        }
+      }
+      advanceRight()
+
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = lTsProj(l)
+        if (lk.isNullAt(0) || lt.isNullAt(0)) {
+          outProj(joined(l, nullRight))
+        } else {
+          val lkv = lk.copy().get(0, leftKey.dataType)
+          val ltv = lt.copy().get(0, leftTs.dataType)
+          // consume right rows with key < lkv (never needed again: left
+          // keys are ascending) or key == lkv and ts <= ltv (candidates)
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.compare(rHeadKey, lkv)
+            if (c < 0 || (c == 0 && tsOrd.compare(rHeadTs, ltv) <= 0)) {
+              if (c == 0) {
+                candKey = rHeadKey; candTs = rHeadTs; candRow = rHead.copy()
+              }
+              advanceRight()
+              continue = rHead != null
+            } else continue = false
+          }
+          val matched = candRow != null && keyOrd.compare(candKey, lkv) == 0 &&
+            tsOrd.compare(candTs, ltv) <= 0
+          outProj(joined(l, if (matched) candRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -16,8 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark-submit (the zero-code path for an existing deployment).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator extensions (custom LogicalPlan -> SparkPlan)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

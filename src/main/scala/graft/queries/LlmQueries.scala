@@ -359,10 +359,12 @@ object LlmQueries {
              |GROUP BY click_id ORDER BY click_id""".stripMargin)),
 
     // As-of join: each click paired with the user's most recent purchase
-    // at-or-before it (operators/AsOfJoin — single-shuffle union+window,
-    // no range-join fan-out). DuckDB's native ASOF JOIN is the oracle;
-    // purchases are pre-deduped to one row per (user, ts) because ASOF
-    // leaves the equal-ts tie unspecified.
+    // at-or-before it, via the NATIVE whole-operator path (custom
+    // AsOfJoinNode logical plan -> AsOfJoinStrategy -> streaming
+    // sort-merge AsOfJoinExec; the union+window formulation stays as the
+    // executable spec, pinned equal in AsOfJoinSpec). DuckDB's native
+    // ASOF JOIN is the oracle; purchases are pre-deduped to one row per
+    // (user, ts) because ASOF leaves the equal-ts tie unspecified.
     "q45_asof_join" -> Q(
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -372,7 +374,7 @@ object LlmQueries {
         val purchases = ev.filter(col("event_type") === "purchase")
           .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
           .agg(max(col("value")).as("p_value"))
-        graft.operators.AsOfJoin.lastAtOrBefore(clicks, purchases,
+        graft.operators.AsOfJoin.lastAtOrBeforeMerge(clicks, purchases,
             "user_id", "p_user", "click_ts", "p_ts")
           .select(col("click_id"),
             date_format(col("asof_p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")

@@ -40,6 +40,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Map("a" -> Some(7.0)))
   }
 
+  test("native merge exec equals the window formulation (incl. null keys/ts)") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.tabulate(300) { i =>
+      (if (i % 17 == 0) null else java.lang.Long.valueOf(rnd.nextInt(8).toLong),
+        if (i % 23 == 0) null else java.lang.Long.valueOf(rnd.nextInt(50).toLong),
+        s"l$i")
+    }.toDF("k", "lts", "tag")
+    // unique (k, rts) pairs so both formulations' tie rules can't differ
+    val right = rnd.shuffle(
+      (for (k <- 0L to 6L; t <- 0L until 50L by 3L) yield (k, t)).toList)
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) }
+      .toDF("rk", "rts", "v")
+    val win = AsOfJoin.lastAtOrBefore(left, right, "k", "rk", "lts", "rts")
+      .select("tag", "asof_rts", "asof_v")
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    val mrg = AsOfJoin.lastAtOrBeforeMerge(left, right, "k", "rk", "lts", "rts")
+      .select("tag", "asof_rts", "asof_v")
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    assert(mrg.nonEmpty && mrg == win)
+  }
+
+  test("native merge exec plans as AsOfJoinExec, not a window") {
+    val df = AsOfJoin.lastAtOrBeforeMerge(
+      Seq((1L, 10L, "a")).toDF("k", "lts", "tag"),
+      Seq((1L, 5L, 1.0)).toDF("rk", "rts", "v"),
+      "k", "rk", "lts", "rts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("plans as a single window over the union - no join operator") {
     val df = AsOfJoin.lastAtOrBefore(
       Seq((1L, 10L, "a")).toDF("k", "lts", "tag"),
