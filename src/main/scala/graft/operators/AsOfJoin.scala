@@ -87,11 +87,14 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       payloadPrefix: String = "asof_"): DataFrame = {
-    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    import graft.plans.{AsOfJoinNode, AsOfJoinPruningRule, AsOfJoinStrategy}
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruningRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruningRule
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =

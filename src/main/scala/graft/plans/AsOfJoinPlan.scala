@@ -42,6 +42,36 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning through [[AsOfJoinNode]]: Catalyst's ColumnPruning
+  * only understands built-in operators, so a custom node is a pruning
+  * barrier — a projection of two columns above it would still scan every
+  * column of both inputs. This rule narrows each child to the columns
+  * the parent projection (plus the join keys/timestamps) actually uses;
+  * FileSourceStrategy then folds the inserted child Projects into the
+  * scan's ReadSchema. Runs to fixpoint (a second pass finds nothing to
+  * remove). Injected with `injectOptimizerRule` — the custom-Rule leg of
+  * the SparkSessionExtensions trio (function, strategy, rule).
+  */
+object AsOfJoinPruningRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, aj: AsOfJoinNode) =>
+      val used = AttributeSet(p.references ++
+        Seq(aj.leftKey, aj.rightKey, aj.leftTs, aj.rightTs))
+      val lNeeded = aj.left.output.filter(used.contains)
+      val rNeeded = aj.right.output.filter(used.contains)
+      if (lNeeded.length == aj.left.output.length &&
+          rNeeded.length == aj.right.output.length) p
+      else p.copy(child = aj.copy(
+        left = if (lNeeded.length == aj.left.output.length) aj.left
+               else Project(lNeeded, aj.left),
+        right = if (rNeeded.length == aj.right.output.length) aj.right
+                else Project(rNeeded, aj.right)))
+  }
+}
+
 /** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. Injected via
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
   * `spark.experimental.extraStrategies` at runtime.

@@ -18,8 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // whole-operator extensions (custom LogicalPlan -> SparkPlan)
+    // whole-operator extensions (custom LogicalPlan -> SparkPlan), plus
+    // the optimizer rule making the custom node transparent to pruning
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinPruningRule)
   }
 }
 

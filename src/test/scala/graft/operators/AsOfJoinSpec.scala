@@ -71,6 +71,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("optimizer rule prunes unused columns through the custom node") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val left = li.select(col("l_orderkey").as("k"), col("l_linenumber").as("lts"))
+    val right = li.toDF(li.columns.map("r_" + _): _*) // full 11-column width
+    val df = AsOfJoin.lastAtOrBeforeMerge(left, right,
+        "k", "r_l_orderkey", "lts", "r_l_linenumber")
+      .select("k", "lts", "asof_r_l_quantity")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    // without AsOfJoinPruningRule the custom node is a pruning barrier and
+    // the right scan reads all 11 columns
+    assert(readSchemas.nonEmpty && !readSchemas.exists(_.contains("l_comment")),
+      readSchemas.mkString("\n"))
+    assert(readSchemas.exists(_.contains("l_quantity")), readSchemas.mkString("\n"))
+    assert(df.count() > 0)
+  }
+
   test("plans as a single window over the union - no join operator") {
     val df = AsOfJoin.lastAtOrBefore(
       Seq((1L, 10L, "a")).toDF("k", "lts", "tag"),
