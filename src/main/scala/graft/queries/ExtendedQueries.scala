@@ -72,5 +72,50 @@ object ExtendedQueries {
              |       count(*) AS n
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-             |ORDER BY flag, status""".stripMargin)))
+             |ORDER BY flag, status""".stripMargin)),
+
+    // Analytic window functions beyond running aggregates (§2.5): lag
+    // diff, lead lookahead, ntile bucketing — one window spec, three
+    // functions, deterministic via the (ts, event_id) total order.
+    "q50_window_funcs" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"),
+            (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+            lead(col("event_id"), 1).over(w).as("next_event_id"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  value - lag(value, 1) OVER w AS delta_prev,
+             |  lead(event_id, 1) OVER w AS next_event_id,
+             |  ntile(4) OVER w AS quartile
+             |FROM events WHERE event_type = 'purchase'
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Semi/anti joins (§2.3): existence tests without join fan-out —
+    // customers partitioned by whether they have any open order. Both
+    // plan as a single build-side-deduped hash join (no row
+    // multiplication however many orders match).
+    "q51_semi_anti" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey")
+        val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))
+        c.join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+          .withColumn("tag", lit("has_open"))
+          .union(
+            c.join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+              .withColumn("tag", lit("none_open")))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN EXISTS (SELECT 1 FROM orders
+             |                    WHERE o_custkey = c_custkey
+             |                      AND o_orderstatus = 'O')
+             |       THEN 'has_open' ELSE 'none_open' END AS tag
+             |FROM customer ORDER BY c_custkey""".stripMargin)))
 }
