@@ -79,6 +79,68 @@ object ProductQuantization {
     }
   }
 
+  /** The full IVF-PQ composition (Jégou et al. TPAMI'11, both halves):
+    * the coarse quantizer routes every corpus vector to one cell and each
+    * query to its `nProbe` nearest cells (cosine, like
+    * [[EmbeddingKnn.ivfTopK]]), and ADC scoring runs only inside the
+    * probed cells. At 100 TB that's the difference between scanning m·n
+    * code bytes and scanning m·n/|cells|·nProbe — the standard
+    * billion-scale ANN shape: cells bound the candidate set, codes bound
+    * the per-candidate cost.
+    *
+    * Deterministic end to end (rounded cell sims + exact fixed-order PQ
+    * sums + id tie-breaks), so `nProbe >= |cells|` exactly equals
+    * [[pqTopK]] — the invariant KnnSpec pins.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      codebook: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      subspaces: Int = 8,
+      k: Int = 5,
+      nProbe: Int = 4,
+      roundDist: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.operators.TopK
+    val cb = collectCodebook(codebook, idCol, vecCol, subspaces)
+    val sub = cb(0)(0).length
+    val cents = broadcast(centroids.select(col(idCol).as("cell"), col(vecCol).as("cv")))
+    def cellRank(side: DataFrame, id: String, v: String, kk: Int): DataFrame =
+      TopK.perGroup(
+        side.select(col(idCol).as(id), col(vecCol).as(v))
+          .crossJoin(cents)
+          .withColumn("csim", round(VectorFunctions.cosine(col(v), col("cv")), roundDist)),
+        Seq(col(id)), Seq(col("csim").desc, col("cell").asc), kk, "__cr")
+    val cells = encode(
+      cellRank(corpus, "neighbor_id", "nv", 1).select("cell", "neighbor_id", "nv"),
+      "nv", cb, roundDist)
+      .drop("nv") // only the cell + codes travel into the join
+    val probes = cb.indices.foldLeft(
+        cellRank(queries, "query_id", "qv", math.max(1, nProbe))
+          .select("cell", "query_id", "qv")) { (acc, j) =>
+      val staged = acc.withColumn("__sl",
+        slice(col("qv"), j * sub + 1, sub).cast("array<double>"))
+      staged.withColumn(s"__qd_$j",
+          array(cb(j).indices.map(c =>
+            round(l2sq(col("__sl"), cb(j)(c)), roundDist)): _*))
+        .drop("__sl")
+    }.drop("qv")
+    val approx = cb.indices
+      .map(j => element_at(col(s"__qd_$j"), col(s"__code_$j") + 1))
+      .reduce(_ + _)
+    val scored = cells.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_dist", round(approx, roundDist))
+    TopK.perGroup(scored,
+        partitionCols = Seq(col("query_id")),
+        orderCols = Seq(col("approx_dist").asc, col("neighbor_id").asc),
+        k = k, rankCol = "pq_rank")
+      .select(col("query_id"), col("neighbor_id"), col("pq_rank"), col("approx_dist"))
+  }
+
   /** ADC top-k: every query's `k` nearest corpus vectors by PQ-approximate
     * squared L2. Output: (query_id, neighbor_id, pq_rank, approx_dist).
     */

@@ -96,6 +96,26 @@ object LlmQueries {
        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS group_id
        |         FROM reach GROUP BY u)""".stripMargin
 
+  /** DuckDB CTEs replaying PQ encoding (q49/q52): 16-centroid codebook
+    * from the corpus, per-(vector, subspace) exact fixed-order squared-L2
+    * to each centroid sub-vector, nearest-centroid codes with id
+    * tie-breaks.
+    */
+  private val pqCtes: String =
+    """cb AS (SELECT CAST(vec_id AS INT) AS c, embedding AS cv
+      |       FROM embeddings WHERE vec_id < 16),
+      |dist AS (SELECT e.vec_id AS vid, r.j AS j, cb.c AS c,
+      |    round(list_sum(list_transform(range(1, 9), i ->
+      |      (CAST(e.embedding[r.j*8 + i] AS DOUBLE)
+      |        - CAST(cv[r.j*8 + i] AS DOUBLE))
+      |      * (CAST(e.embedding[r.j*8 + i] AS DOUBLE)
+      |        - CAST(cv[r.j*8 + i] AS DOUBLE)))), 6) AS d2
+      |  FROM embeddings e, range(0, 8) r(j), cb),
+      |enc AS (SELECT vid, j, c AS code FROM (
+      |    SELECT vid, j, c,
+      |      row_number() OVER (PARTITION BY vid, j ORDER BY d2, c) AS rn
+      |    FROM dist) t WHERE rn = 1)""".stripMargin
+
   /** DuckDB SQL replicating `TextFunctions.langId` marker counting:
     * non-overlapping replace-based counts over the padded lowercase text,
     * argmax with ties broken in marker-list order, no hits → 'und'.
@@ -708,30 +728,61 @@ object LlmQueries {
             col("pq_rank").cast("long").as("pq_rank"), col("approx_dist"))
           .orderBy("query_id", "pq_rank")
       },
-      Some("""WITH cb AS (SELECT CAST(vec_id AS INT) AS c, embedding AS cv
-             |            FROM embeddings WHERE vec_id < 16),
-             |dist AS (SELECT e.vec_id AS vid, r.j AS j, cb.c AS c,
-             |    round(list_sum(list_transform(range(1, 9), i ->
-             |      (CAST(e.embedding[r.j*8 + i] AS DOUBLE)
-             |        - CAST(cv[r.j*8 + i] AS DOUBLE))
-             |      * (CAST(e.embedding[r.j*8 + i] AS DOUBLE)
-             |        - CAST(cv[r.j*8 + i] AS DOUBLE)))), 6) AS d2
-             |  FROM embeddings e, range(0, 8) r(j), cb),
-             |enc AS (SELECT vid, j, c AS code FROM (
-             |    SELECT vid, j, c,
-             |      row_number() OVER (PARTITION BY vid, j ORDER BY d2, c) AS rn
-             |    FROM dist) t WHERE rn = 1),
-             |adc AS (SELECT qd.vid AS query_id, e.vid AS neighbor_id,
-             |    round(list_sum(list(qd.d2 ORDER BY qd.j)), 6) AS approx_dist
-             |  FROM enc e JOIN dist qd ON qd.j = e.j AND qd.c = e.code
-             |  WHERE qd.vid < 8 AND e.vid <> qd.vid
-             |  GROUP BY 1, 2),
-             |rk AS (SELECT query_id, neighbor_id, approx_dist,
-             |    row_number() OVER (PARTITION BY query_id
-             |                       ORDER BY approx_dist, neighbor_id) AS pq_rank
-             |  FROM adc)
-             |SELECT query_id, neighbor_id, pq_rank, approx_dist FROM rk
-             |WHERE pq_rank <= 5 ORDER BY query_id, pq_rank""".stripMargin)),
+      Some(s"""WITH $pqCtes,
+              |adc AS (SELECT qd.vid AS query_id, e.vid AS neighbor_id,
+              |    round(list_sum(list(qd.d2 ORDER BY qd.j)), 6) AS approx_dist
+              |  FROM enc e JOIN dist qd ON qd.j = e.j AND qd.c = e.code
+              |  WHERE qd.vid < 8 AND e.vid <> qd.vid
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT query_id, neighbor_id, approx_dist,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY approx_dist, neighbor_id) AS pq_rank
+              |  FROM adc)
+              |SELECT query_id, neighbor_id, pq_rank, approx_dist FROM rk
+              |WHERE pq_rank <= 5 ORDER BY query_id, pq_rank""".stripMargin)),
+
+    // The composed IVF-PQ pipeline (both halves of Jégou TPAMI'11): the
+    // coarse quantizer bounds the candidate set (only nProbe cells per
+    // query are scanned), PQ codes bound the per-candidate cost. The
+    // oracle replays coarse assignment, probing, encoding, and ADC.
+    "q52_knn_ivfpq" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        ProductQuantization.ivfPqTopK(
+            corpus = e, queries = e.filter(col("vec_id") < 8),
+            centroids = e.filter(col("vec_id") < 16),
+            codebook = e.filter(col("vec_id") < 16),
+            subspaces = 8, k = 5, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            col("pq_rank").cast("long").as("pq_rank"), col("approx_dist"))
+          .orderBy("query_id", "pq_rank")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cell, embedding AS cvv
+              |             FROM embeddings WHERE vec_id < 16),
+              |asg AS (SELECT e.vec_id, cell,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(list_cosine_similarity(
+              |                 CAST(e.embedding AS DOUBLE[]),
+              |                 CAST(cvv AS DOUBLE[])), 6) DESC,
+              |               cell) AS cr
+              |  FROM embeddings e CROSS JOIN cent),
+              |cells AS (SELECT vec_id AS neighbor_id, cell FROM asg WHERE cr = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM asg
+              |           WHERE cr <= 4 AND vec_id < 8),
+              |$pqCtes,
+              |adc AS (SELECT qd.vid AS query_id, e.vid AS neighbor_id,
+              |    round(list_sum(list(qd.d2 ORDER BY qd.j)), 6) AS approx_dist
+              |  FROM enc e JOIN dist qd ON qd.j = e.j AND qd.c = e.code
+              |  JOIN cells cl ON cl.neighbor_id = e.vid
+              |  JOIN probes pr ON pr.query_id = qd.vid AND pr.cell = cl.cell
+              |  WHERE qd.vid < 8 AND e.vid <> qd.vid
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT query_id, neighbor_id, approx_dist,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY approx_dist, neighbor_id) AS pq_rank
+              |  FROM adc)
+              |SELECT query_id, neighbor_id, pq_rank, approx_dist FROM rk
+              |WHERE pq_rank <= 5 ORDER BY query_id, pq_rank""".stripMargin)),
 
     // Multimodal plumbing over a binary payload column (document text
     // bytes standing in for media): expression-level metadata extraction.

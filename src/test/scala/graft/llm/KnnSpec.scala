@@ -131,6 +131,18 @@ class KnnSpec extends AnyFunSuite {
     assert(out(1L) == 0.0 && out(4L) == 0.0 && out(3L) == 0.0 && out(2L) == 2.0)
   }
 
+  test("ivfPqTopK with nProbe >= nCells equals plain PQ exactly") {
+    val queries = corpus.filter(col("vec_id") < 2)
+    val ivfpq = ProductQuantization.ivfPqTopK(corpus, queries,
+        centroids = corpus, codebook = corpus, subspaces = 3, k = 3, nProbe = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val pq = ProductQuantization.pqTopK(corpus, queries,
+        codebook = corpus, subspaces = 3, k = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // probing every cell degrades IVF-PQ to exhaustive ADC
+    assert(pq.nonEmpty && ivfpq == pq)
+  }
+
   test("lshApproximate finds identical-direction vectors (same bucket by construction)") {
     val out = EmbeddingKnn.lshApproximate(corpus,
         corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
