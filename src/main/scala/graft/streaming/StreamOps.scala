@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 case class UserState(n: Long, total: BigDecimal)
 
+/** Open-session state for [[StreamOps.sessionizeWithTimeout]] (event
+  * times as epoch micros).
+  */
+case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+/** Emitted closed session of [[StreamOps.sessionizeWithTimeout]]. */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
 /** Emitted row of [[StreamOps.userRunningStats]]. */
 case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double)
 
@@ -181,6 +189,73 @@ object StreamOps {
           UserRunningStats(uid, n, total.toDouble)
       }
       .toDF()
+  }
+
+  /** Gap sessionization with EXPLICIT state + event-time timeout
+    * (`flatMapGroupsWithState` + `GroupStateTimeout.EventTimeTimeout`):
+    * a session closes either inside a batch (next event further than
+    * `gap` away) or when the WATERMARK passes `session end + gap` — the
+    * timeout fires on the no-data microbatch Spark schedules for exactly
+    * this, so closed sessions emit without waiting for the key's next
+    * event. This is the state machine `session_window` can't express
+    * variants of (per-session side effects, custom merge/expiry rules);
+    * here it reproduces session_window semantics so the spec can pin it
+    * against the built-in.
+    *
+    * Input needs a watermark on `tsCol` before calling. Event times
+    * handled as epoch micros end-to-end (no timestamp-encoder lossiness).
+    */
+  def sessionizeWithTimeout(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapUs.months == 0 && gapUs.days == 0, "gap must be sub-day")
+    val gapMicros = gapUs.microseconds
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // the watermark-carrying timestamp attribute must survive UNALIASED
+      // into the grouped Dataset: event-time timeout is rejected without
+      // it, and even a same-type cast mints a new attribute without the
+      // watermark tag. The lambda only reads the micros column.
+      .select(col(keyCol).cast("long"), col(tsCol), unix_micros(col(tsCol)))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = rows.map(_._3).toArray.sorted
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endUs <= gapMicros =>
+                  cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.startUs, s.endUs, s.n)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the watermark proves no event can extend it
+              state.setTimeoutTimestamp((s.endUs + gapMicros) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
   }
 
   /** Per-microbatch top-items ranking via foreachBatch — the design.pdf

@@ -152,6 +152,57 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("sessionizeWithTimeout: event-time timeout emits sessions when the watermark closes them") {
+    // file a: two users' events; file b: a far-future watermark pusher.
+    // With maxFilesPerTrigger=1 the files arrive as separate microbatches,
+    // so file-a sessions can ONLY emit via the event-time timeout firing
+    // on the no-data batch after b advances the watermark.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-fmgws").toString
+    def ev(rows: Seq[(Long, String)], f: String): Unit =
+      rows.toDF("user_id", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+        .drop("ts_s").repartition(1).write.mode("overwrite").parquet(s"$dir/$f")
+    ev(Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // one session
+      (1L, "2024-01-01 02:00:00"),                              // > 30 min gap: new session
+      (2L, "2024-01-01 00:05:00")), "a.parquet")
+    ev(Seq((99L, "2024-01-01 12:00:00")), "b.parquet")
+
+    val schema = spark.read.parquet(s"$dir/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*.parquet")
+      .withWatermark("ts", "1 minute")
+    val out = StreamOps.runToBatch(spark,
+      StreamOps.sessionizeWithTimeout(stream, "user_id", "ts", "30 minutes").toDF(),
+      "append")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def us(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000L
+    // user 99's session is still open (nothing advanced the watermark past
+    // it), so exactly the three file-a sessions emit
+    assert(out == Set(
+      (1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:10:00"), 2L),
+      (1L, us("2024-01-01 02:00:00"), us("2024-01-01 02:00:00"), 1L),
+      (2L, us("2024-01-01 00:05:00"), us("2024-01-01 00:05:00"), 1L)))
+  }
+
+  test("sessionizeWithTimeout batch run equals session_window on the events table") {
+    // batch mode runs the same state machine as one "microbatch" with no
+    // timeouts: every session closes in-batch or stays open (unemitted
+    // open sessions = exactly one per user, the last one)
+    val ev = Tables.events(spark, sfDir)
+    val fmgws = StreamOps.sessionizeWithTimeout(ev, "user_id", "ts", "6 hours")
+      .toDF().select("user_id", "start_us", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val builtin = StreamOps.sessionStats(ev, "user_id", "6 hours")
+      .select(col("user_id"), unix_micros(col("sw.start")), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    // drop each user's LAST session from the builtin set (still open in
+    // the state machine, so never emitted in append semantics)
+    val lastPerUser = builtin.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    assert(fmgws == builtin -- lastPerUser)
+    assert(fmgws.nonEmpty)
+  }
+
   test("dedupByKey (unbounded state) keeps one row per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-spec2").toString
     Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
