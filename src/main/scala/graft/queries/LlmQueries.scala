@@ -58,8 +58,8 @@ object LlmQueries {
     * candidates + exact verification): each outputs precisely
     * `{(a,b,jaccard) : jaccard >= 0.5}`, so they share this oracle.
     */
-  private val jaccardPairsCtes: String =
-    s"""nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+  private def jaccardPairsCtesFrom(source: String): String =
+    s"""nrm AS (SELECT doc_id, $normSql AS nm FROM $source),
        |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
        |sets AS (SELECT doc_id, list_distinct(
        |    CASE WHEN len(t) < 3 THEN [nm]
@@ -74,6 +74,8 @@ object LlmQueries {
        |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
        |  FROM cand JOIN sets sa ON sa.doc_id = id_a
        |            JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
+
+  private val jaccardPairsCtes: String = jaccardPairsCtesFrom("documents")
 
   private val jaccardPairsSql: String =
     s"""WITH $jaccardPairsCtes
@@ -115,6 +117,35 @@ object LlmQueries {
       |    SELECT vid, j, c,
       |      row_number() OVER (PARTITION BY vid, j ORDER BY d2, c) AS rn
       |    FROM dist) t WHERE rn = 1)""".stripMargin
+
+  /** DuckDB CTE chain replaying the TextPipeline quality gate (q48,
+    * q53): all five signals plus the cuts, ending in `kept`.
+    */
+  private lazy val gateCtes: String =
+    s"""sig0 AS (SELECT doc_id, text, string_split($normSql, ' ') AS w
+       |        FROM documents),
+       |sig1 AS (SELECT doc_id, text, w,
+       |    CASE WHEN len(w) < 2 THEN []
+       |         ELSE list_transform(range(1, len(w)),
+       |                i -> w[i] || ' ' || w[i+1]) END AS b
+       |  FROM sig0),
+       |lang AS ($langIdSql),
+       |sig AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |      / nullif(length(text), 0) AS alpha_ratio,
+       |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+       |      AS distinct_word_ratio,
+       |    CASE WHEN len(b) = 0 THEN NULL
+       |         ELSE round(CAST(list_max(list_transform(list_distinct(b),
+       |                x -> len(list_filter(b, y -> y = x)))) AS DOUBLE)
+       |              / len(b), 6) END AS top_bigram_frac
+       |  FROM sig1),
+       |kept AS (SELECT s.doc_id, l.lang_id, s.n_tokens, s.alpha_ratio,
+       |    s.distinct_word_ratio, s.top_bigram_frac
+       |  FROM sig s JOIN lang l USING (doc_id)
+       |  WHERE n_tokens BETWEEN 25 AND 100000 AND alpha_ratio >= 0.75
+       |    AND distinct_word_ratio >= 0.5 AND top_bigram_frac <= 0.08
+       |    AND lang_id <> 'und')""".stripMargin
 
   /** DuckDB SQL replicating `TextFunctions.langId` marker counting:
     * non-overlapping replace-based counts over the padded lowercase text,
@@ -478,31 +509,46 @@ object LlmQueries {
         .select("doc_id", "lang_id", "n_tokens", "alpha_ratio",
           "distinct_word_ratio", "top_bigram_frac")
         .orderBy("doc_id"),
-      Some(s"""WITH sig0 AS (SELECT doc_id, text, string_split($normSql, ' ') AS w
-              |             FROM documents),
-              |sig1 AS (SELECT doc_id, text, w,
-              |    CASE WHEN len(w) < 2 THEN []
-              |         ELSE list_transform(range(1, len(w)),
-              |                i -> w[i] || ' ' || w[i+1]) END AS b
-              |  FROM sig0),
-              |lang AS ($langIdSql),
-              |sig AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-              |      / nullif(length(text), 0) AS alpha_ratio,
-              |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
-              |      AS distinct_word_ratio,
-              |    CASE WHEN len(b) = 0 THEN NULL
-              |         ELSE round(CAST(list_max(list_transform(list_distinct(b),
-              |                x -> len(list_filter(b, y -> y = x)))) AS DOUBLE)
-              |              / len(b), 6) END AS top_bigram_frac
-              |  FROM sig1)
-              |SELECT s.doc_id, l.lang_id, n_tokens, alpha_ratio,
+      Some(s"""WITH $gateCtes
+              |SELECT doc_id, lang_id, n_tokens, alpha_ratio,
               |       distinct_word_ratio, top_bigram_frac
-              |FROM sig s JOIN lang l USING (doc_id)
-              |WHERE n_tokens BETWEEN 25 AND 100000 AND alpha_ratio >= 0.75
-              |  AND distinct_word_ratio >= 0.5 AND top_bigram_frac <= 0.08
-              |  AND lang_id <> 'und'
-              |ORDER BY doc_id""".stripMargin)),
+              |FROM kept ORDER BY doc_id""".stripMargin)),
+
+    // THE end-to-end training-corpus pipeline, one query: quality gate
+    // (q48) -> exact content dedup (q20) -> MinHash near-dup pairs (q27)
+    // -> connected components + min-id survivor (q42/q43) -> per-language
+    // document/token budget. Every stage's oracle is composed into one
+    // DuckDB replay, so the FINAL corpus a training run would consume is
+    // hash-checked, not just each stage in isolation.
+    "q53_corpus_pipeline" -> Q(
+      (s, d) => {
+        val gated = graft.llm.TextPipeline.qualityFilter(docs(s, d), "text")
+        val exact = Dedup.exactByContent(gated, "doc_id", Seq("text"))
+        val pairs = MinHashDedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.5)
+        val corpus = Dedup.byNearDupPairs(exact, "doc_id", pairs)
+        corpus.groupBy("lang_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("lang_id")
+      },
+      Some(s"""WITH RECURSIVE $gateCtes,
+              |keptt AS (SELECT k.*, d.text FROM kept k JOIN documents d USING (doc_id)),
+              |exd AS (SELECT doc_id, lang_id, n_tokens, text FROM (
+              |    SELECT k.*, row_number() OVER (
+              |      PARTITION BY coalesce(text, chr(1)) ORDER BY doc_id) AS rn
+              |    FROM keptt k) t WHERE rn = 1),
+              |${jaccardPairsCtesFrom("exd")},
+              |pr AS (SELECT id_a, id_b FROM sc WHERE jaccard >= 0.5),
+              |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+              |          UNION SELECT id_b, id_a FROM pr),
+              |reach(u, v) AS (SELECT u, v FROM edges
+              |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |comp AS (SELECT u AS doc_id, least(u, min(v)) AS group_id
+              |         FROM reach GROUP BY u),
+              |final AS (SELECT * FROM exd WHERE doc_id NOT IN
+              |  (SELECT doc_id FROM comp WHERE group_id <> doc_id))
+              |SELECT lang_id, count(*) AS n_docs,
+              |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              |FROM final GROUP BY lang_id ORDER BY lang_id""".stripMargin)),
 
     // Exact linear-interpolation percentiles (profiling surface beyond
     // min/max/mean — the quantile cut a data pipeline filters on).
