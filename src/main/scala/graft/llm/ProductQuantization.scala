@@ -48,10 +48,13 @@ object ProductQuantization {
       vecCol: String,
       subspaces: Int): Array[Array[Array[Double]]] = {
     val rows = codebook.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    require(rows.nonEmpty, "empty PQ codebook")
+    require(rows.nonEmpty, "empty PQ codebook (after dropping null vectors)")
+    require(rows.map(_._2.length).distinct.length == 1,
+      "PQ codebook vectors must share one dimensionality")
     val dim = rows.head._2.length
     require(dim % subspaces == 0,
       s"dim $dim not divisible into $subspaces subspaces")
@@ -110,7 +113,8 @@ object ProductQuantization {
     val cents = broadcast(centroids.select(col(idCol).as("cell"), col(vecCol).as("cv")))
     def cellRank(side: DataFrame, id: String, v: String, kk: Int): DataFrame =
       TopK.perGroup(
-        side.select(col(idCol).as(id), col(vecCol).as(v))
+        side.filter(col(vecCol).isNotNull)
+          .select(col(idCol).as(id), col(vecCol).as(v))
           .crossJoin(cents)
           .withColumn("csim", round(VectorFunctions.cosine(col(v), col("cv")), roundDist)),
         Seq(col(id)), Seq(col("csim").desc, col("cell").asc), kk, "__cr")
@@ -156,13 +160,17 @@ object ProductQuantization {
     val cb = collectCodebook(codebook, idCol, vecCol, subspaces)
     val sub = cb(0)(0).length
 
+    // null vectors can't be coded or scored — drop them (ANN semantics),
+    // rather than let null codes silently collapse into bucket 0
     val coded = encode(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+      corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
       "nv", cb, roundDist)
 
     // per-query distance table: __qd_j = [d(q_j, c_0) .. d(q_j, c_{k-1})]
     val tabled = cb.indices.foldLeft(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))) { (acc, j) =>
+        queries.filter(col(vecCol).isNotNull)
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv"))) { (acc, j) =>
       val staged = acc.withColumn("__sl",
         slice(col("qv"), j * sub + 1, sub).cast("array<double>"))
       staged.withColumn(s"__qd_$j",

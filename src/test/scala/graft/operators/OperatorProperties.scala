@@ -61,6 +61,29 @@ object OperatorProperties extends Properties("graft.operators") {
       salted == expected
     }
 
+  property("connectedComponents equals union-find on arbitrary edge lists") =
+    forAll(Gen.listOfN(20, for {
+      a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L)
+    } yield (a, b))) { edges =>
+      val nonEmpty = edges.nonEmpty
+      val cc =
+        if (!nonEmpty) Map.empty[Long, Long]
+        else ConnectedComponents.run(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+      // driver-side union-find ground truth (min-id representative),
+      // including self-loop-only vertices as their own singleton
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      cc == parent.keys.map(k => k -> find(k)).toMap
+    }
+
   property("exactByContent keeps one min-id survivor per distinct content") =
     forAll(Gen.nonEmptyListOf(for {
       id <- Gen.choose(0L, 50L); txt <- Gen.oneOf("a", "b", "c", "dd", "")
