@@ -117,5 +117,26 @@ object ExtendedQueries {
              |                    WHERE o_custkey = c_custkey
              |                      AND o_orderstatus = 'O')
              |       THEN 'has_open' ELSE 'none_open' END AS tag
-             |FROM customer ORDER BY c_custkey""".stripMargin)))
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Range join (point-in-interval) via the binned equi-join operator —
+    // a bare BETWEEN join predicate would plan as BroadcastNestedLoop
+    // (O(n·m) compares); binning makes it a shuffled equi-join. Here:
+    // lineitems priced within ±50 of each part's retail price.
+    "q54_range_join" -> Q(
+      (s, d) => {
+        val pts = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        val bands = Tables.part(s, d).select(
+          col("p_partkey"),
+          (col("p_retailprice") - 50.0).as("lo"),
+          (col("p_retailprice") + 50.0).as("hi"))
+        graft.operators.RangeJoin
+          .pointInInterval(pts, "l_extendedprice", bands, "lo", "hi", binWidth = 100.0)
+          .groupBy("p_partkey").agg(count(lit(1)).as("n_in_band"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, count(*) AS n_in_band
+             |FROM part JOIN lineitem
+             |  ON l_extendedprice BETWEEN p_retailprice - 50 AND p_retailprice + 50
+             |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)))
 }
