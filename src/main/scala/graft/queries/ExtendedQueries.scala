@@ -138,5 +138,23 @@ object ExtendedQueries {
       Some("""SELECT p_partkey, count(*) AS n_in_band
              |FROM part JOIN lineitem
              |  ON l_extendedprice BETWEEN p_retailprice - 50 AND p_retailprice + 50
-             |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)))
+             |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)),
+
+    // Full cube: all 2^k grouping-set combinations (rollup q40 covers the
+    // hierarchical prefix sets; cube adds the status-only slice).
+    "q56_cube" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("n"))
+        .orderBy("flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS flag,
+             |       coalesce(l_linestatus, '<all>') AS status,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)))
 }

@@ -557,6 +557,39 @@ object LlmQueries {
               |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
               |FROM final GROUP BY lang_id ORDER BY lang_id""".stripMargin)),
 
+    // Edit-distance verification of the near-dup pairs: character-level
+    // Levenshtein (Spark built-in, codegen'd) over the candidate pairs,
+    // normalized by the longer text — the classic second opinion next to
+    // shingle Jaccard (token-insensitive, catches character-level noise).
+    // Cost discipline: the O(len^2) distance only runs on the ~25
+    // candidate pairs, never all-pairs.
+    "q55_edit_distance" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = NGramJaccard
+          .similarPairs(dd, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+        val t = dd.select(col("doc_id"), col("text"))
+        pairs
+          .join(t.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+          .join(t.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+            round(lit(1.0) - levenshtein(col("ta"), col("tb"))
+              .cast("double") / greatest(length(col("ta")), length(col("tb"))), 6)
+              .as("edit_sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $jaccardPairsCtes,
+              |pr AS (SELECT id_a, id_b FROM sc WHERE jaccard >= 0.5)
+              |SELECT id_a, id_b,
+              |  levenshtein(ta.text, tb.text) AS edit_dist,
+              |  round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+              |        / greatest(length(ta.text), length(tb.text)), 6) AS edit_sim
+              |FROM pr JOIN documents ta ON ta.doc_id = id_a
+              |        JOIN documents tb ON tb.doc_id = id_b
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // Exact linear-interpolation percentiles (profiling surface beyond
     // min/max/mean — the quantile cut a data pipeline filters on).
     "q36_percentiles" -> Q(
