@@ -90,6 +90,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("no unintended nested-loop or cartesian join in ANY registered query") {
+    // the queries that INTENTIONALLY broadcast a tiny side against the
+    // corpus (exact baselines / dim-table compare patterns) — everything
+    // else planning a nested loop is a silent quadratic scale cliff
+    val broadcastByDesign = Set(
+      "q24_knn_brute",          // broadcast query set vs corpus (exact baseline)
+      "q30_embed_neardup_exact", // documented O(n^2) exactness baseline
+      "q41_knn_ivf", "q52_knn_ivfpq", // corpus x broadcast centroid dim
+      "q49_knn_pq")             // coded corpus x broadcast query tables
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      if (!broadcastByDesign(name)) {
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the scan->aggregate path (q04)") {
     // AQE's pre-execution explain hides codegen stages, and df.write spawns
     // a separate queryExecution — collect() drives THIS one to its final
