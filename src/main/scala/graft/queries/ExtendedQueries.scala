@@ -156,5 +156,24 @@ object ExtendedQueries {
              |       count(*) AS n
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
-             |ORDER BY flag, status""".stripMargin)))
+             |ORDER BY flag, status""".stripMargin)),
+
+    // Deterministic hash-based sampling — the reproducible alternative to
+    // rand()-based sample(): membership is a pure function of the row key
+    // (last md5 hex digit → exact 2/16 rate), so the sample is stable
+    // across runs, engines, partitionings, and retries — which is what
+    // makes 100 TB experiment pipelines auditable. rand(seed) can't give
+    // that (Spark seeds per-partition, so membership changes with the
+    // partitioning).
+    "q57_det_sample" -> Q(
+      (s, d) => Tables.events(s, d)
+        .filter(substring(md5(col("event_id").cast("string")), 32, 1)
+          .isin("0", "1"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_sampled
+             |FROM events
+             |WHERE substr(md5(CAST(event_id AS VARCHAR)), 32, 1) IN ('0', '1')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }
