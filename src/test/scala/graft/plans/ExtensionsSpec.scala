@@ -37,6 +37,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") == viaColumn)
   }
 
+  test("every registered SQL function resolves and evaluates") {
+    // one SQL probe per catalog entry, so adding a function without a
+    // working builder can't slip through
+    val probes = Map(
+      "simhash64" -> "simhash64(array('a'))",
+      "dot_product" -> "dot_product(CAST(array(1.0) AS ARRAY<DOUBLE>), CAST(array(2.0) AS ARRAY<DOUBLE>))",
+      "sum_of_squares" -> "sum_of_squares(CAST(array(2.0) AS ARRAY<DOUBLE>))",
+      "word_shingles" -> "word_shingles('a b c', 2)",
+      "jaccard_similarity" -> "jaccard_similarity(array('a'), array('a'))",
+      "lang_id" -> "lang_id('the cat and the dog is here')",
+      "repetition_stats" -> "repetition_stats(array('a', 'b', 'a', 'b')).top_bigram_frac")
+    val registered = GraftExtensions.functions.map(_._1.funcName).toSet
+    assert(registered == probes.keySet,
+      s"probe map out of sync with the catalog: $registered vs ${probes.keySet}")
+    probes.foreach { case (name, expr) =>
+      val r = spark.sql(s"SELECT $expr AS v").collect()(0)
+      assert(r.get(0) != null, name)
+    }
+  }
+
   test("wrong arity fails analysis with the function's own message") {
     val e = intercept[Exception] {
       spark.sql("SELECT dot_product(array(1.0))").collect()
