@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Stats
 
 /** Relational surface beyond the reference's own operator list (the
   * reference has no set difference/intersection, pivots, or grouping
@@ -175,5 +176,44 @@ object ExtendedQueries {
       Some("""SELECT event_type, count(*) AS n_sampled
              |FROM events
              |WHERE substr(md5(CAST(event_id AS VARCHAR)), 32, 1) IN ('0', '1')
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Unpivot/melt: wide numeric columns to long (metric, value) form —
+    // the reshape every per-metric profiling pass needs. The oracle uses
+    // dialect-safe UNION ALL (same relational content as UNPIVOT).
+    "q58_unpivot" -> Q(
+      (s, d) => {
+        val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        Tables.lineitem(s, d)
+          .select(metrics.map(col): _*)
+          .unpivot(Array.empty, metrics.map(col).toArray, "metric", "value")
+          .groupBy("metric")
+          .agg(min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+            Stats.decimalSum(col("value")).as("sum_v"))
+          .orderBy("metric")
+      },
+      Some("""WITH u AS (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT metric, min(value) AS min_v, max(value) AS max_v,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_v
+             |FROM u GROUP BY metric ORDER BY metric""".stripMargin)),
+
+    // Nested-type aggregation: per order, the sorted array of its line
+    // numbers (the corpus's duplicate (orderkey, linenumber) pairs stay
+    // as multiset duplicates — sort_array makes the array a canonical,
+    // engine-comparable value).
+    "q59_array_agg" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          sort_array(collect_list(col("l_linenumber"))).as("line_numbers"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |       list_sort(list(l_linenumber)) AS line_numbers,
+             |       count(*) AS n_lines
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)))
 }
