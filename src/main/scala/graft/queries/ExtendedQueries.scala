@@ -215,5 +215,31 @@ object ExtendedQueries {
       Some("""SELECT l_orderkey,
              |       list_sort(list(l_linenumber)) AS line_numbers,
              |       count(*) AS n_lines
-             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)))
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // Correlated scalar subquery through the pure-SQL surface: Catalyst
+    // must decorrelate it into an aggregate + join (no per-row subquery
+    // execution exists in a distributed engine). Identical SQL runs on
+    // the oracle — end-to-end SQL-text parity, not just DataFrame parity.
+    "q60_sql_correlated" -> Q(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders2")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT count(*) FROM graft_orders2
+                |   WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+                |    AS n_big_orders
+                |FROM graft_customer
+                |WHERE (SELECT count(*) FROM graft_orders2
+                |       WHERE o_custkey = c_custkey) >= 12
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+             |    AS n_big_orders
+             |FROM customer
+             |WHERE (SELECT count(*) FROM orders
+             |       WHERE o_custkey = c_custkey) >= 12
+             |ORDER BY c_custkey""".stripMargin)))
 }
