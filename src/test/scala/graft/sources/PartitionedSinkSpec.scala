@@ -25,6 +25,27 @@ class PartitionedSinkSpec extends AnyFunSuite {
     assert(back.count() == li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("rows inside each partition's file are sorted by the sort key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psink3").toString
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    PartitionedSink.writePartitioned(li, s"$dir/li",
+      partitionCols = Seq("l_returnflag"), sortCols = Seq("l_shipdate"))
+    val files = new java.io.File(s"$dir/li").listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      // read ONE physical file: its row order is the written order
+      // l_shipdate is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (the
+      // session TZ is pinned UTC so the cast is order-preserving)
+      val dates = spark.read.parquet(f.getAbsolutePath)
+        .select(unix_micros(col("l_shipdate").cast("timestamp")))
+        .collect().map(_.getLong(0))
+      assert(dates.sameElements(dates.sorted),
+        s"${f.getName} not sorted by l_shipdate")
+    }
+  }
+
   test("one file per hive partition (no small-files explosion)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-psink2").toString
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_returnflag")
