@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Stats
+import graft.operators.{Stats, ZOrder}
 
 /** Relational surface beyond the reference's own operator list (the
   * reference has no set difference/intersection, pivots, or grouping
@@ -241,5 +241,157 @@ object ExtendedQueries {
              |FROM customer
              |WHERE (SELECT count(*) FROM orders
              |       WHERE o_custkey = c_custkey) >= 12
-             |ORDER BY c_custkey""".stripMargin)))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Stratified deterministic sampling (sampleBy's auditable cousin):
+    // per-stratum rates picked by first md5 hex digit of the row key —
+    // purchase 8/16, click 2/16, everything else 1/16. Same membership on
+    // every engine/partitioning/retry, unlike rand(seed) whose draw
+    // depends on the partitioning (Spark seeds per partition).
+    "q63_stratified_sample" -> Q(
+      (s, d) => {
+        val h = substring(md5(col("event_id").cast("string")), 1, 1)
+        val keep = when(col("event_type") === "purchase",
+            h.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+          .when(col("event_type") === "click", h.isin("0", "1"))
+          .otherwise(h === "0")
+        Tables.events(s, d).filter(keep)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_sampled"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_sampled,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM events
+             |WHERE CASE
+             |  WHEN event_type = 'purchase' THEN
+             |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+             |      IN ('0','1','2','3','4','5','6','7')
+             |  WHEN event_type = 'click' THEN
+             |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1')
+             |  ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' END
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Higher statistical moments (skewness/kurtosis) derived from
+    // DECIMAL-exact power sums, NOT the builtin skewness()/kurtosis()
+    // aggregates: engines disagree on bias correction and their streaming
+    // merge order makes raw-double moments non-reproducible. Power sums of
+    // the integral l_quantity are exact; the closed-form combination below
+    // is the same IEEE expression tree on both sides → bit-identical.
+    // Scale shape: one partial+final hash aggregate, five sums per group.
+    "q64_moments" -> Q(
+      (s, d) => {
+        val x = col("l_quantity")
+        val agg = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          Stats.decimalSum(x).as("s1"),
+          Stats.decimalSum(x * x).as("s2"),
+          Stats.decimalSum(x * x * x).as("s3"),
+          Stats.decimalSum(x * x * x * x).as("s4"))
+        val m1 = col("s1") / col("n")
+        val m2 = (col("s2") / col("n")) - (m1 * m1)
+        val m3 = ((col("s3") / col("n")) - (lit(3.0) * (m1 * (col("s2") / col("n"))))) +
+          (lit(2.0) * ((m1 * m1) * m1))
+        val m4 = (((col("s4") / col("n")) - (lit(4.0) * (m1 * (col("s3") / col("n"))))) +
+          (lit(6.0) * ((m1 * m1) * (col("s2") / col("n"))))) -
+          (lit(3.0) * (((m1 * m1) * m1) * m1))
+        agg.select(col("l_returnflag"), col("n"),
+            m1.as("mean"), m2.as("m2"),
+            (m3 / (sqrt(m2) * m2)).as("skewness"),
+            ((m4 / (m2 * m2)) - lit(3.0)).as("kurtosis"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+             |    CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s4
+             |  FROM lineitem GROUP BY l_returnflag),
+             |m AS (
+             |  SELECT l_returnflag, n,
+             |    (s1/n) AS mean,
+             |    ((s2/n) - ((s1/n)*(s1/n))) AS m2,
+             |    (((s3/n) - (3.0*((s1/n)*(s2/n)))) + (2.0*(((s1/n)*(s1/n))*(s1/n)))) AS m3,
+             |    ((((s4/n) - (4.0*((s1/n)*(s3/n)))) + (6.0*(((s1/n)*(s1/n))*(s2/n)))) -
+             |      (3.0*((((s1/n)*(s1/n))*(s1/n))*(s1/n)))) AS m4
+             |  FROM s)
+             |SELECT l_returnflag, n, mean, m2,
+             |  (m3/(sqrt(m2)*m2)) AS skewness,
+             |  ((m4/(m2*m2)) - 3.0) AS kurtosis
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // String-function battery (§2.8 extension): the everyday scalar string
+    // surface a migrating SQL workload leans on, all codegen'd built-ins,
+    // checked cross-engine in one projection.
+    "q65_string_funcs" -> Q(
+      (s, d) => Tables.part(s, d).select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 8).as("name_pre"),
+          reverse(col("p_brand")).as("brand_rev"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  upper(p_brand) AS brand_u,
+             |  length(p_name) AS name_len,
+             |  substr(p_name, 1, 8) AS name_pre,
+             |  reverse(p_brand) AS brand_rev,
+             |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+             |  replace(p_name, ' ', '_') AS name_snake,
+             |  split_part(p_type, ' ', 1) AS type_head,
+             |  concat_ws('|', p_brand, p_type) AS brand_type
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Datetime-function battery (§2.8 extension): calendar extraction,
+    // month bucketing, day arithmetic, clamped month addition — outputs
+    // kept as strings/longs so the comparison is representation-proof.
+    "q66_datetime_funcs" -> Q(
+      (s, d) => Tables.orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dd"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month_key"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1995-01-01")))
+            .cast("long").as("days_since_95"),
+          date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd")
+            .as("plus_3m"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS y,
+             |  month(o_orderdate) AS m,
+             |  day(o_orderdate) AS dd,
+             |  strftime(o_orderdate, '%Y-%m') AS month_key,
+             |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+             |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Z-order (Morton) layout keys: quantize (part, supplier) to 10 bits
+    // each, interleave to a 20-bit z-value, and profile occupancy per
+    // z-range — the histogram a layout optimizer consults before
+    // clustering files along the curve (operators/ZOrder.cluster). The
+    // oracle SQL is generated by the same loop as the Spark expression.
+    "q67_zorder_key" -> Q(
+      (s, d) => {
+        val z = ZOrder.zValue(
+          Seq(shiftright(col("l_partkey"), 5), col("l_suppkey")), bits = 10)
+        Tables.lineitem(s, d)
+          .select(z.as("zval"))
+          .groupBy(shiftright(col("zval"), 14).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+          .orderBy("zbucket")
+      },
+      Some(s"""WITH z AS (
+              |  SELECT ${ZOrder.zValueSql(Seq("l_partkey >> 5", "l_suppkey"), 10)} AS zval
+              |  FROM lineitem)
+              |SELECT (zval >> 14) AS zbucket, count(*) AS n,
+              |       min(zval) AS min_z, max(zval) AS max_z
+              |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)))
 }

@@ -884,5 +884,72 @@ object LlmQueries {
       },
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
              |       md5(text) AS checksum
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF-style salient-term extraction: rank each document's terms by
+    // rarity-weighted frequency. The weight is tf/df — a pure ratio of
+    // exact integer counts (one IEEE division, bit-identical across
+    // engines), monotone in tf and in 1/df like classic tf-idf but with no
+    // transcendental whose last-ulp could differ between libm builds.
+    // Shape at 100 TB: tokenize → two hash aggregations (doc-term, term) →
+    // shuffle join on term → per-doc top-k window (WindowGroupLimit).
+    "q61_tfidf_terms" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tokens = docs(s, d).select(
+          col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, "term")
+          .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "rnk", "term", "tf", "df")
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |ranked AS (
+             |  SELECT doc_id, term, tf, df,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY (CAST(tf AS DOUBLE)/CAST(df AS DOUBLE)) DESC, term) AS rnk
+             |  FROM tf JOIN df USING (term))
+             |SELECT doc_id, rnk, term, tf, df FROM ranked
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Unigram-commonness quality score: the corpus-wide document frequency
+    // of a doc's tokens, averaged per token occurrence. Low mean-df flags
+    // gibberish/rare-vocabulary docs, high flags boilerplate — the cheap
+    // statistical cousin of LM-perplexity filtering, and fully exact: the
+    // sums are integers, the mean is one IEEE division.
+    "q62_unigram_quality" -> Q(
+      (s, d) => {
+        val tokens = docs(s, d).select(
+          col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "term")
+          .groupBy("doc_id")
+          .agg(
+            sum(col("tf") * col("df")).as("sum_df"),
+            sum(col("tf")).as("n_tokens"))
+          .withColumn("mean_df",
+            col("sum_df").cast("double") / col("n_tokens").cast("double"))
+          .select("doc_id", "n_tokens", "sum_df", "mean_df")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+             |SELECT doc_id,
+             |       sum(tf) AS n_tokens,
+             |       sum(tf*df) AS sum_df,
+             |       CAST(sum(tf*df) AS DOUBLE)/CAST(sum(tf) AS DOUBLE) AS mean_df
+             |FROM tf JOIN df USING (term)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }
