@@ -393,5 +393,90 @@ object ExtendedQueries {
               |  FROM lineitem)
               |SELECT (zval >> 14) AS zbucket, count(*) AS n,
               |       min(zval) AS min_z, max(zval) AS max_z
-              |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)))
+              |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)),
+
+    // Data-quality constraint report (the Deequ-style audit a training
+    // pipeline runs before ingesting a drop): completeness, value-range,
+    // primary-key uniqueness, and referential integrity, each as
+    // (check_name, violations, checked). All single-pass aggregates plus
+    // one anti join; the corpus's injected duplicate (l_orderkey,
+    // l_linenumber) pairs make pk_uniqueness report real violations.
+    "q68_quality_checks" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n"),
+          count(when(col("l_quantity").isNull, 1)).as("nulls"),
+          count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+            .as("range_viol"),
+          (count(lit(1)) -
+            countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_pk"))
+        val orph = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val c = li.crossJoin(orph) // 1x1 rows: a constant-fold, not a join
+        c.select(lit("completeness_quantity").as("check_name"),
+            col("nulls").as("violations"), col("n").as("checked"))
+          .union(c.select(lit("pk_uniqueness"), col("dup_pk"), col("n")))
+          .union(c.select(lit("range_quantity"), col("range_viol"), col("n")))
+          .union(c.select(lit("ref_integrity_orderkey"), col("n_orphans"), col("n")))
+          .orderBy("check_name")
+      },
+      Some("""WITH li AS (
+             |  SELECT count(*) AS n,
+             |    count(*) FILTER (WHERE l_quantity IS NULL) AS nulls,
+             |    count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS range_viol,
+             |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
+             |  FROM lineitem),
+             |orph AS (
+             |  SELECT count(*) AS n_orphans FROM lineitem l
+             |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE o.o_orderkey IS NULL)
+             |SELECT check_name, violations, checked FROM (
+             |  SELECT 'completeness_quantity' AS check_name, nulls AS violations, n AS checked FROM li
+             |  UNION ALL SELECT 'pk_uniqueness', dup_pk, n FROM li
+             |  UNION ALL SELECT 'range_quantity', range_viol, n FROM li
+             |  UNION ALL SELECT 'ref_integrity_orderkey', n_orphans, (SELECT n FROM li) FROM orph)
+             |ORDER BY check_name""".stripMargin)),
+
+    // Fixed-width histogram: constant-anchor bucketing is one map-side
+    // expression + a hash aggregate (no global min subquery, no sort) —
+    // the distribution profile that stays cheap at any scale.
+    "q69_histogram" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 1000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice/1000.0) AS BIGINT) AS bucket,
+             |       count(*) AS n,
+             |       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Explicit GROUPING SETS with grouping() markers through the pure-SQL
+    // surface (rollup q40 and cube q56 cover the derived forms; this is
+    // the general construct): two disjoint single-column slices in one
+    // aggregate pass, the grouping-id columns disambiguating which slice
+    // each row belongs to. Identical SQL text runs on the oracle.
+    "q70_grouping_sets" -> Q(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+        s.sql("""SELECT coalesce(l_returnflag, '<all>') AS flag,
+                |       coalesce(l_linestatus, '<all>') AS status,
+                |       count(*) AS n,
+                |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+                |FROM graft_lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                |ORDER BY flag, status""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS flag,
+             |       coalesce(l_linestatus, '<all>') AS status,
+             |       count(*) AS n,
+             |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY flag, status""".stripMargin)))
 }
