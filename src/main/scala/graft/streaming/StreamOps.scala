@@ -30,6 +30,42 @@ case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: 
 /** Emitted row of [[StreamOps.userRunningStats]]. */
 case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double)
 
+/** `StatefulProcessor` behind [[StreamOps.userRunningStatsTws]]: the
+  * Spark 4 `transformWithState` form of the running-stats state machine.
+  * State lives in a named, typed `ValueState` slot obtained from the
+  * handle at init (one of any number of per-key variables, each with its
+  * own TTL — the capability axis `mapGroupsWithState`'s single state
+  * object lacks). Semantics are pinned equal to the old-API operator by
+  * StreamOpsSpec.
+  */
+class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), UserRunningStats] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserState](
+      "running", Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[UserRunningStats] = {
+    val prev = if (state.exists()) state.get() else UserState(0L, BigDecimal(0))
+    var n = prev.n
+    var total = prev.total
+    rows.foreach { case (_, v) =>
+      n += 1
+      total += BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+    }
+    state.update(UserState(n, total))
+    Iterator.single(UserRunningStats(key, n, total.toDouble))
+  }
+}
+
 object StreamOps {
 
   private val nameCounter = new AtomicInteger()
@@ -189,6 +225,46 @@ object StreamOps {
           UserRunningStats(uid, n, total.toDouble)
       }
       .toDF()
+  }
+
+  /** The same running-stats state machine on Spark 4's
+    * `transformWithState` API: a [[RunningStatsProcessor]] owning a typed
+    * `ValueState` slot instead of the single opaque `GroupState` object.
+    * The processor model is what the older API can't express — multiple
+    * independently-TTL'd state variables per key, timers decoupled from
+    * state, schema evolution of state values — and it requires the
+    * RocksDB state store provider (wrap the run in
+    * [[withRocksDbStateStore]]), which is also the provider that bounds
+    * executor memory at 100 TB state: RocksDB spills keyed state to local
+    * disk instead of pinning it on-heap.
+    */
+  def userRunningStatsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor(),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Scope the RocksDB state store provider (required by
+    * `transformWithState`) to `body`, restoring the previous provider
+    * after — streaming confs are read at query START, so the conf only
+    * needs to hold while the query inside `body` starts and runs.
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Gap sessionization with EXPLICIT state + event-time timeout

@@ -135,6 +135,18 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("userRunningStatsTws (transformWithState): equals the mapGroupsWithState operator and batch") {
+    StreamOps.withRocksDbStateStore(spark) {
+      val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
+      val streamed = StreamOps.runToBatch(spark,
+        StreamOps.userRunningStatsTws(stream), "update")
+      val old = StreamOps.userRunningStats(Tables.events(spark, sfDir))
+      assert(streamed.count() > 0)
+      assert(streamed.except(old).count() == 0)
+      assert(old.except(streamed).count() == 0)
+    }
+  }
+
   test("dedupByContentWithTtl drops re-ingested identical content") {
     val docs = Seq(
       (1L, "2024-01-01 00:00:01", "same text"),
