@@ -397,46 +397,49 @@ object ExtendedQueries {
 
     // Data-quality constraint report (the Deequ-style audit a training
     // pipeline runs before ingesting a drop): completeness, value-range,
-    // primary-key uniqueness, and referential integrity, each as
-    // (check_name, violations, checked). All single-pass aggregates plus
-    // one anti join; the corpus's injected duplicate (l_orderkey,
-    // l_linenumber) pairs make pk_uniqueness report real violations.
+    // primary-key uniqueness, and referential integrity as (check_name,
+    // violations, checked) rows. One left join against the unique-keyed
+    // orders table (so row counts are preserved and a NULL right side =
+    // an orphan) feeds ONE aggregate pass computing all four checks;
+    // `inline` fans the single stats row out into the report. The
+    // corpus's injected duplicate (l_orderkey, l_linenumber) pairs make
+    // pk_uniqueness show real violations.
     "q68_quality_checks" -> Q(
       (s, d) => {
-        val li = Tables.lineitem(s, d).agg(
-          count(lit(1)).as("n"),
-          count(when(col("l_quantity").isNull, 1)).as("nulls"),
-          count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
-            .as("range_viol"),
-          (count(lit(1)) -
-            countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_pk"))
-        val orph = Tables.lineitem(s, d)
-          .join(Tables.orders(s, d),
-            col("l_orderkey") === col("o_orderkey"), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        val c = li.crossJoin(orph) // 1x1 rows: a constant-fold, not a join
-        c.select(lit("completeness_quantity").as("check_name"),
-            col("nulls").as("violations"), col("n").as("checked"))
-          .union(c.select(lit("pk_uniqueness"), col("dup_pk"), col("n")))
-          .union(c.select(lit("range_quantity"), col("range_viol"), col("n")))
-          .union(c.select(lit("ref_integrity_orderkey"), col("n_orphans"), col("n")))
+        val agg = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("l_quantity").isNull, 1)).as("nulls"),
+            count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+              .as("range_viol"),
+            (count(lit(1)) -
+              countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_pk"),
+            count(when(col("o_orderkey").isNull, 1)).as("n_orphans"))
+        agg.select(inline(array(
+            struct(lit("completeness_quantity").as("check_name"),
+              col("nulls").as("violations"), col("n").as("checked")),
+            struct(lit("pk_uniqueness").as("check_name"),
+              col("dup_pk").as("violations"), col("n").as("checked")),
+            struct(lit("range_quantity").as("check_name"),
+              col("range_viol").as("violations"), col("n").as("checked")),
+            struct(lit("ref_integrity_orderkey").as("check_name"),
+              col("n_orphans").as("violations"), col("n").as("checked")))))
           .orderBy("check_name")
       },
       Some("""WITH li AS (
              |  SELECT count(*) AS n,
              |    count(*) FILTER (WHERE l_quantity IS NULL) AS nulls,
              |    count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS range_viol,
-             |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
-             |  FROM lineitem),
-             |orph AS (
-             |  SELECT count(*) AS n_orphans FROM lineitem l
-             |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-             |  WHERE o.o_orderkey IS NULL)
+             |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk,
+             |    count(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans
+             |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
              |SELECT check_name, violations, checked FROM (
              |  SELECT 'completeness_quantity' AS check_name, nulls AS violations, n AS checked FROM li
              |  UNION ALL SELECT 'pk_uniqueness', dup_pk, n FROM li
              |  UNION ALL SELECT 'range_quantity', range_viol, n FROM li
-             |  UNION ALL SELECT 'ref_integrity_orderkey', n_orphans, (SELECT n FROM li) FROM orph)
+             |  UNION ALL SELECT 'ref_integrity_orderkey', n_orphans, n FROM li) u
              |ORDER BY check_name""".stripMargin)),
 
     // Fixed-width histogram: constant-anchor bucketing is one map-side
