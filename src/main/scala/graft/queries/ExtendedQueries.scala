@@ -481,5 +481,64 @@ object ExtendedQueries {
              |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-             |ORDER BY flag, status""".stripMargin)))
+             |ORDER BY flag, status""".stripMargin)),
+
+    // RANGE window frame (q15 covers ROWS): per customer, trailing-90-day
+    // order count + exact spend at every order. The frame is keyed on
+    // epoch SECONDS (numeric range) so both engines agree without interval
+    // dialect drift; RANGE includes all peers of the current row, making
+    // tied order-dates deterministic with no extra tie-break.
+    "q71_range_frame" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("epoch_s")
+          .rangeBetween(-90L * 86400L, 0L)
+        Tables.orders(s, d)
+          .withColumn("epoch_s",
+            unix_seconds(col("o_orderdate").cast("timestamp")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            count(lit(1)).over(w).as("n_90d"),
+            // .over must bind to the sum aggregate itself, so the decimal
+            // cast dance is inlined here rather than via Stats.decimalSum
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 4))).over(w)
+              .cast("double").as("spend_90d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  count(*) OVER w AS n_90d,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS spend_90d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Five-table star join: region -> nation -> customer -> orders ->
+    // lineitem revenue rollup. The macro-query shape Catalyst's join
+    // reorder + AQE exist for: the dim chain broadcasts, the fact tables
+    // meet in a single shuffle join, aggregation is partial->final.
+    "q72_star_join" -> Q(
+      (s, d) => {
+        val revenue = Stats.decimalSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"), revenue.as("revenue"))
+          .orderBy("r_name", "o_orderpriority")
+      },
+      Some("""SELECT r_name, o_orderpriority, count(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, o_orderpriority
+             |ORDER BY r_name, o_orderpriority""".stripMargin)))
 }
