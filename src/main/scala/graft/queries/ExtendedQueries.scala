@@ -540,5 +540,36 @@ object ExtendedQueries {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name, o_orderpriority
-             |ORDER BY r_name, o_orderpriority""".stripMargin)))
+             |ORDER BY r_name, o_orderpriority""".stripMargin)),
+
+    // New-vs-returning cohort split: first-seen day per user (a min
+    // aggregate, not a window over the full history), joined back to
+    // classify every active day. Day keys are formatted strings, so
+    // lexicographic min == chronological and timestamp representation
+    // can't perturb the hash.
+    "q73_cohort_newret" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        val first = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+        ev.join(first, "user_id")
+          .groupBy("day")
+          .agg(
+            countDistinct(col("user_id")).as("dau"),
+            countDistinct(when(col("day") === col("first_day"), col("user_id")))
+              .as("new_users"))
+          .withColumn("returning_users", col("dau") - col("new_users"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id)
+             |SELECT day,
+             |  count(DISTINCT user_id) AS dau,
+             |  count(DISTINCT CASE WHEN day = first_day THEN user_id END) AS new_users,
+             |  count(DISTINCT user_id)
+             |    - count(DISTINCT CASE WHEN day = first_day THEN user_id END)
+             |    AS returning_users
+             |FROM ev JOIN f USING (user_id)
+             |GROUP BY day ORDER BY day""".stripMargin)))
 }

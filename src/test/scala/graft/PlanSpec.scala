@@ -90,6 +90,14 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("star join broadcasts the dim chain (q72)") {
+    val plan = formatted(SparkEntry.queries("q72_star_join")(spark, sf))
+    // customer/nation/region must all broadcast; the only join allowed to
+    // shuffle is lineitem |x| orders (facts meeting facts)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("no unintended nested-loop or cartesian join in ANY registered query") {
     // the queries that INTENTIONALLY broadcast a tiny side against the
     // corpus (exact baselines / dim-table compare patterns) — everything
