@@ -571,5 +571,59 @@ object ExtendedQueries {
              |    - count(DISTINCT CASE WHEN day = first_day THEN user_id END)
              |    AS returning_users
              |FROM ev JOIN f USING (user_id)
-             |GROUP BY day ORDER BY day""".stripMargin)))
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
+    // Higher-order array functions over nested data (q59 builds the
+    // arrays; this is the lambda surface over them): transform / filter /
+    // aggregate-fold / max / membership / slice, all executed inside the
+    // engine with no explode-reaggregate round-trip — the idiom that
+    // keeps nested-data pipelines shuffle-free.
+    "q74_array_lambdas" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(
+          col("l_orderkey"),
+          transform(col("lines"), x => x * 2).as("doubled"),
+          filter(col("lines"), x => x % 2 === 0).as("evens"),
+          aggregate(col("lines"), lit(0L), (acc, x) => acc + x).as("line_sum"),
+          array_max(col("lines")).as("line_max"),
+          array_contains(col("lines"), 3).as("has_line3"),
+          slice(col("lines"), 1, 2).as("first_two"))
+        .orderBy("l_orderkey"),
+      Some("""WITH a AS (
+             |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  list_transform(lines, x -> x * 2) AS doubled,
+             |  list_filter(lines, x -> x % 2 = 0) AS evens,
+             |  CAST(list_sum(lines) AS BIGINT) AS line_sum,
+             |  list_max(lines) AS line_max,
+             |  list_contains(lines, 3) AS has_line3,
+             |  list_slice(lines, 1, 2) AS first_two
+             |FROM a ORDER BY l_orderkey""".stripMargin)),
+
+    // Conditional/null-handling battery (§2.8 extension): nullif-driven
+    // sentinel collapse, coalesce defaults, least/greatest clamping, and
+    // multi-branch CASE — the null-safety idioms every migrated workload
+    // carries.
+    "q75_conditionals" -> Q(
+      (s, d) => Tables.orders(s, d).select(
+          col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_label"),
+          least(col("o_totalprice"), lit(100000.0)).as("capped_price"),
+          greatest(col("o_totalprice"), lit(1000.0)).as("floored_price"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+            .when(col("o_orderpriority") === "3-MEDIUM", "standard")
+            .otherwise("relaxed").as("sla_class"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+             |  least(o_totalprice, 100000.0) AS capped_price,
+             |  greatest(o_totalprice, 1000.0) AS floored_price,
+             |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+             |       WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+             |       ELSE 'relaxed' END AS sla_class
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
 }
