@@ -66,6 +66,67 @@ class RunningStatsProcessor
   }
 }
 
+/** `StatefulProcessor` behind [[StreamOps.sessionizeWithTimeoutTws]]:
+  * gap sessionization with explicit event-time timers. Each batch ends by
+  * registering a timer at `session end + gap`; the timer firing on a
+  * later (possibly no-data) microbatch proves the watermark passed the
+  * session's expiry, so it closes and emits. A timer registered before
+  * the session was extended fires early — it's detected as stale
+  * (fired expiry < current expiry) and ignored; the re-registered later
+  * timer is still pending.
+  */
+class SessionizeProcessor(gapMicros: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, Long), ClosedSession] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[OpenSession](
+      "session", Encoders.product[OpenSession], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Long)],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val sorted = rows.map(_._3).toArray.sorted
+    var cur = if (state.exists()) Some(state.get()) else None
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { t =>
+      cur match {
+        case Some(s) if t - s.endUs <= gapMicros =>
+          cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
+        case Some(s) =>
+          closed += ClosedSession(key, s.startUs, s.endUs, s.n)
+          cur = Some(OpenSession(t, t, 1))
+        case None =>
+          cur = Some(OpenSession(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      getHandle.registerTimer((s.endUs + gapMicros) / 1000L)
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    if (!state.exists()) Iterator.empty
+    else {
+      val s = state.get()
+      if (expiredTimerInfo.getExpiryTimeInMs() >= (s.endUs + gapMicros) / 1000L) {
+        state.clear()
+        Iterator.single(ClosedSession(key, s.startUs, s.endUs, s.n))
+      } else Iterator.empty // stale timer from a since-extended session
+    }
+  }
+}
+
 object StreamOps {
 
   private val nameCounter = new AtomicInteger()
@@ -332,6 +393,37 @@ object StreamOps {
             closed.result().iterator
           }
       }
+  }
+
+  /** The sessionization state machine on `transformWithState` with
+    * EVENT-TIME TIMERS: where [[sessionizeWithTimeout]] rides
+    * `GroupStateTimeout.EventTimeTimeout` (one implicit timeout per key),
+    * the processor registers explicit timers decoupled from the state
+    * value — the TWS model allows many timers per key, so stale ones
+    * (session extended after registration) are ignored by comparing the
+    * fired expiry against the session's current expiry. Requires the
+    * RocksDB state store ([[withRocksDbStateStore]]) and a watermark on
+    * `tsCol` before the call, like the old-API operator.
+    */
+  def sessionizeWithTimeoutTws(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapUs.months == 0 && gapUs.days == 0, "gap must be sub-day")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // same watermark-attribute caveat as sessionizeWithTimeout: the
+      // event-time column must reach the grouped Dataset unaliased
+      .select(col(keyCol).cast("long"), col(tsCol), unix_micros(col(tsCol)))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionizeProcessor(gapUs.microseconds),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Per-microbatch top-items ranking via foreachBatch — the design.pdf

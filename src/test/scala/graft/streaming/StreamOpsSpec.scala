@@ -197,6 +197,37 @@ class StreamOpsSpec extends AnyFunSuite {
       (2L, us("2024-01-01 00:05:00"), us("2024-01-01 00:05:00"), 1L)))
   }
 
+  test("sessionizeWithTimeoutTws (transformWithState timers): same sessions as the fmgws operator") {
+    // same fixture shape as the fmgws test: file-a sessions can only
+    // emit via an event-time TIMER firing after file b moves the watermark
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-tws").toString
+    def ev(rows: Seq[(Long, String)], f: String): Unit =
+      rows.toDF("user_id", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+        .drop("ts_s").repartition(1).write.mode("overwrite").parquet(s"$dir/$f")
+    ev(Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"),
+      (2L, "2024-01-01 00:05:00")), "a.parquet")
+    ev(Seq((99L, "2024-01-01 12:00:00")), "b.parquet")
+
+    StreamOps.withRocksDbStateStore(spark) {
+      val schema = spark.read.parquet(s"$dir/a.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/*.parquet")
+        .withWatermark("ts", "1 minute")
+      val out = StreamOps.runToBatch(spark,
+        StreamOps.sessionizeWithTimeoutTws(stream, "user_id", "ts", "30 minutes").toDF(),
+        "append")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(s: String): Long =
+        java.sql.Timestamp.valueOf(s).getTime * 1000L
+      assert(out == Set(
+        (1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:10:00"), 2L),
+        (1L, us("2024-01-01 02:00:00"), us("2024-01-01 02:00:00"), 1L),
+        (2L, us("2024-01-01 00:05:00"), us("2024-01-01 00:05:00"), 1L)))
+    }
+  }
+
   test("sessionizeWithTimeout batch run equals session_window on the events table") {
     // batch mode runs the same state machine as one "microbatch" with no
     // timeouts: every session closes in-batch or stays open (unemitted
