@@ -28,12 +28,21 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // CC-loop pipelines compile >100 distinct codegen classes; the
+      // default 100-entry cache thrashes (janino recompiles every pass)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // a long GC pause must not escalate into executor-heartbeat RPC
       // timeouts mid-query (observed once in a driver-side run)
       .config("spark.network.timeout", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q20_dedup_content,q23_... restricts the run to a
+    // comma-separated subset — for isolating one query's timing without
+    // the full-suite wall clock
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum

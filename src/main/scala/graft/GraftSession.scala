@@ -22,6 +22,11 @@ object GraftSession {
       // otherwise refuses to read (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // iterative-plan pipelines (connected-components loops) generate
+      // >100 distinct codegen classes; the default 100-entry class cache
+      // thrashes and re-pays janino compiles on every execution (static
+      // conf: applies to the first session built in the JVM)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

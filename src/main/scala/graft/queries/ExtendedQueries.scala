@@ -625,5 +625,31 @@ object ExtendedQueries {
              |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
              |       WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
              |       ELSE 'relaxed' END AS sla_class
-             |FROM orders ORDER BY o_orderkey""".stripMargin)))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Rank-statistics window functions (q50 covers lag/lead/ntile; these
+    // are the tie-aware ranks): rank / dense_rank over the price order,
+    // percent_rank and cume_dist — both defined as ratios of exact row
+    // counts ((rank-1)/(n-1), peers/n), so one IEEE division each and
+    // bit-identical across engines even though the outputs are doubles.
+    "q76_rank_stats" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        Tables.orders(s, d).select(
+            col("o_orderkey"), col("o_orderpriority"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  rank() OVER w AS rnk,
+             |  dense_rank() OVER w AS drnk,
+             |  percent_rank() OVER w AS prnk,
+             |  cume_dist() OVER w AS cdist
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+             |ORDER BY o_orderkey""".stripMargin)))
 }
