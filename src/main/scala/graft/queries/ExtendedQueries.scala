@@ -651,5 +651,31 @@ object ExtendedQueries {
              |  cume_dist() OVER w AS cdist
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // SLIDING event-time windows (q25 covers tumbling): 1-hour windows
+    // every 15 minutes, so each event lands in exactly width/slide = 4
+    // windows. The oracle expands the same epoch-aligned slide grid with
+    // a 4-element unnest; window starts are compared as epoch SECONDS so
+    // no timestamp representation can perturb the hash.
+    "q77_sliding_windows" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Stats.decimalSum(col("value")).as("sum_value"))
+        .select(
+          unix_seconds(col("w.start").cast("timestamp")).as("window_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_s", "event_type"),
+      Some("""WITH w AS (
+             |  SELECT event_type, value,
+             |    -- floor, not CAST: epoch() is a fractional double and a
+             |    -- bare BIGINT cast ROUNDS, nudging boundary events into
+             |    -- the next window
+             |    (CAST(floor(epoch(ts)) AS BIGINT) // 900 - i) * 900 AS window_start_s
+             |  FROM events CROSS JOIN unnest([0, 1, 2, 3]) AS t(i))
+             |SELECT window_start_s, event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM w GROUP BY window_start_s, event_type
+             |ORDER BY window_start_s, event_type""".stripMargin)))
 }
