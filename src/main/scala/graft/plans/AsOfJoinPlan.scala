@@ -72,16 +72,131 @@ object AsOfJoinPruningRule extends org.apache.spark.sql.catalyst.rules.Rule[Logi
   }
 }
 
-/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. Injected via
+/** Plans [[AsOfJoinNode]] — broadcast variant when the right side fits
+  * under `spark.sql.autoBroadcastJoinThreshold` (the same sizing rule the
+  * built-in join selection uses), sort-merge otherwise. Injected via
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
   * `spark.experimental.extraStrategies` at runtime.
+  *
+  * The broadcast path is the 100 TB shape for dim-sized right sides: the
+  * fact-table left keeps its partitioning — NO exchange and NO sort of
+  * the big side — while sort-merge must shuffle and sort both.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
     case _ => Nil
   }
+}
+
+/** Broadcast as-of join: the right side arrives whole via broadcast
+  * (EnsureRequirements inserts the BroadcastExchange for the
+  * `BroadcastDistribution(IdentityBroadcastMode)` requirement), each task
+  * indexes it per key with ts-sorted arrays, and every left row resolves
+  * by hash lookup + binary search (greatest rightTs <= leftTs). The left
+  * child's distribution is unconstrained and its partitioning/ordering
+  * are preserved — the property that makes this the right plan when the
+  * left is the 100 TB side.
+  *
+  * Same semantics and caveats as [[AsOfJoinExec]]: left outer, null
+  * key/ts never matches, right (key, ts) ties resolve to whichever sorts
+  * last (pre-dedup for full determinism).
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTs: Attribute,
+    rightTs: Attribute)
+  extends BinaryExecNode {
+
+  import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+  import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val tsOrd = PhysicalDataType.ordering(rightTs.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(Seq(rightKey), rOut)
+      val rTsProj = UnsafeProjection.create(Seq(rightTs), rOut)
+      // per-key ts-sorted candidate arrays; keyed by the single-field
+      // UnsafeRow of the key (byte-equal across sides for equal values of
+      // the same data type, which the API requires)
+      val index = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+      broadcastRows.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTsProj(r)
+        if (!k.isNullAt(0) && !t.isNullAt(0)) { // null key/ts never matches
+          val kc = k.copy()
+          var buf = index.get(kc)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
+            index.put(kc, buf)
+          }
+          buf += ((t.copy().get(0, rightTs.dataType), r))
+        }
+      }
+      index.values().forEach { buf =>
+        buf.sortInPlace()(Ordering.by[(Any, InternalRow), Any](_._1)(tsOrd))
+        ()
+      }
+
+      val lKeyProj = UnsafeProjection.create(Seq(leftKey), lOut)
+      val lTsProj = UnsafeProjection.create(Seq(leftTs), lOut)
+      // same nullability-widening requirement as AsOfJoinExec's outProj
+      val outProj = UnsafeProjection.create(
+        allOut, lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = lTsProj(l)
+        var matchRow: InternalRow = null
+        if (!lk.isNullAt(0) && !lt.isNullAt(0)) {
+          val buf = index.get(lk)
+          if (buf != null) {
+            val ltv = lt.copy().get(0, leftTs.dataType)
+            // greatest idx with ts <= ltv (binary search, upper bound)
+            var lo = 0
+            var hi = buf.length // exclusive
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (tsOrd.compare(buf(mid)._1, ltv) <= 0) lo = mid + 1
+              else hi = mid
+            }
+            if (lo > 0) matchRow = buf(lo - 1)._2
+          }
+        }
+        outProj(joined(l, if (matchRow != null) matchRow else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Streaming two-pointer merge per co-partitioned (key, ts)-sorted

@@ -71,6 +71,50 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("small right side plans as BroadcastAsOfJoin with no shuffle at all") {
+    val df = AsOfJoin.lastAtOrBeforeMerge(
+      Seq((1L, 10L, "a"), (2L, 4L, "b")).toDF("k", "lts", "tag"),
+      Seq((1L, 5L, 1.0), (2L, 9L, 2.0)).toDF("rk", "rts", "v"),
+      "k", "rk", "lts", "rts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the left side keeps its partitioning: nothing shuffles or sorts
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort "), plan)
+    assert(df.select("tag", "asof_v").as[(String, Option[Double])].collect().toMap ==
+      Map("a" -> Some(1.0), "b" -> None))
+  }
+
+  test("broadcast and sort-merge paths agree with the window formulation (randomized)") {
+    val rnd = new scala.util.Random(29)
+    val left = Seq.tabulate(200) { i =>
+      (if (i % 13 == 0) null else java.lang.Long.valueOf(rnd.nextInt(6).toLong),
+        if (i % 19 == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong),
+        s"l$i")
+    }.toDF("k", "lts", "tag")
+    val right = rnd.shuffle(
+      (for (k <- 0L to 4L; t <- 0L until 40L by 3L) yield (k, t)).toList)
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) }
+      .toDF("rk", "rts", "v")
+    def collectMerge() = AsOfJoin.lastAtOrBeforeMerge(left, right, "k", "rk", "lts", "rts")
+      .select("tag", "asof_rts", "asof_v")
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    val win = AsOfJoin.lastAtOrBefore(left, right, "k", "rk", "lts", "rts")
+      .select("tag", "asof_rts", "asof_v")
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    // default threshold: tiny right broadcasts
+    val viaBroadcast = collectMerge()
+    // threshold off: the strategy falls back to the sort-merge exec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val viaSortMerge = try collectMerge()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast == win)
+    assert(viaSortMerge == win)
+  }
+
   test("optimizer rule prunes unused columns through the custom node") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val left = li.select(col("l_orderkey").as("k"), col("l_linenumber").as("lts"))
