@@ -677,5 +677,52 @@ object ExtendedQueries {
              |SELECT window_start_s, event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM w GROUP BY window_start_s, event_type
-             |ORDER BY window_start_s, event_type""".stripMargin)))
+             |ORDER BY window_start_s, event_type""".stripMargin)),
+
+    // Map-typed columns: construct, point-lookup, keys, cardinality. The
+    // map value itself stays internal (engines disagree on map rendering);
+    // everything extracted from it is scalar/array and hash-comparable.
+    // DuckDB's subscript returns a list, so the oracle bridges with [1].
+    "q78_map_funcs" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          map(lit("status"), col("o_orderstatus"),
+            lit("priority"), col("o_orderpriority")).as("m"))
+        .select(
+          col("o_orderkey"),
+          element_at(col("m"), "priority").as("prio"),
+          element_at(col("m"), "status").as("status"),
+          map_keys(col("m")).as("ks"),
+          size(col("m")).cast("long").as("n_entries"))
+        .orderBy("o_orderkey"),
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    map(['status','priority'], [o_orderstatus, o_orderpriority]) AS m
+             |  FROM orders)
+             |SELECT o_orderkey,
+             |  m['priority'][1] AS prio,
+             |  m['status'][1] AS status,
+             |  map_keys(m) AS ks,
+             |  CAST(cardinality(m) AS BIGINT) AS n_entries
+             |FROM t ORDER BY o_orderkey""".stripMargin)),
+
+    // Regexp battery: group extraction, whole-match extraction, pattern
+    // predicate, global replace. Patterns stay in the Java/RE2 common
+    // subset; the oracle's regexp_replace needs the 'g' flag because
+    // DuckDB replaces only the first match by default while Spark
+    // replaces all.
+    "q79_regexp_funcs" -> Q(
+      (s, d) => Tables.part(s, d).select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+          col("p_name").rlike("(bolt|widget)").as("is_hw"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("devowel"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+             |  regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+             |  regexp_matches(p_name, '(bolt|widget)') AS is_hw,
+             |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel
+             |FROM part ORDER BY p_partkey""".stripMargin)))
 }
