@@ -724,5 +724,29 @@ object ExtendedQueries {
              |  regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
              |  regexp_matches(p_name, '(bolt|widget)') AS is_hw,
              |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel
-             |FROM part ORDER BY p_partkey""".stripMargin)))
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Quantity-weighted mean price per return flag: both numerator and
+    // denominator are DECIMAL-exact sums (the per-row product is a single
+    // correctly-rounded double first), so the final ratio is one IEEE
+    // division — the standard weighted-aggregate pattern without the
+    // usual cross-engine float-sum drift.
+    "q80_weighted_avg" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          Stats.decimalSum(col("l_extendedprice") * col("l_quantity")).as("wsum"),
+          Stats.decimalSum(col("l_quantity")).as("wtot"))
+        .select(col("l_returnflag"),
+          col("wsum"), col("wtot"),
+          (col("wsum") / col("wtot")).as("weighted_avg_price"))
+        .orderBy("l_returnflag"),
+      Some("""WITH s AS (
+             |  SELECT l_returnflag,
+             |    CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS wsum,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS wtot
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, wsum, wtot,
+             |  (wsum/wtot) AS weighted_avg_price
+             |FROM s ORDER BY l_returnflag""".stripMargin)))
 }
