@@ -47,6 +47,12 @@ object ZOrder {
     * same formula. `dims` are SQL expressions (already-quantized).
     */
   def zValueSql(dims: Seq[String], bits: Int): String = {
+    // same guards as zValue: the two forms are documented as twins, so
+    // arguments the Column form rejects must not silently produce
+    // overflow-corrupted SQL here
+    require(dims.nonEmpty, "at least one dimension")
+    require(bits >= 1 && bits * dims.size <= 63,
+      s"bits*dims must fit a positive long, got $bits*${dims.size}")
     val mask = (1L << bits) - 1L
     val terms = for {
       (dim, i) <- dims.zipWithIndex

@@ -138,28 +138,34 @@ case class BroadcastAsOfJoinExec(
     val allOut = output
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIter =>
-      val rKeyProj = UnsafeProjection.create(Seq(rightKey), rOut)
-      val rTsProj = UnsafeProjection.create(Seq(rightTs), rOut)
-      // per-key ts-sorted candidate arrays; keyed by the single-field
-      // UnsafeRow of the key (byte-equal across sides for equal values of
-      // the same data type, which the API requires)
-      val index = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
-      broadcastRows.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTsProj(r)
-        if (!k.isNullAt(0) && !t.isNullAt(0)) { // null key/ts never matches
-          val kc = k.copy()
-          var buf = index.get(kc)
-          if (buf == null) {
-            buf = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
-            index.put(kc, buf)
+      // built once per EXECUTOR (memoized on the broadcast id), not once
+      // per left task — with a 100 TB left side there are thousands of
+      // tasks per executor and the O(|R| log |R|) build must not repeat
+      val index = BroadcastAsOfJoinExec.cachedIndex(broadcastRows.id) {
+        val rKeyProj = UnsafeProjection.create(Seq(rightKey), rOut)
+        val rTsProj = UnsafeProjection.create(Seq(rightTs), rOut)
+        // per-key ts-sorted candidate arrays; keyed by the single-field
+        // UnsafeRow of the key (byte-equal across sides for equal values
+        // of the same data type, which the API requires)
+        val idx = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+        broadcastRows.value.foreach { r =>
+          val k = rKeyProj(r)
+          val t = rTsProj(r)
+          if (!k.isNullAt(0) && !t.isNullAt(0)) { // null key/ts never matches
+            val kc = k.copy()
+            var buf = idx.get(kc)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
+              idx.put(kc, buf)
+            }
+            buf += ((t.copy().get(0, rightTs.dataType), r))
           }
-          buf += ((t.copy().get(0, rightTs.dataType), r))
         }
-      }
-      index.values().forEach { buf =>
-        buf.sortInPlace()(Ordering.by[(Any, InternalRow), Any](_._1)(tsOrd))
-        ()
+        idx.values().forEach { buf =>
+          buf.sortInPlace()(Ordering.by[(Any, InternalRow), Any](_._1)(tsOrd))
+          ()
+        }
+        idx
       }
 
       val lKeyProj = UnsafeProjection.create(Seq(leftKey), lOut)
@@ -197,6 +203,36 @@ case class BroadcastAsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsOfJoinExec {
+  private type Index =
+    java.util.HashMap[org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]
+
+  /** Executor-local memo of built right-side indexes, keyed by broadcast
+    * id (a broadcast value is one-per-executor; the built index should be
+    * too). Bounded LRU — an entry only pins rows the broadcast variable
+    * itself already holds in memory. Build runs under the lock: concurrent
+    * first tasks wait instead of duplicating the work.
+    */
+  private val cacheMax = 8
+  private val indexCache =
+    new java.util.LinkedHashMap[Long, Index](cacheMax, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, Index]): Boolean =
+        size() > cacheMax
+    }
+
+  private[plans] def cachedIndex(id: Long)(build: => Index): Index =
+    indexCache.synchronized {
+      val hit = indexCache.get(id)
+      if (hit != null) hit
+      else {
+        val built = build
+        indexCache.put(id, built)
+        built
+      }
+    }
 }
 
 /** Streaming two-pointer merge per co-partitioned (key, ts)-sorted

@@ -414,6 +414,11 @@ object ExtendedQueries {
             count(when(col("l_quantity").isNull, 1)).as("nulls"),
             count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
               .as("range_viol"),
+            // NULL-keyed rows count as uniqueness violations by design (a
+            // null pk is broken however you read it). Spark's multi-column
+            // countDistinct skips any-null rows natively; the oracle adds
+            // an explicit FILTER because DuckDB's row-value DISTINCT would
+            // otherwise count null-field structs as distinct values.
             (count(lit(1)) -
               countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_pk"),
             count(when(col("o_orderkey").isNull, 1)).as("n_orphans"))
@@ -432,7 +437,8 @@ object ExtendedQueries {
              |  SELECT count(*) AS n,
              |    count(*) FILTER (WHERE l_quantity IS NULL) AS nulls,
              |    count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS range_viol,
-             |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk,
+             |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             |      FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS dup_pk,
              |    count(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans
              |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
              |SELECT check_name, violations, checked FROM (

@@ -92,24 +92,20 @@ class SessionizeProcessor(gapMicros: Long)
       rows: Iterator[(Long, java.sql.Timestamp, Long)],
       timerValues: TimerValues): Iterator[ClosedSession] = {
     val sorted = rows.map(_._3).toArray.sorted
-    var cur = if (state.exists()) Some(state.get()) else None
-    val closed = Seq.newBuilder[ClosedSession]
-    sorted.foreach { t =>
-      cur match {
-        case Some(s) if t - s.endUs <= gapMicros =>
-          cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
-        case Some(s) =>
-          closed += ClosedSession(key, s.startUs, s.endUs, s.n)
-          cur = Some(OpenSession(t, t, 1))
-        case None =>
-          cur = Some(OpenSession(t, t, 1))
+    val prev = if (state.exists()) Some(state.get()) else None
+    val (closedSessions, open) = StreamOps.sessionFold(prev, sorted, gapMicros)
+    open.foreach { s =>
+      val newExpiry = (s.endUs + gapMicros) / 1000L
+      // one pending timer per key, not one per batch: delete the
+      // superseded timer before registering the moved one
+      prev.foreach { p =>
+        val oldExpiry = (p.endUs + gapMicros) / 1000L
+        if (oldExpiry != newExpiry) getHandle.deleteTimer(oldExpiry)
       }
-    }
-    cur.foreach { s =>
       state.update(s)
-      getHandle.registerTimer((s.endUs + gapMicros) / 1000L)
+      getHandle.registerTimer(newExpiry)
     }
-    closed.result().iterator
+    closedSessions.map(s => ClosedSession(key, s.startUs, s.endUs, s.n)).iterator
   }
 
   override def handleExpiredTimer(
@@ -328,6 +324,41 @@ object StreamOps {
     }
   }
 
+  /** Gap-merge of one key's open session (if any) with one batch of event
+    * times: returns (sessions this batch closes, the still-open last
+    * session). Pure, and shared by BOTH sessionizers (the fmgws operator
+    * and [[SessionizeProcessor]]) so the two state machines cannot drift.
+    *
+    * Treating the inputs as intervals and merging by gap-adjacency also
+    * handles cross-batch out-of-order arrivals that a simple
+    * ascending-time fold gets wrong: a late event within `gap` BEFORE the
+    * open session's start merges in and LOWERS the start; one further out
+    * becomes its own session and closes immediately (best-effort — with
+    * bounded state nothing later can reopen it, and events below the
+    * watermark were already dropped upstream).
+    */
+  private[streaming] def sessionFold(
+      prev: Option[OpenSession],
+      tsSorted: Array[Long],
+      gapMicros: Long): (Seq[OpenSession], Option[OpenSession]) = {
+    val items = (prev.toSeq ++ tsSorted.map(t => OpenSession(t, t, 1)))
+      .sortBy(s => (s.startUs, s.endUs))
+    if (items.isEmpty) (Nil, None)
+    else {
+      val closed = Seq.newBuilder[OpenSession]
+      var cur = items.head
+      items.tail.foreach { s =>
+        if (s.startUs <= cur.endUs + gapMicros)
+          cur = OpenSession(cur.startUs, math.max(cur.endUs, s.endUs), cur.n + s.n)
+        else {
+          closed += cur
+          cur = s
+        }
+      }
+      (closed.result(), Some(cur))
+    }
+  }
+
   /** Gap sessionization with EXPLICIT state + event-time timeout
     * (`flatMapGroupsWithState` + `GroupStateTimeout.EventTimeTimeout`):
     * a session closes either inside a batch (next event further than
@@ -372,25 +403,15 @@ object StreamOps {
             Iterator.single(ClosedSession(uid, s.startUs, s.endUs, s.n))
           } else {
             val sorted = rows.map(_._3).toArray.sorted
-            var cur = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { t =>
-              cur match {
-                case Some(s) if t - s.endUs <= gapMicros =>
-                  cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(uid, s.startUs, s.endUs, s.n)
-                  cur = Some(OpenSession(t, t, 1))
-                case None =>
-                  cur = Some(OpenSession(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
+            val (closedSessions, open) =
+              sessionFold(state.getOption, sorted, gapMicros)
+            open.foreach { s =>
               state.update(s)
               // fire once the watermark proves no event can extend it
               state.setTimeoutTimestamp((s.endUs + gapMicros) / 1000L)
             }
-            closed.result().iterator
+            closedSessions
+              .map(s => ClosedSession(uid, s.startUs, s.endUs, s.n)).iterator
           }
       }
   }

@@ -147,6 +147,19 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionFold handles cross-batch late events on the early side of the open session") {
+    val open = Some(OpenSession(100L, 200L, 2))
+    // 50us before start, gap 60 => merges and LOWERS the start
+    val (c1, o1) = StreamOps.sessionFold(open, Array(50L), 60L)
+    assert(c1.isEmpty && o1.contains(OpenSession(50L, 200L, 3)))
+    // beyond the gap before start => its own session, closed immediately
+    val (c2, o2) = StreamOps.sessionFold(open, Array(10L), 60L)
+    assert(c2 == Seq(OpenSession(10L, 10L, 1)) && o2.contains(OpenSession(100L, 200L, 2)))
+    // plain in-order batch: split on the gap, last stays open
+    val (c3, o3) = StreamOps.sessionFold(None, Array(0L, 30L, 200L), 60L)
+    assert(c3 == Seq(OpenSession(0L, 30L, 2)) && o3.contains(OpenSession(200L, 200L, 1)))
+  }
+
   test("dedupByContentWithTtl drops re-ingested identical content") {
     val docs = Seq(
       (1L, "2024-01-01 00:00:01", "same text"),
