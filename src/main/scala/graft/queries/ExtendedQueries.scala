@@ -754,5 +754,42 @@ object ExtendedQueries {
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, wsum, wtot,
              |  (wsum/wtot) AS weighted_avg_price
-             |FROM s ORDER BY l_returnflag""".stripMargin)))
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // Structured JSON parsing (q26 extracts one scalar; this parses into
+    // a typed struct): from_json with an explicit schema, nested field
+    // access, and a schema field absent from the data surfacing as null —
+    // the contract evolution-tolerant JSON ingestion relies on.
+    "q81_json_struct" -> Q(
+      (s, d) => Tables.events(s, d).select(
+          col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, m STRING"))
+            .as("p"))
+        .select(col("event_id"), col("p.k").as("k"), col("p.m").as("m"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  json_extract_string(props, '$.m') AS m
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // try_* null-safe arithmetic/casts (ANSI mode is on in Spark 4, so
+    // a bare bad cast or /0 FAILS the job; try_ variants are the
+    // per-expression opt-out a dirty-data pipeline needs). The oracle
+    // spells them TRY_CAST / nullif-guarded division.
+    "q82_try_ops" -> Q(
+      (s, d) => Tables.part(s, d).select(
+          col("p_partkey"),
+          expr("try_cast(p_brand AS INT)").as("bad_cast"),
+          expr("try_cast(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT)")
+            .as("brand_num"),
+          expr("try_divide(p_retailprice, p_size)").as("per_size"),
+          expr("try_divide(p_retailprice, p_size - p_size)").as("div0"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  TRY_CAST(p_brand AS INTEGER) AS bad_cast,
+             |  TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT) AS brand_num,
+             |  p_retailprice / nullif(CAST(p_size AS DOUBLE), 0.0) AS per_size,
+             |  p_retailprice / nullif(CAST(p_size - p_size AS DOUBLE), 0.0) AS div0
+             |FROM part ORDER BY p_partkey""".stripMargin)))
 }

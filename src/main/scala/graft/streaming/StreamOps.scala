@@ -123,6 +123,46 @@ class SessionizeProcessor(gapMicros: Long)
   }
 }
 
+/** One buffered event of [[RecentEventsProcessor]]. */
+case class RecentEvent(ts_us: Long, event_id: Long)
+
+/** Emitted row of [[StreamOps.recentEventsTws]]: the key's last-k event
+  * ids, ascending by (ts, event_id).
+  */
+case class UserRecentEvents(user_id: Long, event_ids: Seq[Long])
+
+/** `transformWithState` processor keeping each key's LAST-K events in a
+  * `ListState` — the bounded-buffer state shape (sessionless "recent
+  * activity" features, rate-limit windows) that a single `ValueState`
+  * value expresses awkwardly and the old API couldn't TTL separately.
+  * Merge is read-trim-put per batch: O(k + batch) per key, state bounded
+  * at k rows regardless of stream length.
+  */
+class RecentEventsProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), UserRecentEvents] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var recent: ListState[RecentEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[RecentEvent](
+      "recent", Encoders.product[RecentEvent], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[UserRecentEvents] = {
+    val merged =
+      (recent.get().toSeq ++ rows.map { case (_, ts, id) => RecentEvent(ts, id) })
+        .sortBy(e => (e.ts_us, e.event_id))
+        .takeRight(k)
+    recent.put(merged.toArray)
+    Iterator.single(UserRecentEvents(key, merged.map(_.event_id)))
+  }
+}
+
 object StreamOps {
 
   private val nameCounter = new AtomicInteger()
@@ -303,6 +343,30 @@ object StreamOps {
       .as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new RunningStatsProcessor(),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Last-k recent events per user on `transformWithState` `ListState`
+    * (see [[RecentEventsProcessor]]); update-mode emission, latest row
+    * per key = current buffer. Requires [[withRocksDbStateStore]].
+    */
+  def recentEventsTws(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // a raw file stream of the corpus delivers ts as BIGINT nanos
+    // (nanosAsLong); same floor-division conversion as Tables.events
+    val tsUs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("(ts - pmod(ts, 1000)) div 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    events.select(col("user_id").cast("long"),
+        tsUs, col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentEventsProcessor(k),
         TimeMode.None(), OutputMode.Update())
       .toDF()
   }

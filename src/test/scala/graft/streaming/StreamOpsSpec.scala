@@ -147,6 +147,26 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("recentEventsTws (ListState): last-k per user equals the batch window computation") {
+    StreamOps.withRocksDbStateStore(spark) {
+      val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
+      val got = StreamOps.runToBatch(spark,
+        StreamOps.recentEventsTws(stream, 3), "update")
+        .as[(Long, Seq[Long])].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val want = Tables.events(spark, sfDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(transform(
+          sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("t"), col("event_id").as("e")))),
+          x => x.getField("e")).as("event_ids"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got.nonEmpty && got == want)
+    }
+  }
+
   test("sessionFold handles cross-batch late events on the early side of the open session") {
     val open = Some(OpenSession(100L, 200L, 2))
     // 50us before start, gap 60 => merges and LOWERS the start
