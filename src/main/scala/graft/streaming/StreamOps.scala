@@ -163,6 +163,46 @@ class RecentEventsProcessor(k: Int)
   }
 }
 
+/** Emitted row of [[StreamOps.eventTypeCountsTws]]: the key's running
+  * per-event-type counts as sorted "type=n" strings (a stable, encoder-
+  * friendly rendering of the map).
+  */
+case class UserTypeCounts(user_id: Long, counts: Seq[String])
+
+/** `transformWithState` processor on a `MapState[String, Long]` — the
+  * keyed-submap state primitive (per-user per-category accumulators)
+  * that completes the TWS state trio next to `ValueState`
+  * ([[RunningStatsProcessor]]) and `ListState`
+  * ([[RecentEventsProcessor]]). Point updates touch only the changed
+  * map entries in RocksDB, not the whole per-key blob — the property
+  * that matters when a key accumulates many categories.
+  */
+class EventTypeCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), UserTypeCounts] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[UserTypeCounts] = {
+    rows.foreach { case (_, tpe) =>
+      val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+      counts.updateValue(tpe, cur + 1L)
+    }
+    val rendered = counts.iterator()
+      .map { case (tpe, n) => s"$tpe=$n" }.toSeq.sorted
+    Iterator.single(UserTypeCounts(key, rendered))
+  }
+}
+
 object StreamOps {
 
   private val nameCounter = new AtomicInteger()
@@ -367,6 +407,22 @@ object StreamOps {
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new RecentEventsProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Per-user running event-type counts on `transformWithState`
+    * `MapState` (see [[EventTypeCountsProcessor]]). Requires
+    * [[withRocksDbStateStore]].
+    */
+  def eventTypeCountsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new EventTypeCountsProcessor(),
         TimeMode.None(), OutputMode.Update())
       .toDF()
   }

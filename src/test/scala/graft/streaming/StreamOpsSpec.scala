@@ -167,6 +167,22 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("eventTypeCountsTws (MapState): running per-type counts equal the batch aggregation") {
+    StreamOps.withRocksDbStateStore(spark) {
+      val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
+      val got = StreamOps.runToBatch(spark,
+        StreamOps.eventTypeCountsTws(stream), "update")
+        .as[(Long, Seq[String])].collect().toMap
+      val want = Tables.events(spark, sfDir)
+        .groupBy("user_id", "event_type").count()
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          concat(col("event_type"), lit("="), col("count")))).as("counts"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got.nonEmpty && got == want)
+    }
+  }
+
   test("sessionFold handles cross-batch late events on the early side of the open session") {
     val open = Some(OpenSession(100L, 200L, 2))
     // 50us before start, gap 60 => merges and LOWERS the start
