@@ -34,17 +34,24 @@ object Tables {
     * (GraftSession / Verify / Bench) also pin it at session build time;
     * the set here only covers ad-hoc sessions, and is idempotent.
     */
+  /** Epoch-nanos long → epoch-micros long, floor division via pmod so
+    * hypothetical pre-1970 nanos would still land in the correct
+    * microsecond; `div` alone truncates toward zero. Plain `/` is double
+    * division and 2024-epoch nanos (~1.7e18) exceed double's 2^53 exact
+    * range. Shared by the batch loader and the streaming ops that read
+    * the raw file stream (which bypasses this loader's conversion).
+    */
+  def nanosToMicrosExpr(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"($colName - pmod($colName, 1000)) div 1000")
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // floor division via pmod so hypothetical pre-1970 nanos would
-        // still land in the correct microsecond; `div` alone truncates
-        // toward zero. Plain `/` is double division and 2024-epoch nanos
-        // (~1.7e18) exceed double's 2^53 exact range.
-        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+        raw.withColumn("ts", timestamp_micros(nanosToMicrosExpr("ts")))
       case _ => raw
     }
   }

@@ -141,6 +141,8 @@ case class UserRecentEvents(user_id: Long, event_ids: Seq[Long])
 class RecentEventsProcessor(k: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long, Long), UserRecentEvents] {
+  require(k > 0,
+    s"k must be positive, got $k (k=0 would put an empty list, which the state store rejects)")
   import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
   import org.apache.spark.sql.Encoders
 
@@ -193,12 +195,22 @@ class EventTypeCountsProcessor
       key: Long,
       rows: Iterator[(Long, String)],
       timerValues: TimerValues): Iterator[UserTypeCounts] = {
-    rows.foreach { case (_, tpe) =>
+    // pre-aggregate the batch locally: one state read-modify-write per
+    // DISTINCT type, not 2-3 RocksDB point operations per input row
+    val batch = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach { case (_, tpe) => batch(tpe) = batch.getOrElse(tpe, 0L) + 1L }
+    batch.foreach { case (tpe, n) =>
       val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
-      counts.updateValue(tpe, cur + 1L)
+      counts.updateValue(tpe, cur + n)
     }
+    // sort in UTF8String binary order (UTF-8 bytes), matching Spark's
+    // sort_array — Scala's String ordering compares UTF-16 code units
+    // and disagrees for supplementary-plane characters
     val rendered = counts.iterator()
-      .map { case (tpe, n) => s"$tpe=$n" }.toSeq.sorted
+      .map { case (tpe, n) => s"$tpe=$n" }.toSeq
+      .sortWith((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
     Iterator.single(UserTypeCounts(key, rendered))
   }
 }
@@ -396,10 +408,10 @@ object StreamOps {
     val spark = events.sparkSession
     import spark.implicits._
     // a raw file stream of the corpus delivers ts as BIGINT nanos
-    // (nanosAsLong); same floor-division conversion as Tables.events
+    // (nanosAsLong); shared floor-division conversion with Tables.events
     val tsUs = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        expr("(ts - pmod(ts, 1000)) div 1000")
+        graft.Tables.nanosToMicrosExpr("ts")
       case _ => unix_micros(col("ts"))
     }
     events.select(col("user_id").cast("long"),
