@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to sbt's logger, which prefixes every stdout
+// line with "[info] " — that broke the driver's parse of Bench's one-line
+// JSON in rounds 1-2 (BENCH_r0*.json "parsed": null). StdoutOutput pipes
+// the child's stdout through verbatim so the JSON line starts at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
