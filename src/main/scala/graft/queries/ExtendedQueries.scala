@@ -14,6 +14,80 @@ object ExtendedQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Full outer join — the one outer-join shape nothing else in the
+    // corpus exercises (q06 is left-outer, q51 semi/anti). Both inputs
+    // are filtered so each side has unmatched rows, and every output
+    // column is coalesced to a typed default so the result is total.
+    "q86_full_outer" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_name")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_f_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("c_name"), lit("<no-customer>")).as("c_name"),
+            coalesce(col("n_f_orders"), lit(0L)).as("n_f_orders"),
+            coalesce(col("sp"), lit(0).cast("decimal(18,2)"))
+              .cast("double").as("sum_f_price"))
+          .orderBy("custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer
+             |           WHERE c_mktsegment = 'BUILDING'),
+             |o AS (SELECT o_custkey, count(*) AS n_f_orders,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+             |      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+             |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             |       coalesce(c_name, '<no-customer>') AS c_name,
+             |       coalesce(n_f_orders, 0) AS n_f_orders,
+             |       CAST(coalesce(sp, 0) AS DOUBLE) AS sum_f_price
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
+    // Join-key skew profiler: top-5 heavy hitters and their row share for
+    // each lineitem join key — the diagnostic that decides between plain
+    // shuffle, AQE skew-join, and salting (SkewedAgg) before running a
+    // big join. Each profile is one two-phase count aggregation plus a
+    // WindowGroupLimit top-k; the corpus total rides along as a broadcast
+    // scalar, not a driver-side action.
+    "q89_skew_profile" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+        val total = li.agg(count(lit(1)).as("total"))
+        Seq("l_orderkey", "l_partkey", "l_suppkey").map { kc =>
+          val w = Window.orderBy(col("cnt").desc, col("key_val"))
+          li.groupBy(col(kc).as("key_val")).agg(count(lit(1)).as("cnt"))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .filter(col("rnk") <= 5)
+            .withColumn("key_col", lit(kc))
+        }.reduce(_.union(_))
+          .crossJoin(broadcast(total))
+          .select(col("key_col"), col("rnk"), col("key_val"), col("cnt"),
+            round(col("cnt").cast("double") / col("total"), 6).as("share"))
+          .orderBy("key_col", "rnk")
+      },
+      Some("""WITH t AS (SELECT count(*) AS total FROM lineitem),
+             |p AS (
+             |  SELECT 'l_orderkey' AS key_col, l_orderkey AS key_val, count(*) AS cnt
+             |  FROM lineitem GROUP BY l_orderkey
+             |  UNION ALL
+             |  SELECT 'l_partkey', l_partkey, count(*) FROM lineitem GROUP BY l_partkey
+             |  UNION ALL
+             |  SELECT 'l_suppkey', l_suppkey, count(*) FROM lineitem GROUP BY l_suppkey),
+             |r AS (SELECT key_col, key_val, cnt,
+             |        row_number() OVER (PARTITION BY key_col
+             |          ORDER BY cnt DESC, key_val) AS rnk
+             |      FROM p)
+             |SELECT key_col, rnk, key_val, cnt,
+             |       round(CAST(cnt AS DOUBLE) / total, 6) AS share
+             |FROM r, t WHERE rnk <= 5 ORDER BY key_col, rnk""".stripMargin)),
+
     // Set difference + intersection, bag semantics (exceptAll /
     // intersectAll): high-value orders that are/aren't flagged F.
     "q38_set_ops" -> Q(

@@ -147,6 +147,43 @@ object LlmQueries {
        |    AND distinct_word_ratio >= 0.5 AND top_bigram_frac <= 0.08
        |    AND lang_id <> 'und')""".stripMargin
 
+  /** DuckDB CTE chain replaying [[graft.llm.Clustering.kmeans]] (k = 8,
+    * iters = 1, dim = 64) end-to-end: quantize to 2^20 fixed-point longs,
+    * seed centroids from the 8 lowest vec_ids, one exact-integer Lloyd
+    * assignment, floor(sum/count) centroid update (empty cells keep their
+    * seed via the LEFT JOIN coalesce), final assignment. Ends in
+    * `a1(vec_id, c, d)`. Everything is integer or exactly-representable-
+    * integer-double arithmetic, so training replays bit-for-bit.
+    */
+  private val kmeansCtes: String =
+    """q AS (SELECT vec_id, list_transform(embedding,
+      |        e -> CAST(round(CAST(e AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      |      FROM embeddings),
+      |c0 AS (SELECT vec_id AS c, qv AS cv FROM q WHERE vec_id < 8),
+      |d0 AS (SELECT q.vec_id, q.qv, c0.c,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS d
+      |  FROM q, c0),
+      |a0 AS (SELECT vec_id, qv, c FROM (
+      |    SELECT vec_id, qv, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM d0) t WHERE rn = 1),
+      |m1 AS (SELECT c, j,
+      |    CAST(floor(CAST(sum(qv[j]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      |  FROM a0, range(1, 65) r(j) GROUP BY c, j),
+      |c1 AS (SELECT c0.c AS c, list(coalesce(m1.v, c0.cv[r.j]) ORDER BY r.j) AS cv
+      |  FROM (c0 CROSS JOIN range(1, 65) r(j))
+      |  LEFT JOIN m1 ON m1.c = c0.c AND m1.j = r.j
+      |  GROUP BY c0.c),
+      |d1 AS (SELECT q.vec_id, c1.c,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i]))) AS d
+      |  FROM q, c1),
+      |a1 AS (SELECT vec_id, c, d FROM (
+      |    SELECT vec_id, c, d,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM d1) t WHERE rn = 1)""".stripMargin
+
   /** DuckDB SQL replicating `TextFunctions.langId` marker counting:
     * non-overlapping replace-based counts over the padded lowercase text,
     * argmax with ties broken in marker-list order, no hits → 'und'.
@@ -951,5 +988,189 @@ object LlmQueries {
              |       sum(tf*df) AS sum_df,
              |       CAST(sum(tf*df) AS DOUBLE)/CAST(sum(tf) AS DOUBLE) AS mean_df
              |FROM tf JOIN df USING (term)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Repeated-span profile: what fraction of a document's positional
+    // word-8-grams occur elsewhere in the corpus (again in the same doc
+    // or in any other) — the signal substring-level dedup (à la
+    // deduplicate-text-datasets) cuts on. Shape at 100 TB: one narrow
+    // md5-keyed aggregation over exploded grams (32-byte shuffle key, two-
+    // phase combine) + one join back — no pairwise work at all, unlike
+    // the near-dup queries. <8-token docs contribute their whole text as
+    // one gram (the WordShingles kernel contract).
+    "q83_dup_spans" -> Q(
+      (s, d) => {
+        val pos = docs(s, d).select(col("doc_id"),
+            explode(TextFunctions.wordShingles(col("text"), 8)).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("f"))
+        val occ = pos.groupBy("f").agg(count(lit(1)).as("n_occ"))
+        val perDoc = pos.join(occ, "f")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        docs(s, d).select("doc_id").join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            when(coalesce(col("n_grams"), lit(0L)) === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 6))
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |pos AS (SELECT doc_id, md5(unnest(
+              |    CASE WHEN len(t) < 8 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 6),
+              |                i -> array_to_string(t[i:i+7], ' ')) END)) AS f
+              |  FROM tok),
+              |occ AS (SELECT f, count(*) AS n_occ FROM pos GROUP BY f),
+              |pd AS (SELECT doc_id, count(*) AS n_grams,
+              |    sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+              |  FROM pos JOIN occ USING (f) GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+              |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+              |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN NULL
+              |       ELSE round(CAST(pd.n_dup AS DOUBLE) / pd.n_grams, 6) END AS dup_frac
+              |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Benchmark decontamination check: flag corpus documents sharing any
+    // distinct word-8-gram with a held-out "benchmark" set (doc_id % 97
+    // = 0 stands in for the eval suite). The benchmark side of the join
+    // is broadcast — eval suites are dim-table sized next to a 100 TB
+    // corpus — so the scan stays shuffle-free.
+    "q84_contamination" -> Q(
+      (s, d) => {
+        val sh = docs(s, d).select(col("doc_id"),
+          explode(array_distinct(TextFunctions.wordShingles(col("text"), 8))).as("g"))
+        val bench = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+        val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+        val shared = corpus.join(broadcast(bench), Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        docs(s, d).select("doc_id").filter(col("doc_id") % 97 =!= 0)
+          .join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) >= 1).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |sets AS (SELECT doc_id, list_distinct(
+              |    CASE WHEN len(t) < 8 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 6),
+              |                i -> array_to_string(t[i:i+7], ' ')) END) AS sh
+              |  FROM tok),
+              |post AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+              |bench AS (SELECT DISTINCT g FROM post WHERE doc_id % 97 = 0),
+              |shared AS (SELECT doc_id, count(*) AS n_shared
+              |  FROM post JOIN bench USING (g)
+              |  WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+              |  coalesce(s.n_shared, 0) >= 1 AS contaminated
+              |FROM documents d LEFT JOIN shared s USING (doc_id)
+              |WHERE d.doc_id % 97 <> 0
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Fixed-point k-means over the embedding corpus — the "train the IVF
+    // codebook" step (q41's centroids are its product in a real
+    // pipeline). Quantized integer distances + lowest-id tie-breaks make
+    // TRAINING itself replayable, so the oracle checks the whole Lloyd
+    // loop, not just a final shape.
+    "q85_kmeans" -> Q(
+      (s, d) => graft.llm.Clustering
+        .kmeans(emb(s, d), "vec_id", "embedding", k = 8, iters = 1)
+        .orderBy("vec_id"),
+      Some(s"""WITH $kmeansCtes
+              |SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d AS BIGINT) AS dist_sq
+              |FROM a1 ORDER BY vec_id""".stripMargin)),
+
+    // Incremental dedup: a new batch (doc_id >= 250) deduplicates against
+    // the already-ingested corpus (doc_id < 250) — survivor = first
+    // occurrence within the batch whose content fingerprint is absent
+    // from history. The anti-join probes on the 32-byte md5, never the
+    // text, and history arrives pre-deduplicated in a real pipeline, so
+    // at 100 TB this is one fingerprint shuffle join per ingest.
+    "q87_dedup_incremental" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = docs(s, d).withColumn("fp",
+          coalesce(TextFunctions.fingerprint(col("text")), lit("<null>")))
+        val hist = f.filter(col("doc_id") < 250).select("fp").distinct()
+        val batch = f.filter(col("doc_id") >= 250)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        batch.join(hist, Seq("fp"), "left_anti")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, lang, source, n_chars,
+              |    coalesce(md5($normSql), '<null>') AS fp FROM documents),
+              |surv AS (SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |    FROM f WHERE doc_id >= 250) t WHERE rn = 1)
+              |SELECT doc_id, lang, source, n_chars FROM surv
+              |WHERE NOT EXISTS (SELECT 1 FROM f h
+              |                  WHERE h.doc_id < 250 AND h.fp = surv.fp)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget mixture selection: per language, greedily keep the
+    // largest documents (n_chars desc, doc_id tie-break) until a 3000-
+    // token budget is exhausted — the data-mixture step that turns a
+    // filtered corpus into a training set with per-source/language
+    // quotas. One window cumsum per stratum; no shuffle beyond the
+    // partitionBy.
+    "q88_token_mix" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d)
+          .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .filter(col("cum_tokens") <= 3000)
+          .select("lang", "doc_id", "n_tokens", "cum_tokens")
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+             |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT lang, doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tokens
+             |  FROM t)
+             |SELECT lang, doc_id, n_tokens, cum_tokens FROM c
+             |WHERE cum_tokens <= 3000
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // Semantic (cluster-pruned) embedding near-dup: k-means cells bound
+    // the candidate pairs, exact rounded cosine decides — LSH-bucket
+    // economics with data-adaptive buckets. Deterministic training (q85)
+    // makes even the misses a fixed object, so this replays fully in the
+    // oracle. Recall vs the exact q30 pair set is pinned in
+    // ClusteringSpec.
+    "q90_semantic_neardup" -> Q(
+      (s, d) => graft.llm.Clustering
+        .nearDupPairsClustered(emb(s, d), "vec_id", "embedding",
+          threshold = 0.4, k = 8, iters = 1)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $kmeansCtes,
+              |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c AS cluster
+              |  FROM a1 a JOIN a1 b ON a.c = b.c AND a.vec_id < b.vec_id),
+              |sc AS (SELECT id_a, id_b, CAST(cluster AS BIGINT) AS cluster,
+              |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+              |                                 CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+              |  FROM pairs JOIN embeddings ea ON ea.vec_id = id_a
+              |             JOIN embeddings eb ON eb.vec_id = id_b)
+              |SELECT id_a, id_b, cluster, sim FROM sc WHERE sim >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin)))
 }
