@@ -88,6 +88,31 @@ object ExtendedQueries {
              |       round(CAST(cnt AS DOUBLE) / total, 6) AS share
              |FROM r, t WHERE rnk <= 5 ORDER BY key_col, rnk""".stripMargin)),
 
+    // Sketch top-k (Spark 4 approx_top_k): mergeable frequent-items
+    // summary — the scale path for "top sellers over 100 TB" where an
+    // exact global count-then-sort is wasteful. Here maxItemsTracked
+    // (1000) exceeds the 100 distinct suppkeys, so the sketch is
+    // provably exact and the oracle can replay it as plain SQL; the
+    // boundary counts are distinct in this corpus, so re-ranking by
+    // (count desc, key) is deterministic.
+    "q91_approx_topk" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("cnt").desc, col("l_suppkey"))
+        Tables.lineitem(s, d)
+          .agg(expr("approx_top_k(l_suppkey, 5, 1000)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("l_suppkey"), col("e.count").as("cnt"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select("rnk", "l_suppkey", "cnt")
+          .orderBy("rnk")
+      },
+      Some("""SELECT rnk, l_suppkey, cnt FROM (
+             |  SELECT l_suppkey, count(*) AS cnt,
+             |    row_number() OVER (ORDER BY count(*) DESC, l_suppkey) AS rnk
+             |  FROM lineitem GROUP BY l_suppkey) t
+             |WHERE rnk <= 5 ORDER BY rnk""".stripMargin)),
+
     // Set difference + intersection, bag semantics (exceptAll /
     // intersectAll): high-value orders that are/aren't flagged F.
     "q38_set_ops" -> Q(

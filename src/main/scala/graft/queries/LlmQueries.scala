@@ -1152,6 +1152,35 @@ object LlmQueries {
              |WHERE cum_tokens <= 3000
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // Bottom-k coordinated sample per language stratum, via the custom
+    // typed Aggregator (operators.Sketches.BottomKAgg): the k smallest
+    // md5-hash values of the doc ids form a fixed-size MERGEABLE uniform
+    // sample — per-split partials union with no second pass, and the
+    // portable hash (md5 prefix) lets the oracle replay the exact sample
+    // with a window. This is the deterministic "sample 5 docs per
+    // language from 100 TB" primitive.
+    "q92_bottomk_sample" -> Q(
+      (s, d) => {
+        val bottomK = udaf(graft.operators.Sketches.BottomKAgg(5))
+        docs(s, d)
+          .select(col("lang"),
+            substring(md5(col("doc_id").cast("string")), 1, 16).as("ord"),
+            col("doc_id"))
+          .groupBy("lang")
+          .agg(bottomK(col("ord"), col("doc_id")).as("sample"))
+          .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "doc_id")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rn"), col("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      Some("""WITH h AS (SELECT lang, doc_id,
+             |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS ord
+             |  FROM documents),
+             |r AS (SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY ord, doc_id) AS rn
+             |  FROM h)
+             |SELECT lang, rn, doc_id FROM r WHERE rn <= 5
+             |ORDER BY lang, rn""".stripMargin)),
+
     // Semantic (cluster-pruned) embedding near-dup: k-means cells bound
     // the candidate pairs, exact rounded cosine decides — LSH-bucket
     // economics with data-adaptive buckets. Deterministic training (q85)

@@ -106,7 +106,8 @@ class PlanSpec extends AnyFunSuite {
       "q24_knn_brute",          // broadcast query set vs corpus (exact baseline)
       "q30_embed_neardup_exact", // documented O(n^2) exactness baseline
       "q41_knn_ivf", "q52_knn_ivfpq", // corpus x broadcast centroid dim
-      "q49_knn_pq")             // coded corpus x broadcast query tables
+      "q49_knn_pq",             // coded corpus x broadcast query tables
+      "q89_skew_profile")       // 1-row broadcast scalar (corpus total)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!broadcastByDesign(name)) {
         val plan = SparkEntry.queries(name)(spark, sf)
