@@ -113,6 +113,83 @@ object ExtendedQueries {
              |  FROM lineitem GROUP BY l_suppkey) t
              |WHERE rnk <= 5 ORDER BY rnk""".stripMargin)),
 
+    // Fixed-point PageRank over the customer-supplier interaction graph
+    // (who trades with whom, via orders |x| lineitem): 2 damped rounds,
+    // top-20 nodes. Integer quantization + floor division + id
+    // tie-breaks make the ITERATION itself oracle-replayable (two
+    // unrolled rounds in SQL) — same philosophy as the q85 k-means
+    // training replay. Suppliers are offset by 1e6 into a shared node
+    // id space.
+    "q93_pagerank" -> Q(
+      (s, d) => {
+        val e0 = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("u"), (col("l_suppkey") + 1000000L).as("v"))
+          .distinct()
+        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        graft.operators.PageRank.run(edges, iters = 2)
+          .select(col("node"),
+            when(col("node") >= 1000000L, lit("supplier"))
+              .otherwise(lit("customer")).as("kind"),
+            col("rank_fp"))
+          .orderBy(col("rank_fp").desc, col("node"))
+          .limit(20)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+             |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+             |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+             |nn AS (SELECT count(*) AS n FROM deg),
+             |r0 AS (SELECT u AS node, deg, 1000000 // n AS r FROM deg, nn),
+             |c1 AS (SELECT e.v AS node, sum(r0.r // r0.deg) AS c
+             |       FROM e JOIN r0 ON e.u = r0.node GROUP BY e.v),
+             |r1 AS (SELECT r0.node, r0.deg,
+             |         (3 * 1000000) // (20 * nn.n)
+             |           + (17 * coalesce(c1.c, 0)) // 20 AS r
+             |       FROM r0 LEFT JOIN c1 USING (node), nn),
+             |c2 AS (SELECT e.v AS node, sum(r1.r // r1.deg) AS c
+             |       FROM e JOIN r1 ON e.u = r1.node GROUP BY e.v),
+             |r2 AS (SELECT r1.node, r1.deg,
+             |         (3 * 1000000) // (20 * nn.n)
+             |           + (17 * coalesce(c2.c, 0)) // 20 AS r
+             |       FROM r1 LEFT JOIN c2 USING (node), nn)
+             |SELECT node,
+             |       CASE WHEN node >= 1000000 THEN 'supplier'
+             |            ELSE 'customer' END AS kind,
+             |       CAST(r AS BIGINT) AS rank_fp
+             |FROM r2 ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin)),
+
+    // first/last/nth value windows — the value-navigation functions q50's
+    // lag/lead battery doesn't cover, each over an explicit frame (the
+    // last_value default frame ends at CURRENT ROW, a classic silent-bug
+    // spot both engines agree on only when the frame is spelled out).
+    "q94_value_windows" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val toEnd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val whole = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val near = base.rowsBetween(-1, 1)
+        Tables.events(s, d).filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("value"),
+            first("value").over(base).as("first_v"),
+            last("value").over(toEnd).as("last_v"),
+            nth_value(col("value"), 2).over(whole).as("second_v"),
+            max("value").over(near).as("local_max"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  first_value(value) OVER w AS first_v,
+             |  last_value(value) OVER (w ROWS BETWEEN CURRENT ROW
+             |    AND UNBOUNDED FOLLOWING) AS last_v,
+             |  nth_value(value, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND UNBOUNDED FOLLOWING) AS second_v,
+             |  max(value) OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+             |    AS local_max
+             |FROM events WHERE event_type = 'view'
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
     // Set difference + intersection, bag semantics (exceptAll /
     // intersectAll): high-value orders that are/aren't flagged F.
     "q38_set_ops" -> Q(

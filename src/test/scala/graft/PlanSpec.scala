@@ -107,7 +107,8 @@ class PlanSpec extends AnyFunSuite {
       "q30_embed_neardup_exact", // documented O(n^2) exactness baseline
       "q41_knn_ivf", "q52_knn_ivfpq", // corpus x broadcast centroid dim
       "q49_knn_pq",             // coded corpus x broadcast query tables
-      "q89_skew_profile")       // 1-row broadcast scalar (corpus total)
+      "q89_skew_profile",       // 1-row broadcast scalar (corpus total)
+      "q93_pagerank")           // 1-row broadcast scalar (node count N)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!broadcastByDesign(name)) {
         val plan = SparkEntry.queries(name)(spark, sf)
@@ -118,6 +119,32 @@ class PlanSpec extends AnyFunSuite {
           s"$name plans a CartesianProduct")
       }
     }
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    sources.PartitionedSink.writePartitioned(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_returnflag", "l_quantity"),
+      s"$dir/fact", partitionCols = Seq("l_returnflag"))
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be a real scan: a VALUES LocalRelation gets its filter
+    // constant-folded away (ConvertToLocalRelation) before the
+    // PartitionPruning rule looks for a selective predicate
+    Seq(("R", "returned"), ("A", "accepted"), ("N", "normal"))
+      .toDF("flag", "label").write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact
+      .join(dim.filter(col("label") === "returned"),
+        fact("l_returnflag") === dim("flag"))
+    // the broadcast dim's filter must reach the FACT SCAN as a runtime
+    // partition filter — at 100 TB this is the difference between
+    // scanning one partition directory and all of them
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    assert(joined.count() ==
+      Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R").count())
   }
 
   test("whole-stage codegen covers the scan->aggregate path (q04)") {
