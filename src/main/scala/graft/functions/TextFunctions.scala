@@ -140,6 +140,16 @@ object TextFunctions {
       graft.plans.WordShingles(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
 
+  /** Positional shingles as a GENERATOR column: `(pos, shingle)` rows
+    * straight off the kernel, no intermediate array column — use with
+    * `.as(Seq("pos", "shingle"))` like `posexplode`. Semantics ==
+    * `posexplode(wordShingles(c, n))` (pinned in TextFunctionsSpec).
+    */
+  def shingleGenerate(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.ShingleGenerator(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
   /** Reference formulation of [[wordShingles]] from built-ins only;
     * TextFunctionsSpec pins the two equal on every fixture.
     */

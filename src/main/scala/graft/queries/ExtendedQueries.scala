@@ -190,6 +190,54 @@ object ExtendedQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // Salted fact |x| fact join (operators.SaltedJoin): the left side is
+    // salted 8 ways, the right replicated 8x, the salt dropped on output
+    // — semantics-preserving by construction, which this query PROVES
+    // cross-engine: the oracle runs the plain unsalted join. The manual
+    // fallback for skew that AQE's runtime splitting can't reach.
+    "q95_salted_join" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.operators.SaltedJoin
+          .inner(li, o, Seq("l_orderkey"), col("l_partkey"), numSalts = 8)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Positional shingling through the custom GENERATOR (UDTF-shaped
+    // Catalyst extension): (pos, shingle) rows emitted straight off the
+    // kernel, no intermediate array column between scan and Generate.
+    "q96_shingle_gen" -> Q(
+      (s, d) => {
+        import graft.functions.TextFunctions
+        Tables.documents(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            TextFunctions.shingleGenerate(col("text"), 5).as(Seq("pos", "shingle")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("shingle"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH nrm AS (SELECT doc_id,
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+             |  FROM documents WHERE doc_id < 50),
+             |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+             |g AS (SELECT doc_id,
+             |    CASE WHEN len(t) < 5 THEN [nm]
+             |         ELSE list_transform(range(1, len(t) - 3),
+             |                i -> array_to_string(t[i:i+4], ' ')) END AS gr
+             |  FROM tok)
+             |SELECT doc_id, unnest(range(len(gr))) AS pos, unnest(gr) AS shingle
+             |FROM g ORDER BY doc_id, pos""".stripMargin)),
+
     // Set difference + intersection, bag semantics (exceptAll /
     // intersectAll): high-value orders that are/aren't flagged F.
     "q38_set_ops" -> Q(

@@ -57,6 +57,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleGenerate generator equals posexplode(wordShingles)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "one two"),
+        (9003L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    for (n <- Seq(2, 5)) {
+      val gen = docs.select(col("doc_id"),
+        TextFunctions.shingleGenerate(col("text"), n).as(Seq("pos", "shingle")))
+      val ref = docs.select(col("doc_id"),
+        posexplode(TextFunctions.wordShingles(col("text"), n)).as(Seq("pos", "shingle")))
+      assert(gen.exceptAll(ref).isEmpty && ref.exceptAll(gen).isEmpty, s"n=$n")
+      // null text emits no rows (generator contract)
+      assert(gen.filter(col("doc_id") === 9003L).count() == 0)
+    }
+  }
+
   test("native repetitionStats equals the composed-builtin reference formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text"))
