@@ -121,6 +121,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("the full join-strategy menu is reachable: SHJ and SMJ by hint, BHJ by size") {
+    // joins.pdf pp.1-2 analyzes Spark's strategy menu; this pins that the
+    // planner can be steered to each shuffle strategy when a 100 TB join
+    // needs it (SHJ: no sort, build-side memory; SMJ: spillable sorts)
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
+    def planOf(j: DataFrame): String = j.queryExecution.executedPlan.toString
+    val shj = planOf(li.hint("shuffle_hash")
+      .join(o, li("l_orderkey") === o("o_orderkey")))
+    assert(shj.contains("ShuffledHashJoin"), shj)
+    val smj = planOf(li.hint("merge")
+      .join(o, li("l_orderkey") === o("o_orderkey")))
+    assert(smj.contains("SortMergeJoin"), smj)
+    val bhj = planOf(li.join(broadcast(o), li("l_orderkey") === o("o_orderkey")))
+    assert(bhj.contains("BroadcastHashJoin"), bhj)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
