@@ -1181,6 +1181,46 @@ object LlmQueries {
              |SELECT lang, rn, doc_id FROM r WHERE rn <= 5
              |ORDER BY lang, rn""".stripMargin)),
 
+    // Training-window chunking: split each document into 50-token chunks
+    // with stride 40 (10-token overlap) — the tokenize→window step that
+    // turns a filtered corpus into model-ready sequences. A start
+    // position is emitted only if the previous window didn't already
+    // cover the whole doc, so short tails aren't duplicated. Pure
+    // array-lambda plan: one projection + explode, no shuffle, no UDF.
+    "q97_chunking" -> Q(
+      (s, d) => {
+        val chunk = 50
+        val stride = 40
+        val t = TextFunctions.tokens(TextFunctions.normalized(col("text")))
+        val starts = when(size(col("t")) === 0, array().cast("array<int>"))
+          .otherwise(filter(
+            sequence(lit(0), size(col("t")) - 1, lit(stride)),
+            st => st === 0 || st - stride + chunk < size(col("t"))))
+        docs(s, d)
+          .withColumn("t", t)
+          .withColumn("st", explode(starts))
+          .select(col("doc_id"),
+            (col("st") / stride).cast("long").as("chunk_id"),
+            size(slice(col("t"), col("st") + 1, lit(chunk))).cast("long")
+              .as("n_tokens_chunk"),
+            concat_ws(" ", slice(col("t"), col("st") + 1, lit(chunk)))
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id,
+              |    CASE WHEN nm = '' THEN [] ELSE string_split(nm, ' ') END AS t
+              |  FROM nrm),
+              |st AS (SELECT doc_id, t, unnest(list_filter(
+              |    range(0, len(t), 40),
+              |    st -> st = 0 OR st - 40 + 50 < len(t))) AS st
+              |  FROM tok)
+              |SELECT doc_id,
+              |  st // 40 AS chunk_id,
+              |  len(t[st+1 : st+50]) AS n_tokens_chunk,
+              |  array_to_string(t[st+1 : st+50], ' ') AS chunk_text
+              |FROM st ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Semantic (cluster-pruned) embedding near-dup: k-means cells bound
     // the candidate pairs, exact rounded cosine decides — LSH-bucket
     // economics with data-adaptive buckets. Deterministic training (q85)
