@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Stats, ZOrder}
@@ -1015,5 +1016,172 @@ object ExtendedQueries {
              |  TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT) AS brand_num,
              |  p_retailprice / nullif(CAST(p_size AS DOUBLE), 0.0) AS per_size,
              |  p_retailprice / nullif(CAST(p_size - p_size AS DOUBLE), 0.0) AS div0
-             |FROM part ORDER BY p_partkey""".stripMargin)))
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Time-series resample + gap fill: hourly buckets per event_type,
+    // missing hours materialized from a `sequence` spine (no driver
+    // loop), interior gaps linearly interpolated between the nearest
+    // observed neighbors via IGNORE NULLS value-navigation windows.
+    // Aggregates stay order-independent (fixed-point LONG sum + count);
+    // only the per-row scalar math is IEEE double, so Spark and DuckDB
+    // agree bit-for-bit. The spine join is per-type and the windows
+    // partition by event_type — at 100 TB this parallelizes per series,
+    // with no global sort anywhere.
+    "q98_gapfill" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+          .agg(sum(round(col("value") * 1000).cast("long")).as("obs_fp"),
+            count(lit(1)).as("n_obs"))
+        val spine = hourly.groupBy("event_type")
+          .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+          .select(col("event_type"),
+            explode(sequence(col("b0"), col("b1"), expr("interval 1 hour")))
+              .as("b"))
+        val past = Window.partitionBy("event_type").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val future = Window.partitionBy("event_type").orderBy("b")
+          .rowsBetween(1, Window.unboundedFollowing)
+        val secs = (c: Column) => c.cast("long").cast("double")
+        spine.join(hourly, Seq("event_type", "b"), "left")
+          .withColumn("avg_v",
+            col("obs_fp").cast("double") / (col("n_obs").cast("double") * 1000.0))
+          .withColumn("pv", last(col("avg_v"), ignoreNulls = true).over(past))
+          .withColumn("pt",
+            last(when(col("avg_v").isNotNull, col("b")), ignoreNulls = true)
+              .over(past))
+          .withColumn("nv", first(col("avg_v"), ignoreNulls = true).over(future))
+          .withColumn("nt",
+            first(when(col("avg_v").isNotNull, col("b")), ignoreNulls = true)
+              .over(future))
+          .select(col("event_type"), col("b"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            when(col("avg_v").isNotNull, col("avg_v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  (secs(col("b")) - secs(col("pt"))) /
+                  (secs(col("nt")) - secs(col("pt"))))
+              .as("value_filled"),
+            when(col("avg_v").isNotNull, lit("obs"))
+              .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+              .otherwise(lit("edge")).as("src"))
+          .orderBy("event_type", "b")
+      },
+      Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS b,
+             |    sum(CAST(round(value*1000) AS BIGINT)) AS obs_fp,
+             |    count(*) AS n_obs
+             |  FROM events GROUP BY 1,2),
+             |bounds AS (SELECT event_type, min(b) AS b0, max(b) AS b1
+             |  FROM hourly GROUP BY 1),
+             |spine AS (SELECT event_type,
+             |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+             |  FROM bounds),
+             |j AS (SELECT s.event_type, s.b,
+             |    CAST(h.obs_fp AS DOUBLE) / (CAST(h.n_obs AS DOUBLE) * 1000.0)
+             |      AS avg_v,
+             |    h.n_obs
+             |  FROM spine s LEFT JOIN hourly h
+             |    ON s.event_type = h.event_type AND s.b = h.b),
+             |f AS (SELECT event_type, b, avg_v, n_obs,
+             |    last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type
+             |      ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pv,
+             |    last_value(CASE WHEN avg_v IS NOT NULL THEN b END IGNORE NULLS)
+             |      OVER (PARTITION BY event_type ORDER BY b
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             |    first_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type
+             |      ORDER BY b ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             |      AS nv,
+             |    first_value(CASE WHEN avg_v IS NOT NULL THEN b END IGNORE NULLS)
+             |      OVER (PARTITION BY event_type ORDER BY b
+             |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+             |  FROM j)
+             |SELECT event_type, b, coalesce(n_obs, 0) AS n_obs,
+             |  CASE WHEN avg_v IS NOT NULL THEN avg_v
+             |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             |         pv + (nv - pv) *
+             |           (CAST(epoch(b) AS DOUBLE) - CAST(epoch(pt) AS DOUBLE))
+             |         / (CAST(epoch(nt) AS DOUBLE) - CAST(epoch(pt) AS DOUBLE))
+             |       END AS value_filled,
+             |  CASE WHEN avg_v IS NOT NULL THEN 'obs'
+             |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+             |       ELSE 'edge' END AS src
+             |FROM f ORDER BY event_type, b""".stripMargin)),
+
+    // Triangle counting by degree orientation — the classic
+    // O(E^(3/2)) formulation where every undirected edge is directed
+    // from its lower-(degree, id) endpoint, wedges enumerate only
+    // ordered out-neighbor pairs, and closure is a pure EQUI-join on
+    // the oriented edge set (no OR predicates, no nested loop). The
+    // orientation bounds out-degree by sqrt(2E), so wedge counts stay
+    // polynomial even on skewed degree distributions — the property
+    // that makes this the standard distributed triangle algorithm.
+    // Graph: parts co-purchased in >= 2 distinct orders (support
+    // threshold keeps the graph sparse; support 1 would be near-dense).
+    "q99_triangles" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2)
+          .select("a", "b")
+        val deg = pairs.select(col("a").as("node"))
+          .union(pairs.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val lt = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+        val oriented = pairs
+          .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+          .select(
+            when(lt, col("a")).otherwise(col("b")).as("u"),
+            when(lt, col("b")).otherwise(col("a")).as("v"),
+            when(lt, col("db")).otherwise(col("da")).as("vdeg"))
+        val wedges = oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+            (struct(col("e1.vdeg"), col("e1.v"))
+              < struct(col("e2.vdeg"), col("e2.v"))))
+          .select(col("e1.v").as("y"), col("e2.v").as("z"))
+        val triangles = wedges
+          .join(oriented, col("y") === col("u") && col("z") === col("v"))
+        oriented.agg(count(lit(1)).as("n"))
+          .select(lit("n_edges").as("metric"), col("n"))
+          .union(wedges.agg(count(lit(1)).as("n"))
+            .select(lit("n_wedges").as("metric"), col("n")))
+          .union(triangles.agg(count(lit(1)).as("n"))
+            .select(lit("n_triangles").as("metric"), col("n")))
+          .orderBy("metric")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |  FROM lineitem),
+             |pairs AS (SELECT x.p AS a, y.p AS b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+             |  GROUP BY 1,2 HAVING count(*) >= 2),
+             |deg AS (SELECT node, count(*) AS deg FROM (
+             |    SELECT a AS node FROM pairs
+             |    UNION ALL SELECT b AS node FROM pairs)
+             |  GROUP BY node),
+             |o AS (SELECT
+             |    CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN p.a ELSE p.b END
+             |      AS u,
+             |    CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN p.b ELSE p.a END
+             |      AS v,
+             |    CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN db.deg
+             |         ELSE da.deg END AS vdeg
+             |  FROM pairs p
+             |  JOIN deg da ON p.a = da.node
+             |  JOIN deg db ON p.b = db.node),
+             |w AS (SELECT e1.v AS y, e2.v AS z
+             |  FROM o e1 JOIN o e2
+             |  ON e1.u = e2.u AND (e1.vdeg, e1.v) < (e2.vdeg, e2.v))
+             |SELECT 'n_edges' AS metric, count(*) AS n FROM o
+             |UNION ALL SELECT 'n_wedges', count(*) FROM w
+             |UNION ALL SELECT 'n_triangles', count(*)
+             |  FROM w JOIN o ON w.y = o.u AND w.z = o.v
+             |ORDER BY metric""".stripMargin)))
 }
