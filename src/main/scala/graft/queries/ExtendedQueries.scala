@@ -1131,31 +1131,7 @@ object ExtendedQueries {
           .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
           .select("a", "b")
-        val deg = pairs.select(col("a").as("node"))
-          .union(pairs.select(col("b").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-        val lt = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-        val oriented = pairs
-          .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-          .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-          .select(
-            when(lt, col("a")).otherwise(col("b")).as("u"),
-            when(lt, col("b")).otherwise(col("a")).as("v"),
-            when(lt, col("db")).otherwise(col("da")).as("vdeg"))
-        val wedges = oriented.as("e1")
-          .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
-            (struct(col("e1.vdeg"), col("e1.v"))
-              < struct(col("e2.vdeg"), col("e2.v"))))
-          .select(col("e1.v").as("y"), col("e2.v").as("z"))
-        val triangles = wedges
-          .join(oriented, col("y") === col("u") && col("z") === col("v"))
-        oriented.agg(count(lit(1)).as("n"))
-          .select(lit("n_edges").as("metric"), col("n"))
-          .union(wedges.agg(count(lit(1)).as("n"))
-            .select(lit("n_wedges").as("metric"), col("n")))
-          .union(triangles.agg(count(lit(1)).as("n"))
-            .select(lit("n_triangles").as("metric"), col("n")))
-          .orderBy("metric")
+        graft.operators.Triangles.summary(pairs)
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
              |  FROM lineitem),
