@@ -1159,5 +1159,121 @@ object ExtendedQueries {
              |UNION ALL SELECT 'n_wedges', count(*) FROM w
              |UNION ALL SELECT 'n_triangles', count(*)
              |  FROM w JOIN o ON w.y = o.u AND w.z = o.v
-             |ORDER BY metric""".stripMargin)))
+             |ORDER BY metric""".stripMargin)),
+
+    // Association-rule mining over market baskets: pair support from
+    // the same co-occurrence self-join q99 uses, directional rules
+    // a→b scored by confidence (supp_ab/supp_a) and lift
+    // (confidence over b's base rate). The basket count rides along
+    // as a 1-row broadcast scalar (same pattern as PageRank's N) —
+    // no driver round-trip. Support threshold first: the expensive
+    // scoring joins only ever see the (tiny) frequent-pair set.
+    "q100_assoc_rules" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val n = li.agg(countDistinct(col("ok")).as("n_orders"))
+        val isup = li.groupBy("p").agg(count(lit(1)).as("supp"))
+        val pairs = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= 3)
+        val rules = pairs.select("a", "b", "supp_ab")
+          .union(pairs.select(col("b"), col("a"), col("supp_ab")))
+        rules
+          .join(isup.select(col("p").as("a"), col("supp").as("sa")), "a")
+          .join(isup.select(col("p").as("b"), col("supp").as("sb")), "b")
+          .crossJoin(broadcast(n))
+          .select(col("a"), col("b"), col("supp_ab"),
+            (col("supp_ab").cast("double") / col("sa").cast("double"))
+              .as("confidence"),
+            ((col("supp_ab").cast("double") * col("n_orders").cast("double"))
+              / (col("sa").cast("double") * col("sb").cast("double")))
+              .as("lift"))
+          .orderBy(col("lift").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |  FROM lineitem),
+             |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+             |isup AS (SELECT p, count(*) AS supp FROM li GROUP BY 1),
+             |pairs AS (SELECT x.p AS a, y.p AS b, count(*) AS supp_ab
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+             |  GROUP BY 1,2 HAVING count(*) >= 3),
+             |rules AS (SELECT a, b, supp_ab FROM pairs
+             |  UNION ALL SELECT b, a, supp_ab FROM pairs)
+             |SELECT r.a, r.b, r.supp_ab,
+             |  CAST(r.supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE)
+             |    AS confidence,
+             |  (CAST(r.supp_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             |    / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)) AS lift
+             |FROM rules r
+             |JOIN isup sa ON r.a = sa.p
+             |JOIN isup sb ON r.b = sb.p, n
+             |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin)),
+
+    // Sequential conversion funnel over the event stream: each step is
+    // the user's EARLIEST qualifying event strictly after the previous
+    // step and within a 2-day conversion window — the stepwise
+    // min-aggregation formulation (one equi-join + grouped min per
+    // step, no per-user event sorting, no window over the raw stream),
+    // so each funnel stage shuffles only the survivors of the previous
+    // one. Step-over-step conversion is a lag window over the 4-row
+    // summary.
+    "q101_funnel" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        def step(prev: org.apache.spark.sql.DataFrame, prevT: String,
+                 et: String, t: String) =
+          e.filter(col("event_type") === et).as("e")
+            .join(prev.as("p"), col("e.user_id") === col("p.user_id") &&
+              col("e.ts") > col(s"p.$prevT") &&
+              col("e.ts") <= col(s"p.$prevT") + expr("interval 2 days"))
+            .groupBy(col("e.user_id").as("user_id"))
+            .agg(min(col("e.ts")).as(t))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = step(s1, "t1", "view", "t2")
+        val s3 = step(s2, "t2", "click", "t3")
+        val s4 = step(s3, "t3", "purchase", "t4")
+        def cnt(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(label).as("step"), col("n_users"))
+        cnt(s1, "step1_signup")
+          .union(cnt(s2, "step2_view"))
+          .union(cnt(s3, "step3_click"))
+          .union(cnt(s4, "step4_purchase"))
+          .withColumn("conv_rate", col("n_users").cast("double") /
+            lag(col("n_users"), 1).over(Window.orderBy("step"))
+              .cast("double"))
+          .orderBy("step")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+             |    AND e.ts <= s1.t1 + INTERVAL 2 DAYS
+             |  WHERE e.event_type = 'view' GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+             |    AND e.ts <= s2.t2 + INTERVAL 2 DAYS
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+             |  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t3
+             |    AND e.ts <= s3.t3 + INTERVAL 2 DAYS
+             |  WHERE e.event_type = 'purchase' GROUP BY 1),
+             |c AS (SELECT 'step1_signup' AS step, count(*) AS n_users FROM s1
+             |  UNION ALL SELECT 'step2_view', count(*) FROM s2
+             |  UNION ALL SELECT 'step3_click', count(*) FROM s3
+             |  UNION ALL SELECT 'step4_purchase', count(*) FROM s4)
+             |SELECT step, n_users,
+             |  CAST(n_users AS DOUBLE)
+             |    / CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE)
+             |    AS conv_rate
+             |FROM c ORDER BY step""".stripMargin)))
 }

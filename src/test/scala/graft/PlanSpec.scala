@@ -108,7 +108,8 @@ class PlanSpec extends AnyFunSuite {
       "q41_knn_ivf", "q52_knn_ivfpq", // corpus x broadcast centroid dim
       "q49_knn_pq",             // coded corpus x broadcast query tables
       "q89_skew_profile",       // 1-row broadcast scalar (corpus total)
-      "q93_pagerank")           // 1-row broadcast scalar (node count N)
+      "q93_pagerank",           // 1-row broadcast scalar (node count N)
+      "q100_assoc_rules")       // 1-row broadcast scalar (basket count)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       if (!broadcastByDesign(name)) {
         val plan = SparkEntry.queries(name)(spark, sf)
