@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Stats, ZOrder}
@@ -1028,46 +1027,9 @@ object ExtendedQueries {
     // partition by event_type — at 100 TB this parallelizes per series,
     // with no global sort anywhere.
     "q98_gapfill" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val hourly = Tables.events(s, d)
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
-          .agg(sum(round(col("value") * 1000).cast("long")).as("obs_fp"),
-            count(lit(1)).as("n_obs"))
-        val spine = hourly.groupBy("event_type")
-          .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-          .select(col("event_type"),
-            explode(sequence(col("b0"), col("b1"), expr("interval 1 hour")))
-              .as("b"))
-        val past = Window.partitionBy("event_type").orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val future = Window.partitionBy("event_type").orderBy("b")
-          .rowsBetween(1, Window.unboundedFollowing)
-        val secs = (c: Column) => c.cast("long").cast("double")
-        spine.join(hourly, Seq("event_type", "b"), "left")
-          .withColumn("avg_v",
-            col("obs_fp").cast("double") / (col("n_obs").cast("double") * 1000.0))
-          .withColumn("pv", last(col("avg_v"), ignoreNulls = true).over(past))
-          .withColumn("pt",
-            last(when(col("avg_v").isNotNull, col("b")), ignoreNulls = true)
-              .over(past))
-          .withColumn("nv", first(col("avg_v"), ignoreNulls = true).over(future))
-          .withColumn("nt",
-            first(when(col("avg_v").isNotNull, col("b")), ignoreNulls = true)
-              .over(future))
-          .select(col("event_type"), col("b"),
-            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-            when(col("avg_v").isNotNull, col("avg_v"))
-              .when(col("pv").isNotNull && col("nv").isNotNull,
-                col("pv") + (col("nv") - col("pv")) *
-                  (secs(col("b")) - secs(col("pt"))) /
-                  (secs(col("nt")) - secs(col("pt"))))
-              .as("value_filled"),
-            when(col("avg_v").isNotNull, lit("obs"))
-              .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
-              .otherwise(lit("edge")).as("src"))
-          .orderBy("event_type", "b")
-      },
+      (s, d) => graft.operators.GapFill
+        .linear(Tables.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "b"),
       Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS b,
              |    sum(CAST(round(value*1000) AS BIGINT)) AS obs_fp,
              |    count(*) AS n_obs
