@@ -54,22 +54,19 @@ object Bench {
       org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      // one logical plan per query, executed once per pass: identical
-      // plans emit identical codegen source, so pass 2 measures
-      // steady-state execution (cache-hit janino, warm JIT) instead of
-      // re-billing class compilation to every pass
-      val df = try Some(fn(spark, sfDir)) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed to build: ${e.getMessage}")
-        None
-      }
       val times = (1 to passes).map { pass =>
         // long-lived bench JVM: reclaim the previous query's broadcast/
         // shuffle garbage so its GC debt isn't billed to this query
         System.gc()
         val (gc0, jit0, jan0) = (gcMillis, jitMillis, janinoCount)
         val t0 = System.nanoTime()
+        // fn(...) must stay INSIDE the timer: the eager tier (k-means
+        // codebook training, PQ codebooks, CC fixpoint convergence
+        // checks) runs Spark jobs at plan-build time, and hoisting the
+        // build out of the loop would silently exclude those queries'
+        // dominant cost from every pass
         val ok =
-          try { df.get.write.format("noop").mode("overwrite").save(); true }
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false

@@ -36,8 +36,11 @@ object GapFill {
     val step = expr(s"interval 1 $bucket")
     val hourly = df
       .groupBy(col(seriesCol), date_trunc(bucket, col(tsCol)).as("b"))
+      // count(valueCol), not count(*): a NULL value contributes to
+      // neither the sum nor the denominator, and an all-NULL bucket
+      // reports n_obs=0 and fills like any other gap
       .agg(sum(round(col(valueCol) * scale).cast("long")).as("obs_fp"),
-        count(lit(1)).as("n_obs"))
+        count(col(valueCol)).as("n_obs"))
     val spine = hourly.groupBy(seriesCol)
       .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
       .select(col(seriesCol), explode(sequence(col("b0"), col("b1"), step)).as("b"))

@@ -38,40 +38,49 @@ object Triangles {
         when(lt, col("db")).otherwise(col("da")).as("vdeg"))
   }
 
+  /** Ordered out-neighbor pairs of the oriented graph: one row
+    * (`u`, `y`, `z`) per wedge, with `y` ≺ `z` under the (degree, id)
+    * total order — so a closing edge, if present, is exactly (y, z).
+    */
+  private def wedges(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+        (struct(col("e1.vdeg"), col("e1.v"))
+          < struct(col("e2.vdeg"), col("e2.v"))))
+      .select(col("e1.u").as("u"), col("e1.v").as("y"), col("e2.v").as("z"))
+
   /** All triangles in the undirected graph, one row per triangle as
     * oriented node triples (`u` ≺ `y` ≺ `z` under the (degree, id)
     * total order).
     */
   def triangles(pairs: DataFrame): DataFrame = {
     val oriented = orient(pairs)
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
-        (struct(col("e1.vdeg"), col("e1.v"))
-          < struct(col("e2.vdeg"), col("e2.v"))))
-      .select(col("e1.u").as("u"), col("e1.v").as("y"), col("e2.v").as("z"))
-    wedges.join(oriented.select(col("u").as("y"), col("v").as("z")),
-      Seq("y", "z"))
+    wedges(oriented)
+      .join(oriented.select(col("u").as("y"), col("v").as("z")),
+        Seq("y", "z"))
       .select("u", "y", "z")
   }
 
   /** One row per graph-census metric: `n_edges`, `n_wedges`,
     * `n_triangles` (each undirected triangle counted exactly once).
+    *
+    * The wedge set — the E^(3/2) stage — is enumerated ONCE: a left
+    * join marks closed wedges, and one aggregation counts wedges and
+    * triangles together (`stack` unpivots the 1-row aggregate).
+    * Only the cheap orientation sub-plan is shared with the separate
+    * edge count.
     */
   def summary(pairs: DataFrame): DataFrame = {
     val oriented = orient(pairs)
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
-        (struct(col("e1.vdeg"), col("e1.v"))
-          < struct(col("e2.vdeg"), col("e2.v"))))
-      .select(col("e1.v").as("y"), col("e2.v").as("z"))
-    val tri = wedges.join(
-      oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    val closed = wedges(oriented).join(
+      oriented.select(col("u").as("y"), col("v").as("z"),
+        lit(1).as("hit")),
+      Seq("y", "z"), "left")
     oriented.agg(count(lit(1)).as("n"))
       .select(lit("n_edges").as("metric"), col("n"))
-      .union(wedges.agg(count(lit(1)).as("n"))
-        .select(lit("n_wedges").as("metric"), col("n")))
-      .union(tri.agg(count(lit(1)).as("n"))
-        .select(lit("n_triangles").as("metric"), col("n")))
+      .union(closed
+        .agg(count(lit(1)).as("nw"), count(col("hit")).as("nt"))
+        .selectExpr("stack(2, 'n_wedges', nw, 'n_triangles', nt) AS (metric, n)"))
       .orderBy("metric")
   }
 }

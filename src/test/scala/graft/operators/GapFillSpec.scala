@@ -34,6 +34,24 @@ class GapFillSpec extends AnyFunSuite {
     assert(out.map(_._5) == Seq("obs", "interp", "obs"))
   }
 
+  test("null values join neither the average nor n_obs; all-null buckets fill as gaps") {
+    val rows = Seq(
+      ("a", ts(0), Some(2.0)), ("a", ts(0, 30), None),
+      ("a", ts(1), None),
+      ("a", ts(2), Some(6.0)))
+    val out = GapFill.linear(rows.toDF("series", "ts", "value"),
+        "series", "ts", "value")
+      .orderBy("b")
+      .as[(String, Timestamp, Long, Option[Double], String)]
+      .collect().toSeq
+    // hour 0: the null row is excluded from the average (2.0, not 1.0)
+    // and from n_obs; hour 1 is all-null -> a gap, interpolated
+    assert(out == Seq(
+      ("a", ts(0), 1L, Some(2.0), "obs"),
+      ("a", ts(1), 0L, Some(4.0), "interp"),
+      ("a", ts(2), 1L, Some(6.0), "obs")))
+  }
+
   test("series are independent; a single-bucket series emits one obs row") {
     val out = run(Seq(("a", ts(0), 1.0), ("a", ts(2), 3.0), ("b", ts(5), 9.0)))
     val (as, bs) = out.partition(_._1 == "a")
