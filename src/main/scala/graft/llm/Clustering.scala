@@ -72,6 +72,24 @@ object Clustering {
       vecCol: String = "embedding",
       k: Int = 8,
       iters: Int = 1): DataFrame = {
+    val centroids = trainCentroids(emb, idCol, vecCol, k, iters)
+    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+    q.select(col("id").as(idCol), nearest(col("qv"), centroids).as("nc"))
+      .select(col(idCol), col("nc").getField("c").as("cluster"),
+        col("nc").getField("d").as("dist_sq"))
+  }
+
+  /** The training loop alone: returns the quantized codebook (cell i's
+    * centroid at index i) without materializing an assignment — for
+    * consumers that persist the model separately from the data
+    * (e.g. [[IvfIndex]]).
+    */
+  def trainCentroids(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 8,
+      iters: Int = 1): Seq[Array[Long]] = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
 
@@ -106,10 +124,7 @@ object Clustering {
         if (upd(i) == null) old else upd(i)
       }
     }
-
-    q.select(col("id").as(idCol), nearest(col("qv"), centroids).as("nc"))
-      .select(col(idCol), col("nc").getField("c").as("cluster"),
-        col("nc").getField("d").as("dist_sq"))
+    centroids
   }
 
   /** Cluster-pruned exact near-dup pairs: k-means cells bound the

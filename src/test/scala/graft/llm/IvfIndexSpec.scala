@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val indexDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(emb, dir, k = 8, iters = 1)
+    dir
+  }
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("index layout: one hive partition per cell plus the _model sidecar") {
+    val root = new java.io.File(indexDir)
+    val cellDirs = root.listFiles.filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+    assert(new java.io.File(s"$indexDir/_model").exists)
+    assert(IvfIndex.loadCentroids(spark, indexDir).size == 8)
+    // the sidecar must be invisible to the index read
+    assert(spark.read.parquet(indexDir).columns.sorted.toSeq ==
+      Seq("cell", "embedding", "vec_id"))
+  }
+
+  test("nprobe=all cells reproduces the exact brute-force top-k") {
+    val ivf = IvfIndex.search(spark, indexDir, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = EmbeddingKnn.bruteForce(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == exact)
+  }
+
+  test("probe join triggers dynamic partition pruning on the cell directories") {
+    val plan = IvfIndex.search(spark, indexDir, queries, k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the cell partition column:\n$plan")
+  }
+
+  test("nprobe=1 is deterministic and returns at most k rows per query") {
+    val a = IvfIndex.search(spark, indexDir, queries, k = 3, nprobe = 1)
+      .collect().map(_.toSeq).toSeq
+    val b = IvfIndex.search(spark, indexDir, queries, k = 3, nprobe = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val perQuery = a.groupBy(_.head).map(_._2.size)
+    assert(perQuery.forall(_ <= 3) && perQuery.nonEmpty)
+  }
+}
