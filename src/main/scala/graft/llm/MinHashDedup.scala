@@ -26,6 +26,34 @@ object MinHashDedup {
       graft.plans.MinHashSignature(
         org.apache.spark.sql.graft.ColumnBridge.expression(shingles), numHashes))
 
+  /** One (id, band, bkey) row per document per band: the LSH bucket
+    * keys. Public so band-key tables can be PERSISTED as an
+    * incremental-dedup index ([[MinHashIndex]]) — the bucket key
+    * hashes the band's signature slice, so the join key is one long.
+    */
+  def bandKeys(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWords: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // stage shingles into their own projection first: `signature` references
+    // its input 32 times, and passing the raw wordShingles expression would
+    // inline (and re-execute) the whole tokenize+slice tree per hash
+    // function — staging makes it a cheap attribute reference instead
+    val sig = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleWords).as("__sh"))
+      .select(col("id"), signature(col("__sh"), numHashes).as("sig"))
+    sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bkey")))
+  }
+
   /** LSH candidate pairs (id_a < id_b): documents sharing at least one
     * band of their minhash signature. bands × rowsPerBand = numHashes.
     *
@@ -42,24 +70,9 @@ object MinHashDedup {
       bands: Int = 8,
       shingleWords: Int = 3,
       maxBucketSize: Long = 100000L): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // stage shingles into their own projection first: `signature` references
-    // its input 32 times, and passing the raw wordShingles expression would
-    // inline (and re-execute) the whole tokenize+slice tree per hash
-    // function — staging makes it a cheap attribute reference instead
-    val sig = docs
-      .select(col(idCol).as("id"),
-        TextFunctions.wordShingles(col(textCol), shingleWords).as("__sh"))
-      .select(col("id"), signature(col("__sh"), numHashes).as("sig"))
-    // one (band, bucket-hash) row per band; the bucket key hashes the
-    // band's slice of the signature so the join key is a single long
-    val bandKeys = sig.select(
-      col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bkey")))
     val capped = graft.operators.BucketCaps.capBuckets(
-      bandKeys, Seq(col("band"), col("bkey")), maxBucketSize)
+      bandKeys(docs, idCol, textCol, numHashes, bands, shingleWords),
+      Seq(col("band"), col("bkey")), maxBucketSize)
     capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash band-key index — near-dup detection as an
+  * INCREMENTAL operation: dedup each arriving batch against the
+  * already-ingested corpus without ever re-clustering it.
+  *
+  * The index is the corpus's (id, band, bkey) table
+  * ([[MinHashDedup.bandKeys]]). A new batch generates its own band
+  * keys, joins them against the index (new-vs-old candidates) and
+  * against itself (new-vs-new), and only those candidates are
+  * jaccard-verified. Per batch, cost scales with |batch| × bucket
+  * occupancy — the 100 TB history is touched only through the band-key
+  * join, never re-shingled, never re-signed.
+  *
+  * Hot-bucket posture: `build`/`append` cap buckets WITHIN the written
+  * batch and `incrementalNearDupPairs` caps the new batch's keys, so a
+  * degenerate bucket fans out at most capᵒˡᵈ × capⁿᵉʷ per band — never
+  * quadratic in the corpus. (Cross-batch occupancy of one bucket can
+  * exceed a single batch's cap; cap at build time if batches are tiny.)
+  */
+object MinHashIndex {
+
+  /** Write the band-key index for an initial corpus (overwrites). */
+  def build(
+      docs: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWords: Int = 3,
+      maxBucketSize: Long = 100000L): Unit =
+    graft.operators.BucketCaps.capBuckets(
+        MinHashDedup.bandKeys(docs, idCol, textCol, numHashes, bands, shingleWords),
+        Seq(col("band"), col("bkey")), maxBucketSize)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's band keys to the index (call AFTER the batch
+    * has been deduped against it).
+    */
+  def append(
+      docs: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWords: Int = 3,
+      maxBucketSize: Long = 100000L): Unit =
+    graft.operators.BucketCaps.capBuckets(
+        MinHashDedup.bandKeys(docs, idCol, textCol, numHashes, bands, shingleWords),
+        Seq(col("band"), col("bkey")), maxBucketSize)
+      .write.mode("append").parquet(path)
+
+  /** Near-dup pairs INVOLVING the new batch: new-vs-indexed plus
+    * new-vs-new, LSH candidates jaccard-verified at `threshold`
+    * against `allDocs` (which must cover both the batch's and the
+    * indexed ids — verification needs the text). Returns
+    * (id_a, id_b, jaccard) with id_a < id_b, exactly the subset of the
+    * full-corpus [[MinHashDedup.nearDupPairs]] that touches the batch.
+    */
+  def incrementalNearDupPairs(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      allDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWords: Int = 3,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val newKeys = graft.operators.BucketCaps.capBuckets(
+      MinHashDedup.bandKeys(newDocs, idCol, textCol, numHashes, bands, shingleWords),
+      Seq(col("band"), col("bkey")), maxBucketSize)
+    val oldKeys = spark.read.parquet(path)
+    val newVsOld = newKeys.as("n")
+      .join(oldKeys.as("o"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
+          col("n.id") =!= col("o.id"))
+      .select(least(col("n.id"), col("o.id")).as("id_a"),
+        greatest(col("n.id"), col("o.id")).as("id_b"))
+    val newVsNew = newKeys.as("l")
+      .join(newKeys.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    JaccardVerify.verify(
+      newVsOld.union(newVsNew).distinct(),
+      allDocs, idCol, textCol, threshold, shingleWords)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class MinHashIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val oldDocs = docs.filter(col("doc_id") < 400)
+  private lazy val newDocs = docs.filter(col("doc_id") >= 400)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental batch dedup equals the batch-involving slice of the full run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    val inc = pairSet(MinHashIndex.incrementalNearDupPairs(
+      spark, s"$dir/idx", newDocs, docs, "doc_id", "text", threshold = 0.5))
+    // ground truth: the full-corpus run, restricted to pairs touching
+    // the new batch (new-vs-old and new-vs-new)
+    val full = pairSet(
+      MinHashDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5))
+      .filter { case (a, b) => a >= 400 || b >= 400 }
+    assert(inc == full && inc.nonEmpty)
+    // and no already-indexed pair leaks in
+    assert(inc.forall { case (a, b) => a >= 400 || b >= 400 })
+  }
+
+  test("append grows the index to exactly the full corpus's band keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx2").toString
+    MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    MinHashIndex.append(newDocs, s"$dir/idx", "doc_id", "text")
+    val indexed = spark.read.parquet(s"$dir/idx").count()
+    val direct = MinHashDedup.bandKeys(docs, "doc_id", "text").count()
+    assert(indexed == direct)
+  }
+
+  test("a batch with no near neighbors yields no pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx3").toString
+    MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    val spark2 = spark
+    import spark2.implicits._
+    val alien = Seq((9001L, "zq xv wk pj fm yb dt rn ls cg hw")).toDF("doc_id", "text")
+    val inc = MinHashIndex.incrementalNearDupPairs(
+      spark, s"$dir/idx", alien,
+      docs.select("doc_id", "text").unionByName(alien), "doc_id", "text",
+      threshold = 0.5)
+    assert(inc.count() == 0)
+  }
+}
