@@ -95,4 +95,38 @@ object OperatorProperties extends Properties("graft.operators") {
       val expected = distinctIds.groupBy(_._2).values.map(_.minBy(_._1)).toSet
       out == expected
     }
+
+  property("gapFill: spine is contiguous, obs preserved, interp bracketed") =
+    forAll(Gen.nonEmptyListOf(for {
+      h <- Gen.choose(0, 12); v <- Gen.choose(-50, 50)
+    } yield (h, v.toDouble))) { obs =>
+      val rows = obs.map { case (h, v) =>
+        ("s", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), v)
+      }
+      val out = GapFill.linear(rows.toDF("series", "ts", "value"),
+          "series", "ts", "value")
+        .orderBy("b")
+        .as[(String, java.sql.Timestamp, Long, Option[Double], String)]
+        .collect().toSeq
+      val byHour = obs.groupBy(_._1).view
+        .mapValues(vs => vs.map(_._2).sum / vs.size).toMap
+      val (h0, h1) = (obs.map(_._1).min, obs.map(_._1).max)
+      // spine covers min..max hours contiguously
+      val spineOk = out.map(_._2.toLocalDateTime.getHour) == (h0 to h1)
+      // observed buckets keep their (averaged) value; every filled gap
+      // lies within [min, max] of its two bracketing observations
+      val valuesOk = out.forall {
+        case (_, t, _, Some(v), "obs") =>
+          math.abs(v - byHour(t.toLocalDateTime.getHour)) < 1e-3
+        case (_, t, _, Some(v), "interp") =>
+          val h = t.toLocalDateTime.getHour
+          val prev = byHour.keys.filter(_ < h).max
+          val next = byHour.keys.filter(_ > h).min
+          val (lo, hi) = (math.min(byHour(prev), byHour(next)),
+            math.max(byHour(prev), byHour(next)))
+          v >= lo - 1e-3 && v <= hi + 1e-3
+        case _ => false
+      }
+      spineOk && valuesOk
+    }
 }
