@@ -36,7 +36,13 @@ object SaltedJoin {
       saltSource: org.apache.spark.sql.Column,
       numSalts: Int): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
-    val saltedLeft = left.withColumn("__salt", pmod(saltSource, lit(numSalts)))
+    require(!(left.columns ++ right.columns).contains("__salt"),
+      "inputs must not already have a __salt column")
+    // a NULL saltSource must still land in SOME bucket — a null salt
+    // would silently drop the row from the inner join (null never
+    // equals the replicated salt), breaking semantics preservation
+    val saltedLeft = left.withColumn("__salt",
+      coalesce(pmod(saltSource, lit(numSalts)), lit(0)))
     val replicatedRight = right.withColumn(
       "__salt", explode(lit((0 until numSalts).toArray)))
     saltedLeft

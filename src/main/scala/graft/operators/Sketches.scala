@@ -40,7 +40,11 @@ object Sketches {
       if (b.items.length >= k && !lt(it, b.items.last)) b
       else {
         val (lo, hi) = b.items.span(lt(_, it))
-        BottomKBuf((lo ++ (it +: hi)).take(k))
+        // bottom-k of a SET: an (ord, id) pair already present must not
+        // insert again — merging sketches of OVERLAPPING sets would
+        // otherwise crowd out legitimate members with duplicates
+        if (hi.headOption.contains(it)) b
+        else BottomKBuf((lo ++ (it +: hi)).take(k))
       }
 
     override def zero: BottomKBuf = BottomKBuf(Vector.empty)

@@ -60,13 +60,18 @@ object ExtendedQueries {
         import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, d)
         val total = li.agg(count(lit(1)).as("total"))
-        Seq("l_orderkey", "l_partkey", "l_suppkey").map { kc =>
-          val w = Window.orderBy(col("cnt").desc, col("key_val"))
+        // union the per-key counts FIRST, then one window partitioned by
+        // key_col — three parallel partitions instead of three global
+        // single-partition sorts over every distinct key value
+        val profiles = Seq("l_orderkey", "l_partkey", "l_suppkey").map { kc =>
           li.groupBy(col(kc).as("key_val")).agg(count(lit(1)).as("cnt"))
-            .withColumn("rnk", row_number().over(w).cast("long"))
-            .filter(col("rnk") <= 5)
             .withColumn("key_col", lit(kc))
-        }.reduce(_.union(_))
+        }.reduce(_.unionByName(_))
+        val w = Window.partitionBy("key_col")
+          .orderBy(col("cnt").desc, col("key_val"))
+        profiles
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
           .crossJoin(broadcast(total))
           .select(col("key_col"), col("rnk"), col("key_val"), col("cnt"),
             round(col("cnt").cast("double") / col("total"), 6).as("share"))
@@ -90,17 +95,20 @@ object ExtendedQueries {
 
     // Sketch top-k (Spark 4 approx_top_k): mergeable frequent-items
     // summary — the scale path for "top sellers over 100 TB" where an
-    // exact global count-then-sort is wasteful. Here maxItemsTracked
-    // (1000) exceeds the 100 distinct suppkeys, so the sketch is
-    // provably exact and the oracle can replay it as plain SQL; the
-    // boundary counts are distinct in this corpus, so re-ranking by
+    // exact global count-then-sort is wasteful. maxItemsTracked (10000)
+    // exceeds the distinct suppkeys through sf1, so the sketch is
+    // provably exact HERE and the oracle can replay it as plain SQL;
+    // beyond that budget the sketch is genuinely approximate and the
+    // exact oracle no longer applies (the sketch's own guarantee, not a
+    // bug — re-derive the budget before lifting to a bigger corpus).
+    // Boundary counts are distinct in this corpus, so re-ranking by
     // (count desc, key) is deterministic.
     "q91_approx_topk" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.orderBy(col("cnt").desc, col("l_suppkey"))
         Tables.lineitem(s, d)
-          .agg(expr("approx_top_k(l_suppkey, 5, 1000)").as("tk"))
+          .agg(expr("approx_top_k(l_suppkey, 5, 10000)").as("tk"))
           .select(explode(col("tk")).as("e"))
           .select(col("e.item").as("l_suppkey"), col("e.count").as("cnt"))
           .withColumn("rnk", row_number().over(w).cast("long"))
@@ -118,24 +126,27 @@ object ExtendedQueries {
     // top-20 nodes. Integer quantization + floor division + id
     // tie-breaks make the ITERATION itself oracle-replayable (two
     // unrolled rounds in SQL) — same philosophy as the q85 k-means
-    // training replay. Suppliers are offset by 1e6 into a shared node
-    // id space.
+    // training replay. Suppliers are offset by 1e12 into a shared node
+    // id space (far above any custkey at any realistic scale factor —
+    // a 1e6 offset would collide with customers beyond sf~6).
     "q93_pagerank" -> Q(
       (s, d) => {
         val e0 = Tables.orders(s, d)
           .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("u"), (col("l_suppkey") + 1000000L).as("v"))
+          .select(col("o_custkey").as("u"),
+            (col("l_suppkey") + 1000000000000L).as("v"))
           .distinct()
         val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         graft.operators.PageRank.run(edges, iters = 2)
           .select(col("node"),
-            when(col("node") >= 1000000L, lit("supplier"))
+            when(col("node") >= 1000000000000L, lit("supplier"))
               .otherwise(lit("customer")).as("kind"),
             col("rank_fp"))
           .orderBy(col("rank_fp").desc, col("node"))
           .limit(20)
       },
-      Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS u,
+             |              l_suppkey + 1000000000000 AS v
              |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
              |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
              |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
@@ -154,7 +165,7 @@ object ExtendedQueries {
              |           + (17 * coalesce(c2.c, 0)) // 20 AS r
              |       FROM r1 LEFT JOIN c2 USING (node), nn)
              |SELECT node,
-             |       CASE WHEN node >= 1000000 THEN 'supplier'
+             |       CASE WHEN node >= 1000000000000 THEN 'supplier'
              |            ELSE 'customer' END AS kind,
              |       CAST(r AS BIGINT) AS rank_fp
              |FROM r2 ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin)),

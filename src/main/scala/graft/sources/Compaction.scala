@@ -39,6 +39,26 @@ object Compaction {
     (files, bytes)
   }
 
+  /** Row count from parquet FOOTER metadata — no data pages touched,
+    * unlike a count() over the directory (which re-scans every file).
+    */
+  private def footerRows(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var rows = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try rows += reader.getRecordCount finally reader.close()
+      }
+    }
+    rows
+  }
+
   /** Rewrite `inDir`'s parquet files into `outDir` as
     * ceil(bytes / targetFileBytes) files. With `sortCols`, rows are
     * additionally range-partitioned and sorted so each output file
@@ -58,11 +78,16 @@ object Compaction {
       if (sortCols.nonEmpty)
         df.repartitionByRange(n, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-      else df.coalesce(n)
+      // coalesce cannot INCREASE partition count: a scan of few big
+      // files can read as fewer partitions than n, which would emit
+      // files ~maxPartitionBytes-sized instead of targetFileBytes —
+      // fall through to a shuffling repartition in that case
+      else if (df.rdd.getNumPartitions >= n) df.coalesce(n)
+      else df.repartition(n)
     shaped.write.mode("overwrite")
       .option("compression", "snappy").parquet(outDir)
     val (filesAfter, bytesAfter) = inventory(spark, outDir)
     Stats(filesBefore, bytesBefore, filesAfter, bytesAfter,
-      spark.read.parquet(outDir).count())
+      footerRows(spark, outDir))
   }
 }

@@ -37,11 +37,16 @@ class SyntheticDocsSource extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // properties keeps the caller's ORIGINAL key case (unlike the
+    // CaseInsensitiveStringMap inferSchema receives) — wrap it, or
+    // .option("Rows", ...) silently falls back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
     new SyntheticDocsSource.SynthTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("seed", "42").toLong)
+      opts.getOrDefault("rows", "1000").toLong,
+      opts.getOrDefault("partitions", "4").toInt,
+      opts.getOrDefault("seed", "42").toLong)
+  }
 }
 
 object SyntheticDocsSource {

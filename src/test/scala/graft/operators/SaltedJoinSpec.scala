@@ -23,6 +23,24 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(!salted.exists(_.getLong(0) == 4L))
   }
 
+  test("a NULL salt source still routes the row (semantics preserved)") {
+    val left = Seq((1L, Some(10L)), (1L, None), (2L, Some(20L)))
+      .toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv").collect()
+    val salted = SaltedJoin.inner(left, right, Seq("k"), col("lv"), numSalts = 4)
+      .orderBy("k", "lv").collect()
+    assert(salted.sameElements(plain) && salted.length == 3)
+  }
+
+  test("inputs that already carry a __salt column are rejected loudly") {
+    val left = Seq((1L, 0)).toDF("k", "__salt")
+    val right = Seq((1L, "x")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      SaltedJoin.inner(left, right, Seq("k"), col("k"), numSalts = 2)
+    }
+  }
+
   test("numSalts larger than the data is harmless") {
     val left = Seq((1L, 10L)).toDF("k", "lv")
     val right = Seq((1L, "x")).toDF("k", "rv")

@@ -29,6 +29,15 @@ class SketchesSpec extends AnyFunSuite {
     assert(agg.finish(m2) == agg.finish(whole))
   }
 
+  test("merging sketches of OVERLAPPING sets does not double-insert members") {
+    val agg = BottomKAgg(2)
+    val b1 = Seq(("a", 1L)).foldLeft(agg.zero)(agg.reduce)
+    val b2 = Seq(("a", 1L), ("b", 2L)).foldLeft(agg.zero)(agg.reduce)
+    // union semantics: {1} ∪ {1, 2} = {1, 2}, not [1, 1]
+    assert(agg.finish(agg.merge(b1, b2)) == Seq(1L, 2L))
+    assert(agg.finish(agg.merge(b2, b1)) == Seq(1L, 2L))
+  }
+
   test("hash ties break on the payload id") {
     val agg = BottomKAgg(2)
     val b = Seq(("x", 9L), ("x", 2L), ("x", 5L)).foldLeft(agg.zero)(agg.reduce)
