@@ -47,6 +47,35 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(normalized(c))
 
+  /** Rabin-Karp polynomial hash of a string: fold (acc*131 + code) mod
+    * 1e9+7 over the character codepoints. Unlike xxhash64/md5 this is
+    * PORTABLE — plain int64 arithmetic any engine reproduces exactly —
+    * so hash-derived structures (winnowed fingerprints) stay
+    * oracle-replayable. All intermediates < 2^37: no ANSI overflow.
+    */
+  def polyHash(c: Column): Column = {
+    val idxs = when(length(c) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), length(c)))
+    aggregate(idxs, lit(0L),
+      (acc, i) => (acc * 131L + ascii(c.substr(i, lit(1))).cast("long"))
+        % 1000000007L)
+  }
+
+  /** Winnowed rolling fingerprints (the MOSS scheme): [[polyHash]] each
+    * word shingle, take the MIN hash of every sliding `window` of
+    * consecutive shingle hashes, deduplicate. Guarantees any shared run
+    * of `window + shingleWords - 1` words yields a shared fingerprint,
+    * while keeping ~1/window of the shingle hashes — the standard
+    * local-similarity fingerprint for plagiarism/near-dup detection.
+    */
+  def winnowedFingerprints(
+      text: Column, shingleWords: Int = 3, window: Int = 4): Column = {
+    val hs = transform(wordShingles(text, shingleWords), s => polyHash(s))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - (window - 1), lit(1))),
+      j => array_min(slice(hs, j, lit(window)))))
+  }
+
   /** Number of ASCII-alphabetic characters. */
   def alphaChars(c: Column): Column =
     length(regexp_replace(c, "[^A-Za-z]", "")).cast("long")

@@ -1241,5 +1241,57 @@ object LlmQueries {
               |  FROM pairs JOIN embeddings ea ON ea.vec_id = id_a
               |             JOIN embeddings eb ON eb.vec_id = id_b)
               |SELECT id_a, id_b, cluster, sim FROM sc WHERE sim >= 0.4
-              |ORDER BY id_a, id_b""".stripMargin)))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Winnowed-fingerprint near-dup pairs — "document fingerprinting
+    // (rolling hash)" as a first-class dedup path: Rabin-Karp poly-hash
+    // per shingle (PORTABLE int64 arithmetic, so the oracle replays the
+    // hashes bit-for-bit — unlike xxhash64), MOSS winnowing keeps the
+    // min hash per 4-shingle window (~1/4 of the hashes, with a shared-
+    // run guarantee), and docs meet through a posting join on shared
+    // fingerprints with a stop-fingerprint df cutoff — never all-pairs.
+    "q102_winnow_pairs" -> Q(
+      (s, d) => {
+        val post = docs(s, d)
+          .select(col("doc_id"),
+            explode(TextFunctions.winnowedFingerprints(col("text"))).as("f"))
+        val keep = post.groupBy("f").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50).select("f")
+        val pk = post.join(keep, "f")
+        pk.as("a")
+          .join(pk.as("b"),
+            col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared_fps"))
+          .filter(col("shared_fps") >= 2)
+          .orderBy(col("shared_fps").desc, col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |sets AS (SELECT doc_id,
+              |    CASE WHEN len(t) < 3 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 1),
+              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |    END AS sh
+              |  FROM tok),
+              |hs AS (SELECT doc_id, list_transform(sh, s ->
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |        list_transform(range(1, len(s)+1),
+              |          i -> CAST(ascii(s[i]) AS BIGINT))),
+              |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS h
+              |  FROM sets),
+              |fp AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(h) - 3, 1) + 1),
+              |    j -> list_min(h[j : j + 3]))) AS fps
+              |  FROM hs),
+              |post AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+              |keep AS (SELECT f FROM post GROUP BY f HAVING count(*) <= 50),
+              |pk AS (SELECT p.doc_id, p.f FROM post p JOIN keep k ON p.f = k.f),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    count(*) AS shared_fps
+              |  FROM pk a JOIN pk b ON a.f = b.f AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2)
+              |SELECT id_a, id_b, shared_fps FROM pairs
+              |ORDER BY shared_fps DESC, id_a, id_b LIMIT 50""".stripMargin)))
 }

@@ -161,4 +161,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("alpha_ratio")))
     assert(out.isNullAt(out.fieldIndex("mean_token_len")))
   }
+
+  test("polyHash is the pinned base-131 fold (portable constant)") {
+    // ((0*131+97)*131+98)*131+99 mod 1e9+7 — 'abc'
+    val out = Seq(("abc"), ("")).toDF("s")
+      .select(TextFunctions.polyHash(col("s"))).as[Long].collect()
+    assert(out.toSeq == Seq(1677554L, 0L))
+  }
+
+  test("winnowing guarantee: a shared 6-word run yields a shared fingerprint") {
+    // window 4 over 3-word shingles: a common run of 4+3-1 = 6 words
+    // gives 4 consecutive identical shingle hashes — a full window —
+    // so both docs must keep the same min-hash fingerprint
+    val common = "alpha beta gamma delta epsilon zeta"
+    val fps = Seq(
+        (1L, s"one two $common three"),
+        (2L, s"nine eight seven $common six five"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.winnowedFingerprints(col("text")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    // and fingerprints are a strict subset of the shingle hash count
+    assert(fps(1L).size < 8)
+  }
 }
