@@ -67,8 +67,23 @@ object TextFunctions {
     * of `window + shingleWords - 1` words yields a shared fingerprint,
     * while keeping ~1/window of the shingle hashes — the standard
     * local-similarity fingerprint for plagiarism/near-dup detection.
+    * Computed by the native `WinnowFingerprints` kernel, bit-compatible
+    * with [[winnowedFingerprintsComposed]].
     */
   def winnowedFingerprints(
+      text: Column, shingleWords: Int = 3, window: Int = 4): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.WinnowFingerprints(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          wordShingles(text, shingleWords)), window))
+
+  /** The composed-builtin reference formulation of
+    * [[winnowedFingerprints]] — per-shingle [[polyHash]] lambda, window
+    * minima via `slice`/`array_min`, `array_distinct`. Semantically the
+    * oracle's shape (and the parity pin for the native kernel), but the
+    * interpreted per-character fold makes it ~4× slower at sf0.1.
+    */
+  def winnowedFingerprintsComposed(
       text: Column, shingleWords: Int = 3, window: Int = 4): Column = {
     val hs = transform(wordShingles(text, shingleWords), s => polyHash(s))
     array_distinct(transform(

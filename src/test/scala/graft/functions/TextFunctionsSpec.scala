@@ -185,4 +185,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     // and fingerprints are a strict subset of the shingle hash count
     assert(fps(1L).size < 8)
   }
+
+  test("native winnow kernel equals the composed-builtin formulation") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three"), (3L, "short"), (4L, ""),
+      (5L, "repeat repeat repeat repeat repeat repeat repeat"))
+      .toDF("doc_id", "text")
+    val both = docs.select(
+        TextFunctions.winnowedFingerprints(col("text")).as("native"),
+        TextFunctions.winnowedFingerprintsComposed(col("text")).as("composed"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (n, c) => assert(n == c) }
+  }
 }
