@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Stats, ZOrder}
@@ -439,16 +440,21 @@ object ExtendedQueries {
     // Nested-type aggregation: per order, the sorted array of its line
     // numbers (the corpus's duplicate (orderkey, linenumber) pairs stay
     // as multiset duplicates — sort_array makes the array a canonical,
-    // engine-comparable value).
+    // engine-comparable value). The array is built and sorted natively;
+    // the FINAL projection stringifies it (comma-joined) because the
+    // output contract is scalar-only — nested cells aren't portable
+    // across result-harness boundaries.
     "q59_array_agg" -> Q(
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(
-          sort_array(collect_list(col("l_linenumber"))).as("line_numbers"),
+          array_join(
+            transform(sort_array(collect_list(col("l_linenumber"))),
+              x => x.cast("string")), ",").as("line_numbers"),
           count(lit(1)).as("n_lines"))
         .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey,
-             |       list_sort(list(l_linenumber)) AS line_numbers,
+             |       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
              |       count(*) AS n_lines
              |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
@@ -820,28 +826,35 @@ object ExtendedQueries {
     // engine with no explode-reaggregate round-trip — the idiom that
     // keeps nested-data pipelines shuffle-free.
     "q74_array_lambdas" -> Q(
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
-        .select(
-          col("l_orderkey"),
-          transform(col("lines"), x => x * 2).as("doubled"),
-          filter(col("lines"), x => x % 2 === 0).as("evens"),
-          aggregate(col("lines"), lit(0L), (acc, x) => acc + x).as("line_sum"),
-          array_max(col("lines")).as("line_max"),
-          array_contains(col("lines"), 3).as("has_line3"),
-          slice(col("lines"), 1, 2).as("first_two"))
-        .orderBy("l_orderkey"),
+      (s, d) => {
+        // All lambda work happens on the native arrays; each array-valued
+        // result is stringified only in the FINAL projection (scalar-only
+        // output contract — nested cells don't survive result harnesses).
+        val str = (c: Column) =>
+          array_join(transform(c, x => x.cast("string")), ",")
+        Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+          .select(
+            col("l_orderkey"),
+            str(transform(col("lines"), x => x * 2)).as("doubled"),
+            str(filter(col("lines"), x => x % 2 === 0)).as("evens"),
+            aggregate(col("lines"), lit(0L), (acc, x) => acc + x).as("line_sum"),
+            array_max(col("lines")).as("line_max"),
+            array_contains(col("lines"), 3).as("has_line3"),
+            str(slice(col("lines"), 1, 2)).as("first_two"))
+          .orderBy("l_orderkey")
+      },
       Some("""WITH a AS (
              |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
              |  FROM lineitem GROUP BY l_orderkey)
              |SELECT l_orderkey,
-             |  list_transform(lines, x -> x * 2) AS doubled,
-             |  list_filter(lines, x -> x % 2 = 0) AS evens,
+             |  array_to_string(list_transform(lines, x -> x * 2), ',') AS doubled,
+             |  array_to_string(list_filter(lines, x -> x % 2 = 0), ',') AS evens,
              |  CAST(list_sum(lines) AS BIGINT) AS line_sum,
              |  list_max(lines) AS line_max,
              |  list_contains(lines, 3) AS has_line3,
-             |  list_slice(lines, 1, 2) AS first_two
+             |  array_to_string(list_slice(lines, 1, 2), ',') AS first_two
              |FROM a ORDER BY l_orderkey""".stripMargin)),
 
     // Conditional/null-handling battery (§2.8 extension): nullif-driven
@@ -922,7 +935,8 @@ object ExtendedQueries {
 
     // Map-typed columns: construct, point-lookup, keys, cardinality. The
     // map value itself stays internal (engines disagree on map rendering);
-    // everything extracted from it is scalar/array and hash-comparable.
+    // everything extracted from it is stringified to scalar in the FINAL
+    // projection (scalar-only output contract).
     // DuckDB's subscript returns a list, so the oracle bridges with [1].
     "q78_map_funcs" -> Q(
       (s, d) => Tables.orders(s, d)
@@ -933,7 +947,7 @@ object ExtendedQueries {
           col("o_orderkey"),
           element_at(col("m"), "priority").as("prio"),
           element_at(col("m"), "status").as("status"),
-          map_keys(col("m")).as("ks"),
+          array_join(map_keys(col("m")), ",").as("ks"),
           size(col("m")).cast("long").as("n_entries"))
         .orderBy("o_orderkey"),
       Some("""WITH t AS (
@@ -943,7 +957,7 @@ object ExtendedQueries {
              |SELECT o_orderkey,
              |  m['priority'][1] AS prio,
              |  m['status'][1] AS status,
-             |  map_keys(m) AS ks,
+             |  array_to_string(map_keys(m), ',') AS ks,
              |  CAST(cardinality(m) AS BIGINT) AS n_entries
              |FROM t ORDER BY o_orderkey""".stripMargin)),
 

@@ -983,9 +983,11 @@ object LlmQueries {
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+             |-- BIGINT casts are load-bearing: DuckDB integer sum() yields
+             |-- HUGEINT, which pandas renders as float64 ("32.0" vs "32").
              |SELECT doc_id,
-             |       sum(tf) AS n_tokens,
-             |       sum(tf*df) AS sum_df,
+             |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |       CAST(sum(tf*df) AS BIGINT) AS sum_df,
              |       CAST(sum(tf*df) AS DOUBLE)/CAST(sum(tf) AS DOUBLE) AS mean_df
              |FROM tf JOIN df USING (term)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
