@@ -122,6 +122,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("every registered query's FINAL projection is scalar-only (output contract)") {
+    // Result harnesses (pandas sort + CSV hash) can't handle nested cells:
+    // an ArrayType/MapType/StructType column in the final schema crashes
+    // the external checker even when the values are correct. Nested types
+    // are fine INTERNALLY — queries must stringify them at the boundary
+    // (array_join / to_json). This walks all registered query schemas so
+    // a nested output fails here, locally, not a round later.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val schema = SparkEntry.queries(name)(spark, sf).schema
+      schema.fields.foreach { f =>
+        val nested = f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        }
+        assert(!nested,
+          s"$name output column '${f.name}' is ${f.dataType.simpleString}; " +
+            "final projections must be scalar-only (stringify at the boundary)")
+      }
+    }
+  }
+
   test("the full join-strategy menu is reachable: SHJ and SMJ by hint, BHJ by size") {
     // joins.pdf pp.1-2 analyzes Spark's strategy menu; this pins that the
     // planner can be steered to each shuffle strategy when a 100 TB join
