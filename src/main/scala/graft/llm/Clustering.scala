@@ -114,9 +114,13 @@ object Clustering {
       sums.groupBy(_.getLong(0)).foreach { case (c, rows) =>
         val cv = new Array[Long](dim)
         rows.foreach { r =>
-          // floor(sum/count): sums are exact in double (≪ 2^53) and the
-          // division is the same IEEE op everywhere — replayable
-          cv(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+          // floor(sum/count) in PURE integer arithmetic: floorDiv is exact
+          // at any magnitude, while a double round-trip silently breaks
+          // bit-reproducibility once a cell's coordinate sum passes 2^53
+          // (reachable at ~2^30 rows x 2^23-quantized coords). Identical
+          // to floor(s/n) wherever the double is exact — i.e. everywhere
+          // a SQL replay at test scale runs.
+          cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
         }
         upd(c.toInt) = cv
       }

@@ -20,8 +20,25 @@ import org.apache.spark.sql.functions._
   * degenerate bucket fans out at most capᵒˡᵈ × capⁿᵉʷ per band — never
   * quadratic in the corpus. (Cross-batch occupancy of one bucket can
   * exceed a single batch's cap; cap at build time if batches are tiny.)
+  * Capping is a silent recall trade: [[cappedBucketReport]] makes it
+  * observable — run it when parity with a full-corpus pass matters.
   */
 object MinHashIndex {
+
+  /** Buckets whose CROSS-BATCH occupancy in the persisted index exceeds
+    * `maxBucketSize` — exactly the condition under which incremental
+    * results can diverge from a single-pass full-corpus run (each batch
+    * stayed under the cap, but the union did not, so a full run would
+    * have dropped the bucket while the incremental path kept it — or
+    * vice versa). Empty report ⇒ parity-equivalent. Returns
+    * (band, bkey, occupancy).
+    */
+  def cappedBucketReport(
+      spark: SparkSession,
+      path: String,
+      maxBucketSize: Long = 100000L): DataFrame =
+    graft.operators.BucketCaps.overflowBuckets(
+      spark.read.parquet(path), Seq(col("band"), col("bkey")), maxBucketSize)
 
   /** Write the band-key index for an initial corpus (overwrites). */
   def build(

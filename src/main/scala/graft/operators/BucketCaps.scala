@@ -17,4 +17,15 @@ object BucketCaps {
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys: _*)))
       .filter(col("__bsz") <= max)
       .drop("__bsz")
+
+  /** The buckets `capBuckets` WOULD drop: (keys..., occupancy) for every
+    * bucket over `max`. Capping trades recall for boundedness silently;
+    * this makes the trade observable — a non-empty report means results
+    * diverge from an uncapped run (and, for a persisted index, that
+    * incremental results may diverge from a single-pass full-corpus run).
+    */
+  def overflowBuckets(df: DataFrame, keys: Seq[Column], max: Long): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("occupancy"))
+      .filter(if (max <= 0) lit(false) else col("occupancy") > max)
 }

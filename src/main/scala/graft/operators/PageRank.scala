@@ -20,25 +20,42 @@ import org.apache.spark.sql.functions._
   * shuffles on the edge key — the same cost profile as one grouped
   * count. Convergence for analytics use is typically <20 iterations;
   * no per-iteration driver sync means a 100 TB edge set pipelines
-  * through AQE like any other join chain.
+  * through AQE like any other join chain. Each iteration's rank table
+  * is `localCheckpoint`ed (mirroring [[ConnectedComponents]]): without
+  * lineage truncation the analyzed plan doubles per round and at ~20
+  * iterations analysis time dominates — executor-loss recomputation
+  * risk on a production cluster is the documented trade (prefer
+  * `checkpoint` with a checkpoint dir there).
   */
 object PageRank {
 
   /** Run `iters` damped rounds over a directed edge list `(u, v)`.
-    * Every node must appear as a source at least once (symmetrize the
-    * edge list for undirected graphs — that also guarantees no dangling
-    * mass). Returns `(node, deg, rank_fp)`.
+    *
+    * The node space is `union(u, v)`: sink-only nodes (no outgoing
+    * edges, deg 0) get rank rows and receive mass like any other node.
+    * Their OWN mass is not redistributed (the classic "dangling mass"
+    * is dropped each round, the common simplification) — symmetrize the
+    * edge list for undirected graphs and no mass is ever dangling.
+    * Returns `(node, deg, rank_fp)`.
     */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    val n = deg.agg(count(lit(1)).as("n"))
-    // every node once, with its out-degree and N alongside
-    var ranks = deg.crossJoin(broadcast(n))
-      .select(col("u").as("node"), col("deg"), col("n"),
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .distinct()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    // every node once, with its out-degree (0 for sinks) and N alongside
+    var ranks = nodes
+      .join(deg, nodes("node") === deg("u"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"), col("n"),
         expr(s"$scale div n").as("r"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = ranks
+      // deg-0 nodes contribute nothing (and would divide by zero): only
+      // source nodes join the edge list
+      val contrib = ranks.filter(col("deg") > 0)
         .join(edges, ranks("node") === edges("u"))
         .select(col("v"), expr("r div deg").as("share"))
         .groupBy("v").agg(sum("share").as("c"))
@@ -46,6 +63,7 @@ object PageRank {
         .select(col("node"), col("deg"), col("n"),
           (expr(s"(3 * $scale) div (20 * n)") +
             expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
+        .localCheckpoint()
     }
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }

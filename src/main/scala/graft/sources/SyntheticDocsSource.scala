@@ -32,12 +32,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   */
 class SyntheticDocsSource extends TableProvider {
+  // accept user-specified schemas (validated as projections in getTable);
+  // without this Spark rejects .schema(...) before getTable ever runs
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticDocsSource.fullSchema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // honor a caller-supplied .schema(...) when it is a compatible
+    // projection of fullSchema; reject anything else loudly — silently
+    // serving fullSchema against a divergent user schema corrupts reads
+    schema.fields.foreach { f =>
+      val declared = SyntheticDocsSource.fullSchema.fields
+        .find(_.name == f.name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown column '${f.name}': synthetic_docs serves " +
+            SyntheticDocsSource.fullSchema.fieldNames.mkString(", ")))
+      require(declared.dataType == f.dataType,
+        s"column '${f.name}' is ${declared.dataType.simpleString}, " +
+          s"requested ${f.dataType.simpleString}")
+    }
     // properties keeps the caller's ORIGINAL key case (unlike the
     // CaseInsensitiveStringMap inferSchema receives) — wrap it, or
     // .option("Rows", ...) silently falls back to the default
@@ -45,7 +61,8 @@ class SyntheticDocsSource extends TableProvider {
     new SyntheticDocsSource.SynthTable(
       opts.getOrDefault("rows", "1000").toLong,
       opts.getOrDefault("partitions", "4").toInt,
-      opts.getOrDefault("seed", "42").toLong)
+      opts.getOrDefault("seed", "42").toLong,
+      schema)
   }
 }
 
@@ -89,19 +106,21 @@ object SyntheticDocsSource {
     sb.toString
   }
 
-  private class SynthTable(rows: Long, partitions: Int, seed: Long)
+  private class SynthTable(rows: Long, partitions: Int, seed: Long,
+      declared: StructType)
       extends Table with SupportsRead {
     override def name(): String = s"synthetic_docs($rows, $partitions, $seed)"
-    override def schema(): StructType = fullSchema
+    override def schema(): StructType = declared
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new SynthScanBuilder(rows, partitions, seed)
+      new SynthScanBuilder(rows, partitions, seed, declared)
   }
 
-  private class SynthScanBuilder(rows: Long, partitions: Int, seed: Long)
+  private class SynthScanBuilder(rows: Long, partitions: Int, seed: Long,
+      declared: StructType)
       extends ScanBuilder with SupportsPushDownRequiredColumns {
-    private var required: StructType = fullSchema
+    private var required: StructType = declared
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
     override def build(): Scan = new SynthScan(rows, partitions, seed, required)

@@ -40,6 +40,19 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("cappedBucketReport flags cross-batch occupancy over the cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx3").toString
+    MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    MinHashIndex.append(newDocs, s"$dir/idx", "doc_id", "text")
+    // at the default cap nothing in this corpus overflows: parity holds
+    assert(MinHashIndex.cappedBucketReport(spark, s"$dir/idx").isEmpty)
+    // with an artificially tiny cap the report is non-empty and its
+    // occupancies all exceed the cap — the divergence signal fires
+    val tiny = MinHashIndex.cappedBucketReport(spark, s"$dir/idx", maxBucketSize = 1L)
+    val occ = tiny.select("occupancy").collect().map(_.getLong(0))
+    assert(occ.nonEmpty && occ.forall(_ > 1L))
+  }
+
   test("a batch with no near neighbors yields no pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mhidx3").toString
     MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")

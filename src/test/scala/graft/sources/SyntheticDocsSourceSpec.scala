@@ -33,6 +33,32 @@ class SyntheticDocsSourceSpec extends AnyFunSuite {
     assert(scan.toString.contains("pruned=doc_id"), scan.toString)
   }
 
+  test("a user-supplied schema is honored when a compatible projection") {
+    import org.apache.spark.sql.types._
+    val projected = spark.read
+      .format("graft.sources.SyntheticDocsSource")
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType))))
+      .option("rows", 50).load()
+    assert(projected.columns.toSeq == Seq("doc_id", "lang"))
+    assert(projected.count() == 50)
+  }
+
+  test("a divergent user-supplied schema fails loudly, not silently") {
+    import org.apache.spark.sql.types._
+    def read(s: StructType) = spark.read
+      .format("graft.sources.SyntheticDocsSource").schema(s)
+      .option("rows", 10).load().collect()
+    val unknownCol = intercept[Exception] {
+      read(StructType(Seq(StructField("nope", LongType))))
+    }
+    assert(unknownCol.getMessage.contains("nope"))
+    val wrongType = intercept[Exception] {
+      read(StructType(Seq(StructField("doc_id", StringType))))
+    }
+    assert(wrongType.getMessage.toLowerCase.contains("doc_id"))
+  }
+
   test("generated text is a plausible corpus (tokens in vocab, 20-60 words)") {
     import spark.implicits._
     val lens = synth(500)
