@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Persisted winnowed-fingerprint index — the MOSS-style fuzzy-dedup
+  * path (q102) as an INCREMENTAL operation, completing the persisted-
+  * index tier ([[MinHashIndex]] for Jaccard near-dup, [[IvfIndex]] for
+  * ANN, this for shared-span fingerprint near-dup).
+  *
+  * The index is the corpus's posting table `(id, f)` of winnowed
+  * Rabin-Karp fingerprints ([[TextFunctions.winnowedFingerprints]] —
+  * the native one-pass kernel). A new batch fingerprints itself, joins
+  * the index on shared fingerprints, and pairs sharing at least
+  * `minShared` survive — exactly the full-corpus computation restricted
+  * to pairs touching the batch.
+  *
+  * Parity posture: the stop-fingerprint cutoff (`df <= maxDf`) is
+  * computed over the UNION of index and batch postings, i.e. over the
+  * same corpus a from-scratch run would see — so incremental results
+  * are parity-EXACT vs the full run (pinned in WinnowIndexSpec), not
+  * approximately so. That costs one aggregation pass over the index per
+  * batch, the same cost class as the posting join itself (each scans
+  * the index once); at persisted-corpus scale, compact the df counts
+  * into a sidecar table and merge per batch instead.
+  */
+object WinnowIndex {
+
+  private def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(TextFunctions.winnowedFingerprints(col(textCol))).as("f"))
+
+  /** Write the fingerprint postings for an initial corpus (overwrites). */
+  def build(docs: DataFrame, path: String, idCol: String, textCol: String): Unit =
+    postings(docs, idCol, textCol).write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's postings (call AFTER deduping the batch
+    * against the index).
+    */
+  def append(docs: DataFrame, path: String, idCol: String, textCol: String): Unit =
+    postings(docs, idCol, textCol).write.mode("append").parquet(path)
+
+  /** Fingerprint-sharing pairs INVOLVING the new batch: new-vs-indexed
+    * plus new-vs-new, with the df cutoff evaluated over index ∪ batch.
+    * Returns `(id_a, id_b, shared_fps)` with `id_a < id_b`.
+    */
+  def incrementalPairs(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Long = 2L,
+      maxDf: Long = 50L): DataFrame = {
+    val newPosts = postings(newDocs, idCol, textCol)
+    val oldPosts = spark.read.parquet(path)
+    val keep = oldPosts.unionByName(newPosts)
+      .groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("f")
+    val nk = newPosts.join(keep, "f")
+    val ok = oldPosts.join(keep, "f")
+    val newVsOld = nk.as("n")
+      .join(ok.as("o"), col("n.f") === col("o.f") && col("n.id") =!= col("o.id"))
+      .select(least(col("n.id"), col("o.id")).as("id_a"),
+        greatest(col("n.id"), col("o.id")).as("id_b"))
+    val newVsNew = nk.as("l")
+      .join(nk.as("r"), col("l.f") === col("r.f") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    newVsOld.unionByName(newVsNew)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+}

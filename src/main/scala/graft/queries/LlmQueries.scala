@@ -446,6 +446,71 @@ object LlmQueries {
              |  AND p_ts >= click_ts AND p_ts <= click_ts + INTERVAL 1 HOUR
              |GROUP BY click_id ORDER BY click_id""".stripMargin)),
 
+    // STREAM-STREAM interval join through the REAL streaming engine (q44
+    // is the batch plan of the same operator): both sides are watermarked
+    // file streams, the join runs with streaming state, and the memory
+    // sink collects the append-mode output. Bounded input in one
+    // microbatch makes the result deterministic: inner-join matches emit
+    // immediately (no watermark wait), so the output equals the batch
+    // join — which is exactly what the oracle replays. Inner (not outer)
+    // is deliberate: outer emission depends on watermark advancement
+    // across batches, undefined for a one-batch bounded run. The memory
+    // sink is the harness side only; production writes a real sink.
+    "q103_stream_interval_join" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = graft.streaming.StreamOps.readStream(s, Tables.path(d, "events"))
+          .withColumn("ts", timestamp_micros(Tables.nanosToMicrosExpr("ts")))
+        val clicks = raw.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = raw.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "2 hours")
+        val joined = graft.streaming.StreamOps.intervalJoin(
+          clicks, purchases, "user_id", "p_user", "click_ts", "p_ts", "1 hour")
+        graft.streaming.StreamOps.runToBatch(s, joined, "append")
+          .groupBy("click_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            Stats.decimalSum(col("p_value")).as("attributed_value"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT click_id, count(*) AS n_purchases,
+             |  CAST(SUM(CAST(p_value AS DECIMAL(38,4))) AS DOUBLE)
+             |    AS attributed_value
+             |FROM c JOIN p ON p_user = user_id
+             |  AND p_ts >= click_ts AND p_ts <= click_ts + INTERVAL 1 HOUR
+             |GROUP BY click_id ORDER BY click_id""".stripMargin)),
+
+    // transformWithState (MapState) through the REAL streaming engine
+    // with the RocksDB state store: per-user running event-type counts,
+    // update-mode output over a bounded one-batch stream = final state,
+    // which the oracle rebuilds relationally. The processor renders its
+    // map as sorted "type=n" strings (UTF8String binary order == DuckDB's
+    // binary varchar collation on this ASCII alphabet); the final
+    // projection joins them to one scalar per user (output contract).
+    "q104_stream_tws_counts" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.streaming.StreamOps.withRocksDbStateStore(s) {
+          val stream = graft.streaming.StreamOps.readStream(s, Tables.path(d, "events"))
+          graft.streaming.StreamOps.runToBatch(s,
+            graft.streaming.StreamOps.eventTypeCountsTws(stream), "update")
+        }
+          .select(col("user_id"), array_join(col("counts"), ",").as("type_counts"))
+          .orderBy("user_id")
+      },
+      Some("""WITH pc AS (SELECT user_id, event_type || '=' || count(*) AS s
+             |            FROM events GROUP BY user_id, event_type)
+             |SELECT user_id, string_agg(s, ',' ORDER BY s) AS type_counts
+             |FROM pc GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // As-of join: each click paired with the user's most recent purchase
     // at-or-before it, via the NATIVE whole-operator path (custom
     // AsOfJoinNode logical plan -> AsOfJoinStrategy -> streaming
@@ -1295,5 +1360,53 @@ object LlmQueries {
               |  FROM pk a JOIN pk b ON a.f = b.f AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2 HAVING count(*) >= 2)
               |SELECT id_a, id_b, shared_fps FROM pairs
-              |ORDER BY shared_fps DESC, id_a, id_b LIMIT 50""".stripMargin)))
+              |ORDER BY shared_fps DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
+    // INCREMENTAL winnow-fingerprint near-dup through the persisted
+    // index (the q102 computation as an ingest-time operation, like
+    // q87's exact path and the MinHash index): history (doc_id < 250)
+    // is indexed once, the new batch joins its postings against it, and
+    // the df stop-fingerprint cutoff is evaluated over index ∪ batch —
+    // so the oracle is simply the FULL-corpus run restricted to pairs
+    // touching the batch, with identical shared_fps counts. Parity is
+    // exact by construction, not sampled (WinnowIndexSpec pins it too).
+    "q105_winnow_incremental" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q105-wnidx").toString
+        val all = docs(s, d)
+        graft.llm.WinnowIndex.build(
+          all.filter(col("doc_id") < 250), s"$dir/idx", "doc_id", "text")
+        graft.llm.WinnowIndex.incrementalPairs(
+            s, s"$dir/idx", all.filter(col("doc_id") >= 250), "doc_id", "text")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |sets AS (SELECT doc_id,
+              |    CASE WHEN len(t) < 3 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 1),
+              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |    END AS sh
+              |  FROM tok),
+              |hs AS (SELECT doc_id, list_transform(sh, s ->
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |        list_transform(range(1, len(s)+1),
+              |          i -> CAST(ascii(s[i]) AS BIGINT))),
+              |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS h
+              |  FROM sets),
+              |fp AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(h) - 3, 1) + 1),
+              |    j -> list_min(h[j : j + 3]))) AS fps
+              |  FROM hs),
+              |post AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+              |keep AS (SELECT f FROM post GROUP BY f HAVING count(*) <= 50),
+              |pk AS (SELECT p.doc_id, p.f FROM post p JOIN keep k ON p.f = k.f),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    count(*) AS shared_fps
+              |  FROM pk a JOIN pk b ON a.f = b.f AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2)
+              |SELECT id_a, id_b, shared_fps FROM pairs
+              |WHERE id_a >= 250 OR id_b >= 250
+              |ORDER BY id_a, id_b""".stripMargin)))
 }
