@@ -28,6 +28,37 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Style gate (reference parity: scalastyle runs inside `sbt test` there;
+// the plugin can't resolve in this zero-egress env, so the same rules —
+// no tabs, no trailing whitespace, max line 160 — run as a plain task).
+// File length 800 is warning-level in the reference config and stays a
+// warning here (the query registries legitimately exceed it).
+val lintCheck = taskKey[Unit]("dependency-free scalastyle-equivalent checks")
+lintCheck := {
+  val log = streams.value.log
+  val roots = Seq((Compile / scalaSource).value, (Test / scalaSource).value)
+  val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+  roots.filter(_.exists).foreach { root =>
+    (root ** "*.scala").get.foreach { f =>
+      val lines = IO.readLines(f)
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("\t")) errors += s"$f:${i + 1}: tab character"
+        if (l != l.replaceAll("[ \t]+$", ""))
+          errors += s"$f:${i + 1}: trailing whitespace"
+        if (l.length > 160) errors += s"$f:${i + 1}: line length ${l.length} > 160"
+      }
+      if (lines.length > 800)
+        log.warn(s"$f: ${lines.length} lines > 800 (style warning)")
+    }
+  }
+  if (errors.nonEmpty) {
+    errors.foreach(e => log.error(e))
+    sys.error(s"lintCheck: ${errors.size} style violation(s)")
+  }
+}
+// the reference wires scalastyle into `sbt test`; mirror that
+Test / test := ((Test / test) dependsOn lintCheck).value
+
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
