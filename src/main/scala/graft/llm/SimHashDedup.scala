@@ -65,23 +65,26 @@ object SimHashDedup {
     *               than this before the self-join; bounds worst-case join
     *               fan-out at maxBucketSize² per bucket. 0 = no cap.
     */
-  def candidatePairs(
+  /** One row per (document, combo key): `(id, simhash, combo, bkey)` —
+    * the multi-index banding table [[candidatePairs]] self-joins and
+    * [[SimHashIndex]] persists. Each key hashes the combo id with the
+    * chosen blocks' values, so each multi-index join key is a single
+    * long drawn from the full combined block width
+    * (~(blocks-radius) * 64/blocks bits).
+    */
+  def bandKeys(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       radius: Int = 3,
-      blocks: Int = 6,
-      maxBucketSize: Long = 100000L): DataFrame = {
+      blocks: Int = 6): DataFrame = {
     require(radius >= 0, "radius must be non-negative")
     require(blocks > radius, "banding is only complete for radius < blocks")
     require(blocks <= 64, "at most one block per signature bit")
     val ranges = blockRanges(blocks)
     val combos = combinations(blocks, blocks - radius)
     val sig = signatures(docs, idCol, textCol)
-    // one row per (combo, key): key hashes the combo id with the chosen
-    // blocks' values, so each multi-index join key is a single long drawn
-    // from the full combined block width (~(blocks-radius) * 64/blocks bits)
-    val keyed = sig.select(
+    sig.select(
       col("id"), col("simhash"),
       posexplode(array(combos.zipWithIndex.map { case (combo, ci) =>
         val parts = combo.map { b =>
@@ -93,6 +96,16 @@ object SimHashDedup {
         }
         xxhash64((lit(ci) +: parts): _*)
       }: _*)).as(Seq("combo", "bkey")))
+  }
+
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      radius: Int = 3,
+      blocks: Int = 6,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val keyed = bandKeys(docs, idCol, textCol, radius, blocks)
     val capped = graft.operators.BucketCaps.capBuckets(
       keyed, Seq(col("combo"), col("bkey")), maxBucketSize)
     capped.as("l")

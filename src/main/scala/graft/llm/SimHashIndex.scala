@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SimHash multi-index — Hamming-radius near-dup detection as
+  * an INCREMENTAL operation, completing the persisted-index tier
+  * ([[MinHashIndex]] Jaccard, [[WinnowIndex]] shared spans,
+  * [[IvfIndex]] ANN, this Hamming).
+  *
+  * The index is the corpus's banding table `(id, simhash, combo, bkey)`
+  * ([[SimHashDedup.bandKeys]] — Manku multi-index combos). A new batch
+  * generates its own keys, joins the index (new-vs-old) and itself
+  * (new-vs-new), and candidates are verified exactly: by `bit_count`
+  * Hamming distance (pure SimHash semantics) or by shingle Jaccard
+  * (no-false-positive dedup). Storing the signature IN the index means
+  * verification of new-vs-old candidates never touches old text for the
+  * Hamming form — one long per historical doc.
+  *
+  * Recall carries over from the full-corpus operator unchanged: the
+  * pigeonhole guarantee is per-pair (a pair within `radius` collides on
+  * some combo key no matter which batch each side arrived in), so
+  * incremental results equal the full run's batch-touching slice
+  * (pinned in SimHashIndexSpec). Hot-bucket caps apply per written
+  * batch, same caveat as [[MinHashIndex]]: [[cappedBucketReport]]
+  * surfaces when cross-batch occupancy breaks that equivalence.
+  */
+object SimHashIndex {
+
+  /** Write the banding index for an initial corpus (overwrites). */
+  def build(
+      docs: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String,
+      radius: Int = 3,
+      blocks: Int = 6,
+      maxBucketSize: Long = 100000L): Unit =
+    graft.operators.BucketCaps.capBuckets(
+        SimHashDedup.bandKeys(docs, idCol, textCol, radius, blocks),
+        Seq(col("combo"), col("bkey")), maxBucketSize)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's band keys (call AFTER deduping the batch
+    * against the index).
+    */
+  def append(
+      docs: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String,
+      radius: Int = 3,
+      blocks: Int = 6,
+      maxBucketSize: Long = 100000L): Unit =
+    graft.operators.BucketCaps.capBuckets(
+        SimHashDedup.bandKeys(docs, idCol, textCol, radius, blocks),
+        Seq(col("combo"), col("bkey")), maxBucketSize)
+      .write.mode("append").parquet(path)
+
+  /** Candidate pairs INVOLVING the new batch, with exact Hamming
+    * distances: new-vs-indexed plus new-vs-new. Returns
+    * `(id_a, id_b, hamming)` with `id_a < id_b`.
+    */
+  def incrementalCandidates(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      radius: Int = 3,
+      blocks: Int = 6,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val newKeys = graft.operators.BucketCaps.capBuckets(
+      SimHashDedup.bandKeys(newDocs, idCol, textCol, radius, blocks),
+      Seq(col("combo"), col("bkey")), maxBucketSize)
+    val oldKeys = spark.read.parquet(path)
+    val newVsOld = newKeys.as("n")
+      .join(oldKeys.as("o"),
+        col("n.combo") === col("o.combo") && col("n.bkey") === col("o.bkey") &&
+          col("n.id") =!= col("o.id"))
+      .select(least(col("n.id"), col("o.id")).as("id_a"),
+        greatest(col("n.id"), col("o.id")).as("id_b"),
+        bit_count(col("n.simhash").bitwiseXOR(col("o.simhash"))).as("hamming"))
+    val newVsNew = newKeys.as("l")
+      .join(newKeys.as("r"),
+        col("l.combo") === col("r.combo") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    newVsOld.unionByName(newVsNew).distinct()
+  }
+
+  /** Pairs involving the batch within `radius` Hamming distance — pure
+    * SimHash semantics; old-side verification uses only the indexed
+    * signature, never historical text.
+    */
+  def incrementalNearDupPairs(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      radius: Int = 3,
+      blocks: Int = 6,
+      maxBucketSize: Long = 100000L): DataFrame =
+    incrementalCandidates(spark, path, newDocs, idCol, textCol,
+        radius, blocks, maxBucketSize)
+      .filter(col("hamming") <= radius)
+
+  /** Banding candidates with exact shingle-Jaccard verification against
+    * `allDocs` (must cover batch and indexed ids — Jaccard needs text).
+    */
+  def incrementalNearDupPairsJaccard(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      allDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      radius: Int = 5,
+      blocks: Int = 8,
+      shingleWords: Int = 3,
+      maxBucketSize: Long = 100000L): DataFrame =
+    JaccardVerify.verify(
+      incrementalCandidates(spark, path, newDocs, idCol, textCol,
+        radius, blocks, maxBucketSize),
+      allDocs, idCol, textCol, threshold, shingleWords)
+
+  /** Buckets whose cross-batch occupancy exceeds the per-batch cap —
+    * the incremental-vs-full divergence signal (see [[MinHashIndex]]).
+    */
+  def cappedBucketReport(
+      spark: SparkSession,
+      path: String,
+      maxBucketSize: Long = 100000L): DataFrame =
+    graft.operators.BucketCaps.overflowBuckets(
+      spark.read.parquet(path), Seq(col("combo"), col("bkey")), maxBucketSize)
+}

@@ -1408,5 +1408,32 @@ object LlmQueries {
               |  GROUP BY 1, 2 HAVING count(*) >= 2)
               |SELECT id_a, id_b, shared_fps FROM pairs
               |WHERE id_a >= 250 OR id_b >= 250
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // INCREMENTAL SimHash near-dup through the persisted banding index
+    // (q28's operator as an ingest-time operation): history is banded
+    // once, the new batch joins the index on combo keys, candidates are
+    // exact-Jaccard verified. The pigeonhole recall guarantee is
+    // per-pair — which batch each side arrived in is irrelevant — so the
+    // result is exactly the full-corpus q28 pair set restricted to pairs
+    // touching the batch, and the oracle is the shared exact-Jaccard CTE
+    // chain with that restriction (SimHashIndexSpec pins both the
+    // Hamming and Jaccard forms against their full runs).
+    "q106_simhash_incremental" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q106-shidx").toString
+        val all = docs(s, d)
+        graft.llm.SimHashIndex.build(
+          all.filter(col("doc_id") < 250), s"$dir/idx", "doc_id", "text",
+          radius = 5, blocks = 8)
+        graft.llm.SimHashIndex.incrementalNearDupPairsJaccard(
+            s, s"$dir/idx", all.filter(col("doc_id") >= 250), all,
+            "doc_id", "text", threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $jaccardPairsCtes
+              |SELECT id_a, id_b, jaccard FROM sc
+              |WHERE jaccard >= 0.5 AND (id_a >= 250 OR id_b >= 250)
               |ORDER BY id_a, id_b""".stripMargin)))
 }
