@@ -16,17 +16,22 @@ import org.apache.spark.sql.SparkSession
   * page faults); diagnostics for every pass go to stderr so the overhead
   * remains visible (`[bench] <query> <wall>s gc=… jit=… janino=…`).
   *
-  * == Sharded execution ==
-  * A 100+-query suite in ONE JVM saturates the JIT code cache with
-  * generated classes: late queries read 2-4x slower in the suite than in
-  * isolation (measured: one simhash query 10.2 s in-suite vs 4.1 s alone)
-  * — an artifact of the harness, not the plans. The full run therefore
-  * shards the suite into chunks of SPARK_GRAFT_BENCH_CHUNK (default 16)
-  * queries, each timed in a freshly forked child JVM (same classpath and
-  * JVM flags as the parent), so every chunk gets a cold code cache and
-  * suite entries track plan cost. Chunks fall back to in-process timing
-  * if forking fails, so a bench run always completes. `SPARK_GRAFT_ONLY`
-  * runs (iteration / adjudicating one query) stay single-JVM in-process.
+  * == Sharded execution (opt-in) ==
+  * A 100+-query suite in ONE JVM accumulates generated classes and can
+  * inflate individual late entries under code-cache pressure (measured:
+  * one simhash query 10.2 s in-suite vs 4.1 s alone). Setting
+  * SPARK_GRAFT_BENCH_CHUNK=N shards the suite into N-query chunks, each
+  * timed in a freshly forked child JVM (same classpath and JVM flags),
+  * bounding per-JVM class volume. Measured on this suite, that trade is
+  * NET-NEGATIVE as a default: a fresh JVM is cold for Spark-core JIT and
+  * stays cold through min-of-2 passes (an iterative CC query: 2.4 s warm
+  * suite, 9.9 s fresh JVM with 25 s of background JIT still running in
+  * pass 2), so a chunked full run measured 181 s vs ~95 s single-JVM —
+  * uniform ~1.8x cold-start inflation swamps the few entries code-cache
+  * pressure helps. Default is therefore 0 (single JVM, 1g code cache);
+  * use chunking to ADJUDICATE whether a specific suite entry is plan
+  * cost or cache contention. Chunks fall back to in-process timing if
+  * forking fails. `SPARK_GRAFT_ONLY` runs stay single-JVM in-process.
   *
   * == Output contract ==
   * The result-harness side captures a bounded tail of stdout, and the
@@ -150,7 +155,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "16").toInt
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "0").toInt
 
     val results: Seq[(String, Double)] =
       if (isChild) {

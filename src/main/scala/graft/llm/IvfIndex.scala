@@ -47,6 +47,32 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_model")
   }
 
+  /** Append a new vector batch to an existing index: assign against the
+    * STORED codebook (no retraining — the codebook is the index's
+    * contract; all cell boundaries stay fixed) and append into the
+    * hive-partitioned cell layout. A search over build(A) + append(B)
+    * is therefore IDENTICAL to one over an index built from A ∪ B with
+    * the same codebook — assignment depends only on (vector, codebook)
+    * (pinned in IvfIndexSpec). Retrain + rebuild when drift between the
+    * codebook and the grown corpus degrades recall; [[loadCentroids]] +
+    * [[Clustering.trainCentroids]] make that an offline decision, not
+    * an ingest-path one.
+    */
+  def append(
+      emb: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val cents = loadCentroids(spark, path)
+    require(cents.nonEmpty, s"no codebook under $path/_model")
+    val assigned = emb.select(col(idCol), col(vecCol),
+      Clustering.nearest(Clustering.quantize(col(vecCol)), cents)
+        .getField("c").cast("int").as("cell"))
+    PartitionedSink.writePartitioned(assigned, path, Seq("cell"),
+      mode = "append")
+  }
+
   /** The codebook back from the sidecar (k rows to the driver — the
     * model, not the data).
     */

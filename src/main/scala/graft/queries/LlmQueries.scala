@@ -1435,5 +1435,51 @@ object LlmQueries {
       Some(s"""WITH $jaccardPairsCtes
               |SELECT id_a, id_b, jaccard FROM sc
               |WHERE jaccard >= 0.5 AND (id_a >= 250 OR id_b >= 250)
-              |ORDER BY id_a, id_b""".stripMargin)))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // PII detection + redaction — the scrubbing pass every training-data
+    // pipeline runs before anything else sees the text. The corpus is
+    // synthetic (no real PII), so deterministic email/phone strings are
+    // INJECTED from doc_id first on both engines, then detected
+    // (regexp_extract_all count) and redacted (global regexp_replace) —
+    // the operator is exercised against known-positive text, not
+    // vacuously green on a clean corpus. Patterns stay inside the
+    // Java-regex / RE2 common subset; DuckDB needs the 'g' flag where
+    // Spark's regexp_replace is global by default.
+    "q107_pii_redaction" -> Q(
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        val withPii = docs(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@example.com or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+            .as("txt"))
+        // function form, not expr(): a SQL string literal would re-process
+        // the regex's backslash escapes ('\+' collapses to a dangling '+')
+        withPii.select(
+            col("doc_id"),
+            size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
+              .cast("long").as("n_phones"),
+            regexp_replace(
+              regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    text || ' contact u' || doc_id || '@example.com or +1-555-' ||
+             |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(txt,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(txt, '\+1-555-[0-9]{4}', 0)) AS BIGINT)
+             |    AS n_phones,
+             |  regexp_replace(regexp_replace(txt,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM w ORDER BY doc_id""".stripMargin)))
 }

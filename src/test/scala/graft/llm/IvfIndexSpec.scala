@@ -42,6 +42,30 @@ class IvfIndexSpec extends AnyFunSuite {
       s"no DPP on the cell partition column:\n$plan")
   }
 
+  test("append assigns against the stored codebook: search == one-shot build") {
+    val oldEmb = emb.filter(col("vec_id") < 400)
+    val newEmb = emb.filter(col("vec_id") >= 400)
+    // incremental: codebook trained on the OLD corpus only, batch appended
+    val incDir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    IvfIndex.build(oldEmb, incDir, k = 8, iters = 1)
+    IvfIndex.append(newEmb, incDir)
+    // reference: the same codebook assigning the union in one shot —
+    // rebuilt by hand (build() would retrain on the union)
+    val cents = IvfIndex.loadCentroids(spark, incDir)
+    val refDir = java.nio.file.Files.createTempDirectory("graft-ivf-ref").toString
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      Clustering.nearest(Clustering.quantize(col("embedding")), cents)
+        .getField("c").cast("int").as("cell"))
+    graft.sources.PartitionedSink.writePartitioned(assigned, refDir, Seq("cell"))
+    spark.read.parquet(s"$incDir/_model").write.mode("overwrite")
+      .parquet(s"$refDir/_model")
+    def res(dir: String) = IvfIndex.search(spark, dir, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(res(incDir) == res(refDir))
+    // appended rows really landed in the cell layout
+    assert(spark.read.parquet(incDir).count() == emb.count())
+  }
+
   test("nprobe=1 is deterministic and returns at most k rows per query") {
     val a = IvfIndex.search(spark, indexDir, queries, k = 3, nprobe = 1)
       .collect().map(_.toSeq).toSeq
