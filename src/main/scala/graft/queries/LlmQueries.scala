@@ -1481,5 +1481,55 @@ object LlmQueries {
              |  regexp_replace(regexp_replace(txt,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
-             |FROM w ORDER BY doc_id""".stripMargin)))
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // Malformed-record robustness: ingest JSON where a deterministic
+    // subset (event_id % 7 = 0) is truncated mid-object, parse
+    // PERMISSIVEly with an explicit corrupt-record column (from_json
+    // never fails a task: a malformed row surfaces as all-null data
+    // fields plus the raw text in the corrupt column), and account for
+    // every record: corrupt counts, valid counts, and an aggregate over
+    // only the valid rows. The dirty input is built identically on both
+    // engines; DuckDB gates extraction on json_valid. The accounting
+    // shape (total = valid + corrupt per group) is the invariant a
+    // 100 TB ingest pipeline alarms on.
+    "q108_json_corrupt" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val js = when(pmod(col("event_id"), lit(7)) === 0,
+            concat(lit("{\"u\":"), col("user_id"), lit(",")))
+          .otherwise(concat(lit("{\"u\":"), col("user_id"),
+            lit(",\"t\":\""), col("event_type"), lit("\"}")))
+        val schema = org.apache.spark.sql.types.StructType
+          .fromDDL("u LONG, t STRING, _corrupt STRING")
+        ev.select(col("event_type"), js.as("js"))
+          .select(col("event_type"),
+            from_json(col("js"), schema,
+              Map("columnNameOfCorruptRecord" -> "_corrupt")).as("p"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("p._corrupt").isNotNull, 1L).otherwise(0L))
+              .as("n_corrupt"),
+            sum(when(col("p._corrupt").isNull, 1L).otherwise(0L))
+              .as("n_valid"),
+            sum(when(col("p._corrupt").isNull, col("p.u"))).as("sum_valid_u"))
+          .orderBy("event_type")
+      },
+      Some("""WITH w AS (SELECT event_type,
+             |    CASE WHEN event_id % 7 = 0
+             |         THEN '{"u":' || user_id || ','
+             |         ELSE '{"u":' || user_id || ',"t":"' || event_type || '"}'
+             |    END AS js
+             |  FROM events)
+             |SELECT event_type,
+             |  count(*) AS n_events,
+             |  CAST(sum(CASE WHEN NOT json_valid(js) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_corrupt,
+             |  CAST(sum(CASE WHEN json_valid(js) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_valid,
+             |  CAST(sum(CASE WHEN json_valid(js)
+             |       THEN CAST(json_extract_string(js, '$.u') AS BIGINT) END) AS BIGINT)
+             |    AS sum_valid_u
+             |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -187,6 +187,39 @@ class PlanSpec extends AnyFunSuite {
       Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R").count())
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the runtime half of the skew story (SaltedJoin/SkewedAgg are the
+    // manual half): one hot key dominates the left side, and with
+    // realistic-ratio thresholds scaled down to fixture size, AQE must
+    // mark and split the skewed partition in the final adaptive plan —
+    // at 100 TB this is what keeps one executor from absorbing a hot
+    // key's entire shuffle partition while 999 idle
+    import spark.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = spark.range(200000).select(lit(1L).as("k"), col("id").as("v"))
+      val cold = spark.range(31).select((col("id") + 2).as("k"), col("id").as("v"))
+      val left = hot.union(cold)
+      val right = spark.range(40).select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skewed in:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan->aggregate path (q04)") {
     // AQE's pre-execution explain hides codegen stages, and df.write spawns
     // a separate queryExecution — collect() drives THIS one to its final
