@@ -15,6 +15,43 @@ class StreamOpsSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("dedup state survives a query RESTART from its checkpoint (exactly-once resume)") {
+    // batch 1 establishes dedup state, the query STOPS, batch 2 arrives
+    // containing re-sends of batch-1 keys, and a NEW query instance
+    // resumes from the same checkpointLocation: the re-sent keys must be
+    // dropped by RESTORED state, not re-emitted. This is the property a
+    // 100 TB ingest pipeline leans on across every deploy/crash — a
+    // memory-sink processAllAvailable run never exercises it.
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("k LONG, v STRING")
+        .parquet(src)
+        .dropDuplicates("k")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    Seq((2L, "b-again"), (3L, "c-again"), (4L, "d")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val got = spark.read.parquet(out).select("k", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L),
+      s"each key exactly once across the restart, got ${got.mkString(",")}")
+    // the duplicates dropped were the RE-SENT payloads: 2/3 keep batch-1 values
+    assert(got.toMap == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
   test("windowedEventStats: streaming result equals batch result") {
     val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
