@@ -1531,5 +1531,37 @@ object LlmQueries {
              |  CAST(sum(CASE WHEN json_valid(js)
              |       THEN CAST(json_extract_string(js, '$.u') AS BIGINT) END) AS BIGINT)
              |    AS sum_valid_u
-             |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Map higher-order functions (q74 covers the array lambdas, q78 the
+    // map basics): transform_values, map_filter, transform_keys,
+    // map_zip_with — all executed inside the engine on a per-row map.
+    // Arithmetic sticks to binary-exact ops (/16, *2, +) so every
+    // extracted scalar is bit-identical across engines with no rounding
+    // hazard; the oracle replays the SEMANTICS of each lambda as plain
+    // arithmetic. Final projection is scalar-only as usual.
+    "q109_map_lambdas" -> Q(
+      (s, d) => {
+        val m = map(lit("base"), col("o_totalprice"),
+          lit("tax"), col("o_totalprice") / 16)
+        Tables.orders(s, d).select(
+            col("o_orderkey"),
+            element_at(transform_values(m, (_, v) => v * 2), "tax")
+              .as("tax_x2"),
+            size(map_filter(m, (_, v) => v > 100000.0)).cast("long")
+              .as("n_big"),
+            array_join(map_keys(transform_keys(m, (k, _) => upper(k))), ",")
+              .as("keys_upper"),
+            element_at(map_zip_with(m, m, (_, v1, v2) => v1 + v2), "base")
+              .as("base_sum"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  (o_totalprice / 16) * 2 AS tax_x2,
+             |  CAST((CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN o_totalprice / 16 > 100000.0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_big,
+             |  'BASE,TAX' AS keys_upper,
+             |  o_totalprice + o_totalprice AS base_sum
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
 }
