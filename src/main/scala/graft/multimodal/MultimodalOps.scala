@@ -58,11 +58,100 @@ object MultimodalOps {
 
   /** STUB "resize": a real kernel would transform pixels; the plumbing
     * (binary in, binary out, new dims in metadata) is what's exercised.
+    * For DECODED payloads the real kernel exists — [[resizeRawRgb]].
     */
   def resizeStub(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame =
     df.withColumn("resized_width", lit(w))
       .withColumn("resized_height", lit(h))
       .withColumn("resized_media", col(mediaCol)) // STUB: identity payload
+
+  // ---------------------------------------------------------------------
+  // Raw-bitmap kernels — REAL pixel math, codec-free. Once a decoder has
+  // produced raw RGB888 (3 bytes/pixel, row-major), everything below is
+  // the actual production path, not a stub: deterministic synthesis for
+  // tests, nearest-neighbor resize, per-channel statistics.
+  // ---------------------------------------------------------------------
+
+  case class RawImage(id: Long, width: Int, height: Int, pixels: Array[Byte])
+  case class ResizedImage(id: Long, width: Int, height: Int, pixels: Array[Byte])
+  case class ChannelStats(id: Long, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic synthetic RGB888 bitmap (the "already decoded" stand-in:
+    * a real pipeline gets these bytes from the codec).
+    */
+  def synthBitmap(id: Long, w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        px(base) = ((id * 31 + x * 7 + y * 13) & 0xff).toByte
+        px(base + 1) = ((id * 17 + x * 3 + y * 11) & 0xff).toByte
+        px(base + 2) = ((id * 23 + x * 5 + y * 19) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Nearest-neighbor resample of one raw RGB888 buffer (floor mapping
+    * sx = x*sw/tw — the standard NN kernel, exact integer arithmetic).
+    */
+  def resizeNearestKernel(
+      src: Array[Byte], sw: Int, sh: Int, tw: Int, th: Int): Array[Byte] = {
+    require(src.length == sw * sh * 3, s"expected ${sw * sh * 3} bytes, got ${src.length}")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * sh / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * sw / tw).toInt
+        val s = (sy * sw + sx) * 3
+        val t = (y * tw + x) * 3
+        out(t) = src(s); out(t + 1) = src(s + 1); out(t + 2) = src(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Distributed NN resize: binary in, binary out, new dims alongside —
+    * batched per partition like [[decodeBatched]] (per-batch setup cost
+    * amortized; memory bounded by one batch of pixels per task).
+    */
+  def resizeRawRgb(ds: Dataset[RawImage], tw: Int, th: Int,
+      batchSize: Int = 64): Dataset[ResizedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { img =>
+        ResizedImage(img.id, tw, th,
+          resizeNearestKernel(img.pixels, img.width, img.height, tw, th))
+      })
+    }
+  }
+
+  /** Per-channel means over raw RGB888 — the feature-extraction shape
+    * (image → embedding-ish vector) on real bytes.
+    */
+  def channelStats(ds: Dataset[RawImage]): Dataset[ChannelStats] = {
+    import ds.sparkSession.implicits._
+    ds.map { img =>
+      var (r, g, b) = (0L, 0L, 0L)
+      var i = 0
+      while (i < img.pixels.length) {
+        r += img.pixels(i) & 0xff
+        g += img.pixels(i + 1) & 0xff
+        b += img.pixels(i + 2) & 0xff
+        i += 3
+      }
+      val n = (img.pixels.length / 3).toDouble
+      ChannelStats(img.id, r / n, g / n, b / n)
+    }
+  }
 
   /** Frame sampling: one output row per sampled frame index — pure
     * expression (`sequence` + `explode`), so sampling N frames from a

@@ -1563,5 +1563,32 @@ object LlmQueries {
              |    AS BIGINT) AS n_big,
              |  'BASE,TAX' AS keys_upper,
              |  o_totalprice + o_totalprice AS base_sum
-             |FROM orders ORDER BY o_orderkey""".stripMargin)))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Image feature extraction over RAW RGB888 bytes — the multimodal
+    // tier's oracle row: per-doc bitmaps are synthesized AS BYTES on the
+    // executors (the post-decode form a codec hands over), the per-channel
+    // mean kernel walks the actual byte buffer in a typed map, and the
+    // oracle replays the whole thing relationally because the synthesis
+    // pattern is modular arithmetic ((id*31 + 7x + 13y) mod 256 etc.).
+    // Sum-of-ints / 192.0 is one exact IEEE division on both engines.
+    "q110_image_channel_stats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.MultimodalOps
+        val imgs = docs(s, d).select(col("doc_id")).as[Long]
+          .map(id => MultimodalOps.RawImage(id, 16, 12,
+            MultimodalOps.synthBitmap(id, 16, 12)))
+        MultimodalOps.channelStats(imgs)
+          .toDF()
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT d.doc_id, x.x, y.y
+             |  FROM documents d, range(0, 16) x(x), range(0, 12) y(y))
+             |SELECT doc_id,
+             |  CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE)/192.0 AS mean_r,
+             |  CAST(sum((doc_id*17 + x*3 + y*11) % 256) AS DOUBLE)/192.0 AS mean_g,
+             |  CAST(sum((doc_id*23 + x*5 + y*19) % 256) AS DOUBLE)/192.0 AS mean_b
+             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -43,4 +43,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == Seq(0, 3, 6, 9))
     assert(out(2L) == Seq(0))
   }
+
+  test("resizeNearestKernel: identity at same dims; floor-mapped picks at 2x down") {
+    import graft.multimodal.MultimodalOps._
+    val src = synthBitmap(7L, 4, 4)
+    assert(resizeNearestKernel(src, 4, 4, 4, 4).sameElements(src))
+    val half = resizeNearestKernel(src, 4, 4, 2, 2)
+    assert(half.length == 2 * 2 * 3)
+    // NN with floor mapping: target (x,y) reads source (2x,2y)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3) {
+      val s = ((2 * y) * 4 + 2 * x) * 3 + c
+      val t = (y * 2 + x) * 3 + c
+      assert(half(t) == src(s), s"pixel ($x,$y,$c)")
+    }
+  }
+
+  test("resizeRawRgb + channelStats run distributed over raw bitmaps") {
+    import graft.multimodal.MultimodalOps._
+    import spark.implicits._
+    val imgs = spark.createDataset(
+      (0L until 50L).map(i => RawImage(i, 16, 12, synthBitmap(i, 16, 12))))
+      .repartition(8)
+    val resized = resizeRawRgb(imgs, 8, 6).collect()
+    assert(resized.length == 50)
+    assert(resized.forall(r => r.pixels.length == 8 * 6 * 3))
+    // per-image parity with the local kernel (distributed == local)
+    val local = resizeNearestKernel(synthBitmap(3L, 16, 12), 16, 12, 8, 6)
+    assert(resized.find(_.id == 3L).get.pixels.sameElements(local))
+    // constant image: means survive resize exactly
+    val const = RawImage(99L, 10, 10, Array.fill(10 * 10 * 3)(0x40.toByte))
+    val cs = channelStats(spark.createDataset(Seq(const))).collect().head
+    assert(cs.mean_r == 64.0 && cs.mean_g == 64.0 && cs.mean_b == 64.0)
+    val csResized = channelStats(spark.createDataset(
+      resizeRawRgb(spark.createDataset(Seq(const)), 5, 5).collect().toSeq
+        .map(r => RawImage(r.id, r.width, r.height, r.pixels))))
+      .collect().head
+    assert(csResized.mean_r == 64.0)
+  }
 }
