@@ -153,6 +153,54 @@ object MultimodalOps {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Raw-PCM kernels — the audio analog of the bitmap path: 16-bit
+  // signed little-endian samples in a binary column, decoded and
+  // feature-extracted with real byte math.
+  // ---------------------------------------------------------------------
+
+  case class RawAudio(id: Long, pcm: Array[Byte])
+  case class AudioFeatures(
+      id: Long, n_samples: Long, mean_square: Double,
+      zero_crossings: Long, peak: Long)
+
+  /** Deterministic synthetic 16-bit LE PCM clip (decoder-output stand-in). */
+  def synthPcm(id: Long, nSamples: Int): Array[Byte] = {
+    val out = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((id * 7 + i.toLong * 3) % 512) - 256).toInt
+      out(i * 2) = (s & 0xff).toByte
+      out(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Energy (mean square — kept transcendental-free, unlike RMS), signed
+    * zero-crossing count, and peak magnitude per clip, decoding the
+    * 16-bit LE samples straight off the byte buffer. Sample squares are
+    * ≤ 2^30 and clips are task-bounded, so the sums stay double-exact.
+    */
+  def audioFeatures(ds: Dataset[RawAudio]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.map { a =>
+      val n = a.pcm.length / 2
+      var (sumSq, zc, peak) = (0L, 0L, 0L)
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = (((a.pcm(i * 2 + 1) & 0xff) << 8) | (a.pcm(i * 2) & 0xff)).toShort.toInt
+        sumSq += s.toLong * s
+        if (i > 0 && s * prev < 0) zc += 1
+        if (math.abs(s) > peak) peak = math.abs(s)
+        prev = s
+        i += 1
+      }
+      AudioFeatures(a.id, n.toLong, sumSq.toDouble / n, zc, peak)
+    }
+  }
+
   /** Frame sampling: one output row per sampled frame index — pure
     * expression (`sequence` + `explode`), so sampling N frames from a
     * video column never leaves codegen.

@@ -1590,5 +1590,36 @@ object LlmQueries {
              |  CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE)/192.0 AS mean_r,
              |  CAST(sum((doc_id*17 + x*3 + y*11) % 256) AS DOUBLE)/192.0 AS mean_g,
              |  CAST(sum((doc_id*23 + x*5 + y*19) % 256) AS DOUBLE)/192.0 AS mean_b
-             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Audio feature extraction over raw 16-bit LE PCM — q110's audio
+    // twin: clips synthesized AS BYTES on executors, samples decoded
+    // from the byte pairs in the kernel, energy (mean square — no
+    // transcendental), signed zero-crossings, peak magnitude. The
+    // synthesis is modular arithmetic so DuckDB replays the decode and
+    // every feature relationally (lag window for the crossings).
+    "q111_audio_features" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.MultimodalOps
+        val clips = docs(s, d).select(col("doc_id")).as[Long]
+          .map(id => MultimodalOps.RawAudio(id, MultimodalOps.synthPcm(id, 256)))
+        MultimodalOps.audioFeatures(clips)
+          .toDF()
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH smp AS (SELECT d.doc_id, i.i,
+             |    (d.doc_id*7 + i.i*3) % 512 - 256 AS s
+             |  FROM documents d, range(0, 256) i(i)),
+             |lagged AS (SELECT doc_id, i, s,
+             |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+             |  FROM smp)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(sum(s*s) AS DOUBLE)/256.0 AS mean_square,
+             |  CAST(sum(CASE WHEN ps IS NOT NULL AND s * ps < 0
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+             |  CAST(max(abs(s)) AS BIGINT) AS peak
+             |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

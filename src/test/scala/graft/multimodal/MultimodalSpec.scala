@@ -58,6 +58,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioFeatures decodes 16-bit LE PCM and computes hand-checked features") {
+    import graft.multimodal.MultimodalOps._
+    import spark.implicits._
+    // samples 100, -50, 0, 25, -75: crossings at (100,-50) and (25,-75)
+    // only — a zero sample never SIGNED-crosses; sumSq = 18750, peak 100
+    val samples = Seq(100, -50, 0, 25, -75)
+    val pcm = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val f = audioFeatures(spark.createDataset(Seq(RawAudio(1L, pcm))))
+      .collect().head
+    assert(f.n_samples == 5 && f.peak == 100L && f.zero_crossings == 2L)
+    assert(f.mean_square == 18750.0 / 5)
+    // distributed == local determinism over the synthetic clips
+    val many = audioFeatures(spark.createDataset(
+      (0L until 40L).map(i => RawAudio(i, synthPcm(i, 256)))).repartition(8))
+      .collect().map(a => a.id -> a).toMap
+    val one = audioFeatures(spark.createDataset(
+      Seq(RawAudio(7L, synthPcm(7L, 256))))).collect().head
+    assert(many(7L) == one)
+  }
+
   test("resizeRawRgb + channelStats run distributed over raw bitmaps") {
     import graft.multimodal.MultimodalOps._
     import spark.implicits._
