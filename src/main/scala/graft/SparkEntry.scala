@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, ExtendedQueries, LlmQueries}
+import graft.queries.{CoreQueries, ExtendedQueries, LakehouseQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries.queries("q17_top_items").fn(spark, "/root/testdata/sf0.001")
 
   private def allQueries =
-    CoreQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries
+    CoreQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries ++
+      LakehouseQueries.queries
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * training-data-pipeline tier (dedup / text analysis / similarity). */

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.llm.{DatasetSplit, SequencePack}
+import graft.operators.{Anomaly, BloomJoin, ChangeCapture, Runs, Stats}
+
+/** Lakehouse change management + training-set assembly tier: CDC
+  * snapshot diff, MERGE upsert, deterministic dataset splits, sequence
+  * packing, rolling anomaly flags, run-collapse (SCD-2), and
+  * Bloom-prefiltered joins. The reference recomputes everything from
+  * full inputs on every run; this tier is the incremental/maintenance
+  * story a maintained 100 TB corpus needs. All DuckDB-oracle-checked;
+  * change inputs are synthesized deterministically from the corpus
+  * tables so both engines construct bit-identical scenarios.
+  */
+object LakehouseQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // CDC extract: diff two snapshots of orders. The "old" snapshot
+    // drops keys ≡0 (mod 7) (those become inserts), the "new" drops
+    // keys ≡0 (mod 5) (deletes) and bumps the price on keys ≡0 (mod 3)
+    // (updates); everything else is unchanged and must NOT appear.
+    // Row-level output with sentinel -1 for the absent side (final
+    // projection stays scalar and non-null — nullable sort keys order
+    // differently across engines).
+    "q112_snapshot_diff" -> Q(
+      (s, d) => {
+        val ords = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        val oldSnap = ords.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        val newSnap = ords.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(3)) === 0,
+              col("o_totalprice") + 100).otherwise(col("o_totalprice")))
+        ChangeCapture.diff(oldSnap, newSnap,
+            keys = Seq("o_orderkey"), compareCols = Seq("o_totalprice"))
+          .select(col("o_orderkey"), col("change"),
+            coalesce(col("old_o_totalprice"), lit(-1.0)).as("old_price"),
+            coalesce(col("new_o_totalprice"), lit(-1.0)).as("new_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH old AS (
+             |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |new AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+             |         ELSE o_totalprice END AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 5 <> 0)
+             |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+             |       WHEN n.o_orderkey IS NULL THEN 'delete'
+             |       ELSE 'update' END AS change,
+             |  coalesce(o.o_totalprice, -1) AS old_price,
+             |  coalesce(n.o_totalprice, -1) AS new_price
+             |FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+             |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+             |   OR o.o_totalprice <> n.o_totalprice
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // CDC apply: MERGE a synthesized changeset into customer — updates
+    // (keys ≡0 mod 4, +1000 balance), deletes (keys ≡0 mod 9; wins over
+    // update so ops stay one-per-key), inserts (fresh keys +1_000_000
+    // in a new segment). Result summarized per segment; the oracle
+    // replays the merge relationally. Balance sums go through DECIMAL
+    // (exact, order-independent).
+    "q113_merge_upsert" -> Q(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val upd = cust
+          .filter(pmod(col("c_custkey"), lit(4)) === 0 &&
+            pmod(col("c_custkey"), lit(9)) =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+          .withColumn("op", lit("U"))
+        val del = cust.filter(pmod(col("c_custkey"), lit(9)) === 0)
+          .withColumn("op", lit("D"))
+        val ins = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(
+            (col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("NEW#"), col("c_custkey").cast("string")).as("c_name"),
+            col("c_nationkey"),
+            lit(100.0).as("c_acctbal"),
+            lit("NEWSEG").as("c_mktsegment"),
+            lit("I").as("op"))
+        val changes = upd.unionByName(del).unionByName(ins)
+        ChangeCapture.merge(cust, changes, keys = Seq("c_custkey"), opCol = "op")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            Stats.decimalSum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH merged AS (
+             |  SELECT c_mktsegment,
+             |    CASE WHEN c_custkey % 4 = 0 AND c_custkey % 9 <> 0
+             |         THEN c_acctbal + 1000 ELSE c_acctbal END AS bal
+             |  FROM customer WHERE c_custkey % 9 <> 0
+             |  UNION ALL
+             |  SELECT 'NEWSEG' AS c_mktsegment, 100.0 AS bal
+             |  FROM customer WHERE c_custkey % 10 = 0)
+             |SELECT c_mktsegment, count(*) AS n_rows,
+             |  CAST(sum(CAST(bal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+             |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Deterministic train/val/test split: md5-bucketed assignment that
+    // is stable under repartitioning and appends (the property that
+    // keeps eval sets uncontaminated as a corpus grows). DuckDB replays
+    // the bucket arithmetic exactly ('0x'-cast ↔ conv base 16).
+    "q114_hash_split" -> Q(
+      (s, d) => DatasetSplit.assign(
+          Tables.documents(s, d), idCol = "doc_id", salt = "graft",
+          splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split"),
+      Some("""WITH b AS (SELECT n_chars,
+             |    CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2)
+             |         AS INT) AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 205 THEN 'train'
+             |            WHEN bucket < 230 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM b GROUP BY split ORDER BY split""".stripMargin)),
+
+    // Sequence packing (concat-and-split): docs laid out per source in
+    // doc_id order, prefix-summed whitespace token counts, pack =
+    // floor(startToken / budget); straddlers counted per pack. One
+    // window shuffle per group key — the parallel form trainers use.
+    "q115_sequence_pack" -> Q(
+      (s, d) => SequencePack.packs(
+          Tables.documents(s, d)
+            .withColumn("toks", TextFunctions.tokenCount(col("text"))),
+          groupCol = "source", orderCol = "doc_id", tokensCol = "toks",
+          budget = 512L)
+        .orderBy("source", "pack_id"),
+      Some("""WITH t AS (SELECT source, doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+             |  FROM documents),
+             |c AS (SELECT source, toks,
+             |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             |  FROM t)
+             |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS pack_id,
+             |  count(*) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN toks > 0 AND (cum - 1) // 512 != (cum - toks) // 512
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+             |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin)),
+
+    // Rolling z-score anomaly flags over per-user event sequences,
+    // evaluated in exact integer arithmetic ((n·x−S)² > τ²(nQ−S²)) so
+    // the flags are bit-deterministic across engines and reruns. Only
+    // rows with a full 8-event trailing baseline are scored.
+    "q116_rolling_anomaly" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("v", pmod(col("event_id"), lit(97)).cast("long"))
+        Anomaly.flag(ev, keyCol = "user_id",
+            orderCols = Seq("ts", "event_id"), valueCol = "v",
+            lookback = 8, tau = 3)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("n_base") === 8, 1L).otherwise(0L)).as("n_scored"),
+            sum(col("is_anomaly")).as("n_anomalies"))
+          .orderBy("event_type")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type, user_id, ts, event_id, event_id % 97 AS v
+             |  FROM events),
+             |w AS (SELECT event_type, v,
+             |    sum(v) OVER win AS s, sum(v*v) OVER win AS q,
+             |    count(v) OVER win AS n
+             |  FROM base
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN n = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+             |  CAST(sum(CASE WHEN n = 8
+             |       AND (n*v - s)*(n*v - s) > 9*(n*q - s*s)
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+             |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bloom-prefiltered exact semi-join: lineitem probed against
+    // high-value orders (~20% selective). The Bloom prefilter drops
+    // non-matching fact rows before the shuffle; the exact semi-join
+    // removes false positives, so the result equals the plain semi-join
+    // (which is exactly what the oracle runs).
+    "q117_bloom_join" -> Q(
+      (s, d) => BloomJoin.semiJoin(
+          Tables.lineitem(s, d), largeKey = "l_orderkey",
+          Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          smallKey = "o_orderkey",
+          expectedItems = 40000L, fpp = 0.01)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Stats.decimalSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey IN (
+             |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Run-collapse (SCD-2 build / islands): consecutive same-type event
+    // runs per user become versions; per-user version counts and the
+    // longest run. The islands half of gaps-and-islands (q34's
+    // sessionizer is the gaps half).
+    "q118_scd2_runs" -> Q(
+      (s, d) => Runs.collapse(Tables.events(s, d), keyCol = "user_id",
+          orderCols = Seq("ts", "event_id"), valueCol = "event_type")
+        .groupBy("user_id")
+        .agg(max(col("version")).as("n_versions"),
+          max(col("n_rows")).as("max_run"),
+          sum(col("n_rows")).as("n_events"))
+        .orderBy("user_id"),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN row_number() OVER win = 1 THEN 1
+             |         WHEN event_type IS DISTINCT FROM lag(event_type) OVER win
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |runs AS (
+             |  SELECT user_id,
+             |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS version
+             |  FROM marked),
+             |r AS (SELECT user_id, version, count(*) AS n_rows
+             |      FROM runs GROUP BY user_id, version)
+             |SELECT user_id,
+             |  CAST(max(version) AS BIGINT) AS n_versions,
+             |  CAST(max(n_rows) AS BIGINT) AS max_run,
+             |  CAST(sum(n_rows) AS BIGINT) AS n_events
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)))
+}
