@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -235,5 +236,130 @@ object LakehouseQueries {
              |  CAST(max(version) AS BIGINT) AS n_versions,
              |  CAST(max(n_rows) AS BIGINT) AS max_run,
              |  CAST(sum(n_rows) AS BIGINT) AS n_events
-             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Markov transition mining: per-user event-type bigrams (lead over
+    // the time order), transition counts, top-3 destinations per source
+    // state — the path-analysis primitive product analytics builds on
+    // (q101's funnel checks ONE fixed path; this surfaces the paths).
+    "q119_event_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.events(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val rw = Window.partitionBy("from_type")
+          .orderBy(col("n").desc, col("to_type"))
+        pairs.withColumn("rnk", row_number().over(rw).cast("long"))
+          .filter(col("rnk") <= 3)
+          .orderBy("from_type", "rnk")
+      },
+      Some("""WITH nxt AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS to_type
+             |  FROM events),
+             |cnt AS (SELECT from_type, to_type, count(*) AS n
+             |        FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |rk AS (SELECT from_type, to_type, n,
+             |    row_number() OVER (PARTITION BY from_type ORDER BY n DESC, to_type)
+             |      AS rnk
+             |  FROM cnt)
+             |SELECT from_type, to_type, n, CAST(rnk AS BIGINT) AS rnk
+             |FROM rk WHERE rnk <= 3 ORDER BY from_type, rnk""".stripMargin)),
+
+    // Winsorization: per-group p95 cap (exact interpolated percentile,
+    // the q36-proven parity pair percentile ↔ quantile_cont), clipped
+    // DECIMAL sums and clip counts — the outlier-capping step of a
+    // feature/quality pipeline. The percentile table is broadcast back
+    // onto the facts (tiny by construction: one row per group).
+    "q120_winsorize" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        li.join(broadcast(p), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(
+            max(col("p95")).as("p95"),
+            count(when(col("l_extendedprice") > col("p95"), 1)).as("n_clipped"),
+            Stats.decimalSum(least(col("l_extendedprice"), col("p95")))
+              .as("sum_winsorized"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH p AS (SELECT l_returnflag,
+             |    quantile_cont(l_extendedprice, 0.95) AS p95
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, max(p.p95) AS p95,
+             |  CAST(sum(CASE WHEN l_extendedprice > p.p95 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clipped,
+             |  CAST(sum(CAST(least(l_extendedprice, p.p95) AS DECIMAL(38,4)))
+             |    AS DOUBLE) AS sum_winsorized
+             |FROM lineitem l JOIN p USING (l_returnflag)
+             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)),
+
+    // Exponential-decay score (EWMA, α=1/2, 16-term horizon) per event:
+    // dyadic weights keep it EXACT — terms are summed as scaled
+    // integers (weight 2^(15-k) for the k-th most recent value) and
+    // divided by 2^16 once, a single exact IEEE operation. Distance-
+    // dependent weights aren't a plain windowed sum, so the 16 lag
+    // terms share one window node.
+    "q121_decay_score" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val terms = (0 until 16).map { k =>
+          val wt = lit(1L << (15 - k))
+          if (k == 0) col("v") * wt
+          else coalesce(lag(col("v"), k).over(w), lit(0L)) * wt
+        }
+        Tables.events(s, d)
+          .withColumn("v", pmod(col("event_id"), lit(97)))
+          .withColumn("ss", terms.reduce(_ + _))
+          .select(col("event_id"), (col("ss") / 65536.0).as("decay_score"))
+          .orderBy("event_id")
+      },
+      Some {
+        val terms = (0 until 16).map { k =>
+          if (k == 0) s"v * ${1L << 15}"
+          else s"coalesce(lag(v, $k) OVER win, 0) * ${1L << (15 - k)}"
+        }.mkString("\n  + ")
+        s"""WITH b AS (SELECT event_id, user_id, ts, event_id % 97 AS v
+           |  FROM events),
+           |l AS (SELECT event_id, ($terms) AS ss
+           |  FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT event_id, ss / 65536.0 AS decay_score
+           |FROM l ORDER BY event_id""".stripMargin
+      }),
+
+    // Streaming MERGE sink through the REAL streaming engine: the
+    // events file stream is the change feed; each microbatch is
+    // aggregated to per-user counts, turned into U (count ≥ 60) or D
+    // ops, and MERGEd into a versioned copy-on-write parquet target
+    // (StreamMerge — the foreachBatch upsert pattern table formats
+    // build in, idempotent per batchId). Bounded input in one
+    // microbatch → the final snapshot is deterministic, and the oracle
+    // rebuilds it relationally.
+    "q122_stream_merge" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q122-merge").toString
+        val targetInit = Tables.events(s, d)
+          .filter(col("user_id") < 50).select(col("user_id")).distinct()
+          .withColumn("n_seen", lit(-1L))
+        val changes = graft.streaming.StreamOps
+          .readStream(s, Tables.path(d, "events"))
+        graft.streaming.StreamMerge.run(s, changes, targetInit,
+            keys = Seq("user_id"), opCol = "op", dir = dir,
+            prepare = b => b.groupBy("user_id")
+              .agg(count(lit(1)).as("n_seen"))
+              .withColumn("op",
+                when(col("n_seen") >= 60, "U").otherwise("D")))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_seen
+             |FROM events GROUP BY user_id HAVING count(*) >= 60
+             |ORDER BY user_id""".stripMargin)))
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.io.File
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Multi-batch semantics of the streaming MERGE sink — the part the
+  * one-microbatch oracle row (q122) cannot see: batches apply in
+  * sequence, each producing a new copy-on-write version, and a restart
+  * against an intact checkpoint resumes from the latest snapshot
+  * instead of resetting to the seed.
+  */
+class StreamMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeBatch(dir: String, name: String, mtime: Long,
+      rows: Seq[(Long, String, String)]): Unit = {
+    val path = s"$dir/$name"
+    rows.toDF("k", "v", "op").coalesce(1).write.parquet(path)
+    // FileStreamSource orders files by modification time; pin distinct
+    // mtimes so batch order is deterministic.
+    new File(path).listFiles().foreach(_.setLastModified(mtime))
+    new File(path).setLastModified(mtime)
+  }
+
+  test("two microbatches apply in sequence; versioned snapshots record each step") {
+    val root = java.nio.file.Files.createTempDirectory("sm-seq").toString
+    val src = s"$root/src"
+    new File(src).mkdirs()
+    writeBatch(src, "b1.parquet", 1000000L,
+      Seq((2L, "b2", "U"), (3L, "c", "I")))
+    writeBatch(src, "b2.parquet", 2000000L,
+      Seq((1L, "-", "D"), (3L, "c2", "U")))
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val schema = target.withColumn("op", lit("")).schema
+    val changes = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/*.parquet")
+    val out = StreamMerge.run(spark, changes, target,
+        keys = Seq("k"), opCol = "op", dir = s"$root/tbl")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "b2"), (3L, "c2")))
+    // v0 seed, one version per batch:
+    val versions = new File(s"$root/tbl").listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(versions == Seq("v0", "v1", "v2"))
+    val v1 = spark.read.parquet(s"$root/tbl/v1")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(v1 == Seq((1L, "a"), (2L, "b2"), (3L, "c")),
+      "intermediate snapshot must reflect exactly batch 1")
+  }
+
+  test("restart with an intact checkpoint resumes from the latest version, not the seed") {
+    val root = java.nio.file.Files.createTempDirectory("sm-resume").toString
+    val src = s"$root/src"
+    new File(src).mkdirs()
+    writeBatch(src, "b1.parquet", 1000000L, Seq((1L, "a2", "U")))
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val schema = target.withColumn("op", lit("")).schema
+    def stream() = spark.readStream.schema(schema).parquet(s"$src/*.parquet")
+    val first = StreamMerge.run(spark, stream(), target,
+        Seq("k"), "op", s"$root/tbl")
+      .as[(Long, String)].collect().toSeq
+    assert(first == Seq((1L, "a2")))
+    // Second run, same checkpoint: no new files → no batches → the
+    // result must still be the post-batch-1 state.
+    val second = StreamMerge.run(spark, stream(), target,
+        Seq("k"), "op", s"$root/tbl")
+      .as[(Long, String)].collect().toSeq
+    assert(second == Seq((1L, "a2")),
+      "an empty resume must not reset the target to the seed")
+  }
+}
