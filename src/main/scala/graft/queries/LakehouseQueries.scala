@@ -361,5 +361,83 @@ object LakehouseQueries {
       },
       Some("""SELECT user_id, count(*) AS n_seen
              |FROM events GROUP BY user_id HAVING count(*) >= 60
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Format round-trip: the same slice of events written and re-read
+    // through every built-in columnar/text format the engine serves
+    // (CSV+gzip with explicit schema, JSON lines, ORC), then aggregated
+    // per format. The oracle is the DIRECT aggregate over the parquet
+    // source repeated per format row — i.e. the query only matches if
+    // every round-trip is bit-exact (Java's shortest-decimal double
+    // rendering round-trips exactly in CSV/JSON; ORC is binary).
+    "q123_format_roundtrip" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q123-fmt").toString
+        val ev = Tables.events(s, d)
+          .select("event_id", "event_type", "value")
+        val formats = Seq(
+          ("csv", Map("header" -> "true", "compression" -> "gzip")),
+          ("json", Map.empty[String, String]),
+          ("orc", Map.empty[String, String]))
+        formats.map { case (f, opts) =>
+          val path = s"$dir/$f"
+          ev.write.options(opts).format(f).mode("overwrite").save(path)
+          s.read.options(opts).schema(ev.schema).format(f).load(path)
+            .withColumn("fmt", lit(f))
+        }.reduce(_ unionByName _)
+          .groupBy("fmt")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("sum_id"),
+            Stats.decimalSum(col("value")).as("sum_value"))
+          .orderBy("fmt")
+      },
+      Some("""WITH a AS (SELECT count(*) AS n_rows,
+             |    CAST(sum(event_id) AS BIGINT) AS sum_id,
+             |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+             |  FROM events)
+             |SELECT v.fmt, a.n_rows, a.sum_id, a.sum_value
+             |FROM a, (VALUES ('csv'), ('json'), ('orc')) v(fmt)
+             |ORDER BY v.fmt""".stripMargin)),
+
+    // Chi-square independence contributions for event_type × user
+    // segment: per-cell observed, expected = row·col/total, and
+    // (o−e)²/e — the drift/association test a data-quality monitor
+    // runs. Marginals come from window sums over the AGGREGATED cell
+    // table (|types|×|segments| rows — tiny regardless of corpus
+    // size, so the unpartitioned window is scale-safe). Every double
+    // op is one exact-rounded IEEE step in the same sequence on both
+    // engines (integer marginals ≤ 2^53), so contributions are
+    // bit-identical.
+    "q124_chi_square" -> Q(
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .withColumn("seg", pmod(col("user_id"), lit(5)))
+          .groupBy("event_type", "seg")
+          .agg(count(lit(1)).as("o"))
+        val e = (col("r") * col("c")) / col("n")
+        cells
+          .withColumn("r", sum(col("o")).over(Window.partitionBy("event_type")))
+          .withColumn("c", sum(col("o")).over(Window.partitionBy("seg")))
+          .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+          .withColumn("expected", e)
+          .select(col("event_type"), col("seg"), col("o"),
+            col("expected"),
+            (((col("o") - col("expected")) * (col("o") - col("expected")))
+              / col("expected")).as("contrib"))
+          .orderBy("event_type", "seg")
+      },
+      Some("""WITH cells AS (SELECT event_type, user_id % 5 AS seg, count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, seg, o,
+             |    sum(o) OVER (PARTITION BY event_type) AS r,
+             |    sum(o) OVER (PARTITION BY seg) AS c,
+             |    sum(o) OVER () AS n
+             |  FROM cells)
+             |SELECT event_type, CAST(seg AS BIGINT) AS seg,
+             |  CAST(o AS BIGINT) AS o,
+             |  (r * c) / n AS expected,
+             |  ((o - (r * c) / n) * (o - (r * c) / n)) / ((r * c) / n)
+             |    AS contrib
+             |FROM t ORDER BY event_type, seg""".stripMargin)))
 }

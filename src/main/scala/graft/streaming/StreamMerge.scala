@@ -68,4 +68,40 @@ object StreamMerge {
     q.awaitTermination()
     spark.read.parquet(s"$dir/v$latest")
   }
+
+  /** Versions currently present under `dir`, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dirPath)) Seq.empty
+    else fs.listStatus(dirPath).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted.toSeq
+  }
+
+  /** Time travel: the table as of `version` (default: latest). Every
+    * version is a full copy-on-write snapshot, so this is a plain read —
+    * no log replay.
+    */
+  def snapshotAt(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no snapshots under $dir")
+    val v = if (version < 0) vs.max else version
+    require(vs.contains(v), s"version $v not present (have ${vs.mkString(",")})")
+    spark.read.parquet(s"$dir/v$v")
+  }
+
+  /** Expire old snapshots, keeping the `keepLast` most recent (at least
+    * 1). Readers of expired versions lose time travel to them — the
+    * same contract as table-format VACUUM; the latest snapshot is never
+    * touched.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val expired = versions(spark, dir).dropRight(keepLast)
+    expired.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true))
+    expired
+  }
 }

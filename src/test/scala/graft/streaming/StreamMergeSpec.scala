@@ -71,4 +71,30 @@ class StreamMergeSpec extends AnyFunSuite {
     assert(second == Seq((1L, "a2")),
       "an empty resume must not reset the target to the seed")
   }
+
+  test("time travel reads any retained version; vacuum expires old ones, never the latest") {
+    val root = java.nio.file.Files.createTempDirectory("sm-ttl").toString
+    val src = s"$root/src"
+    new File(src).mkdirs()
+    writeBatch(src, "b1.parquet", 1000000L, Seq((2L, "x", "I")))
+    writeBatch(src, "b2.parquet", 2000000L, Seq((2L, "y", "U")))
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val schema = target.withColumn("op", lit("")).schema
+    val changes = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/*.parquet")
+    StreamMerge.run(spark, changes, target, Seq("k"), "op", s"$root/tbl")
+    assert(StreamMerge.versions(spark, s"$root/tbl") == Seq(0L, 1L, 2L))
+    val atV1 = StreamMerge.snapshotAt(spark, s"$root/tbl", 1L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(atV1 == Seq((1L, "a"), (2L, "x")))
+    val expired = StreamMerge.vacuum(spark, s"$root/tbl", keepLast = 1)
+    assert(expired == Seq(0L, 1L))
+    assert(StreamMerge.versions(spark, s"$root/tbl") == Seq(2L))
+    val latest = StreamMerge.snapshotAt(spark, s"$root/tbl")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(latest == Seq((1L, "a"), (2L, "y")))
+    intercept[IllegalArgumentException] {
+      StreamMerge.snapshotAt(spark, s"$root/tbl", 0L)
+    }
+  }
 }
