@@ -439,5 +439,33 @@ object LakehouseQueries {
              |  (r * c) / n AS expected,
              |  ((o - (r * c) / n) * (o - (r * c) / n)) / ((r * c) / n)
              |    AS contrib
-             |FROM t ORDER BY event_type, seg""".stripMargin)))
+             |FROM t ORDER BY event_type, seg""".stripMargin)),
+
+    // Tumbling-window stats through the REAL streaming engine in
+    // complete mode (q25 is the batch twin of the same operator): the
+    // bounded file stream lands in one microbatch, complete mode emits
+    // every window's final aggregate, and the oracle replays the
+    // date_trunc arithmetic relationally. Third streaming-engine oracle
+    // row (q103 append-mode join, q104 update-mode TWS, this one
+    // complete-mode windowed aggregation — all three output modes).
+    "q125_stream_windowed_stats" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = graft.streaming.StreamOps
+          .readStream(s, Tables.path(d, "events"))
+          .withColumn("ts", timestamp_micros(Tables.nanosToMicrosExpr("ts")))
+        graft.streaming.StreamOps.runToBatch(s,
+            graft.streaming.StreamOps.windowedEventStats(raw, "1 hour"),
+            "complete")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("hour_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hour_start", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             |    AS hour_start,
+             |  event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)))
 }

@@ -79,4 +79,40 @@ class ChangeCaptureSpec extends AnyFunSuite {
       .orderBy("k").as[(Long, Double)].collect().toSeq
     assert(rebuilt == Seq((2L, 22.0), (3L, 30.0), (4L, 40.0)))
   }
+
+  test("merge over a bucketed target and changeset plans with NO exchange (co-located CDC apply)") {
+    // The 100 TB shape: a maintained target bucketed by its key absorbs
+    // changesets bucketed the same way without shuffling either side —
+    // merge's internal rename must not break alias-aware partitioning
+    // propagation.
+    Seq("graft_cc_target", "graft_cc_changes").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val target = (1L to 1000L).map(i => (i, i * 10)).toDF("k", "v")
+    val changes = (1L to 1000L by 3)
+      .map(i => (i, i, if (i % 2 == 1) "U" else "D")).toDF("k", "v", "op")
+    Bucketing.writeBucketed(target, "graft_cc_target", Seq("k"), 4)
+    Bucketing.writeBucketed(changes, "graft_cc_changes", Seq("k"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = ChangeCapture.merge(
+        spark.table("graft_cc_target"), spark.table("graft_cc_changes"),
+        Seq("k"), "op")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed merge must not shuffle either side:\n$plan")
+      assert(merged.count() ==
+        1000 - changes.filter(col("op") === "D").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -129,4 +129,44 @@ object OperatorProperties extends Properties("graft.operators") {
       }
       spineOk && valuesOk
     }
+
+  private val genSnapshot: Gen[Map[Long, Long]] = for {
+    keys <- Gen.someOf(0L to 9L)
+    vals <- Gen.listOfN(keys.size, Gen.choose(0L, 99L))
+  } yield keys.zip(vals).toMap
+
+  property("snapshot diff -> merge reconstructs the new snapshot exactly") =
+    forAll(genSnapshot, genSnapshot) { (oldM, newM) =>
+      val oldDf = oldM.toSeq.toDF("k", "v")
+      val newDf = newM.toSeq.toDF("k", "v")
+      val d = ChangeCapture.diff(oldDf, newDf, Seq("k"), Seq("v"))
+      val changes = d.select(col("k"), col("new_v").as("v"),
+        when(col("change") === "insert", "I")
+          .when(col("change") === "delete", "D").otherwise("U").as("op"))
+      val rebuilt = ChangeCapture.merge(oldDf, changes, Seq("k"), "op")
+        .as[(Long, Long)].collect().toMap
+      rebuilt == newM
+    }
+
+  property("merge matches the per-key model for any target and one-op-per-key changeset") =
+    forAll(genSnapshot, for {
+      keys <- Gen.someOf(0L to 9L)
+      rows <- Gen.listOfN(keys.size, for {
+        v <- Gen.choose(0L, 99L); op <- Gen.oneOf("I", "U", "D")
+      } yield (v, op))
+    } yield keys.zip(rows).map { case (k, (v, op)) => (k, v, op) }.toList) {
+      (target, changes) =>
+        val out = ChangeCapture.merge(
+            target.toSeq.toDF("k", "v"), changes.toDF("k", "v", "op"),
+            Seq("k"), "op")
+          .as[(Long, Long)].collect().toMap
+        val expected = changes.foldLeft(target) { case (m, (k, v, op)) =>
+          op match {
+            case "D" => m - k
+            case "U" => m + (k -> v) // upsert: replace or insert
+            case "I" => if (m.contains(k)) m else m + (k -> v)
+          }
+        }
+        out == expected
+    }
 }
