@@ -467,5 +467,111 @@ object LakehouseQueries {
              |    AS hour_start,
              |  event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)))
+             |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
+    // The assembly line end-to-end (q53's lakehouse twin): a corpus v2
+    // arrives as a CDC diff against v1 (inserts = keys ≡0 mod 7 absent
+    // from v1, updates = revised text on keys ≡0 mod 11), is MERGEd
+    // into the maintained table, hash-split into train/val/test, and
+    // the train/val/test corpora are packed into 512-token context
+    // windows per (split, source). Output: one row per split with
+    // corpus, change, and packing stats — every stage replayed
+    // relationally by the oracle, so the hash only matches if diff,
+    // merge, split, and packing are ALL exact.
+    "q126_assembly_pipeline" -> Q(
+      (s, d) => {
+        val docsAll = Tables.documents(s, d)
+        val valueCols = Seq("text", "lang", "source", "n_chars")
+        val oldSnap = docsAll.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val newSnap = docsAll.withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        val diffed = ChangeCapture.diff(oldSnap, newSnap,
+          keys = Seq("doc_id"), compareCols = valueCols)
+        val changes = diffed.select(
+          (col("doc_id") +: valueCols.map(c => col(s"new_$c").as(c))) :+
+            when(col("change") === "insert", "I")
+              .when(col("change") === "delete", "D")
+              .otherwise("U").as("op"): _*)
+        val merged = ChangeCapture.merge(oldSnap, changes,
+          keys = Seq("doc_id"), opCol = "op")
+        val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+        val withSplit = DatasetSplit.assign(merged, "doc_id", "corpus-v2", splits)
+        val corpusStats = withSplit.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        val changeStats = DatasetSplit.assign(changes, "doc_id", "corpus-v2", splits)
+          .groupBy("split")
+          .agg(
+            sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"),
+            sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+        val packStats = SequencePack.packs(
+            withSplit
+              .withColumn("grp", concat_ws("/", col("split"), col("source")))
+              .withColumn("toks", TextFunctions.tokenCount(col("text"))),
+            groupCol = "grp", orderCol = "doc_id", tokensCol = "toks",
+            budget = 512L)
+          .withColumn("split", split_part(col("grp"), lit("/"), lit(1)))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_packs"),
+            sum(col("n_straddlers")).as("n_straddlers"))
+        corpusStats
+          .join(packStats, Seq("split"))
+          .join(changeStats, Seq("split"), "left")
+          .select(col("split"), col("n_docs"), col("sum_chars"),
+            coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+            coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+            col("n_packs"), col("n_straddlers"))
+          .orderBy("split")
+      },
+      Some("""WITH newsnap AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+             |         ELSE text END AS text,
+             |    source, n_chars
+             |  FROM documents),
+             |sp AS (SELECT *,
+             |    CASE WHEN CAST('0x' || substr(md5('corpus-v2:' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 205 THEN 'train'
+             |         WHEN CAST('0x' || substr(md5('corpus-v2:' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM newsnap),
+             |cs AS (SELECT split, count(*) AS n_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |       FROM sp GROUP BY 1),
+             |chg AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'I' ELSE 'U' END AS op
+             |  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 11 = 0),
+             |chgsp AS (SELECT op,
+             |    CASE WHEN CAST('0x' || substr(md5('corpus-v2:' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 205 THEN 'train'
+             |         WHEN CAST('0x' || substr(md5('corpus-v2:' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM chg),
+             |cstat AS (SELECT split,
+             |    CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_inserted,
+             |    CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_updated
+             |  FROM chgsp GROUP BY 1),
+             |tok AS (SELECT split, source, doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+             |  FROM sp),
+             |cum AS (SELECT split, source, toks,
+             |    sum(toks) OVER (PARTITION BY split, source ORDER BY doc_id) AS cum
+             |  FROM tok),
+             |pk AS (SELECT split, source,
+             |    CAST((cum - toks) // 512 AS BIGINT) AS pack_id,
+             |    CASE WHEN toks > 0 AND (cum - 1) // 512 != (cum - toks) // 512
+             |         THEN 1 ELSE 0 END AS straddle
+             |  FROM cum),
+             |packs AS (SELECT split, source, pack_id, sum(straddle) AS f
+             |          FROM pk GROUP BY 1, 2, 3),
+             |pstat AS (SELECT split, count(*) AS n_packs,
+             |            CAST(sum(f) AS BIGINT) AS n_straddlers
+             |          FROM packs GROUP BY 1)
+             |SELECT cs.split, cs.n_docs, cs.sum_chars,
+             |  coalesce(cstat.n_inserted, 0) AS n_inserted,
+             |  coalesce(cstat.n_updated, 0) AS n_updated,
+             |  pstat.n_packs, pstat.n_straddlers
+             |FROM cs JOIN pstat USING (split) LEFT JOIN cstat USING (split)
+             |ORDER BY cs.split""".stripMargin)))
 }
