@@ -573,5 +573,66 @@ object LakehouseQueries {
              |  coalesce(cstat.n_updated, 0) AS n_updated,
              |  pstat.n_packs, pstat.n_straddlers
              |FROM cs JOIN pstat USING (split) LEFT JOIN cstat USING (split)
-             |ORDER BY cs.split""".stripMargin)))
+             |ORDER BY cs.split""".stripMargin)),
+
+    // Contrastive training triples: (anchor, positive, negative) pairs
+    // for embedding training — positives are the corpus's verified
+    // near-dup pairs (the q23 exact-Jaccard machinery), negatives are
+    // deterministic hash partners ((a·1009 + b·31) mod 500; ids 0-499
+    // exist at every corpus scale), self-collisions dropped, and the
+    // negative joined back to the corpus for its features. The shape a
+    // hard-negative miner would extend with ANN candidates (q24/q41).
+    "q127_contrastive_triples" -> Q(
+      (s, d) => {
+        val dd = Tables.documents(s, d)
+        graft.llm.NGramJaccard
+          .similarPairs(dd, "doc_id", "text", n = 3, threshold = 0.5)
+          .withColumn("neg_id",
+            pmod(col("id_a") * 1009 + col("id_b") * 31, lit(500)))
+          .filter(col("neg_id") =!= col("id_a") &&
+            col("neg_id") =!= col("id_b"))
+          .join(dd.select(col("doc_id").as("neg_id"),
+            col("n_chars").as("neg_chars")), Seq("neg_id"))
+          .select("id_a", "id_b", "neg_id", "jaccard", "neg_chars")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${LlmQueries.jaccardPairsCtesFrom("documents")},
+              |pr AS (SELECT id_a, id_b, jaccard FROM sc WHERE jaccard >= 0.5),
+              |trip AS (SELECT id_a, id_b,
+              |    (id_a * 1009 + id_b * 31) % 500 AS neg_id, jaccard
+              |  FROM pr
+              |  WHERE (id_a * 1009 + id_b * 31) % 500 <> id_a
+              |    AND (id_a * 1009 + id_b * 31) % 500 <> id_b)
+              |SELECT t.id_a, t.id_b, t.neg_id, t.jaccard,
+              |  d.n_chars AS neg_chars
+              |FROM trip t JOIN documents d ON d.doc_id = t.neg_id
+              |ORDER BY t.id_a, t.id_b""".stripMargin)),
+
+    // Partition-pruned streaming MERGE (q122's scale path): the target
+    // is ONE bucketed parquet table; the batch reads and rewrites only
+    // the buckets its changeset touches (partition-pruned scan +
+    // dynamic partition overwrite), including removal of fully-deleted
+    // buckets. Write amplification scales with touched data, not table
+    // size. Threshold 70 so both U and D paths fire at every sf.
+    "q128_stream_merge_partitioned" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q128-pmerge").toString
+        val targetInit = Tables.events(s, d)
+          .filter(col("user_id") < 50).select(col("user_id")).distinct()
+          .withColumn("n_seen", lit(-1L))
+        val changes = graft.streaming.StreamOps
+          .readStream(s, Tables.path(d, "events"))
+        graft.streaming.StreamMerge.runPartitioned(s, changes, targetInit,
+            key = "user_id", opCol = "op", dir = dir, numBuckets = 16,
+            prepare = b => b.groupBy("user_id")
+              .agg(count(lit(1)).as("n_seen"))
+              .withColumn("op",
+                when(col("n_seen") >= 70, "U").otherwise("D")))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_seen
+             |FROM events GROUP BY user_id HAVING count(*) >= 70
+             |ORDER BY user_id""".stripMargin)))
 }

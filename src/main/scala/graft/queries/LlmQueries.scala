@@ -58,7 +58,7 @@ object LlmQueries {
     * candidates + exact verification): each outputs precisely
     * `{(a,b,jaccard) : jaccard >= 0.5}`, so they share this oracle.
     */
-  private def jaccardPairsCtesFrom(source: String): String =
+  private[queries] def jaccardPairsCtesFrom(source: String): String =
     s"""nrm AS (SELECT doc_id, $normSql AS nm FROM $source),
        |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
        |sets AS (SELECT doc_id, list_distinct(

@@ -104,4 +104,73 @@ object StreamMerge {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true))
     expired
   }
+
+  /** Partition-pruned streaming MERGE: the target lives as ONE parquet
+    * table partitioned by a key-derived bucket, and each microbatch
+    *   1. buckets its changeset,
+    *   2. reads ONLY the touched buckets of the target (partition
+    *      pruning at the scan),
+    *   3. merges, and
+    *   4. rewrites ONLY those buckets (dynamic partition overwrite).
+    * This trades [[run]]'s full-snapshot time travel for write
+    * amplification proportional to the TOUCHED data, not the table —
+    * the difference between rewriting 100 TB and rewriting the few
+    * buckets a batch touches. The same tradeoff table formats expose as
+    * copy-on-write vs merge-on-read compaction policy.
+    *
+    * Buckets derive from `pmod(key, numBuckets)` (single LONG key — the
+    * fact-table common case; a production variant hashes composite
+    * keys). The touched-bucket list is `≤ numBuckets` driver-side longs.
+    */
+  def runPartitioned(
+      spark: SparkSession,
+      changes: DataFrame,
+      targetInit: DataFrame,
+      key: String,
+      opCol: String,
+      dir: String,
+      numBuckets: Int,
+      prepare: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val data = s"$dir/data"
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("__bucket", pmod(col(key), lit(numBuckets.toLong)))
+    val dataPath = new org.apache.hadoop.fs.Path(data)
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dataPath))
+      bucketed(targetInit).write.partitionBy("__bucket").parquet(data)
+    val q = changes.writeStream
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val changeset = bucketed(prepare(batch))
+        val touched = changeset.select("__bucket").distinct()
+          .collect().map(_.getLong(0))
+        if (touched.nonEmpty) {
+          val slice = s.read.parquet(data)
+            .filter(col("__bucket").isin(touched: _*))
+            .drop("__bucket")
+          val merged = ChangeCapture.merge(
+            slice, changeset.drop("__bucket"), Seq(key), opCol)
+          val mergedB = bucketed(merged).persist()
+          mergedB.write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").partitionBy("__bucket").parquet(data)
+          // Dynamic overwrite only replaces partitions PRESENT in the
+          // output: a bucket whose rows were all deleted must be
+          // removed explicitly or its stale files would survive.
+          val kept = mergedB.select("__bucket").distinct()
+            .collect().map(_.getLong(0)).toSet
+          mergedB.unpersist()
+          touched.filterNot(kept).foreach { b =>
+            fs.delete(
+              new org.apache.hadoop.fs.Path(s"$data/__bucket=$b"), true)
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(data).drop("__bucket")
+  }
 }

@@ -97,4 +97,43 @@ class StreamMergeSpec extends AnyFunSuite {
       StreamMerge.snapshotAt(spark, s"$root/tbl", 0L)
     }
   }
+
+  test("partitioned merge rewrites ONLY touched buckets; untouched partition files stay put") {
+    val root = java.nio.file.Files.createTempDirectory("sm-part").toString
+    val src = s"$root/src"
+    new File(src).mkdirs()
+    // 4 buckets over k%4; changes touch only bucket 1 (keys 1, 5) and
+    // bucket 2 (keys 2, 6: delete EVERY bucket-2 row → bucket dir must
+    // vanish).
+    writeBatch(src, "b1.parquet", 1000000L,
+      Seq((1L, "a2", "U"), (5L, "e", "I"), (2L, "-", "D"), (6L, "-", "D")))
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (6L, "f"))
+      .toDF("k", "v")
+    val schema = target.withColumn("op", lit("")).schema
+    val changes = spark.readStream.schema(schema).parquet(s"$src/*.parquet")
+    def partFiles(b: Long): Set[(String, Long)] = {
+      val d = new File(s"$root/tbl/data/__bucket=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    // Seed the table (empty change stream), snapshot untouched buckets'
+    // file state.
+    new File(s"$root/empty").mkdirs()
+    val seeded = StreamMerge.runPartitioned(spark,
+      spark.readStream.schema(schema).parquet(s"$root/empty/*.parquet"),
+      target, "k", "op", s"$root/tbl", numBuckets = 4)
+    assert(seeded.count() == 5)
+    val b0Before = partFiles(0L)
+    val b3Before = partFiles(3L)
+    assert(b0Before.nonEmpty && b3Before.nonEmpty)
+    val out = StreamMerge.runPartitioned(spark, changes, target,
+        "k", "op", s"$root/tbl", numBuckets = 4)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(partFiles(0L) == b0Before && partFiles(3L) == b3Before,
+      "untouched buckets must not be rewritten")
+    assert(partFiles(2L).isEmpty, "a fully-deleted bucket must be removed")
+    assert(partFiles(1L) != Set.empty)
+  }
 }
