@@ -634,5 +634,61 @@ object LakehouseQueries {
       },
       Some("""SELECT user_id, count(*) AS n_seen
              |FROM events GROUP BY user_id HAVING count(*) >= 70
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Pipeline observability: df.observe() metrics (the Observation
+    // API) collected DURING a filter pass — rows in, rows that satisfy
+    // the gate, rows actually kept. The n_pass == n_kept equality is
+    // the invariant an instrumented pipeline alarms on; metrics ride
+    // the existing job (no second scan), and the oracle recomputes all
+    // three relationally.
+    "q129_observed_metrics" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation("q129")
+        val gated = Tables.documents(s, d)
+          .observe(obs,
+            count(lit(1)).as("n_in"),
+            sum(when(col("n_chars") >= 100, 1L).otherwise(0L)).as("n_pass"))
+          .filter(col("n_chars") >= 100)
+        val kept = gated.count() // the action that materializes the metrics
+        val m = obs.get
+        Seq((m("n_in").asInstanceOf[Long],
+            m("n_pass").asInstanceOf[Long], kept))
+          .toDF("n_in", "n_pass", "n_kept")
+      },
+      Some("""SELECT count(*) AS n_in,
+             |  CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pass,
+             |  CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept
+             |FROM documents""".stripMargin)),
+
+    // Parquet schema evolution: two generations of the same table (the
+    // newer adds a column) read together with mergeSchema — old files'
+    // missing column nulls in, and the engine aggregates across both
+    // generations. The lakehouse reality every long-lived table hits.
+    "q130_schema_evolution" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q130-evo").toString
+        val ev = Tables.events(s, d)
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select("event_id", "user_id")
+          .write.mode("overwrite").parquet(s"$dir/gen1")
+        ev.filter(pmod(col("event_id"), lit(2)) =!= 0)
+          .select("event_id", "user_id", "event_type")
+          .write.mode("overwrite").parquet(s"$dir/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/gen1", s"$dir/gen2")
+          .groupBy(coalesce(col("event_type"), lit("<missing>"))
+            .as("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN '<missing>'
+             |            ELSE event_type END AS event_type,
+             |  count(*) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS sum_user
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)))
 }
