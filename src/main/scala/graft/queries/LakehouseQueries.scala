@@ -690,5 +690,45 @@ object LakehouseQueries {
              |            ELSE event_type END AS event_type,
              |  count(*) AS n,
              |  CAST(sum(user_id) AS BIGINT) AS sum_user
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Persisted-sketch index: per-source HLL sketches built on the
+    // first half of the corpus and PERSISTED, then the second half
+    // arrives as a batch — cardinality maintenance is sketch-build on
+    // the new batch + register-wise union with the stored sketches, no
+    // rescan of history (the persisted-index pattern applied to
+    // aggregate state; Spark 4 Datasketches HLL functions). The pin:
+    // a merged-from-parts estimate is REGISTER-IDENTICAL to a
+    // full-corpus single-pass sketch (HLL union = per-register max),
+    // asserted per source and exported as a column; exact distincts
+    // ride along for the oracle.
+    "q131_sketch_index" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q131-skidx").toString
+        val dd = Tables.documents(s, d)
+        dd.filter(col("doc_id") < 250)
+          .groupBy("source")
+          .agg(expr("hll_sketch_agg(text)").as("sk"))
+          .write.mode("overwrite").parquet(s"$dir/sketches")
+        val newBatch = dd.filter(col("doc_id") >= 250)
+          .groupBy("source")
+          .agg(expr("hll_sketch_agg(text)").as("sk"))
+        val merged = s.read.parquet(s"$dir/sketches")
+          .unionByName(newBatch)
+          .groupBy("source")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+        val full = dd.groupBy("source")
+          .agg(
+            expr("hll_sketch_estimate(hll_sketch_agg(text))").as("est_full"),
+            count_distinct(col("text")).as("n_exact"))
+        merged.join(full, Seq("source"))
+          .select(col("source"), col("n_exact"),
+            when(col("est_merged") === col("est_full"), 1L).otherwise(0L)
+              .as("merged_eq_full"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(DISTINCT text) AS n_exact,
+             |  CAST(1 AS BIGINT) AS merged_eq_full
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)))
 }
