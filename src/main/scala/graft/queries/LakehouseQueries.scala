@@ -730,5 +730,44 @@ object LakehouseQueries {
       },
       Some("""SELECT source, count(DISTINCT text) AS n_exact,
              |  CAST(1 AS BIGINT) AS merged_eq_full
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Persisted Bloom blocklist decontamination: the benchmark slice
+    // (doc_id < 100) is summarized ONCE into a persisted Bloom bitmap +
+    // exact hash list; the ingest batch (doc_id ≥ 100) probes the
+    // bitmap per shingle and only Bloom-flagged docs reach the exact
+    // verify join — results are exact (no false negatives by the Bloom
+    // guarantee, false positives killed by the verify), which is
+    // precisely what the oracle's relational shingle-membership replay
+    // checks end-to-end.
+    "q132_bloom_blocklist" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q132-bloom").toString
+        val dd = Tables.documents(s, d)
+        graft.llm.BloomBlocklist.build(
+          dd.filter(col("doc_id") < 100), "text", n = 3,
+          path = dir, expectedItems = 100000L)
+        graft.llm.BloomBlocklist.classify(
+            dd.filter(col("doc_id") >= 100), "doc_id", "text", n = 3,
+            path = dir)
+          .select("doc_id", "n_contaminated")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, ${LlmQueries.normSql} AS nm
+              |  FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |sets AS (SELECT doc_id,
+              |    CASE WHEN len(t) < 3 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 1),
+              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |    END AS sh
+              |  FROM tok),
+              |ex AS (SELECT doc_id, unnest(list_distinct(sh)) AS sg FROM sets),
+              |bl AS (SELECT DISTINCT sg FROM ex WHERE doc_id < 100),
+              |batch AS (SELECT doc_id, sg FROM ex WHERE doc_id >= 100)
+              |SELECT b.doc_id,
+              |  CAST(count(bl.sg) AS BIGINT) AS n_contaminated
+              |FROM batch b LEFT JOIN bl ON b.sg = bl.sg
+              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)))
 }

@@ -35,7 +35,7 @@ object LlmQueries {
     Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 
   /** DuckDB SQL fragment mirroring `TextFunctions.normalized`. */
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private[queries] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   /** DuckDB CTE rebuilding the PORTABLE Rademacher hyperplane dots of
     * [[EmbeddingKnn.rademacherPlanes]] (Weyl mix, seed 42, dim 64): one
