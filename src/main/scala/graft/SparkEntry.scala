@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, ExtendedQueries, LakehouseQueries, LlmQueries, SamplingQueries}
+import graft.queries.{CoreQueries, ExtendedQueries, LakehouseQueries, LlmQueries, SamplingQueries, StructureQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
 
   private def allQueries =
     CoreQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries ++
-      LakehouseQueries.queries ++ SamplingQueries.queries
+      LakehouseQueries.queries ++ SamplingQueries.queries ++
+      StructureQueries.queries
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * training-data-pipeline tier (dedup / text analysis / similarity). */

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{CountMin, LabelPropagation, Skyline}
+
+/** Corpus-structure tier: bounded-memory frequency sketching (count-min),
+  * sub-linear corpus-similarity estimation (coordinated bottom-k),
+  * community detection (synchronous label propagation), temperature-based
+  * domain mixing, and the skyline operator. The through-line: each query
+  * answers a corpus-STRUCTURE question ("what's frequent", "how much do
+  * these sources overlap", "what clusters together", "how do we weight
+  * domains", "what's on the quality frontier") with an algorithm whose
+  * memory/traffic is bounded by sketch size, community count, or frontier
+  * size — never by corpus size. All arithmetic is integer or
+  * single-correctly-rounded-IEEE-op (sqrt IS correctly rounded per
+  * IEEE 754, unlike pow/log), so every row hash-matches a DuckDB replay.
+  */
+object StructureQueries {
+
+  import org.apache.spark.sql.DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // Count-min sketch vs exact token frequencies: build a 4×256 CMS of
+    // the corpus token stream with the mergeable CountMinAgg Aggregator
+    // (map-side partial matrices, elementwise-add merge — aggregation
+    // traffic independent of vocabulary size), then check its point
+    // estimates against the exact counts of the top-20 tokens. The
+    // overcount column is the CMS guarantee made visible: min-of-rows
+    // never undercounts. Sketch cells land in the plan as a posexploded
+    // 1024-row broadcast side — no driver collect. Row hashes are plain
+    // integer arithmetic over the Rabin-Karp poly-hash, so DuckDB
+    // rebuilds the identical sketch (collisions included) relationally.
+    "q138_cms_freq" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(TextFunctions.normalized(col("text")), " "))
+            .as("w"))
+          .filter(col("w") =!= "")
+        val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.orderBy(col("exact_cnt").desc, col("w")).limit(20)
+        val cms = udaf(CountMin.CountMinAgg(4, 256))
+        val cells = toks
+          .select(TextFunctions.polyHash(col("w")).as("h"))
+          .agg(cms(col("h")).as("m"))
+          .select(posexplode(col("m")).as(Seq("pos", "cell_cnt")))
+          .select((col("pos") / 256).cast("int").as("j"),
+            pmod(col("pos"), lit(256)).as("cell"), col("cell_cnt"))
+        val probe = top
+          .withColumn("h", TextFunctions.polyHash(col("w")))
+          .withColumn("j", explode(sequence(lit(0), lit(3))))
+          .withColumn("cell",
+            pmod(pmod((lit(31L) + lit(2L) * col("j")) * col("h")
+              + lit(7L) + lit(97L) * col("j"), lit(CountMin.Mod)),
+              lit(256L)).cast("int"))
+        probe.join(broadcast(cells), Seq("j", "cell"))
+          .groupBy("w")
+          .agg(first(col("exact_cnt")).as("exact_cnt"),
+            min(col("cell_cnt")).as("cms_est"))
+          .select(col("w"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("w"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS w
+              |  FROM documents),
+              |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+              |       FROM t WHERE w <> '' GROUP BY w),
+              |ph AS (SELECT w, exact_cnt, list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(range(1, len(w)+1),
+              |        i -> CAST(ascii(w[i]) AS BIGINT))),
+              |    (acc, c) -> (acc * 131 + c) % 1000000007) AS h
+              |  FROM tf),
+              |cells AS (
+              |  SELECT j.j, ((31 + 2*j.j) * ph.h + 7 + 97*j.j)
+              |           % 1000000007 % 256 AS cell,
+              |         CAST(sum(exact_cnt) AS BIGINT) AS cell_cnt
+              |  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS j) j
+              |  GROUP BY 1, 2),
+              |top AS (SELECT w, exact_cnt, h FROM ph
+              |        ORDER BY exact_cnt DESC, w LIMIT 20),
+              |est AS (
+              |  SELECT top.w, top.exact_cnt,
+              |         CAST(min(c.cell_cnt) AS BIGINT) AS cms_est
+              |  FROM top CROSS JOIN (SELECT unnest(range(4)) AS j) j
+              |  JOIN cells c ON c.j = j.j
+              |   AND c.cell = ((31 + 2*j.j) * top.h + 7 + 97*j.j)
+              |                % 1000000007 % 256
+              |  GROUP BY 1, 2)
+              |SELECT w, exact_cnt, cms_est,
+              |       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+              |FROM est ORDER BY exact_cnt DESC, w""".stripMargin)),
+
+    // Temperature-based domain mixture (the multilingual/multi-domain
+    // sampling scheme of Lample & Conneau'19 at α = 1/2): upweight small
+    // sources by sampling ∝ mass^α. Portable because sqrt IS correctly
+    // rounded under IEEE 754 (pow/log are not): mass^(1/2) → one sqrt,
+    // one exact ×2^20, one floor gives an INTEGER sampling mass; the
+    // normalizing sum and the budget allocation stay in exact integer
+    // arithmetic (long-safe while Σ sqrt-mass × 10^4 < 2^63 — holds past
+    // 10^13 chars per source), and the reported weight is one IEEE
+    // division. Shape: one agg to source grain, then a window over
+    // #sources rows — driver-scale by definition.
+    "q139_temperature_mix" -> Q(
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(col("n_chars")).as("n_chars_total"))
+          .withColumn("mass",
+            floor(sqrt(col("n_chars_total")) * lit(1048576.0)).cast("long"))
+        bySrc
+          .withColumn("total_mass",
+            sum(col("mass")).over(Window.partitionBy()))
+          .select(col("source"), col("n_chars_total"), col("mass"),
+            (col("mass").cast("double") / col("total_mass").cast("double"))
+              .as("weight"),
+            expr("(mass * 10000L) div total_mass").as("alloc_units"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+             |    CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1048576.0)
+             |         AS BIGINT) AS mass
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT *, CAST(sum(mass) OVER () AS BIGINT) AS total
+             |      FROM m)
+             |SELECT source, n_chars_total, mass,
+             |  CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) AS weight,
+             |  CAST((mass * 10000) // total AS BIGINT) AS alloc_units
+             |FROM t ORDER BY source""".stripMargin)),
+
+    // Synchronous label propagation over the supplier↔part trading graph
+    // (bipartite edges from lineitem; part nodes offset by 10^7 to share
+    // one id space). Three deterministic rounds — most-frequent neighbor
+    // label, ties to the smallest — then community sizes. Each round is
+    // one shuffle join plus one partially-aggregable struct-min (hub
+    // tallies map-side combine); the label frame is localCheckpointed per
+    // round. The oracle unrolls the same three rounds as CTEs.
+    "q140_label_prop" -> Q(
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("u"),
+            (col("l_partkey") + lit(10000000L)).as("v"))
+          .distinct()
+        val labels = LabelPropagation.run(edges, iters = 3)
+        labels.groupBy("label")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("node") < 10000000L, 1L).otherwise(0L))
+              .as("n_suppliers"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT l_suppkey AS u, l_partkey + 10000000 AS v
+             |  FROM lineitem),
+             |sym AS (SELECT u, v FROM e WHERE u <> v
+             |        UNION SELECT v, u FROM e WHERE u <> v),
+             |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+             |v1 AS (SELECT s.u AS node, l.label, count(*) AS c
+             |       FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2),
+             |l1 AS (SELECT node, label FROM (
+             |         SELECT node, label, row_number() OVER (
+             |           PARTITION BY node ORDER BY c DESC, label) AS rn
+             |         FROM v1) WHERE rn = 1),
+             |v2 AS (SELECT s.u AS node, l.label, count(*) AS c
+             |       FROM sym s JOIN l1 l ON s.v = l.node GROUP BY 1, 2),
+             |l2 AS (SELECT node, label FROM (
+             |         SELECT node, label, row_number() OVER (
+             |           PARTITION BY node ORDER BY c DESC, label) AS rn
+             |         FROM v2) WHERE rn = 1),
+             |v3 AS (SELECT s.u AS node, l.label, count(*) AS c
+             |       FROM sym s JOIN l2 l ON s.v = l.node GROUP BY 1, 2),
+             |l3 AS (SELECT node, label FROM (
+             |         SELECT node, label, row_number() OVER (
+             |           PARTITION BY node ORDER BY c DESC, label) AS rn
+             |         FROM v3) WHERE rn = 1)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(sum(CASE WHEN node < 10000000 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_suppliers
+             |FROM l3 GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Source-to-source similarity matrix from coordinated bottom-k
+    // sketches: per source, the 128 smallest md5s of its distinct 3-word
+    // shingles; per source pair, J ≈ |bottom-128(A∪B) ∩ A₁₂₈ ∩ B₁₂₈|/128
+    // (Cohen & Kaplan coordinated-sample estimator — k a power of two so
+    // the division is exact binary). The exact Jaccard rides along for
+    // calibration (two integer counts + one IEEE division). Sub-linear
+    // where it matters: the estimator touches 128 rows per source — at
+    // 100 TB only the distinct-(source, shingle-hash) pass sees data
+    // scale, and it's a two-phase agg. The source list is collected as
+    // bounded dimension state (source cardinality, like the ANN
+    // codebooks) to build the pair frame without an inequality BNLJ.
+    "q141_source_similarity" -> Q(
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextFunctions.wordShingles(col("text"), 3)).as("g"))
+          .select(col("source"), substring(md5(col("g")), 1, 16).as("h"))
+          .distinct()
+        val srcs = sh.select("source").distinct()
+          .collect().map(_.getString(0)).sorted
+        val pairs = for {
+          i <- srcs.indices; j <- (i + 1) until srcs.length
+        } yield (srcs(i), srcs(j))
+        import s.implicits._
+        val pdf = pairs.toSeq.toDF("s1", "s2")
+        val expanded = sh.join(broadcast(pdf), col("source") === col("s1"))
+          .select(col("s1"), col("s2"), col("h"), lit(1).as("ia"),
+            lit(0).as("ib"))
+          .unionAll(sh.join(broadcast(pdf), col("source") === col("s2"))
+            .select(col("s1"), col("s2"), col("h"), lit(0).as("ia"),
+              lit(1).as("ib")))
+          .groupBy("s1", "s2", "h")
+          .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+        val w = Window.partitionBy("s1", "s2").orderBy("h")
+        val est = expanded
+          .withColumn("urk", row_number().over(w))
+          .filter(col("urk") <= 128)
+          .groupBy("s1", "s2")
+          .agg(sum(col("ia") * col("ib")).cast("long").as("k_shared"))
+          .withColumn("est_jaccard",
+            col("k_shared").cast("double") / lit(128.0))
+        val exact = expanded.groupBy("s1", "s2")
+          .agg(sum(col("ia") * col("ib")).cast("long").as("inter"),
+            count(lit(1)).as("uni"))
+          .withColumn("exact_jaccard",
+            col("inter").cast("double") / col("uni").cast("double"))
+        est.join(exact, Seq("s1", "s2"))
+          .select(col("s1"), col("s2"), col("k_shared"),
+            col("est_jaccard"), col("inter"), col("uni"),
+            col("exact_jaccard"))
+          .orderBy("s1", "s2")
+      },
+      Some(s"""WITH nrm AS (SELECT source, $normSql AS nm FROM documents),
+              |tok AS (SELECT source, nm, string_split(nm, ' ') AS t
+              |        FROM nrm),
+              |sets AS (SELECT source,
+              |    CASE WHEN len(t) < 3 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 1),
+              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |    END AS sh
+              |  FROM tok),
+              |dh AS (SELECT DISTINCT source,
+              |         substring(md5(g), 1, 16) AS h
+              |       FROM (SELECT source, unnest(sh) AS g FROM sets)),
+              |srcs AS (SELECT DISTINCT source FROM dh),
+              |pairs AS (SELECT a.source AS s1, b.source AS s2
+              |          FROM srcs a, srcs b WHERE a.source < b.source),
+              |exp AS (
+              |  SELECT p.s1, p.s2, d.h,
+              |    max(CASE WHEN d.source = p.s1 THEN 1 ELSE 0 END) AS ia,
+              |    max(CASE WHEN d.source = p.s2 THEN 1 ELSE 0 END) AS ib
+              |  FROM pairs p JOIN dh d ON d.source IN (p.s1, p.s2)
+              |  GROUP BY 1, 2, 3),
+              |bk AS (SELECT *, row_number() OVER (
+              |         PARTITION BY s1, s2 ORDER BY h) AS urk FROM exp),
+              |est AS (SELECT s1, s2,
+              |          CAST(sum(ia * ib) AS BIGINT) AS k_shared
+              |        FROM bk WHERE urk <= 128 GROUP BY 1, 2),
+              |ex AS (SELECT s1, s2, CAST(sum(ia * ib) AS BIGINT) AS inter,
+              |         CAST(count(*) AS BIGINT) AS uni
+              |       FROM exp GROUP BY 1, 2)
+              |SELECT est.s1, est.s2, k_shared,
+              |  CAST(k_shared AS DOUBLE) / 128.0 AS est_jaccard,
+              |  inter, uni,
+              |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS exact_jaccard
+              |FROM est JOIN ex ON est.s1 = ex.s1 AND est.s2 = ex.s2
+              |ORDER BY est.s1, est.s2""".stripMargin)),
+
+    // Skyline / pareto frontier of (quantity, price-in-cents) over
+    // lineitem — "the best trade-offs" without a scoring function. Grid
+    // prune (per-bucket max + suffix max over B bucket rows, broadcast
+    // back) eliminates everything the exact phase's global range-frame
+    // window would otherwise funnel through one task; the prune is
+    // provably lossless because floor-div bucketing is monotone. Cents
+    // via round(price·100): the true value is integer cents, so the
+    // double error is ±ulp and rounding recovers the exact integer on
+    // both engines. Oracle replays the same window formulation (a
+    // NOT-EXISTS oracle would be quadratic in DuckDB).
+    "q142_skyline" -> Q(
+      (s, d) => {
+        val pts = Tables.lineitem(s, d)
+          .select(round(col("l_quantity")).cast("long").as("qty"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        Skyline.frontier2D(pts, "qty", "cents", bucketWidth = 5L)
+          .groupBy("qty", "cents")
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy("qty", "cents")
+      },
+      Some("""WITH pts AS (
+             |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |w AS (
+             |  SELECT qty, cents,
+             |    max(cents) OVER (ORDER BY qty
+             |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             |      AS mgt,
+             |    max(cents) OVER (PARTITION BY qty) AS meq
+             |  FROM pts)
+             |SELECT qty, cents, CAST(count(*) AS BIGINT) AS n_rows
+             |FROM w
+             |WHERE (mgt IS NULL OR cents > mgt) AND cents = meq
+             |GROUP BY qty, cents ORDER BY qty, cents""".stripMargin)))
+
+  /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
+  private def normSql: String = LlmQueries.normSql
+}
