@@ -304,7 +304,177 @@ object StructureQueries {
              |SELECT qty, cents, CAST(count(*) AS BIGINT) AS n_rows
              |FROM w
              |WHERE (mgt IS NULL OR cents > mgt) AND cents = meq
-             |GROUP BY qty, cents ORDER BY qty, cents""".stripMargin)))
+             |GROUP BY qty, cents ORDER BY qty, cents""".stripMargin)),
+
+    // Distributed BPE merge learning — the tokenizer-training pass, run
+    // as 3 engine rounds over the frequency-weighted distinct-word table
+    // (corpus size enters only through the word count agg, exactly like
+    // single-node trainers). Winner per round = max weighted adjacent-
+    // pair count, ties to the lexicographically smallest pair; merges
+    // apply as literal sentinel-delimited replaces whose left-to-right
+    // non-overlap IS the BPE greedy scan. The oracle unrolls the same
+    // three rounds with scalar-subquery winners — training replays
+    // bit-for-bit in DuckDB.
+    "q143_bpe_merges" -> Q(
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(TextFunctions.normalized(col("text")), " "))
+            .as("word"))
+          .filter(col("word") =!= "" &&
+            instr(col("word"), graft.llm.BpeTrainer.L) === 0 &&
+            instr(col("word"), graft.llm.BpeTrainer.R) === 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val merges = graft.llm.BpeTrainer.train(words, rounds = 3)
+        import s.implicits._
+        merges.map(m => (m.round.toLong, m.a, m.b, m.a + m.b, m.cnt))
+          .toDF("round", "sym_a", "sym_b", "merged", "pair_cnt")
+          .orderBy("round")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS w
+              |  FROM documents),
+              |wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+              |       FROM t WHERE w <> '' AND strpos(w, chr(2)) = 0
+              |         AND strpos(w, chr(3)) = 0
+              |       GROUP BY w),
+              |s0 AS (SELECT freq, regexp_replace(word, '(.)',
+              |         chr(2) || '\\1' || chr(3), 'g') AS s FROM wf),
+              |a1 AS (SELECT freq, string_split(substr(s, 2, len(s) - 2),
+              |         chr(3) || chr(2)) AS arr FROM s0),
+              |p1 AS (SELECT u.a, u.b, CAST(sum(freq) AS BIGINT) AS cnt
+              |  FROM (SELECT freq, unnest(list_transform(
+              |          range(1, len(arr)),
+              |          i -> {'a': arr[i], 'b': arr[i+1]})) AS u
+              |        FROM a1)
+              |  GROUP BY 1, 2),
+              |w1 AS (SELECT a, b, cnt FROM p1
+              |       ORDER BY cnt DESC, a, b LIMIT 1),
+              |s1 AS (SELECT freq, replace(s,
+              |         chr(2) || (SELECT a FROM w1) || chr(3) ||
+              |         chr(2) || (SELECT b FROM w1) || chr(3),
+              |         chr(2) || (SELECT a || b FROM w1) || chr(3)) AS s
+              |       FROM s0),
+              |a2 AS (SELECT freq, string_split(substr(s, 2, len(s) - 2),
+              |         chr(3) || chr(2)) AS arr FROM s1),
+              |p2 AS (SELECT u.a, u.b, CAST(sum(freq) AS BIGINT) AS cnt
+              |  FROM (SELECT freq, unnest(list_transform(
+              |          range(1, len(arr)),
+              |          i -> {'a': arr[i], 'b': arr[i+1]})) AS u
+              |        FROM a2)
+              |  GROUP BY 1, 2),
+              |w2 AS (SELECT a, b, cnt FROM p2
+              |       ORDER BY cnt DESC, a, b LIMIT 1),
+              |s2 AS (SELECT freq, replace(s,
+              |         chr(2) || (SELECT a FROM w2) || chr(3) ||
+              |         chr(2) || (SELECT b FROM w2) || chr(3),
+              |         chr(2) || (SELECT a || b FROM w2) || chr(3)) AS s
+              |       FROM s1),
+              |a3 AS (SELECT freq, string_split(substr(s, 2, len(s) - 2),
+              |         chr(3) || chr(2)) AS arr FROM s2),
+              |p3 AS (SELECT u.a, u.b, CAST(sum(freq) AS BIGINT) AS cnt
+              |  FROM (SELECT freq, unnest(list_transform(
+              |          range(1, len(arr)),
+              |          i -> {'a': arr[i], 'b': arr[i+1]})) AS u
+              |        FROM a3)
+              |  GROUP BY 1, 2),
+              |w3 AS (SELECT a, b, cnt FROM p3
+              |       ORDER BY cnt DESC, a, b LIMIT 1)
+              |SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+              |       a || b AS merged, cnt AS pair_cnt FROM w1
+              |UNION ALL SELECT 2, a, b, a || b, cnt FROM w2
+              |UNION ALL SELECT 3, a, b, a || b, cnt FROM w3
+              |ORDER BY round""".stripMargin)),
+
+    // Per-dimension embedding statistics — the standardization/QA pass
+    // before ANN or training (dead dims, scale skew, saturation). Floats
+    // quantize to 2^20-scaled longs (exact per Clustering's argument),
+    // so count/sum/min/max are exact integers, the mean is one IEEE
+    // division, and the second moment runs in DECIMAL(38,0) (qv² ≤ 2^40
+    // · corpus rows — long would overflow at 100 TB) before one
+    // documented-correctly-rounded cast to double. Shape: posexplode to
+    // (dim, qv) grain, one two-phase agg on a 64-value key.
+    "q144_embed_dim_stats" -> Q(
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .withColumn("qv_arr", graft.llm.Clustering.quantize(col("embedding")))
+          .select(posexplode(col("qv_arr")).as(Seq("dim", "qv")))
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qv")).as("q_sum"),
+            min(col("qv")).as("q_min"),
+            max(col("qv")).as("q_max"),
+            sum((col("qv") * col("qv")).cast("decimal(38,0)"))
+              .cast("double").as("sumsq_q"))
+          .withColumn("mean_q",
+            col("q_sum").cast("double") / col("n").cast("double"))
+          .select(col("dim"), col("n"), col("q_sum"), col("q_min"),
+            col("q_max"), col("mean_q"), col("sumsq_q"))
+          .orderBy("dim")
+      },
+      Some("""WITH e AS (
+             |  SELECT unnest(list_transform(range(0, len(embedding)),
+             |    i -> {'dim': i, 'x': embedding[i+1]})) AS u
+             |  FROM embeddings),
+             |q AS (SELECT CAST(u.dim AS BIGINT) AS dim,
+             |        CAST(round(CAST(u.x AS DOUBLE) * 1048576) AS BIGINT)
+             |          AS qv
+             |      FROM e)
+             |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(min(qv) AS BIGINT) AS q_min,
+             |  CAST(max(qv) AS BIGINT) AS q_max,
+             |  CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q,
+             |  CAST(sum(CAST(qv * qv AS DECIMAL(38,0))) AS DOUBLE) AS sumsq_q
+             |FROM q GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // Largest-remainder (Hamilton) apportionment of a 1000-slot sample
+    // budget across (lang, source) strata — the exact-proportionality
+    // allocator for an evaluation-set draw: floor shares, then the
+    // leftover slots go to the largest remainders (ties: stratum asc).
+    // Pure integer arithmetic end-to-end; the windows run over the
+    // stratum grain (tens of rows), not the corpus.
+    "q145_apportion" -> Q(
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"))
+        val wAll = Window.partitionBy()
+        g.withColumn("total", sum(col("n_docs")).over(wAll))
+          .withColumn("base_alloc", expr("(1000 * n_docs) div total"))
+          .withColumn("rem", expr("(1000 * n_docs) % total"))
+          .withColumn("leftover",
+            lit(1000L) - sum(col("base_alloc")).over(wAll))
+          .withColumn("rrk", row_number().over(
+            Window.orderBy(col("rem").desc, col("lang"), col("source")))
+            .cast("long"))
+          .withColumn("extra",
+            when(col("rrk") <= col("leftover"), 1L).otherwise(0L))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("base_alloc"), col("rem"), col("extra"),
+            (col("base_alloc") + col("extra")).as("alloc"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS total
+             |      FROM g),
+             |b AS (SELECT *,
+             |        CAST((1000 * n_docs) // total AS BIGINT) AS base_alloc,
+             |        CAST((1000 * n_docs) % total AS BIGINT) AS rem
+             |      FROM t),
+             |l AS (SELECT *,
+             |        CAST(1000 - sum(base_alloc) OVER () AS BIGINT)
+             |          AS leftover,
+             |        row_number() OVER (ORDER BY rem DESC, lang, source)
+             |          AS rrk
+             |      FROM b)
+             |SELECT lang, source, n_docs, base_alloc, rem,
+             |  CAST(CASE WHEN rrk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             |    AS extra,
+             |  CAST(base_alloc + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END
+             |       AS BIGINT) AS alloc
+             |FROM l ORDER BY lang, source""".stripMargin)))
 
   /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
   private def normSql: String = LlmQueries.normSql

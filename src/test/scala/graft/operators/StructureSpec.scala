@@ -72,6 +72,27 @@ class StructureSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
 
+  // ---------------- bpe trainer ----------------
+
+  test("bpe learns the classic merges and stops when no pairs remain") {
+    import graft.llm.BpeTrainer
+    val words = Seq(("abab", 2L), ("ab", 1L)).toDF("word", "freq")
+    val merges = BpeTrainer.train(words, rounds = 3)
+    // (a,b) appears 2x in "abab" (x2 freq) + 1x in "ab" = 5; after the
+    // merge, (ab,ab) appears once per "abab"; then nothing is adjacent
+    assert(merges.map(m => (m.round, m.a, m.b, m.cnt)) ==
+      Seq((1, "a", "b", 5L), (2, "ab", "ab", 2L)))
+  }
+
+  test("bpe merge application is the greedy non-overlapping scan") {
+    import graft.llm.BpeTrainer
+    // "aaa" with winner (a,a): greedy merges the FIRST pair only ->
+    // [aa, a], so round 2's top pair is (aa, a), not (a, aa)
+    val merges = BpeTrainer.train(Seq(("aaa", 1L)).toDF("word", "freq"), 2)
+    assert(merges.map(m => (m.round, m.a, m.b, m.cnt)) ==
+      Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   // ---------------- skyline ----------------
 
   private def bruteFrontier(pts: Seq[(Long, Long)]): Set[(Long, Long)] =
