@@ -90,4 +90,13 @@ object BpeTrainer {
     }
     merges.result()
   }
+
+  /** Apply an ordered merge table to a word column: wrap, then replay
+    * each merge as the same greedy replace used in training. Returns the
+    * final wrapped-symbol string (count symbols via [[symbols]]).
+    */
+  def encode(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(wrap(word)) { (s, m) =>
+      replace(s, lit(L + m.a + R + L + m.b + R), lit(L + m.a + m.b + R))
+    }
 }

@@ -474,7 +474,273 @@ object StructureQueries {
              |    AS extra,
              |  CAST(base_alloc + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END
              |       AS BIGINT) AS alloc
-             |FROM l ORDER BY lang, source""".stripMargin)))
+             |FROM l ORDER BY lang, source""".stripMargin)),
+
+    // BPE applied: re-learn q143's merges, tokenize the corpus with
+    // them, and report per-source compression — words, single-char
+    // symbols before, symbols after, symbols saved. The application is
+    // vocabulary-shaped too: merges replay on DISTINCT words (map-only
+    // replaces), and per-source totals come from a join of the encoded
+    // vocab against (source, word) counts — corpus size only ever enters
+    // through the two word-count aggregations.
+    "q146_bpe_compression" -> Q(
+      (s, d) => {
+        import graft.llm.BpeTrainer
+        val wordsSrc = Tables.documents(s, d)
+          .select(col("source"),
+            explode(split(TextFunctions.normalized(col("text")), " "))
+              .as("word"))
+          .filter(col("word") =!= "" &&
+            instr(col("word"), BpeTrainer.L) === 0 &&
+            instr(col("word"), BpeTrainer.R) === 0)
+          .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+        val vocab = wordsSrc.groupBy("word").agg(sum(col("cnt")).as("freq"))
+        val merges = BpeTrainer.train(vocab, rounds = 3)
+        val enc = vocab.select(col("word"),
+          size(BpeTrainer.symbols(BpeTrainer.encode(col("word"), merges)))
+            .cast("long").as("n_sym"))
+        wordsSrc.join(enc, "word")
+          .groupBy("source")
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * length(col("word"))).as("n_sym_before"),
+            sum(col("cnt") * col("n_sym")).as("n_sym_after"))
+          .withColumn("saved", col("n_sym_before") - col("n_sym_after"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ts AS (
+              |  SELECT source, unnest(string_split($normSql, ' ')) AS w
+              |  FROM documents),
+              |tf AS (SELECT source, w AS word,
+              |         CAST(count(*) AS BIGINT) AS cnt
+              |       FROM ts WHERE w <> '' AND strpos(w, chr(2)) = 0
+              |         AND strpos(w, chr(3)) = 0
+              |       GROUP BY 1, 2),
+              |wf AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS freq
+              |       FROM tf GROUP BY word),
+              |s0 AS (SELECT word, freq, regexp_replace(word, '(.)',
+              |         chr(2) || '\\1' || chr(3), 'g') AS s FROM wf),
+              |a1 AS (SELECT freq, string_split(substr(s, 2, len(s) - 2),
+              |         chr(3) || chr(2)) AS arr FROM s0),
+              |p1 AS (SELECT u.a, u.b, CAST(sum(freq) AS BIGINT) AS cnt
+              |  FROM (SELECT freq, unnest(list_transform(
+              |          range(1, len(arr)),
+              |          i -> {'a': arr[i], 'b': arr[i+1]})) AS u
+              |        FROM a1)
+              |  GROUP BY 1, 2),
+              |w1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+              |s1 AS (SELECT word, freq, replace(s,
+              |         chr(2) || (SELECT a FROM w1) || chr(3) ||
+              |         chr(2) || (SELECT b FROM w1) || chr(3),
+              |         chr(2) || (SELECT a || b FROM w1) || chr(3)) AS s
+              |       FROM s0),
+              |a2 AS (SELECT freq, string_split(substr(s, 2, len(s) - 2),
+              |         chr(3) || chr(2)) AS arr FROM s1),
+              |p2 AS (SELECT u.a, u.b, CAST(sum(freq) AS BIGINT) AS cnt
+              |  FROM (SELECT freq, unnest(list_transform(
+              |          range(1, len(arr)),
+              |          i -> {'a': arr[i], 'b': arr[i+1]})) AS u
+              |        FROM a2)
+              |  GROUP BY 1, 2),
+              |w2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+              |s2 AS (SELECT word, freq, replace(s,
+              |         chr(2) || (SELECT a FROM w2) || chr(3) ||
+              |         chr(2) || (SELECT b FROM w2) || chr(3),
+              |         chr(2) || (SELECT a || b FROM w2) || chr(3)) AS s
+              |       FROM s1),
+              |a3 AS (SELECT freq, string_split(substr(s, 2, len(s) - 2),
+              |         chr(3) || chr(2)) AS arr FROM s2),
+              |p3 AS (SELECT u.a, u.b, CAST(sum(freq) AS BIGINT) AS cnt
+              |  FROM (SELECT freq, unnest(list_transform(
+              |          range(1, len(arr)),
+              |          i -> {'a': arr[i], 'b': arr[i+1]})) AS u
+              |        FROM a3)
+              |  GROUP BY 1, 2),
+              |w3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+              |s3 AS (SELECT word, replace(s,
+              |         chr(2) || (SELECT a FROM w3) || chr(3) ||
+              |         chr(2) || (SELECT b FROM w3) || chr(3),
+              |         chr(2) || (SELECT a || b FROM w3) || chr(3)) AS s
+              |       FROM s2),
+              |enc AS (SELECT word,
+              |          CAST(len(string_split(substr(s, 2, len(s) - 2),
+              |            chr(3) || chr(2))) AS BIGINT) AS n_sym
+              |        FROM s3)
+              |SELECT tf.source, CAST(sum(cnt) AS BIGINT) AS n_words,
+              |  CAST(sum(cnt * len(word)) AS BIGINT) AS n_sym_before,
+              |  CAST(sum(cnt * n_sym) AS BIGINT) AS n_sym_after,
+              |  CAST(sum(cnt * len(word)) - sum(cnt * n_sym) AS BIGINT)
+              |    AS saved
+              |FROM tf JOIN enc USING (word)
+              |GROUP BY tf.source ORDER BY tf.source""".stripMargin)),
+
+    // Stratified evaluation-set draw: q145's exact Hamilton allocation
+    // COMPOSED with q133's deterministic md5-priority ranking — each
+    // (lang, source) stratum contributes exactly its apportioned share,
+    // drawn by hash priority so the set is reproducible and append-
+    // stable. The allocation table broadcasts (stratum grain); the only
+    // corpus-scale work is the per-stratum rank, a WindowGroupLimit-
+    // friendly top-K. Strata smaller than their allocation contribute
+    // everything they have (rk never reaches alloc).
+    "q147_eval_draw" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val g = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"))
+        val wAll = Window.partitionBy()
+        val alloc = g
+          .withColumn("total", sum(col("n_docs")).over(wAll))
+          .withColumn("base_alloc", expr("(1000 * n_docs) div total"))
+          .withColumn("rem", expr("(1000 * n_docs) % total"))
+          .withColumn("leftover",
+            lit(1000L) - sum(col("base_alloc")).over(wAll))
+          .withColumn("rrk", row_number().over(
+            Window.orderBy(col("rem").desc, col("lang"), col("source")))
+            .cast("long"))
+          .select(col("lang"), col("source"),
+            (col("base_alloc") +
+              when(col("rrk") <= col("leftover"), 1L).otherwise(0L))
+              .as("alloc"))
+        val ranked = docs
+          .select(col("lang"), col("source"), col("doc_id"),
+            substring(md5(col("doc_id").cast("string")), 1, 16).as("pri"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang", "source").orderBy("pri", "doc_id"))
+            .cast("long"))
+        ranked.join(broadcast(alloc), Seq("lang", "source"))
+          .filter(col("rk") <= col("alloc"))
+          .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+          .orderBy("lang", "source", "rk")
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS total
+             |      FROM g),
+             |b AS (SELECT *,
+             |        CAST((1000 * n_docs) // total AS BIGINT) AS base_alloc,
+             |        CAST((1000 * n_docs) % total AS BIGINT) AS rem
+             |      FROM t),
+             |l AS (SELECT *,
+             |        CAST(1000 - sum(base_alloc) OVER () AS BIGINT)
+             |          AS leftover,
+             |        row_number() OVER (ORDER BY rem DESC, lang, source)
+             |          AS rrk
+             |      FROM b),
+             |alloc AS (SELECT lang, source,
+             |            CAST(base_alloc + CASE WHEN rrk <= leftover
+             |              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |          FROM l),
+             |r AS (SELECT lang, source, doc_id,
+             |        row_number() OVER (PARTITION BY lang, source
+             |          ORDER BY substring(md5(CAST(doc_id AS VARCHAR)),
+             |            1, 16), doc_id) AS rk
+             |      FROM documents)
+             |SELECT r.lang, r.source, CAST(rk AS BIGINT) AS rk, doc_id
+             |FROM r JOIN alloc ON r.lang = alloc.lang
+             |  AND r.source = alloc.source
+             |WHERE rk <= alloc
+             |ORDER BY r.lang, r.source, rk""".stripMargin)),
+
+    // Rendezvous (highest-random-weight) sharding: each doc goes to the
+    // shard with the max md5-derived weight — the stateless assignment
+    // scheme whose defining property is MINIMAL movement under resize
+    // (only docs whose new shard WINS move; expect ~1/17 when going
+    // 16→17). Both assignments and the movement audit are pure
+    // map-side array-expression work — no shuffle except the final
+    // 16-row histogram — and exactly replayable (hex-cast md5 weights,
+    // struct-min tie-break on smallest shard id).
+    "q148_rendezvous_shards" -> Q(
+      (s, d) => {
+        def weight(j: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            j.cast("string"))), 1, 8), 16, 10).cast("long")
+        def shard(n: Int) =
+          array_min(transform(sequence(lit(0), lit(n - 1)),
+            j => struct((-weight(j)).as("nw"), j.cast("long").as("j"))))
+            .getField("j")
+        Tables.documents(s, d)
+          .select(col("doc_id"), shard(16).as("shard"),
+            shard(17).as("shard17"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard") =!= col("shard17"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .orderBy("shard")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    (list_min(list_transform(range(0, 16), j ->
+             |      {'nw': -CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |         || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT),
+             |       'j': j}))).j AS shard,
+             |    (list_min(list_transform(range(0, 17), j ->
+             |      {'nw': -CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |         || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT),
+             |       'j': j}))).j AS shard17
+             |  FROM documents)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN shard <> shard17 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_moved
+             |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Frequency estimates through the PERSISTED count-min index: build
+    // on the even-doc_id half, fold in the odd half with addBatch, probe
+    // the top-20 tokens. Because CMS merge is elementwise addition the
+    // incremental index is cell-for-cell identical to a full build
+    // (CmsIndexSpec pins it), so the oracle is simply the full-corpus
+    // sketch replay — the same estimates q138 checks, now arrived at
+    // without ever rescanning history.
+    "q149_cms_incremental" -> Q(
+      (s, d) => {
+        import graft.llm.CmsIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q149-cms").toString
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(TextFunctions.normalized(col("text")), " "))
+              .as("w"))
+          .filter(col("w") =!= "")
+          .withColumn("h", TextFunctions.polyHash(col("w")))
+        CmsIndex.build(
+          toks.filter(col("doc_id") % 2 === 0).select("h"), s"$dir/idx")
+        CmsIndex.addBatch(s, s"$dir/idx",
+          toks.filter(col("doc_id") % 2 === 1).select("h"))
+        val top = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("w")).limit(20)
+          .withColumn("h", TextFunctions.polyHash(col("w")))
+        CmsIndex.estimates(s, s"$dir/idx", top.select("w", "h"))
+          .join(top.select("w", "exact_cnt"), "w")
+          .select(col("w"), col("exact_cnt"), col("cms_est"))
+          .orderBy(col("exact_cnt").desc, col("w"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS w
+              |  FROM documents),
+              |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+              |       FROM t WHERE w <> '' GROUP BY w),
+              |ph AS (SELECT w, exact_cnt, list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(range(1, len(w)+1),
+              |        i -> CAST(ascii(w[i]) AS BIGINT))),
+              |    (acc, c) -> (acc * 131 + c) % 1000000007) AS h
+              |  FROM tf),
+              |cells AS (
+              |  SELECT j.j, ((31 + 2*j.j) * ph.h + 7 + 97*j.j)
+              |           % 1000000007 % 256 AS cell,
+              |         CAST(sum(exact_cnt) AS BIGINT) AS cell_cnt
+              |  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS j) j
+              |  GROUP BY 1, 2),
+              |top AS (SELECT w, exact_cnt, h FROM ph
+              |        ORDER BY exact_cnt DESC, w LIMIT 20)
+              |SELECT top.w, top.exact_cnt,
+              |       CAST(min(c.cell_cnt) AS BIGINT) AS cms_est
+              |FROM top CROSS JOIN (SELECT unnest(range(4)) AS j) j
+              |JOIN cells c ON c.j = j.j
+              | AND c.cell = ((31 + 2*j.j) * top.h + 7 + 97*j.j)
+              |              % 1000000007 % 256
+              |GROUP BY 1, 2
+              |ORDER BY top.exact_cnt DESC, top.w""".stripMargin)))
 
   /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
   private def normSql: String = LlmQueries.normSql

