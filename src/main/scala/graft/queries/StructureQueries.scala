@@ -740,7 +740,143 @@ object StructureQueries {
               | AND c.cell = ((31 + 2*j.j) * top.h + 7 + 97*j.j)
               |              % 1000000007 % 256
               |GROUP BY 1, 2
-              |ORDER BY top.exact_cnt DESC, top.w""".stripMargin)))
+              |ORDER BY top.exact_cnt DESC, top.w""".stripMargin)),
+
+    // STREAMING sketch maintenance: the corpus token stream arrives as
+    // two real microbatches (file source, maxFilesPerTrigger=1,
+    // AvailableNow) and foreachBatch folds each into the persisted CMS
+    // index — build on batch 1, addBatch on batch 2. Because CMS merge
+    // is exact, the post-stream estimates equal the full-corpus sketch
+    // replay, and n_versions = 2 pins that the stream really delivered
+    // two batches (not one coalesced scan). This is the ingest-time
+    // shape of q138/q149: frequency stats that stay current as data
+    // lands, never rescanning history.
+    "q150_stream_cms" -> Q(
+      (s, d) => {
+        import graft.llm.CmsIndex
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q150-scms").toString
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(TextFunctions.normalized(col("text")), " "))
+              .as("w"))
+          .filter(col("w") =!= "")
+          .withColumn("h", TextFunctions.polyHash(col("w")))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L,
+          toks.filter(col("doc_id") % 2 === 0).select("h"))
+        writeBatch("b2.parquet", 2000000L,
+          toks.filter(col("doc_id") % 2 === 1).select("h"))
+        val stream = s.readStream
+          .schema("h LONG")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+        stream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (CmsIndex.latestVersion(s"$root/idx").isEmpty)
+              CmsIndex.build(b, s"$root/idx")
+            else CmsIndex.addBatch(s, s"$root/idx", b)
+          }
+          .start().awaitTermination()
+        val nv = CmsIndex.latestVersion(s"$root/idx").getOrElse(0).toLong
+        val top = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("w")).limit(20)
+          .withColumn("h", TextFunctions.polyHash(col("w")))
+        CmsIndex.estimates(s, s"$root/idx", top.select("w", "h"))
+          .join(top.select("w", "exact_cnt"), "w")
+          .select(col("w"), col("exact_cnt"), col("cms_est"),
+            lit(nv).as("n_versions"))
+          .orderBy(col("exact_cnt").desc, col("w"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS w
+              |  FROM documents),
+              |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+              |       FROM t WHERE w <> '' GROUP BY w),
+              |ph AS (SELECT w, exact_cnt, list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(range(1, len(w)+1),
+              |        i -> CAST(ascii(w[i]) AS BIGINT))),
+              |    (acc, c) -> (acc * 131 + c) % 1000000007) AS h
+              |  FROM tf),
+              |cells AS (
+              |  SELECT j.j, ((31 + 2*j.j) * ph.h + 7 + 97*j.j)
+              |           % 1000000007 % 256 AS cell,
+              |         CAST(sum(exact_cnt) AS BIGINT) AS cell_cnt
+              |  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS j) j
+              |  GROUP BY 1, 2),
+              |top AS (SELECT w, exact_cnt, h FROM ph
+              |        ORDER BY exact_cnt DESC, w LIMIT 20)
+              |SELECT top.w, top.exact_cnt,
+              |       CAST(min(c.cell_cnt) AS BIGINT) AS cms_est,
+              |       CAST(2 AS BIGINT) AS n_versions
+              |FROM top CROSS JOIN (SELECT unnest(range(4)) AS j) j
+              |JOIN cells c ON c.j = j.j
+              | AND c.cell = ((31 + 2*j.j) * top.h + 7 + 97*j.j)
+              |              % 1000000007 % 256
+              |GROUP BY 1, 2
+              |ORDER BY top.exact_cnt DESC, top.w""".stripMargin)),
+
+    // Range-partitioner boundary computation — Spark's RangePartitioner
+    // shape made explicit and deterministic: a FIXED-SIZE coordinated
+    // sample (the 256 docs with smallest md5 priority — TakeOrdered, no
+    // global sort), exact boundary picks at ranks i·32 inside it, then
+    // every doc assigned pid = #(boundaries < n_chars) via a 7-element
+    // array fold, and the resulting partition histogram audited
+    // (min/max/count per pid). This is how you range-partition 100 TB
+    // evenly without ranking 100 TB: only the bounded sample is ever
+    // sorted; the boundary table is collected as k-bounded model state.
+    "q151_range_partitioner" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val samp = docs
+          .select(substring(md5(col("doc_id").cast("string")), 1, 16)
+            .as("pri"), col("n_chars"), col("doc_id"))
+          .orderBy("pri", "doc_id").limit(256)
+        val bnds = samp
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("n_chars"), col("doc_id"))))
+          .filter(col("rn") % 32 === 0 && col("rn") < 256)
+          .orderBy("rn")
+          .select("n_chars")
+          .collect().map(_.getLong(0)).toSeq
+        docs
+          .withColumn("pid",
+            aggregate(typedlit(bnds), lit(0L),
+              (acc, b) => acc +
+                when(col("n_chars") > b, 1L).otherwise(0L)))
+          .groupBy("pid")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("pid")
+      },
+      Some("""WITH pri AS (
+             |  SELECT doc_id, n_chars,
+             |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS p
+             |  FROM documents),
+             |samp AS (SELECT n_chars, doc_id FROM pri
+             |         ORDER BY p, doc_id LIMIT 256),
+             |r AS (SELECT n_chars, row_number() OVER
+             |        (ORDER BY n_chars, doc_id) AS rn FROM samp),
+             |bnd AS (SELECT n_chars AS v FROM r
+             |        WHERE rn % 32 = 0 AND rn < 256)
+             |SELECT CAST((SELECT count(*) FROM bnd WHERE bnd.v < d.n_chars)
+             |            AS BIGINT) AS pid,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM documents d GROUP BY 1 ORDER BY pid""".stripMargin)))
 
   /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
   private def normSql: String = LlmQueries.normSql
