@@ -43,6 +43,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  // All machine-parsed numbers (BENCHQ lines, JSON totals) must format
+  // with a '.' decimal separator regardless of default locale — Scala's
+  // f interpolator is locale-sensitive, and under a comma-decimal locale
+  // the parent's toDouble would throw on every child line (reporting
+  // "fork failed") and the JSON line would be unparseable.
+  private def num(d: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory
@@ -161,7 +169,7 @@ object Bench {
       if (isChild) {
         val spark = newSession(cpus)
         val rs = timeQueries(spark, sfDir, passes, names)
-        rs.foreach { case (n, s) => println(f"BENCHQ\t$n\t$s%.4f") }
+        rs.foreach { case (n, s) => println(s"BENCHQ\t$n\t${num(s, 4)}") }
         Console.out.flush()
         spark.stop()
         return
@@ -184,7 +192,7 @@ object Bench {
         rs
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     // failed queries report -1 in `queries` but are EXCLUDED from the
     // total (summing the sentinel would make a failing run look faster);
@@ -192,8 +200,9 @@ object Bench {
     val failures = results.count(_._2 < 0)
     val total = results.filter(_._2 >= 0).map(_._2).sum
     System.err.flush()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failures":$failures,"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    val totalStr = num(total, 3)
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","failures":$failures,"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
     // short summary LAST: always inside any bounded stdout-tail capture
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failures":$failures,"passes":$passes,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","failures":$failures,"passes":$passes,"sf":"$sfDir"}""")
   }
 }

@@ -82,9 +82,14 @@ object BloomBlocklist {
       path: String): DataFrame = {
     val spark = batch.sparkSession
     val bcast = spark.sparkContext.broadcast(loadBloom(spark, path))
-    val bloomHits = udf((hs: Seq[Long]) =>
-      if (hs == null) Seq.empty[Long]
-      else hs.filter(bcast.value.mightContainLong))
+    // native codegen'd array probe (graft.plans.BloomFilterHits), not a
+    // udf; a null text (null shingle array) has no hits, composed via
+    // coalesce at the Column layer
+    import org.apache.spark.sql.graft.ColumnBridge
+    def bloomHits(hs: Column): Column = coalesce(
+      ColumnBridge.column(
+        graft.plans.BloomFilterHits(ColumnBridge.expression(hs), bcast)),
+      array().cast("array<bigint>"))
     val withHits = batch.withColumn("__hits",
       bloomHits(shingleHashes(col(textCol), n)))
     val flagged = withHits.filter(size(col("__hits")) > 0)

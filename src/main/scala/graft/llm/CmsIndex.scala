@@ -51,12 +51,20 @@ object CmsIndex {
         cellExpr(col("j"), col("h")).as("cell"), col("n"))
       .groupBy("j", "cell").agg(sum(col("n")).as("cnt"))
 
+  // Hadoop-FS listing, not java.io.File: build/addBatch write through
+  // Spark's resolved filesystem, so on HDFS/S3 a local-File listing
+  // would report "no index" for an index that exists (StreamMerge
+  // .versions handles this the same way).
   private def versionDirs(path: String): Seq[Int] = {
-    val f = new java.io.File(path)
-    if (!f.isDirectory) Seq.empty
-    else f.listFiles().toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toInt)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
   }
 
   def latestVersion(path: String): Option[Int] =

@@ -27,7 +27,37 @@ import org.apache.spark.sql.functions._
   */
 object SimHashIndex {
 
-  /** Write the banding index for an initial corpus (overwrites). */
+  /** The banding parameters an index was BUILT with, from its `_params`
+    * sidecar (underscore-prefixed, like [[IvfIndex]]'s `_model`:
+    * invisible to partition discovery over the index itself). Band keys
+    * are `xxhash64(combo, block values)`, so keys generated under a
+    * different (radius, blocks) scheme essentially never collide with
+    * the stored ones — probing with mismatched parameters would return
+    * a silently near-empty candidate set, not an error. The sidecar
+    * makes that a hard failure instead.
+    */
+  def storedParams(spark: SparkSession, path: String): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).head()
+      Some((r.getAs[Int]("radius"), r.getAs[Int]("blocks")))
+    }
+  }
+
+  private def requireParamsMatch(spark: SparkSession, path: String,
+      radius: Int, blocks: Int): Unit =
+    storedParams(spark, path).foreach { case (r, b) =>
+      require(r == radius && b == blocks,
+        s"SimHashIndex at $path was built with (radius=$r, blocks=$b); " +
+          s"probing/appending with (radius=$radius, blocks=$blocks) would " +
+          "generate band keys that never match the stored ones")
+    }
+
+  /** Write the banding index for an initial corpus (overwrites), plus
+    * the `_params` sidecar recording (radius, blocks).
+    */
   def build(
       docs: DataFrame,
       path: String,
@@ -35,14 +65,19 @@ object SimHashIndex {
       textCol: String,
       radius: Int = 3,
       blocks: Int = 6,
-      maxBucketSize: Long = 100000L): Unit =
+      maxBucketSize: Long = 100000L): Unit = {
     graft.operators.BucketCaps.capBuckets(
         SimHashDedup.bandKeys(docs, idCol, textCol, radius, blocks),
         Seq(col("combo"), col("bkey")), maxBucketSize)
       .write.mode("overwrite").parquet(path)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((radius, blocks)).toDF("radius", "blocks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+  }
 
   /** Append a new batch's band keys (call AFTER deduping the batch
-    * against the index).
+    * against the index). Parameters are validated against the sidecar.
     */
   def append(
       docs: DataFrame,
@@ -51,11 +86,13 @@ object SimHashIndex {
       textCol: String,
       radius: Int = 3,
       blocks: Int = 6,
-      maxBucketSize: Long = 100000L): Unit =
+      maxBucketSize: Long = 100000L): Unit = {
+    requireParamsMatch(docs.sparkSession, path, radius, blocks)
     graft.operators.BucketCaps.capBuckets(
         SimHashDedup.bandKeys(docs, idCol, textCol, radius, blocks),
         Seq(col("combo"), col("bkey")), maxBucketSize)
       .write.mode("append").parquet(path)
+  }
 
   /** Candidate pairs INVOLVING the new batch, with exact Hamming
     * distances: new-vs-indexed plus new-vs-new. Returns
@@ -70,6 +107,7 @@ object SimHashIndex {
       radius: Int = 3,
       blocks: Int = 6,
       maxBucketSize: Long = 100000L): DataFrame = {
+    requireParamsMatch(spark, path, radius, blocks)
     val newKeys = graft.operators.BucketCaps.capBuckets(
       SimHashDedup.bandKeys(newDocs, idCol, textCol, radius, blocks),
       Seq(col("combo"), col("bkey")), maxBucketSize)
@@ -118,8 +156,12 @@ object SimHashIndex {
       idCol: String,
       textCol: String,
       threshold: Double,
-      radius: Int = 5,
-      blocks: Int = 8,
+      // same defaults as build/append (not SimHashDedup's Jaccard form's
+      // 5/8): the index's key scheme is fixed at build time, so every
+      // entry point must agree by default — mismatches are also caught
+      // against the `_params` sidecar
+      radius: Int = 3,
+      blocks: Int = 6,
       shingleWords: Int = 3,
       maxBucketSize: Long = 100000L): DataFrame =
     JaccardVerify.verify(

@@ -54,8 +54,15 @@ object WinnowIndex {
       textCol: String,
       minShared: Long = 2L,
       maxDf: Long = 50L): DataFrame = {
-    val newPosts = postings(newDocs, idCol, textCol)
     val oldPosts = spark.read.parquet(path)
+    // Re-delivered docs (id already indexed) are dropped, making re-
+    // delivery idempotent rather than a silent recall hole: their
+    // postings are already in oldPosts, so counting them again from the
+    // batch would double their fingerprints' df, which can cross maxDf
+    // and silently drop pairs. With the anti-join, df is computed over
+    // each doc exactly once — the same corpus a from-scratch run sees.
+    val newPosts = postings(newDocs, idCol, textCol)
+      .join(oldPosts.select("id").distinct(), Seq("id"), "left_anti")
     val keep = oldPosts.unionByName(newPosts)
       .groupBy("f").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("f")

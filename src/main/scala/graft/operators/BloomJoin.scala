@@ -22,9 +22,9 @@ import org.apache.spark.util.sketch.BloomFilter
   * a treeAggregate of fixed-size bitmaps); only the final ~MB bitmap
   * lands on the driver, sized by `expectedItems`/`fpp`, independent of
   * large-side size. It ships to executors once via a broadcast variable.
-  * The probe is a lambda over the broadcast value — not codegen'd, but
-  * it sits on the scan side of the shuffle where it replaces far more
-  * expensive exchange work.
+  * The probe is a native codegen'd expression over the broadcast value
+  * ([[graft.plans.BloomMightContainLong]]) sitting on the scan side of
+  * the shuffle, where it replaces far more expensive exchange work.
   */
 object BloomJoin {
 
@@ -55,8 +55,12 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bcast = large.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bcast.value.mightContainLong(k))
-    large.filter(mightContain(col(largeKey)))
+    // native codegen'd probe (graft.plans.BloomMightContainLong), not a
+    // udf: the probe stays inside whole-stage codegen at the scan. A
+    // null key evaluates to null, which the filter drops — exactly the
+    // semi-join semantics (null matches no dimension row).
+    import org.apache.spark.sql.graft.ColumnBridge
+    large.filter(ColumnBridge.column(graft.plans.BloomMightContainLong(
+      ColumnBridge.expression(col(largeKey).cast("long")), bcast)))
   }
 }

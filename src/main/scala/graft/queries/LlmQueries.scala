@@ -1429,7 +1429,7 @@ object LlmQueries {
           radius = 5, blocks = 8)
         graft.llm.SimHashIndex.incrementalNearDupPairsJaccard(
             s, s"$dir/idx", all.filter(col("doc_id") >= 250), all,
-            "doc_id", "text", threshold = 0.5)
+            "doc_id", "text", threshold = 0.5, radius = 5, blocks = 8)
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $jaccardPairsCtes

@@ -33,11 +33,19 @@ class SimHashIndexSpec extends AnyFunSuite {
     SimHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text",
       radius = 5, blocks = 8)
     val inc = pairSet(SimHashIndex.incrementalNearDupPairsJaccard(
-      spark, s"$dir/idx", newDocs, docs, "doc_id", "text", threshold = 0.5))
+      spark, s"$dir/idx", newDocs, docs, "doc_id", "text", threshold = 0.5,
+      radius = 5, blocks = 8))
     val full = pairSet(SimHashDedup.nearDupPairsJaccard(
       docs, "doc_id", "text", threshold = 0.5))
       .filter { case (a, b) => a >= 400 || b >= 400 }
     assert(inc == full && inc.nonEmpty)
+    // probing with parameters other than the build's is a hard error,
+    // not a silently-empty candidate set (the _params sidecar contract)
+    val err = intercept[IllegalArgumentException] {
+      SimHashIndex.incrementalNearDupPairs(
+        spark, s"$dir/idx", newDocs, "doc_id", "text")
+    }
+    assert(err.getMessage.contains("built with (radius=5, blocks=8)"))
   }
 
   test("append grows the index to exactly the full corpus's band keys") {

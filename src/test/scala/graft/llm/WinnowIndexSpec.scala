@@ -55,6 +55,20 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("re-delivered docs cannot skew the df cutoff (idempotent delivery)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wnidx4").toString
+    WinnowIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    // batch = fresh docs PLUS a slice already in the index; double-
+    // counting the re-delivered postings in the df cutoff would push
+    // shared fingerprints past maxDf and silently drop pairs
+    val redelivered = newDocs.unionByName(oldDocs.limit(100))
+    val clean = tripleSet(WinnowIndex.incrementalPairs(
+      spark, s"$dir/idx", newDocs, "doc_id", "text"))
+    val withDupes = tripleSet(WinnowIndex.incrementalPairs(
+      spark, s"$dir/idx", redelivered, "doc_id", "text"))
+    assert(withDupes == clean && clean.nonEmpty)
+  }
+
   test("a disjoint-content batch yields no cross pairs with history") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wnidx3").toString
     WinnowIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
