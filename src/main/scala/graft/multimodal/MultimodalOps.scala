@@ -7,50 +7,61 @@ import org.apache.spark.sql.functions._
   * columns next to typed metadata, and decode/feature-extraction runs as
   * batched per-partition processing.
   *
-  * This container has no media codecs, so the decode step itself is a
-  * clearly-marked deterministic STUB — but the Spark-side plumbing is
-  * real: binary column schema, batched `mapPartitions` shape (batch in,
-  * batch out, bounded memory per batch), deterministic metadata extraction
-  * and frame sampling, all of which survive a swap-in of a real codec.
+  * Container METADATA is parsed for real — [[MediaContainers]] reads BMP
+  * / PPM / WAV headers byte-by-byte, surfaced as the native
+  * [[graft.plans.MediaMeta]] expression. Pixel/sample decode of
+  * compressed codecs (JPEG entropy decode etc.) needs a codec library
+  * this container doesn't have; the raw-RGB888 and raw-PCM kernels below
+  * cover the post-decode compute path with real byte math, and
+  * [[resizeStub]] remains the one clearly-marked stub (identity payload).
   */
 object MultimodalOps {
 
   case class MediaRecord(id: Long, media: Array[Byte], media_type: String)
   case class DecodedMeta(
-      id: Long, media_type: String, byte_len: Long,
-      width: Int, height: Int, n_frames: Int, checksum: String)
+      id: Long, media_type: String, byte_len: Long, format: String,
+      width: Option[Int], height: Option[Int], n_frames: Option[Long],
+      checksum: String)
 
   /** Expression-level metadata extraction (no JVM round trip): byte
-    * length, md5 checksum, and STUBBED decode dimensions derived
-    * deterministically from the payload bytes (a real decoder would parse
-    * the container header here).
+    * length, md5 checksum, and REAL container-header parsing (format
+    * sniff + width/height/n_frames) via the native media_meta kernel.
+    * Unknown containers yield format="unknown" and null dims.
     */
-  def decodeMetaColumns(media: Column): Seq[Column] = Seq(
-    octet_length(media).cast("long").as("byte_len"),
-    (pmod(xxhash64(media), lit(512)) + 128).cast("int").as("width"),   // STUB
-    (pmod(xxhash64(lit(1), media), lit(512)) + 128).cast("int").as("height"), // STUB
-    (pmod(xxhash64(lit(2), media), lit(240)) + 1).cast("int").as("n_frames"), // STUB
-    md5(media).as("checksum"))
+  def decodeMetaColumns(media: Column): Seq[Column] = {
+    val meta = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.MediaMeta(
+        org.apache.spark.sql.graft.ColumnBridge.expression(media)))
+    Seq(
+      octet_length(media).cast("long").as("byte_len"),
+      meta.getField("format").as("format"),
+      meta.getField("width").as("width"),
+      meta.getField("height").as("height"),
+      meta.getField("n_frames").as("n_frames"),
+      md5(media).as("checksum"))
+  }
 
   /** Batched imperative decode path (the `mapPartitions` shape a real
     * codec needs: it amortizes per-batch setup — model load, decoder
     * context — across `batchSize` records, and never materializes more
-    * than one batch per task).
+    * than one batch per task). Metadata comes from the same real
+    * container parsers as the expression path.
     */
   def decodeBatched(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[DecodedMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // Real implementation: hand `batch` to a vectorized codec /
-        // feature extractor. STUB: deterministic metadata from bytes.
+        // per-batch setup lives here (a codec would allocate its
+        // context once per batch); md5 instances are cheap but follow
+        // the same shape
+        val md = java.security.MessageDigest.getInstance("MD5")
         batch.map { r =>
-          val md = java.security.MessageDigest.getInstance("MD5")
+          md.reset()
           val digest = md.digest(r.media).map("%02x".format(_)).mkString
-          val h = java.util.Arrays.hashCode(r.media)
+          val m = MediaContainers.parse(r.media)
           DecodedMeta(
             r.id, r.media_type, r.media.length.toLong,
-            128 + math.floorMod(h, 512), 128 + math.floorMod(h * 31, 512),
-            1 + math.floorMod(h * 131, 240), digest)
+            m.format, m.width, m.height, m.nFrames, digest)
         }
       }
     }

@@ -972,21 +972,135 @@ object LlmQueries {
               |SELECT query_id, neighbor_id, pq_rank, approx_dist FROM rk
               |WHERE pq_rank <= 5 ORDER BY query_id, pq_rank""".stripMargin)),
 
-    // Multimodal plumbing over a binary payload column (document text
-    // bytes standing in for media): expression-level metadata extraction.
-    // Only the real (non-stub) columns are oracle-checked.
+    // Multimodal metadata over REAL containers: each doc synthesizes a
+    // genuine media file from doc_id-derived parameters — a 24-bit BMP
+    // (doc_id%3=0), a canonical PCM WAV (=1), or a binary P6 PPM (=2),
+    // all built as hex strings → unhex so the ORACLE constructs the
+    // byte-identical blob. The engine side parses the BINARY with the
+    // real header parsers (MediaContainers via the native media_meta
+    // expression: magic sniff, LE field reads, RIFF chunk walk); the
+    // oracle re-parses the SAME BYTES relationally — byte i extracted as
+    // CAST('0x'||substr(hex(media),2i-1,2) AS INT) for the LE integer
+    // fields, regex over the decoded ASCII header for PPM — so the
+    // width/height/n_frames comparison is parser-vs-parser over one
+    // blob, not formula-vs-formula. Checksum is md5 over the blob's hex
+    // form (DuckDB md5 cannot take a BLOB; hex() round-trips the bytes
+    // on both engines, uppercase in both).
     "q32_media_meta" -> Q(
       (s, d) => {
         import graft.multimodal.MultimodalOps
-        docs(s, d)
-          .withColumn("media", col("text").cast("binary"))
-          .select((col("doc_id") +: MultimodalOps.decodeMetaColumns(col("media"))): _*)
-          .select("doc_id", "byte_len", "checksum")
+        def le32(v: String) = s"format_string('%02x%02x%02x%02x', $v & 255, " +
+          s"shiftright($v, 8) & 255, shiftright($v, 16) & 255, shiftright($v, 24) & 255)"
+        def le16(v: String) = s"format_string('%02x%02x', $v & 255, shiftright($v, 8) & 255)"
+        val staged = docs(s, d).select(col("doc_id"),
+          expr("1 + doc_id % 64").as("bw"),
+          expr("1 + (doc_id * 7) % 48").as("bh"),
+          expr("1 + (doc_id * 3) % 80").as("pw"),
+          expr("1 + (doc_id * 11) % 60").as("ph"),
+          expr("1 + doc_id % 2").as("ch"),
+          expr("8000 + (doc_id % 8) * 500").as("rate"),
+          expr("16 + doc_id % 64").as("frames"))
+          .withColumn("img_size", expr("(bw * 3 + (4 - (bw * 3) % 4) % 4) * bh"))
+          .withColumn("data_size", expr("frames * ch * 2"))
+        val bmpHex = s"concat('424d', ${le32("(54 + img_size)")}, '00000000', " +
+          s"${le32("54")}, ${le32("40")}, ${le32("bw")}, ${le32("bh")}, " +
+          s"${le16("1")}, ${le16("24")}, ${le32("0")}, ${le32("img_size")}, " +
+          s"${le32("2835")}, ${le32("2835")}, ${le32("0")}, ${le32("0")}, " +
+          "repeat('00', CAST(img_size AS INT)))"
+        val wavHex = s"concat('52494646', ${le32("(36 + data_size)")}, " +
+          s"'57415645', '666d7420', ${le32("16")}, ${le16("1")}, ${le16("ch")}, " +
+          s"${le32("rate")}, ${le32("(rate * ch * 2)")}, ${le16("(ch * 2)")}, " +
+          s"${le16("16")}, '64617461', ${le32("data_size")}, " +
+          "repeat('00', CAST(data_size AS INT)))"
+        val ppmHex = "concat(hex(concat('P6', chr(10), pw, ' ', ph, chr(10), " +
+          "'255', chr(10))), repeat('00', CAST(pw * ph * 3 AS INT)))"
+        val withMedia = staged.withColumn("media", expr(
+          s"unhex(CASE WHEN doc_id % 3 = 0 THEN $bmpHex " +
+            s"WHEN doc_id % 3 = 1 THEN $wavHex ELSE $ppmHex END)"))
+        val meta = MultimodalOps.decodeMetaColumns(col("media"))
+        withMedia.select(col("doc_id"), meta(0), meta(1), meta(2), meta(3),
+            meta(4), md5(hex(col("media"))).as("checksum"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
-             |       md5(text) AS checksum
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some("""WITH params AS (
+             |  SELECT doc_id,
+             |         1 + doc_id % 64 AS bw, 1 + (doc_id * 7) % 48 AS bh,
+             |         1 + (doc_id * 3) % 80 AS pw, 1 + (doc_id * 11) % 60 AS ph,
+             |         1 + doc_id % 2 AS ch, 8000 + (doc_id % 8) * 500 AS rate,
+             |         16 + doc_id % 64 AS frames
+             |  FROM documents),
+             |sized AS (
+             |  SELECT *, (bw * 3 + (4 - (bw * 3) % 4) % 4) * bh AS img_size,
+             |         frames * ch * 2 AS data_size
+             |  FROM params),
+             |blobs AS (
+             |  SELECT doc_id, unhex(CASE
+             |    WHEN doc_id % 3 = 0 THEN
+             |      '424d' ||
+             |      printf('%02x%02x%02x%02x', (54 + img_size) & 255, ((54 + img_size) >> 8) & 255, ((54 + img_size) >> 16) & 255, ((54 + img_size) >> 24) & 255) ||
+             |      '00000000' || '36000000' || '28000000' ||
+             |      printf('%02x%02x%02x%02x', bw & 255, (bw >> 8) & 255, (bw >> 16) & 255, (bw >> 24) & 255) ||
+             |      printf('%02x%02x%02x%02x', bh & 255, (bh >> 8) & 255, (bh >> 16) & 255, (bh >> 24) & 255) ||
+             |      '0100' || '1800' || '00000000' ||
+             |      printf('%02x%02x%02x%02x', img_size & 255, (img_size >> 8) & 255, (img_size >> 16) & 255, (img_size >> 24) & 255) ||
+             |      '130b0000' || '130b0000' || '00000000' || '00000000' ||
+             |      repeat('00', CAST(img_size AS INT))
+             |    WHEN doc_id % 3 = 1 THEN
+             |      '52494646' ||
+             |      printf('%02x%02x%02x%02x', (36 + data_size) & 255, ((36 + data_size) >> 8) & 255, ((36 + data_size) >> 16) & 255, ((36 + data_size) >> 24) & 255) ||
+             |      '57415645' || '666d7420' || '10000000' || '0100' ||
+             |      printf('%02x%02x', ch & 255, (ch >> 8) & 255) ||
+             |      printf('%02x%02x%02x%02x', rate & 255, (rate >> 8) & 255, (rate >> 16) & 255, (rate >> 24) & 255) ||
+             |      printf('%02x%02x%02x%02x', (rate * ch * 2) & 255, ((rate * ch * 2) >> 8) & 255, ((rate * ch * 2) >> 16) & 255, ((rate * ch * 2) >> 24) & 255) ||
+             |      printf('%02x%02x', (ch * 2) & 255, ((ch * 2) >> 8) & 255) ||
+             |      '1000' || '64617461' ||
+             |      printf('%02x%02x%02x%02x', data_size & 255, (data_size >> 8) & 255, (data_size >> 16) & 255, (data_size >> 24) & 255) ||
+             |      repeat('00', CAST(data_size AS INT))
+             |    ELSE
+             |      hex('P6' || chr(10) || pw || ' ' || ph || chr(10) || '255' || chr(10)) ||
+             |      repeat('00', CAST(pw * ph * 3 AS INT))
+             |    END) AS media
+             |  FROM sized),
+             |hexed AS (
+             |  SELECT doc_id, media, hex(media) AS hs,
+             |    CASE WHEN substr(hex(media), 1, 4) = '424D' THEN 'bmp'
+             |         WHEN substr(hex(media), 1, 4) = '5036' THEN 'ppm'
+             |         WHEN substr(hex(media), 1, 8) = '52494646'
+             |              AND substr(hex(media), 17, 8) = '57415645' THEN 'wav'
+             |         ELSE 'unknown' END AS format
+             |  FROM blobs),
+             |parsed AS (
+             |  SELECT doc_id, format,
+             |    CAST(octet_length(media) AS BIGINT) AS byte_len,
+             |    TRY_CAST('0x' || substr(hs, 2*19-1, 2) AS BIGINT)
+             |      + 256 * TRY_CAST('0x' || substr(hs, 2*20-1, 2) AS BIGINT)
+             |      + 65536 * TRY_CAST('0x' || substr(hs, 2*21-1, 2) AS BIGINT)
+             |      + 16777216 * TRY_CAST('0x' || substr(hs, 2*22-1, 2) AS BIGINT) AS bmp_w,
+             |    TRY_CAST('0x' || substr(hs, 2*23-1, 2) AS BIGINT)
+             |      + 256 * TRY_CAST('0x' || substr(hs, 2*24-1, 2) AS BIGINT)
+             |      + 65536 * TRY_CAST('0x' || substr(hs, 2*25-1, 2) AS BIGINT)
+             |      + 16777216 * TRY_CAST('0x' || substr(hs, 2*26-1, 2) AS BIGINT) AS bmp_h,
+             |    TRY_CAST('0x' || substr(hs, 2*33-1, 2) AS BIGINT)
+             |      + 256 * TRY_CAST('0x' || substr(hs, 2*34-1, 2) AS BIGINT) AS wav_block,
+             |    TRY_CAST('0x' || substr(hs, 2*41-1, 2) AS BIGINT)
+             |      + 256 * TRY_CAST('0x' || substr(hs, 2*42-1, 2) AS BIGINT)
+             |      + 65536 * TRY_CAST('0x' || substr(hs, 2*43-1, 2) AS BIGINT)
+             |      + 16777216 * TRY_CAST('0x' || substr(hs, 2*44-1, 2) AS BIGINT) AS wav_data,
+             |    CASE WHEN format = 'ppm' THEN CAST(regexp_extract(decode(media),
+             |      'P6\n(\d+) (\d+)\n255\n', 1) AS BIGINT) END AS ppm_w,
+             |    CASE WHEN format = 'ppm' THEN CAST(regexp_extract(decode(media),
+             |      'P6\n(\d+) (\d+)\n255\n', 2) AS BIGINT) END AS ppm_h,
+             |    md5(hs) AS checksum
+             |  FROM hexed)
+             |SELECT doc_id, byte_len, format,
+             |  CAST(CASE WHEN format = 'bmp' THEN bmp_w
+             |            WHEN format = 'ppm' THEN ppm_w END AS INT) AS width,
+             |  CAST(CASE WHEN format = 'bmp' THEN bmp_h
+             |            WHEN format = 'ppm' THEN ppm_h END AS INT) AS height,
+             |  CAST(CASE WHEN format = 'wav' THEN wav_data // wav_block
+             |            ELSE 1 END AS BIGINT) AS n_frames,
+             |  checksum
+             |FROM parsed ORDER BY doc_id""".stripMargin)),
 
     // TF-IDF-style salient-term extraction: rank each document's terms by
     // rarity-weighted frequency. The weight is tf/df — a pure ratio of

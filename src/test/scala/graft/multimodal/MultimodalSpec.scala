@@ -9,30 +9,77 @@ class MultimodalSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def media = Seq(
-    MultimodalOps.MediaRecord(1L, Array[Byte](1, 2, 3, 4), "image"),
-    MultimodalOps.MediaRecord(2L, Array[Byte](9, 9), "audio"))
+    MultimodalOps.MediaRecord(1L, MediaContainers.bmpBytes(17, 9), "image"),
+    MultimodalOps.MediaRecord(2L, MediaContainers.wavBytes(2, 8000, 120), "audio"),
+    MultimodalOps.MediaRecord(3L, MediaContainers.ppmBytes(5, 7), "image"),
+    MultimodalOps.MediaRecord(4L, Array[Byte](1, 2, 3, 4), "unknown"))
 
-  test("decodeMetaColumns: byte length and md5 checksum are real; dims deterministic") {
+  test("header parsers read real containers: BMP, PPM variants, WAV chunk walk") {
+    import MediaContainers._
+    assert(parseBmp(bmpBytes(17, 9)).contains(ImageMeta(17, 9)))
+    assert(parsePpm(ppmBytes(5, 7)).contains(ImageMeta(5, 7)))
+    // PPM comment + arbitrary whitespace handling per the Netpbm spec
+    assert(parsePpm("P6 # a comment\n 12\t34 # another\n255\n".getBytes("US-ASCII"))
+      .contains(ImageMeta(12, 34)))
+    // legacy BITMAPCOREHEADER: u16 dims at the same offsets
+    val core = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('B'); out.write('M')
+      out.write(Array[Byte](26, 0, 0, 0, 0, 0, 0, 0, 26, 0, 0, 0)) // size, resv, offset
+      out.write(Array[Byte](12, 0, 0, 0)) // dib size 12
+      out.write(Array[Byte](40, 1, 30, 0, 1, 0, 24, 0)) // w=296 h=30 planes bpp
+      out.toByteArray
+    }
+    assert(parseBmp(core).contains(ImageMeta(296, 30)))
+    val w = parseWav(wavBytes(2, 8000, 120)).get
+    assert(w == WavMeta(2, 8000, 16, 120L))
+    // chunk walk, not fixed offsets: a LIST chunk before fmt/data
+    val shuffled = {
+      val canon = wavBytes(1, 44100, 10)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(canon, 0, 12) // RIFF header
+      out.write("LIST".getBytes("US-ASCII"))
+      out.write(Array[Byte](4, 0, 0, 0)); out.write("INFO".getBytes("US-ASCII"))
+      out.write(canon, 12, canon.length - 12) // fmt + data after
+      out.toByteArray
+    }
+    assert(parseWav(shuffled).contains(WavMeta(1, 44100, 16, 10L)))
+    // malformed inputs parse to None, never throw
+    assert(parseBmp(Array[Byte]('B', 'M', 3)).isEmpty)
+    assert(parseWav("RIFFxxxxWAVEdata".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 127)).isEmpty)
+    assert(parsePpm("P6\n-3 4\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(parse(null).format == "unknown")
+  }
+
+  test("decodeMetaColumns: real header parse through the native expression") {
     val df = media.toDS().toDF()
     val out = df.select((col("id") +: MultimodalOps.decodeMetaColumns(col("media"))): _*)
       .orderBy("id").collect()
-    assert(out(0).getAs[Long]("byte_len") == 4L)
-    assert(out(1).getAs[Long]("byte_len") == 2L)
+    assert(out(0).getAs[String]("format") == "bmp")
+    assert(out(0).getAs[Int]("width") == 17 && out(0).getAs[Int]("height") == 9)
+    assert(out(0).getAs[Long]("n_frames") == 1L)
+    assert(out(1).getAs[String]("format") == "wav")
+    assert(out(1).isNullAt(out(1).fieldIndex("width")))
+    assert(out(1).getAs[Long]("n_frames") == 120L)
+    assert(out(2).getAs[String]("format") == "ppm")
+    assert(out(2).getAs[Int]("width") == 5 && out(2).getAs[Int]("height") == 7)
+    assert(out(3).getAs[String]("format") == "unknown")
+    assert(out(3).isNullAt(out(3).fieldIndex("n_frames")))
+    assert(out(3).getAs[Long]("byte_len") == 4L)
     assert(out(0).getAs[String]("checksum").length == 32)
-    // deterministic stub: same payload -> same dims on re-evaluation
-    val again = df.select((col("id") +: MultimodalOps.decodeMetaColumns(col("media"))): _*)
-      .orderBy("id").collect()
-    assert(out.sameElements(again))
   }
 
-  test("decodeBatched: typed batched decode path is deterministic and complete") {
+  test("decodeBatched: typed batched decode path matches the expression path") {
     val out = MultimodalOps.decodeBatched(media.toDS(), batchSize = 1)
       .collect().sortBy(_.id)
-    assert(out.length == 2)
-    assert(out(0).byte_len == 4L && out(0).media_type == "image")
+    assert(out.length == 4)
+    assert(out(0).format == "bmp" && out(0).width.contains(17))
+    assert(out(1).format == "wav" && out(1).width.isEmpty &&
+      out(1).n_frames.contains(120L))
+    assert(out(3).format == "unknown" && out(3).byte_len == 4L)
     assert(out(0).checksum == MultimodalOps.decodeBatched(media.toDS())
       .collect().sortBy(_.id).apply(0).checksum)
-    assert(out(0).width >= 128 && out(0).width < 640)
   }
 
   test("sampleFrames explodes every `every`-th frame index") {
