@@ -56,8 +56,15 @@ lintCheck := {
     sys.error(s"lintCheck: ${errors.size} style violation(s)")
   }
 }
-// the reference wires scalastyle into `sbt test`; mirror that
-Test / test := ((Test / test) dependsOn lintCheck).value
+// the reference wires scalastyle into `sbt test`; mirror that. A full
+// test run also clears target/test-reports first: junit XML from a
+// since-deleted suite otherwise survives forever and makes report
+// aggregation read phantom failures (a stale IvfDebugSpec.xml did
+// exactly that in round 4). testOnly runs leave other suites' reports
+// alone — only the full run owns the whole directory.
+val cleanTestReports = taskKey[Unit]("delete stale junit XML before a full test run")
+cleanTestReports := IO.delete(target.value / "test-reports")
+Test / test := ((Test / test) dependsOn lintCheck dependsOn cleanTestReports).value
 
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

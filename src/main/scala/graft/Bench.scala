@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   * one-time costs a fresh JVM bills to whichever query hits them first
   * (janino codegen compiles, C2 JIT of the generated classes, first-touch
   * page faults); diagnostics for every pass go to stderr so the overhead
-  * remains visible (`[bench] <query> <wall>s gc=… jit=… janino=…`).
+  * remains visible (`[bench] <query> <wall>s gc=… jit=… janino=… drain=…
+  * cc=…`). Before every timed pass the harness additionally waits for
+  * the JIT backlog to drain ([[quiesceJit]]) so a suite entry measures
+  * its own plan, not the compiler debt of the 150 queries before it.
   *
   * == Sharded execution (opt-in) ==
   * A 100+-query suite in ONE JVM accumulates generated classes and can
@@ -62,6 +65,37 @@ object Bench {
   // are invisible to the JIT MXBean; count them separately
   private def janinoCount: Long =
     org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+  private def codeCacheUsedMb: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getUsed).sum >> 20
+  }
+
+  /** Wait for the JIT to go quiet before starting a timed pass.
+    *
+    * C2 compiles the previous queries' generated classes on background
+    * threads that compete with executor tasks for the same cores, so in
+    * a 150-query suite a late entry's wall time includes the compiler
+    * backlog of everything before it — measured 3-7x inflation on
+    * trailing scan-project-sort queries whose isolated minima are under
+    * 1.5 s. Draining the backlog between passes bills that overhead to
+    * nobody (stderr diagnostics only), making suite entries comparable
+    * to isolated (`SPARK_GRAFT_ONLY`) runs. Returns ms waited; proceeds
+    * after two consecutive quiet 150 ms windows (<15 ms compiler time
+    * each) or `maxWaitMs`, whichever comes first.
+    */
+  private def quiesceJit(maxWaitMs: Long = 15000): Long = {
+    val t0 = System.nanoTime()
+    var last = jitMillis
+    var quiet = 0
+    while (quiet < 2 && (System.nanoTime() - t0) / 1000000 < maxWaitMs) {
+      Thread.sleep(150)
+      val cur = jitMillis
+      if (cur - last < 15) quiet += 1 else quiet = 0
+      last = cur
+    }
+    (System.nanoTime() - t0) / 1000000
+  }
 
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -89,8 +123,10 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val times = (1 to passes).map { pass =>
         // long-lived bench JVM: reclaim the previous query's broadcast/
-        // shuffle garbage so its GC debt isn't billed to this query
+        // shuffle garbage so its GC debt isn't billed to this query, and
+        // drain the C2 backlog so its compile debt isn't either
         System.gc()
+        val waited = quiesceJit()
         val (gc0, jit0, jan0) = (gcMillis, jitMillis, janinoCount)
         val t0 = System.nanoTime()
         // fn(...) must stay INSIDE the timer: the eager tier (k-means
@@ -107,7 +143,8 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] $name pass$pass $sec%.2fs gc=${(gcMillis - gc0) / 1e3}%.2fs " +
-            f"jit=${(jitMillis - jit0) / 1e3}%.2fs janino=${janinoCount - jan0}")
+            f"jit=${(jitMillis - jit0) / 1e3}%.2fs janino=${janinoCount - jan0} " +
+            f"drain=${waited / 1e3}%.1fs cc=${codeCacheUsedMb}m")
         if (ok) sec else -1.0
       }
       // failures record -1, not a plausible-looking fast timing

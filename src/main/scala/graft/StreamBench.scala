@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-throughput micro-benchmark — measures sustained events/sec
+  * through the REAL Structured Streaming engine on a representative
+  * pipeline, closing the one reference claim the functional suite never
+  * rate-tests (the reference's design doc proposes a streaming variant
+  * sized at 10k events/sec; see reference `design.pdf` p.2 — proposal
+  * only, never built or measured there).
+  *
+  * Shape: the sf corpus's `events` table is replicated (id-offset, ts
+  * preserved) to `SPARK_GRAFT_STREAM_EVENTS` rows across many parquet
+  * files, then streamed with a bounded files-per-trigger so the run
+  * exercises real microbatch scheduling (state handoff between batches,
+  * source admission control) rather than one giant batch. The pipeline
+  * is the canonical ingest chain: watermark → keyed dedup →
+  * broadcast-dim enrich → tumbling-window aggregate → noop sink, on the
+  * RocksDB state store (the provider that bounds executor memory at
+  * production state sizes).
+  *
+  * Timing starts BEFORE `start()` (planning + source listing are part
+  * of delivering the first event) and ends when AvailableNow drains.
+  * Reported value = input events / wall seconds, with per-batch
+  * `processedRowsPerSecond` stats from the engine's own progress
+  * telemetry alongside. Output contract matches [[Bench]]: one full
+  * JSON line, then a short summary line LAST.
+  */
+object StreamBench {
+
+  private def num(d: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val targetRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "2000000").toLong
+    val batches = math.max(2, sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt)
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true") // batch plans only; SS ignores AQE
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val events = Tables.events(spark, sfDir)
+    val baseCount = events.count()
+    val copies = math.max(1, (targetRows / math.max(1L, baseCount)).toInt)
+    // id-offset replication: dedup state stays honest (every event_id
+    // unique), ts distribution identical per copy so window/watermark
+    // state size matches a real re-delivery-free feed
+    val replicated = spark.range(copies).crossJoin(events)
+      .select((col("event_id") + col("id") * 10000000L).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"))
+    val nFiles = batches * 2
+    replicated.repartition(nFiles).write.mode("overwrite")
+      .parquet(s"$work/in")
+    val total = copies * baseCount
+
+    val dim = spark.createDataFrame(
+      Seq(("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+        ("signup", "convert"), ("error", "ops"))).toDF("event_type", "kind")
+
+    streaming.StreamOps.withRocksDbStateStore(spark) {
+      val t0 = System.nanoTime()
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$work/in").schema)
+        .option("maxFilesPerTrigger", math.max(1, nFiles / batches))
+        .parquet(s"$work/in")
+        .withWatermark("ts", "10 minutes")
+      val piped = src
+        .dropDuplicates("event_id")
+        .join(broadcast(dim), Seq("event_type"), "left")
+        .groupBy(window(col("ts"), "1 minute"), col("kind"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      val q = piped.writeStream
+        .outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      val inputRows = progress.map(_.numInputRows).sum
+      val perBatch = progress.filter(_.numInputRows > 0)
+        .map(_.processedRowsPerSecond)
+      val throughput = inputRows / wall
+
+      val detail = perBatch.map(r => num(r, 0)).mkString("[", ",", "]")
+      println(s"""{"metric":"stream_throughput","value":${num(throughput, 0)},"unit":"events_per_sec","events":$inputRows,"expected":$total,"wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},"batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
+      println(s"""{"metric":"stream_throughput","value":${num(throughput, 0)},"unit":"events_per_sec","sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}

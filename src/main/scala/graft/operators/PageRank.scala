@@ -40,9 +40,14 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node")))
+    // the edge list is scanned iters+3 times (deg, node space twice, one
+    // join per round); materialize it ONCE so an expensive producing plan
+    // (a join chain, a dedup) doesn't re-execute every round — at any
+    // scale, re-deriving the graph per iteration dwarfs the iteration
+    val e = edges.cache()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
       .distinct()
     val n = nodes.agg(count(lit(1)).as("n"))
     // every node once, with its out-degree (0 for sinks) and N alongside
@@ -56,7 +61,7 @@ object PageRank {
       // deg-0 nodes contribute nothing (and would divide by zero): only
       // source nodes join the edge list
       val contrib = ranks.filter(col("deg") > 0)
-        .join(edges, ranks("node") === edges("u"))
+        .join(e, ranks("node") === e("u"))
         .select(col("v"), expr("r div deg").as("share"))
         .groupBy("v").agg(sum("share").as("c"))
       ranks = ranks.join(contrib, ranks("node") === contrib("v"), "left")
@@ -65,6 +70,9 @@ object PageRank {
             expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
         .localCheckpoint()
     }
+    // every checkpoint above ran eagerly, so the cached edge blocks are
+    // no longer referenced by the returned (lineage-truncated) plan
+    e.unpersist(blocking = false)
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
 }

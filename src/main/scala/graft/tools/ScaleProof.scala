@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade scaling measurement — runs flagship compositions at sf0.1
+  * and at a synthesized 10x corpus ("sf1.0"), recording wall time and
+  * shuffle volume, so the engine's 100 TB posture rests on a measured
+  * curve rather than plan-shape argument alone.
+  *
+  * The 10x corpus replicates the sf0.1 `documents` table with per-copy
+  * doc_id offsets and text MUTATION (every 5th word is prefixed with a
+  * copy marker): near-dup structure within a copy is preserved — a pair
+  * whose shingle sets overlapped still overlaps after identical
+  * positional edits — while cross-copy Jaccard collapses (~60% of
+  * 3-shingles touch a mutated word), so the near-dup workload grows ~10x
+  * like a real corpus instead of quadratically like naive duplication.
+  *
+  * Shuffle bytes come from a task-metrics listener (local remote-read
+  * metrics are zero in local mode, so WRITE bytes are the honest
+  * cross-stage volume figure). Usage:
+  * `runMain graft.tools.ScaleProof [sf0.1Dir] [workDir]`.
+  */
+object ScaleProof {
+
+  private def num(d: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+
+  /** Sum of shuffle write + local/remote read bytes across all tasks run
+    * while `body` executes.
+    */
+  final class ShuffleMeter(spark: SparkSession) {
+    private val written = new java.util.concurrent.atomic.AtomicLong()
+    private val read = new java.util.concurrent.atomic.AtomicLong()
+    private val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    }
+    def measure[T](body: => T): (T, Long, Long) = {
+      spark.sparkContext.addSparkListener(listener)
+      written.set(0); read.set(0)
+      try {
+        val r = body
+        // listener events post asynchronously and the bus exposes no
+        // public drain; the counters here feed a human-scale MB figure,
+        // so a settle pause is accurate enough
+        Thread.sleep(1000)
+        (r, written.get, read.get)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  /** 10x documents corpus with copy-marked text (see class doc). */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int = 10): Long = {
+    val docs = graft.Tables.documents(spark, srcDir)
+    val replicated = spark.range(copies).crossJoin(docs)
+      .select(
+        (col("doc_id") + col("id") * 10000000L).as("doc_id"),
+        when(col("id") === 0, col("text")).otherwise(
+          array_join(zip_with(
+            split(col("text"), " "),
+            sequence(lit(0), size(split(col("text"), " ")) - 1),
+            (w, i) => when(i % 5 === 0, concat(lit("c"), col("id"), lit("_"), w))
+              .otherwise(w)), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    replicated.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-scaleproof").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = s"$work/sf1.0"
+    val rows = synthesize(spark, sfDir, big)
+    System.err.println(s"[scaleproof] synthesized $rows docs at $big")
+
+    val queries = Seq("q27_minhash_neardup", "q53_corpus_pipeline", "q126_assembly_pipeline")
+    val meter = new ShuffleMeter(spark)
+    val out = for {
+      name <- queries
+      (tag, dir) <- Seq("sf0.1" -> sfDir, "sf1.0" -> big)
+    } yield {
+      val fn = graft.SparkEntry.queries(name)
+      // min of 2 passes, same discipline as Bench (build inside the timer)
+      val passes = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val (_, w, r) = meter.measure {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        }
+        ((System.nanoTime() - t0) / 1e9, w, r)
+      }
+      val (sec, w, r) = passes.minBy(_._1)
+      System.err.println(f"[scaleproof] $name $tag ${sec}%.2fs write=${w >> 20}MiB read=${r >> 20}MiB")
+      (name, tag, sec, w, r)
+    }
+    val json = out.map { case (n, t, s, w, r) =>
+      s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},"shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"scale_proof","decade":"sf0.1->sf1.0","runs":$json}""")
+    spark.stop()
+  }
+}

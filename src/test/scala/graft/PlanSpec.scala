@@ -98,10 +98,12 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin".r.findAllIn(plan).size <= 1, plan)
   }
 
-  test("no unintended nested-loop or cartesian join in ANY registered query") {
+  test("every registered query passes PlanAudit.assertScaleSafe (full-corpus audit)") {
     // the queries that INTENTIONALLY broadcast a tiny side against the
     // corpus (exact baselines / dim-table compare patterns) — everything
-    // else planning a nested loop is a silent quadratic scale cliff
+    // else planning a nested loop is a silent quadratic scale cliff.
+    // Exempted queries still get audited: cartesian products are never
+    // acceptable, and the audit's scan/codegen counters must not throw.
     val broadcastByDesign = Set(
       "q24_knn_brute",          // broadcast query set vs corpus (exact baseline)
       "q30_embed_neardup_exact", // documented O(n^2) exactness baseline
@@ -111,13 +113,20 @@ class PlanSpec extends AnyFunSuite {
       "q93_pagerank",           // 1-row broadcast scalar (node count N)
       "q100_assoc_rules")       // 1-row broadcast scalar (basket count)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      if (!broadcastByDesign(name)) {
-        val plan = SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan.toString
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin")
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plans a CartesianProduct")
+      val df = SparkEntry.queries(name)(spark, sf)
+      if (broadcastByDesign(name)) {
+        val report = tools.PlanAudit.audit(df)
+        assert(report.cartesianProducts == 0, s"$name plans a CartesianProduct")
+        assert(report.totalNodes > 0, s"$name audit walked an empty plan")
+      } else {
+        val report =
+          try tools.PlanAudit.assertScaleSafe(df)
+          catch { case e: IllegalArgumentException =>
+            fail(s"$name fails the scale audit: ${e.getMessage.linesIterator.take(3).mkString(" | ")}")
+          }
+        // a registered query must also keep SOME of its plan inside
+        // whole-stage codegen — a 0-coverage plan is all volcano iterators
+        assert(report.totalNodes > 0, s"$name audit walked an empty plan")
       }
     }
   }
