@@ -105,9 +105,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // CC-loop pipelines compile >100 distinct codegen classes; the
-      // default 100-entry cache thrashes (janino recompiles every pass)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // CC-loop pipelines compile >100 distinct codegen classes and the
+      // round-robin pass order needs the WHOLE suite's classes resident
+      // for pass 2 to stay warm; the default 100-entry cache thrashes
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       // a long GC pause must not escalate into executor-heartbeat RPC
       // timeouts mid-query (observed once in a driver-side run)
       .config("spark.network.timeout", "300s")
@@ -116,40 +117,53 @@ object Bench {
     spark
   }
 
-  /** Times `names` in this JVM; returns (name, min-of-passes | -1 on failure). */
+  /** Times `names` in this JVM; returns (name, min-of-passes | -1 on failure).
+    *
+    * Passes run ROUND-ROBIN (every query's pass 1, then every query's
+    * pass 2), not back-to-back: this host's dominant noise source is
+    * multi-second CPU-steal bursts (a query measured 0.5 s isolated has
+    * read 4.4 s in a suite run, a different query each run), and
+    * consecutive passes sit inside the same burst — min-of-passes only
+    * defends against noise when the passes are separated in time. The
+    * codegen cache (sized above the suite's class count) keeps pass 2
+    * warm across the round trip.
+    */
   private def timeQueries(spark: SparkSession, sfDir: String, passes: Int,
-      names: Seq[String]): Seq[(String, Double)] =
-    names.map { name =>
+      names: Seq[String]): Seq[(String, Double)] = {
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (pass <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)
-      val times = (1 to passes).map { pass =>
-        // long-lived bench JVM: reclaim the previous query's broadcast/
-        // shuffle garbage so its GC debt isn't billed to this query, and
-        // drain the C2 backlog so its compile debt isn't either
-        System.gc()
-        val waited = quiesceJit()
-        val (gc0, jit0, jan0) = (gcMillis, jitMillis, janinoCount)
-        val t0 = System.nanoTime()
-        // fn(...) must stay INSIDE the timer: the eager tier (k-means
-        // codebook training, PQ codebooks, CC fixpoint convergence
-        // checks) runs Spark jobs at plan-build time, and hoisting the
-        // build out of the loop would silently exclude those queries'
-        // dominant cost from every pass
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(
-          f"[bench] $name pass$pass $sec%.2fs gc=${(gcMillis - gc0) / 1e3}%.2fs " +
-            f"jit=${(jitMillis - jit0) / 1e3}%.2fs janino=${janinoCount - jan0} " +
-            f"drain=${waited / 1e3}%.1fs cc=${codeCacheUsedMb}m")
-        if (ok) sec else -1.0
-      }
-      // failures record -1, not a plausible-looking fast timing
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      // long-lived bench JVM: reclaim the previous query's broadcast/
+      // shuffle garbage so its GC debt isn't billed to this query, and
+      // drain the C2 backlog so its compile debt isn't either
+      System.gc()
+      val waited = quiesceJit()
+      val (gc0, jit0, jan0) = (gcMillis, jitMillis, janinoCount)
+      val t0 = System.nanoTime()
+      // fn(...) must stay INSIDE the timer: the eager tier (k-means
+      // codebook training, PQ codebooks, CC fixpoint convergence
+      // checks) runs Spark jobs at plan-build time, and hoisting the
+      // build out of the loop would silently exclude those queries'
+      // dominant cost from every pass
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[bench] $name pass$pass $sec%.2fs gc=${(gcMillis - gc0) / 1e3}%.2fs " +
+          f"jit=${(jitMillis - jit0) / 1e3}%.2fs janino=${janinoCount - jan0} " +
+          f"drain=${waited / 1e3}%.1fs cc=${codeCacheUsedMb}m")
+      times(name) = (if (ok) sec else -1.0) :: times.getOrElse(name, Nil)
     }
+    // failures record -1, not a plausible-looking fast timing
+    names.map { n =>
+      val ts = times(n)
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+  }
 
   /** Runs one chunk in a forked child JVM (fresh code cache); the child
     * re-enters this main with SPARK_GRAFT_BENCH_CHILD=1 and prints one

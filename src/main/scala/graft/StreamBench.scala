@@ -95,7 +95,10 @@ object StreamBench {
       val throughput = inputRows / wall
 
       val detail = perBatch.map(r => num(r, 0)).mkString("[", ",", "]")
-      println(s"""{"metric":"stream_throughput","value":${num(throughput, 0)},"unit":"events_per_sec","events":$inputRows,"expected":$total,"wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},"batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
+      println(s"""{"metric":"stream_throughput","value":${num(throughput, 0)},""" +
+        s""""unit":"events_per_sec","events":$inputRows,"expected":$total,""" +
+        s""""wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},""" +
+        s""""batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
       println(s"""{"metric":"stream_throughput","value":${num(throughput, 0)},"unit":"events_per_sec","sf":"$sfDir"}""")
     }
     spark.stop()

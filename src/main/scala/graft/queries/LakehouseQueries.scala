@@ -769,5 +769,71 @@ object LakehouseQueries {
               |SELECT b.doc_id,
               |  CAST(count(bl.sg) AS BIGINT) AS n_contaminated
               |FROM batch b LEFT JOIN bl ON b.sg = bl.sg
-              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)))
+              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
+    // Log-shaped ingest through the Kafka-shaped DSv2 source test
+    // double (sources/LogTopicSource.scala): the documents corpus is
+    // produced into a 4-partition file-backed commit log (partition =
+    // doc_id mod 4, offsets dense in doc_id order within a partition),
+    // then consumed by the REAL streaming engine in bounded
+    // admission-controlled microbatches (maxRecordsPerTrigger) and
+    // folded to per-partition stats. The producer collect is the
+    // EXTERNAL side of an ingest boundary (producers are never the
+    // engine's job); consumption is fully distributed. The oracle
+    // replays partition assignment, dense-offset arithmetic, and the
+    // portable Rabin-Karp value checksum relationally — so the hash
+    // only matches if partitioning, offset accounting, AND payload
+    // round-tripping (UTF-8 bytes through the log's length-prefixed
+    // segments) are all exact. Checksum sums stay < 2^41 (500k docs x
+    // h < 2^30): no ANSI overflow.
+    "q152_log_ingest" -> Q(
+      (s, d) => {
+        import graft.sources.LogTopic
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q152-log").toString + "/topic"
+        LogTopic.create(root, 4)
+        // producer side: deterministic order within each partition
+        val produced = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .collect()
+        produced
+          .groupBy(r => (r.getLong(0) % 4).toInt)
+          .foreach { case (p, rows) =>
+            LogTopic.append(root, p, rows.sortBy(_.getLong(0)).toSeq.map(r =>
+              LogTopic.Record(r.getLong(0),
+                r.getLong(0).toString.getBytes("UTF-8"),
+                r.getString(1).getBytes("UTF-8"))))
+          }
+        // ~5 admission-controlled microbatches at ANY corpus size (the
+        // point is bounded batches, not a fixed batch count growing
+        // linearly with sf)
+        val perTrigger = math.max(100L, produced.length / 5L)
+        val stream = s.readStream.format("graft.sources.LogTopicSource")
+          .option("path", root)
+          .option("maxRecordsPerTrigger", perTrigger.toString)
+          .load()
+        graft.streaming.StreamOps.runToBatch(s, stream, "append")
+          .select(col("partition"), col("offset"),
+            col("value").cast("string").as("text"))
+          .groupBy("partition")
+          .agg(
+            count(lit(1)).as("n"),
+            max(col("offset")).as("max_offset"),
+            sum(length(col("text")).cast("long")).as("sum_chars"),
+            sum(TextFunctions.polyHash(col("text"))).as("checksum"))
+          .orderBy("partition")
+      },
+      Some("""WITH ph AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS partition,
+             |    length(text) AS n_chars,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, len(text)+1),
+             |          i -> CAST(ascii(text[i]) AS BIGINT))),
+             |      (acc, c) -> (acc * 131 + c) % 1000000007) AS h
+             |  FROM documents)
+             |SELECT partition, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(*) - 1 AS BIGINT) AS max_offset,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(h) AS BIGINT) AS checksum
+             |FROM ph GROUP BY partition ORDER BY partition""".stripMargin)))
 }

@@ -1037,7 +1037,8 @@ object LlmQueries {
              |  SELECT doc_id, unhex(CASE
              |    WHEN doc_id % 3 = 0 THEN
              |      '424d' ||
-             |      printf('%02x%02x%02x%02x', (54 + img_size) & 255, ((54 + img_size) >> 8) & 255, ((54 + img_size) >> 16) & 255, ((54 + img_size) >> 24) & 255) ||
+             |      printf('%02x%02x%02x%02x', (54 + img_size) & 255, ((54 + img_size) >> 8) & 255,
+             |        ((54 + img_size) >> 16) & 255, ((54 + img_size) >> 24) & 255) ||
              |      '00000000' || '36000000' || '28000000' ||
              |      printf('%02x%02x%02x%02x', bw & 255, (bw >> 8) & 255, (bw >> 16) & 255, (bw >> 24) & 255) ||
              |      printf('%02x%02x%02x%02x', bh & 255, (bh >> 8) & 255, (bh >> 16) & 255, (bh >> 24) & 255) ||
@@ -1047,11 +1048,13 @@ object LlmQueries {
              |      repeat('00', CAST(img_size AS INT))
              |    WHEN doc_id % 3 = 1 THEN
              |      '52494646' ||
-             |      printf('%02x%02x%02x%02x', (36 + data_size) & 255, ((36 + data_size) >> 8) & 255, ((36 + data_size) >> 16) & 255, ((36 + data_size) >> 24) & 255) ||
+             |      printf('%02x%02x%02x%02x', (36 + data_size) & 255, ((36 + data_size) >> 8) & 255,
+             |        ((36 + data_size) >> 16) & 255, ((36 + data_size) >> 24) & 255) ||
              |      '57415645' || '666d7420' || '10000000' || '0100' ||
              |      printf('%02x%02x', ch & 255, (ch >> 8) & 255) ||
              |      printf('%02x%02x%02x%02x', rate & 255, (rate >> 8) & 255, (rate >> 16) & 255, (rate >> 24) & 255) ||
-             |      printf('%02x%02x%02x%02x', (rate * ch * 2) & 255, ((rate * ch * 2) >> 8) & 255, ((rate * ch * 2) >> 16) & 255, ((rate * ch * 2) >> 24) & 255) ||
+             |      printf('%02x%02x%02x%02x', (rate * ch * 2) & 255, ((rate * ch * 2) >> 8) & 255,
+             |        ((rate * ch * 2) >> 16) & 255, ((rate * ch * 2) >> 24) & 255) ||
              |      printf('%02x%02x', (ch * 2) & 255, ((ch * 2) >> 8) & 255) ||
              |      '1000' || '64617461' ||
              |      printf('%02x%02x%02x%02x', data_size & 255, (data_size >> 8) & 255, (data_size >> 16) & 255, (data_size >> 24) & 255) ||
