@@ -1527,6 +1527,123 @@ object LlmQueries {
               |WHERE id_a >= 250 OR id_b >= 250
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // STREAMING near-dup ingest — the dedup-at-ingest flagship: the
+    // corpus arrives as two REAL microbatches (file stream, distinct
+    // mtimes, maxFilesPerTrigger=1, AvailableNow) and foreachBatch
+    // maintains the persisted winnow index — batch 1 builds it, batch 2
+    // probes it (incrementalPairs = new-vs-indexed ∪ new-vs-new) and
+    // appends. The output is the ingest decision per arriving doc:
+    // partner counts against history and within the batch, plus a kept
+    // flag (pairwise smallest-id-survives rule — the transitive-closure
+    // variant is q42/q43's CC). The df stop-fingerprint cutoff runs
+    // over index ∪ batch, which for this two-batch split equals the
+    // full corpus, so the oracle replays the ENTIRE winnow scheme
+    // relationally (portable Rabin-Karp hashes) and the decisions are
+    // hash-exact, not spot-checked.
+    "q153_stream_neardup_ingest" -> Q(
+      (s, d) => {
+        import graft.llm.WinnowIndex
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q153-sni").toString
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val all = docs(s, d).select(col("doc_id"), col("text"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, all.filter(col("doc_id") < 250))
+        writeBatch("b2.parquet", 2000000L, all.filter(col("doc_id") >= 250))
+        s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val idx = s"$root/idx"
+            if (!new java.io.File(idx).exists()) {
+              WinnowIndex.build(b, idx, "doc_id", "text")
+            } else {
+              WinnowIndex.incrementalPairs(s, idx, b, "doc_id", "text")
+                .write.mode("append").parquet(s"$root/pairs")
+              WinnowIndex.append(b, idx, "doc_id", "text")
+            }
+          }
+          .start().awaitTermination()
+        // a corpus that fits entirely in batch 1 (tiny fixtures) never
+        // probes, so the pairs table may not exist
+        val pairs =
+          if (new java.io.File(s"$root/pairs").exists())
+            s.read.parquet(s"$root/pairs")
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "id_a LONG, id_b LONG, shared_fps LONG"))
+        val partners = pairs
+          .select(col("id_a").as("doc_id"), col("id_b").as("partner"))
+          .unionByName(pairs
+            .select(col("id_b").as("doc_id"), col("id_a").as("partner")))
+          .filter(col("doc_id") >= 250)
+        all.filter(col("doc_id") >= 250).select("doc_id")
+          .join(partners, Seq("doc_id"), "left")
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("partner") < 250, 1L).otherwise(0L))
+              .as("n_old_partners"),
+            sum(when(col("partner") >= 250, 1L).otherwise(0L))
+              .as("n_new_partners"),
+            max(when(col("partner") < col("doc_id"), 1L).otherwise(0L))
+              .as("has_smaller"))
+          .select(col("doc_id"), col("n_old_partners"), col("n_new_partners"),
+            (lit(1L) - col("has_smaller")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |sets AS (SELECT doc_id,
+              |    CASE WHEN len(t) < 3 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 1),
+              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |    END AS sh
+              |  FROM tok),
+              |hs AS (SELECT doc_id, list_transform(sh, s ->
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |        list_transform(range(1, len(s)+1),
+              |          i -> CAST(ascii(s[i]) AS BIGINT))),
+              |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS h
+              |  FROM sets),
+              |fp AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(h) - 3, 1) + 1),
+              |    j -> list_min(h[j : j + 3]))) AS fps
+              |  FROM hs),
+              |post AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+              |keep AS (SELECT f FROM post GROUP BY f HAVING count(*) <= 50),
+              |pk AS (SELECT p.doc_id, p.f FROM post p JOIN keep k ON p.f = k.f),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM pk a JOIN pk b ON a.f = b.f AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |tp AS (SELECT id_a, id_b FROM pairs
+              |       WHERE id_a >= 250 OR id_b >= 250),
+              |part AS (SELECT id_a AS doc_id, id_b AS partner FROM tp
+              |           WHERE id_a >= 250
+              |         UNION ALL
+              |         SELECT id_b, id_a FROM tp WHERE id_b >= 250),
+              |nd AS (SELECT doc_id FROM documents WHERE doc_id >= 250)
+              |SELECT nd.doc_id,
+              |  CAST(sum(CASE WHEN partner < 250 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_old_partners,
+              |  CAST(sum(CASE WHEN partner >= 250 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_new_partners,
+              |  CAST(1 - max(CASE WHEN partner < nd.doc_id THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS kept
+              |FROM nd LEFT JOIN part ON part.doc_id = nd.doc_id
+              |GROUP BY nd.doc_id ORDER BY nd.doc_id""".stripMargin)),
+
     // INCREMENTAL SimHash near-dup through the persisted banding index
     // (q28's operator as an ingest-time operation): history is banded
     // once, the new batch joins the index on combo keys, candidates are
