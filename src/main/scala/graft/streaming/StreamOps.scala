@@ -221,12 +221,31 @@ object StreamOps {
 
   /** Run a bounded streaming DataFrame to completion through a memory
     * sink; returns the sink table as a batch DataFrame.
+    *
+    * `statePartitions` temporarily narrows `spark.sql.shuffle.partitions`
+    * for the stream's lifetime: a stateful query materializes one state
+    * store instance PER stateful operator PER shuffle partition, each
+    * with its own per-batch open/commit/delta-file overhead, and that
+    * count is fixed at the query's first batch. Stateful width should
+    * track the query's KEY CARDINALITY, not the session's corpus-wide
+    * shuffle width — at production scale the same sizing (state
+    * partitions are pinned by shuffle.partitions at the FIRST batch and
+    * kept by the checkpoint thereafter) keeps a thin-keyed stream from
+    * paying a 1000-partition state tax forever. Restored afterwards;
+    * the returned batch DataFrame plans under the session's normal
+    * width.
     */
-  def runToBatch(spark: SparkSession, stream: DataFrame, outputMode: String): DataFrame = {
+  def runToBatch(spark: SparkSession, stream: DataFrame, outputMode: String,
+      statePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = stream.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = stream.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 

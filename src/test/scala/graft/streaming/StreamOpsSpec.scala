@@ -63,6 +63,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("statePartitions narrows stateful width without changing results, and restores the conf") {
+    // state partition count is pinned by shuffle.partitions at the
+    // query's FIRST batch; the knob must be semantically invisible
+    // (same rows) and must not leak into the session afterwards
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(sp: Option[Int]) = {
+      val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      StreamOps.runToBatch(spark,
+        StreamOps.windowedEventStats(stream, "1 hour"), "complete",
+        statePartitions = sp)
+    }
+    val narrow = run(Some(2))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    val default = run(None)
+    assert(narrow.count() > 0)
+    assert(narrow.except(default).count() == 0)
+    assert(default.except(narrow).count() == 0)
+  }
+
   test("dedupByKeyWithTtl: duplicate keys within the watermark are dropped") {
     val events = Seq(
       (1L, "2024-01-01 00:00:01", "a"),
