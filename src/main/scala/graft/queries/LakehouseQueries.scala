@@ -835,5 +835,45 @@ object LakehouseQueries {
              |  CAST(count(*) - 1 AS BIGINT) AS max_offset,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(h) AS BIGINT) AS checksum
-             |FROM ph GROUP BY partition ORDER BY partition""".stripMargin)))
+             |FROM ph GROUP BY partition ORDER BY partition""".stripMargin)),
+
+    // Manifest-level data skipping (sources/ZoneMap.scala): lineitem is
+    // laid out range-clustered on l_orderkey, a one-pass zone-map
+    // manifest (per-file min/max/count) is persisted as a _zonemap
+    // sidecar, and a range query opens ONLY the files whose envelope
+    // intersects [max/4, max/2] — the Iceberg/Delta-manifest pruning
+    // move that turns a 100 TB listing into a handful of file opens
+    // BEFORE parquet's own row-group skipping sees anything. Pruning is
+    // file-granular + residual filter, so the result is row-exact: the
+    // oracle is the PLAIN unpruned filter — the hash matches only if
+    // skipping lost nothing. (Envelope-disjointness and null-chunk
+    // conservatism are pinned in ZoneMapSpec.)
+    "q154_zonemap_prune" -> Q(
+      (s, d) => {
+        import graft.sources.ZoneMap
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q154-zm").toString + "/t"
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        li.repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.parquet(root)
+        ZoneMap.write(s, root, Seq("l_orderkey"))
+        // bounded model state: one scalar, same arithmetic as the oracle
+        val maxk = li.agg(max("l_orderkey")).head().getLong(0)
+        ZoneMap.readRange(s, root, "l_orderkey", lit(maxk / 4), lit(maxk / 2))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Stats.decimalSum(col("l_quantity")).as("sum_qty"),
+            Stats.decimalSum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH mk AS (SELECT max(l_orderkey) AS m FROM lineitem)
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             |    AS sum_price
+             |FROM lineitem, mk
+             |WHERE l_orderkey >= m // 4 AND l_orderkey <= m // 2
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }
