@@ -95,6 +95,54 @@ object StructureQueries {
               |       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
               |FROM est ORDER BY exact_cnt DESC, w""".stripMargin)),
 
+    // Flajolet-Martin distinct-count register sketch — the cardinality
+    // member of the mergeable-sketch family (q138 CMS = frequency,
+    // bottom-k = sampling, this = distinct), built portable where
+    // approx_count_distinct's HLL++ binary is opaque: register =
+    // polyHash mod 64, observation = trailing-zeros-of-rehash + 1 via
+    // the branch-free identity bit_count(h2 XOR (h2-1)), register max
+    // is partially aggregable and per-segment sketches merge by max
+    // (DistinctSketchSpec pins merge-of-parts == whole). The oracle
+    // rebuilds every register bit-for-bit, duplicates-insensitivity
+    // included (no DISTINCT on either side — max absorbs repeats).
+    "q155_distinct_sketch" -> Q(
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(TextFunctions.normalized(col("text")), " "))
+            .as("w"))
+          .filter(col("w") =!= "")
+        val sk = graft.operators.DistinctSketch.build(words, col("w"))
+        val exact = words.agg(
+          countDistinct(col("w")).cast("long").as("exact_distinct"))
+        sk.crossJoin(broadcast(exact))
+          .select("register", "max_rho", "exact_distinct")
+          .orderBy("register")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS w
+              |  FROM documents),
+              |ws AS (SELECT w FROM t WHERE w <> ''),
+              |h AS (SELECT w, list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(range(1, len(w)+1),
+              |        i -> CAST(ascii(w[i]) AS BIGINT))),
+              |    (acc, c) -> (acc * 131 + c) % 1000000007) AS h
+              |  FROM ws),
+              |r AS (SELECT h % 64 AS register,
+              |             (h * 31 + 7) % 1000000007 AS h2 FROM h),
+              |rr AS (SELECT register,
+              |         CASE WHEN h2 = 0 THEN CAST(1 AS BIGINT)
+              |              ELSE CAST(bit_count(xor(h2, h2 - 1)) AS BIGINT)
+              |         END AS rho
+              |       FROM r),
+              |sk AS (SELECT CAST(register AS BIGINT) AS register,
+              |              max(rho) AS max_rho
+              |       FROM rr GROUP BY 1),
+              |ex AS (SELECT CAST(count(DISTINCT w) AS BIGINT)
+              |         AS exact_distinct FROM ws)
+              |SELECT register, max_rho, exact_distinct
+              |FROM sk CROSS JOIN ex ORDER BY register""".stripMargin)),
+
     // Temperature-based domain mixture (the multilingual/multi-domain
     // sampling scheme of Lample & Conneau'19 at α = 1/2): upweight small
     // sources by sampling ∝ mass^α. Portable because sqrt IS correctly

@@ -111,7 +111,8 @@ class PlanSpec extends AnyFunSuite {
       "q49_knn_pq",             // coded corpus x broadcast query tables
       "q89_skew_profile",       // 1-row broadcast scalar (corpus total)
       "q93_pagerank",           // 1-row broadcast scalar (node count N)
-      "q100_assoc_rules")       // 1-row broadcast scalar (basket count)
+      "q100_assoc_rules",       // 1-row broadcast scalar (basket count)
+      "q155_distinct_sketch")   // 1-row broadcast scalar (exact distinct)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
