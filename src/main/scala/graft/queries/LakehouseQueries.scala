@@ -875,5 +875,44 @@ object LakehouseQueries {
              |    AS sum_price
              |FROM lineitem, mk
              |WHERE l_orderkey >= m // 4 AND l_orderkey <= m // 2
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Z-order layout x multi-dimension skipping — the composition q67
+    // (z-value clustering) and q154 (zone maps) exist FOR: lineitem is
+    // laid out along the (l_partkey, l_suppkey) z-curve so every file
+    // covers a compact rectangle of the 2-D key space, and a box query
+    // intersects the PER-DIMENSION candidate sets — pruning multiplies
+    // across dimensions where a single-column sort could only prune its
+    // leading column (ZoneMapSpec pins the quadrant case: 2 x 2
+    // candidates -> 1 file). Row-exactness vs the plain filter is the
+    // oracle; the residual predicate mops up the file-granular slack.
+    "q156_zorder_skipping" -> Q(
+      (s, d) => {
+        import graft.operators.ZOrder
+        import graft.sources.ZoneMap
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q156-zb").toString + "/t"
+        val li = Tables.lineitem(s, d)
+          .select("l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+        ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 16)
+          .write.parquet(root)
+        ZoneMap.write(s, root, Seq("l_partkey", "l_suppkey"))
+        val r = li.agg(max("l_partkey"), max("l_suppkey")).head()
+        val (maxp, maxs) = (r.getLong(0), r.getLong(1))
+        ZoneMap.readBox(s, root, Seq(
+            ("l_partkey", lit(maxp / 4), lit(maxp / 2)),
+            ("l_suppkey", lit(maxs / 4), lit(maxs / 2))))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Stats.decimalSum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH mk AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
+             |            FROM lineitem)
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem, mk
+             |WHERE l_partkey >= mp // 4 AND l_partkey <= mp // 2
+             |  AND l_suppkey >= ms // 4 AND l_suppkey <= ms // 2
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }

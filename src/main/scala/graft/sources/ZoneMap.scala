@@ -70,9 +70,28 @@ object ZoneMap {
     */
   def readRange(
       spark: SparkSession, tableDir: String, c: String,
-      lo: Column, hi: Column): DataFrame = {
-    val files = candidateFiles(spark, tableDir, c, lo, hi)
-    val pred = col(c) >= lo && col(c) <= hi
+      lo: Column, hi: Column): DataFrame =
+    readBox(spark, tableDir, Seq((c, lo, hi)))
+
+  /** Multi-dimensional box read: a file survives only if its envelope
+    * intersects EVERY range (per-dimension candidate sets intersected),
+    * then the residual predicate restores row-exactness. On a
+    * Z-order-clustered layout ([[graft.operators.ZOrder.cluster]]) each
+    * file covers a compact hyper-rectangle, so a box query prunes
+    * multiplicatively across dimensions — the zone map turns the
+    * z-curve's locality into skipped file opens.
+    */
+  def readBox(
+      spark: SparkSession, tableDir: String,
+      ranges: Seq[(String, Column, Column)]): DataFrame = {
+    require(ranges.nonEmpty, "at least one range")
+    val files = ranges
+      .map { case (c, lo, hi) => candidateFiles(spark, tableDir, c, lo, hi).toSet }
+      .reduce(_ intersect _)
+      .toSeq.sorted
+    val pred = ranges
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(tableDir).filter(lit(false))
     else

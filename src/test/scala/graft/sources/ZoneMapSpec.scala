@@ -46,6 +46,31 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(empty.columns.toSet == Set("k", "v"))
   }
 
+  test("readBox intersects per-dimension candidates on a quadrant-clustered layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-box").toString
+    import spark.implicits._
+    // four files = four quadrants of a 200x200 grid: a box inside one
+    // quadrant must open exactly one file
+    for (qx <- 0 until 2; qy <- 0 until 2) {
+      (for (x <- qx * 100 until (qx + 1) * 100; y <- qy * 100 until (qy + 1) * 100 if (x + y) % 37 == 0)
+        yield (x.toLong, y.toLong)).toDF("x", "y")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    ZoneMap.write(spark, dir, Seq("x", "y"))
+    // each 1-D prune keeps TWO files (a column range spans two quadrants)
+    val cx = ZoneMap.candidateFiles(spark, dir, "x", lit(120L), lit(180L))
+    val cy = ZoneMap.candidateFiles(spark, dir, "y", lit(20L), lit(80L))
+    assert(cx.size == 2 && cy.size == 2)
+    assert((cx.toSet intersect cy.toSet).size == 1)
+    // the 2-D intersection keeps ONE: multiplicative pruning
+    val box = ZoneMap.readBox(spark, dir,
+      Seq(("x", lit(120L), lit(180L)), ("y", lit(20L), lit(80L))))
+    val full = spark.read.parquet(dir)
+      .filter(col("x").between(120L, 180L) && col("y").between(20L, 80L))
+    assert(box.except(full).count() == 0 && full.except(box).count() == 0)
+    assert(box.count() == full.count() && full.count() > 0)
+  }
+
   test("null envelopes are conservative: an all-null chunk survives every prune") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-null").toString
     import spark.implicits._
