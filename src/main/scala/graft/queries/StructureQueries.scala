@@ -924,7 +924,71 @@ object StructureQueries {
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(min(n_chars) AS BIGINT) AS min_chars,
              |  CAST(max(n_chars) AS BIGINT) AS max_chars
-             |FROM documents d GROUP BY 1 ORDER BY pid""".stripMargin)))
+             |FROM documents d GROUP BY 1 ORDER BY pid""".stripMargin)),
+
+    // Log-bucketed quantile sketch vs exact nearest-rank percentiles:
+    // build the HdrHistogram-bucketed sketch of doc lengths (top-5
+    // mantissa bits kept => < 2^-5 relative error per bucket, bucket
+    // table bounded at 64*32 rows no matter the corpus size), answer
+    // p50/p90/p99 from the sketch's cumulative walk, and pin the exact
+    // nearest-rank value inside every [est_lb, est_ub] envelope. The
+    // sketch side is one scan + a tiny-table window; the exact side
+    // (global sort) is the verification baseline, same division of
+    // labor as q155's exact_distinct column. Bucket ids are pure
+    // integer arithmetic (length(bin(v)), shifts) replayed bit-for-bit
+    // by the oracle — no percentile_approx KLL binary, no log().
+    "q157_quantile_sketch" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("n_chars").cast("long").as("v"))
+          .filter(col("v") >= 0)
+        val sk = graft.operators.QuantileSketch.build(docs, col("v"))
+        val est = graft.operators.QuantileSketch.quantiles(sk, Seq(50, 90, 99))
+        val nDf = docs.agg(count(lit(1)).as("n"))
+        val tgt = Seq(50, 90, 99).toDF("p")
+          .crossJoin(broadcast(nDf))
+          .select(col("p").cast("long").as("p"),
+            expr("(n * p + 99) div 100").as("target"))
+        val ranked = docs
+          .withColumn("rn", row_number().over(Window.orderBy("v")).cast("long"))
+        val exact = ranked.join(tgt, col("rn") === col("target"))
+          .select(col("p"), col("v").as("exact_val"))
+        est.join(exact, "p")
+          .select("p", "est_lb", "est_ub", "exact_val")
+          .orderBy("p")
+      },
+      Some("""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v
+             |           FROM documents WHERE n_chars >= 0),
+             |b AS (SELECT CASE WHEN v < 32 THEN v
+             |        ELSE (CAST(length(bin(v)) AS BIGINT) - 6) * 32
+             |             + (v >> (CAST(length(bin(v)) AS INT) - 6))
+             |      END AS bucket FROM v),
+             |sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+             |c AS (SELECT bucket,
+             |        sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+             |n AS (SELECT count(*) AS n FROM v),
+             |q AS (SELECT unnest([50, 90, 99]) AS p),
+             |t AS (SELECT CAST(p AS BIGINT) AS p,
+             |        CAST((n.n * p + 99) // 100 AS BIGINT) AS target
+             |      FROM q, n),
+             |sel AS (SELECT p, min(bucket) AS bucket
+             |        FROM t JOIN c ON c.cum >= t.target GROUP BY p),
+             |est AS (SELECT p,
+             |    CASE WHEN bucket < 32 THEN bucket
+             |      ELSE (bucket - ((bucket >> 5) - 1) * 32)
+             |           << CAST((bucket >> 5) - 1 AS INT) END AS est_lb,
+             |    CASE WHEN bucket < 32 THEN bucket
+             |      ELSE ((bucket - ((bucket >> 5) - 1) * 32 + 1)
+             |            << CAST((bucket >> 5) - 1 AS INT)) - 1 END AS est_ub
+             |  FROM sel),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+             |ex AS (SELECT t.p, r.v AS exact_val
+             |       FROM t JOIN r ON r.rn = t.target)
+             |SELECT est.p AS p, CAST(est_lb AS BIGINT) AS est_lb,
+             |  CAST(est_ub AS BIGINT) AS est_ub,
+             |  CAST(exact_val AS BIGINT) AS exact_val
+             |FROM est JOIN ex ON est.p = ex.p ORDER BY est.p""".stripMargin)))
 
   /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
   private def normSql: String = LlmQueries.normSql
