@@ -1855,5 +1855,68 @@ object LlmQueries {
              |  CAST(sum(CASE WHEN ps IS NOT NULL AND s * ps < 0
              |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
              |  CAST(max(abs(s)) AS BIGINT) AS peak
-             |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // HTML -> training-text extraction (the crawl-pipeline pass before
+    // any quality gate): wrap each doc in a deterministic page skeleton
+    // (head with title/style/script, nav links varying per doc, main
+    // <p>, link footer), then run the real extraction — script/style
+    // blocks dropped WITH content, tags to spaces, whitespace squeezed,
+    // title + first-paragraph main block + link-density signals pulled
+    // out (functions/HtmlFunctions.scala). Patterns live in the
+    // Java/RE2 common subset so the oracle replays the extraction
+    // verbatim ('g' flag on DuckDB replaces, q79's dialect note);
+    // `recovered` pins that main-block extraction returns the original
+    // text EXACTLY — the invariant a training pipeline needs before it
+    // dares feed extraction output to a tokenizer.
+    "q158_html_extract" -> Q(
+      (s, d) => {
+        import graft.functions.HtmlFunctions._
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id"),
+          lit(" - "), col("source"),
+          lit("</title><style>.n{c:red}</style><script>var l=\""),
+          col("lang"),
+          lit("\";</script></head><body><div><a href=\"/\">home</a> "),
+          expr("repeat('<a href=\"/t\">tag</a> ', CAST(doc_id % 4 AS INT))"),
+          lit("</div><p>"), col("text"),
+          lit("</p><div><a href=\"/tos\">terms of service</a>" +
+            " copyright corp</div></body></html>"))
+        docs(s, d).select(col("doc_id"), col("text"), html.as("html"))
+          .select(
+            col("doc_id"),
+            title(col("html")).as("page_title"),
+            linkCount(col("html")).as("n_links"),
+            linkTextLen(col("html")).as("link_text_len"),
+            length(col("html")).cast("long").as("html_len"),
+            length(extractText(col("html"))).cast("long").as("text_len"),
+            length(mainBlock(col("html"))).cast("long").as("main_len"),
+            (mainBlock(col("html")) === col("text")).as("recovered"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, text,
+             |    '<html><head><title>doc ' || doc_id || ' - ' || source ||
+             |    '</title><style>.n{c:red}</style><script>var l="' || lang ||
+             |    '";</script></head><body><div><a href="/">home</a> ' ||
+             |    repeat('<a href="/t">tag</a> ', CAST(doc_id % 4 AS INT)) ||
+             |    '</div><p>' || text || '</p><div><a href="/tos">terms of' ||
+             |    ' service</a> copyright corp</div></body></html>' AS html
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS page_title,
+             |  CAST(len(regexp_extract_all(html, '<a [^>]*>')) AS BIGINT)
+             |    AS n_links,
+             |  CAST(length(list_aggregate(
+             |    regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1),
+             |    'string_agg', '')) AS BIGINT) AS link_text_len,
+             |  CAST(length(html) AS BIGINT) AS html_len,
+             |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+             |    html, '<(script|style)[^>]*>[\s\S]*?</(script|style)>', ' ',
+             |      'g'), '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')))
+             |    AS BIGINT) AS text_len,
+             |  CAST(length(regexp_extract(html, '<p>([\s\S]*?)</p>', 1))
+             |    AS BIGINT) AS main_len,
+             |  (regexp_extract(html, '<p>([\s\S]*?)</p>', 1) = text)
+             |    AS recovered
+             |FROM h ORDER BY doc_id""".stripMargin)))
 }
