@@ -1918,5 +1918,85 @@ object LlmQueries {
              |    AS BIGINT) AS main_len,
              |  (regexp_extract(html, '<p>([\s\S]*?)</p>', 1) = text)
              |    AS recovered
-             |FROM h ORDER BY doc_id""".stripMargin)))
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + registered-domain rollup (the crawl-dedup
+    // key problem): synthesize per-doc URLs exercising every rule —
+    // case-varied scheme/host, default AND non-default ports (':443'
+    // lands on both https rows, where it drops, and http rows, where it
+    // must stay), trailing slashes, utm_* tracking params around a real
+    // param, fragments — canonicalize with functions/UrlFunctions
+    // (regexp + string algebra, no java.net.URI), and roll up per
+    // registered domain: raw URL count vs surviving canonical forms.
+    // The oracle replays the full rule set, so n_canonical pins every
+    // normalization decision at once; `example` (min canonical form)
+    // pins the exact output string.
+    "q159_url_normalize" -> Q(
+      (s, d) => {
+        import graft.functions.UrlFunctions
+        val url = concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("https"))
+            .otherwise(lit("HTTP")),
+          lit("://WWW.Docs."), col("source"), lit(".COM"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(":443"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(":8080"))
+            .otherwise(lit("")),
+          lit("/Docs/"), pmod(col("doc_id"), lit(100)),
+          when(pmod(col("doc_id"), lit(2)) === 1, lit("/"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) < 2,
+            concat(lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(50)),
+              lit("&utm_campaign=x")))
+            .otherwise(concat(lit("?id="), pmod(col("doc_id"), lit(50)))),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("#top"))
+            .otherwise(lit("")))
+        docs(s, d).select(url.as("url"))
+          .select(
+            UrlFunctions.registeredDomain(col("url")).as("domain"),
+            UrlFunctions.normalize(col("url")).as("norm"))
+          .groupBy("domain")
+          .agg(
+            count(lit(1)).as("n_urls"),
+            countDistinct(col("norm")).cast("long").as("n_canonical"),
+            min("norm").as("example"))
+          .orderBy("domain")
+      },
+      Some("""WITH u AS (SELECT
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) ||
+             |    '://WWW.Docs.' || source || '.COM' ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN ':443'
+             |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+             |    '/Docs/' || (doc_id % 100) ||
+             |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 4 < 2 THEN
+             |        '?utm_source=feed&id=' || (doc_id % 50) || '&utm_campaign=x'
+             |      ELSE '?id=' || (doc_id % 50) END) ||
+             |    (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+             |  FROM documents),
+             |parts AS (SELECT
+             |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS sch,
+             |    regexp_replace(lower(regexp_extract(url,
+             |      '^[A-Za-z]+://([^/:?#]+)', 1)), '^www\.', '') AS h,
+             |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1)
+             |      AS prt,
+             |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS pth,
+             |    array_to_string(list_filter(
+             |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             |      p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') AS cq
+             |  FROM u),
+             |n AS (SELECT
+             |    regexp_extract(h, '([^.]+\.[^.]+)$', 1) AS domain,
+             |    sch || '://' || h ||
+             |    (CASE WHEN prt = '' THEN ''
+             |          WHEN sch = 'https' AND prt = '443' THEN ''
+             |          WHEN sch = 'http' AND prt = '80' THEN ''
+             |          ELSE ':' || prt END) ||
+             |    (CASE WHEN rtrim(pth, '/') = '' THEN '/'
+             |          ELSE rtrim(pth, '/') END) ||
+             |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS norm
+             |  FROM parts)
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+             |  CAST(count(DISTINCT norm) AS BIGINT) AS n_canonical,
+             |  min(norm) AS example
+             |FROM n GROUP BY domain ORDER BY domain""".stripMargin)))
 }
