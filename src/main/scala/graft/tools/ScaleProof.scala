@@ -3,18 +3,28 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-decade scaling measurement — runs flagship compositions at sf0.1
-  * and at a synthesized 10x corpus ("sf1.0"), recording wall time and
-  * shuffle volume, so the engine's 100 TB posture rests on a measured
-  * curve rather than plan-shape argument alone.
+/** Two-decade scaling measurement — runs flagship compositions at
+  * sf0.1 and at synthesized 10x ("sf1.0") and 100x ("sf10") corpora,
+  * recording wall time and shuffle volume, so the engine's 100 TB
+  * posture rests on a measured curve rather than plan-shape argument
+  * alone.
   *
-  * The 10x corpus replicates the sf0.1 `documents` table with per-copy
-  * doc_id offsets and text MUTATION (every 5th word is prefixed with a
-  * copy marker): near-dup structure within a copy is preserved — a pair
-  * whose shingle sets overlapped still overlaps after identical
-  * positional edits — while cross-copy Jaccard collapses (~60% of
-  * 3-shingles touch a mutated word), so the near-dup workload grows ~10x
-  * like a real corpus instead of quadratically like naive duplication.
+  * Each scaled corpus replicates the sf0.1 `documents` table with per-copy
+  * doc_id offsets and text MUTATION (~1 in 5 words prefixed with a copy
+  * marker, at positions drawn from xxhash64(copy, position) so every
+  * copy mutates a DIFFERENT position set): near-dup structure within a
+  * copy is preserved — a pair whose shingle sets overlapped still
+  * overlaps after identical positional edits — while cross-copy
+  * similarity collapses in BOTH candidate metric spaces: shingle
+  * Jaccard (~60% of 3-shingles touch a mutated word) AND simhash
+  * Hamming (~36% of tokens differ between two copies, pushing pairs
+  * far outside banding radius). The earlier same-positions scheme kept
+  * cross-copy signatures correlated, which made banded simhash
+  * candidates grow quadratically per 100-copy family at the second
+  * decade (a measured disk-filling shuffle) — correlated template
+  * families are the documented worst case for signature banding, and
+  * the synthesis must not manufacture 5,000 of them if the claim under
+  * test is "10x data => ~10x near-dup work".
   *
   * Shuffle bytes come from a task-metrics listener (local remote-read
   * metrics are zero in local mode, so WRITE bytes are the honest
@@ -65,7 +75,8 @@ object ScaleProof {
           array_join(zip_with(
             split(col("text"), " "),
             sequence(lit(0), size(split(col("text"), " ")) - 1),
-            (w, i) => when(i % 5 === 0, concat(lit("c"), col("id"), lit("_"), w))
+            (w, i) => when(pmod(xxhash64(col("id"), i), lit(5)) === 0,
+              concat(lit("c"), col("id"), lit("_"), w))
               .otherwise(w)), " ")).as("text"),
         col("lang"), col("source"), col("n_chars"))
     replicated.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -88,15 +99,23 @@ object ScaleProof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val big = s"$work/sf1.0"
-    val rows = synthesize(spark, sfDir, big)
-    System.err.println(s"[scaleproof] synthesized $rows docs at $big")
+    // two measured decades: 10x and 100x the sf0.1 corpus (the second
+    // decade is what separates "fixed overhead still dominates" from a
+    // genuine scaling trend)
+    val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
+      .map { case (tag, copies) =>
+        val dir = s"$work/$tag"
+        val rows = synthesize(spark, sfDir, dir, copies)
+        System.err.println(s"[scaleproof] synthesized $rows docs at $dir")
+        tag -> dir
+      }
 
-    val queries = Seq("q27_minhash_neardup", "q53_corpus_pipeline", "q126_assembly_pipeline")
+    val queries = Seq("q27_minhash_neardup", "q28_simhash_neardup",
+      "q42_neardup_groups", "q53_corpus_pipeline", "q126_assembly_pipeline")
     val meter = new ShuffleMeter(spark)
     val out = for {
       name <- queries
-      (tag, dir) <- Seq("sf0.1" -> sfDir, "sf1.0" -> big)
+      (tag, dir) <- ("sf0.1" -> sfDir) +: decades
     } yield {
       val fn = graft.SparkEntry.queries(name)
       // min of 2 passes, same discipline as Bench (build inside the timer)
@@ -113,9 +132,10 @@ object ScaleProof {
       (name, tag, sec, w, r)
     }
     val json = out.map { case (n, t, s, w, r) =>
-      s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},"shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
+      s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
+        s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"scale_proof","decade":"sf0.1->sf1.0","runs":$json}""")
+    println(s"""{"metric":"scale_proof","decades":"sf0.1->sf1.0->sf10","runs":$json}""")
     spark.stop()
   }
 }
