@@ -45,15 +45,32 @@ object Tables {
     org.apache.spark.sql.functions.expr(
       s"($colName - pmod($colName, 1000)) div 1000")
 
+  /** Normalize the parquet-NANOS `ts` column under EITHER reader
+    * behavior: with the legacy `nanosAsLong` conf honored (Spark <= 4.1.1
+    * era jars) the column arrives as BIGINT nanos and is converted by
+    * exact floor division; newer jars ignore the legacy conf and read
+    * NANOS natively as TIMESTAMP_NTZ, which is already micros-floored —
+    * identical values (the corpus is micro-aligned; sub-micro nanos would
+    * floor the same way). Callers must use THIS instead of converting
+    * unconditionally — assuming the BIGINT shape breaks on native-NTZ
+    * jars with a DATATYPE_MISMATCH at analysis.
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName, timestamp_micros(nanosToMicrosExpr(colName)))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // watermarks/windows require TIMESTAMP (LTZ); the session runs in
+        // UTC, so reinterpreting the NTZ wall time is the same instant
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case _ => df
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
-    import org.apache.spark.sql.functions._
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(nanosToMicrosExpr("ts")))
-      case _ => raw
-    }
+    normalizeTs(load(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

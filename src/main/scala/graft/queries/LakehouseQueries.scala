@@ -451,9 +451,8 @@ object LakehouseQueries {
     "q125_stream_windowed_stats" -> Q(
       (s, d) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = graft.streaming.StreamOps
-          .readStream(s, Tables.path(d, "events"))
-          .withColumn("ts", timestamp_micros(Tables.nanosToMicrosExpr("ts")))
+        val raw = Tables.normalizeTs(graft.streaming.StreamOps
+          .readStream(s, Tables.path(d, "events")))
         graft.streaming.StreamOps.runToBatch(s,
             graft.streaming.StreamOps.windowedEventStats(raw, "1 hour"),
             "complete")
@@ -914,5 +913,43 @@ object LakehouseQueries {
              |FROM lineitem, mk
              |WHERE l_partkey >= mp // 4 AND l_partkey <= mp // 2
              |  AND l_suppkey >= ms // 4 AND l_suppkey <= ms // 2
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Row-level deletes as deletion vectors (sources/DeletionVectors
+    // .scala — the Delta-DV / Iceberg-position-delete design): the
+    // documents table is laid out immutably across 4 files, two delete
+    // generations write only (file, row_index) sidecars under _dv/ —
+    // the second evaluates its predicate on the LIVE view, so the
+    // overlap with generation one is NOT double-deleted — and the read
+    // path anti-joins the positions back out. The oracle is the plain
+    // double-filter: the hash matches only if position-based deletion
+    // is row-exact (no rewrite, no loss, no resurrection). Addressing
+    // uses parquet's _metadata.row_index/file_path constant columns;
+    // idempotency, per-file stats and the materialize rewrite are
+    // pinned in DeletionVectorsSpec.
+    "q163_deletion_vectors" -> Q(
+      (s, d) => {
+        import graft.sources.DeletionVectors
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q163-dv").toString + "/t"
+        Tables.documents(s, d)
+          .repartition(4)
+          .write.parquet(root)
+        DeletionVectors.delete(s, root, col("lang") === "de")
+        DeletionVectors.delete(s, root, col("n_chars") < 120)
+        DeletionVectors.read(s, root)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents
+             |WHERE NOT (lang = 'de') AND NOT (n_chars < 120)
+             |GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -459,8 +459,8 @@ object LlmQueries {
     "q103_stream_interval_join" -> Q(
       (s, d) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = graft.streaming.StreamOps.readStream(s, Tables.path(d, "events"))
-          .withColumn("ts", timestamp_micros(Tables.nanosToMicrosExpr("ts")))
+        val raw = Tables.normalizeTs(
+          graft.streaming.StreamOps.readStream(s, Tables.path(d, "events")))
         val clicks = raw.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ts").as("click_ts"))
@@ -1998,5 +1998,146 @@ object LlmQueries {
              |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
              |  CAST(count(DISTINCT norm) AS BIGINT) AS n_canonical,
              |  min(norm) AS example
-             |FROM n GROUP BY domain ORDER BY domain""".stripMargin)))
+             |FROM n GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // Corpus-level boilerplate line removal (the CCNet/C4 pass that runs
+    // BEFORE document dedup): wrap each doc in a deterministic line
+    // structure — per-source header, global nav line, content chunked 8
+    // words per line, per-source footer — then strip every line whose
+    // document frequency across the corpus exceeds maxDf=5. Headers/
+    // footers (df ≈ docs-per-source) and the nav line (df = all docs)
+    // must vanish; content lines survive unless the word-soup corpus
+    // genuinely repeats an 8-word chunk in > 5 docs (the operator's
+    // honest behavior either way — the oracle replays the same rule).
+    // clean_md5 pins the exact reassembled text, byte for byte, in
+    // original line order; df counts distinct DOCS (a line repeated
+    // inside one doc counts once). Scale shape: one explode + one
+    // line-keyed count (map-side combine eats the boilerplate mass), a
+    // BROADCAST anti-join (the boilerplate set is small by construction),
+    // one per-doc regroup — no corpus self-join (llm/LineDedup.scala).
+    "q160_line_dedup" -> Q(
+      (s, d) => {
+        import graft.llm.LineDedup
+        val chunks = expr(
+          "transform(sequence(0, (size(split(text, ' ')) + 7) div 8 - 1)," +
+            " i -> array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' '))")
+        val lines = concat(
+          array(
+            concat(lit("== "), col("source"), lit(" portal ==")),
+            lit("home | about | contact")),
+          chunks,
+          array(concat(lit("(c) "), col("source"), lit(" media group"))))
+        val withLines = docs(s, d).select(col("doc_id"), lines.as("lines"))
+        LineDedup.clean(withLines, "doc_id", col("lines"), maxDf = 5L)
+          .select(
+            col("doc_id"),
+            col("n_lines"),
+            col("n_kept"),
+            length(col("clean_text")).cast("long").as("clean_len"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+             |  FROM documents),
+             |l AS (SELECT doc_id,
+             |    (['== ' || source || ' portal ==', 'home | about | contact']
+             |     || list_transform(range((len(w) + 7) // 8),
+             |          i -> array_to_string(w[(i*8+1):(i*8+8)], ' '))
+             |     || ['(c) ' || source || ' media group']) AS lines
+             |  FROM w),
+             |ex AS (SELECT doc_id, unnest(range(len(lines))) AS pos,
+             |    unnest(lines) AS line FROM l),
+             |d AS (SELECT line, count(DISTINCT doc_id) AS df
+             |  FROM ex GROUP BY line),
+             |kept AS (SELECT ex.doc_id, ex.pos, ex.line
+             |  FROM ex JOIN d ON ex.line = d.line WHERE d.df <= 5),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+             |  COALESCE(a.n_kept, 0) AS n_kept,
+             |  CAST(length(COALESCE(a.clean_text, '')) AS BIGINT) AS clean_len,
+             |  md5(COALESCE(a.clean_text, '')) AS clean_md5
+             |FROM l LEFT JOIN agg a ON l.doc_id = a.doc_id
+             |ORDER BY l.doc_id""".stripMargin)),
+
+    // Bigram-LM surprisal scoring — the exact-integer cousin of CCNet's
+    // KenLM-perplexity quality filter: score each doc by the bits needed
+    // to predict each token from its predecessor under the corpus's OWN
+    // bigram distribution (gibberish scores high, boilerplate low).
+    // Per-bigram bits = floor(log2(c_x / c_xy)) with NO log(): for
+    // q = c_x div c_xy >= 1 the ratio lies in [q, q+1), which never
+    // crosses a power of two, so the floor-log2 is bitlength(q)-1 =
+    // length(bin(q))-1 — exact in both engines (llm/BigramLm.scala).
+    // Self-scoring means every bigram was observed (c_xy >= 1): no
+    // smoothing needed. One lead() window + two count shuffles + a
+    // bigram-keyed join; no corpus self-join.
+    "q161_bigram_surprisal" -> Q(
+      (s, d) => {
+        import graft.llm.BigramLm
+        BigramLm.surprisal(docs(s, d), "doc_id", col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(range(len(w))) AS pos,
+             |    unnest(w) AS x FROM w),
+             |big AS (SELECT doc_id, x,
+             |    lead(x) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+             |  FROM tok),
+             |b AS (SELECT doc_id, x, y FROM big WHERE y IS NOT NULL),
+             |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+             |  FROM b GROUP BY x, y),
+             |cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c_x
+             |  FROM b GROUP BY x),
+             |sc AS (SELECT b.doc_id,
+             |    CAST(length(bin(c_x // c_xy)) - 1 AS BIGINT) AS bits
+             |  FROM b JOIN cxy USING (x, y) JOIN cx USING (x)),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(bits) AS BIGINT) AS total_bits
+             |  FROM sc GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+             |  COALESCE(a.total_bits, 0) AS total_bits,
+             |  CAST(COALESCE((a.total_bits * 100) // a.n_bigrams, 0)
+             |    AS BIGINT) AS bits_x100
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // PMI collocations — rank adjacent token pairs by pointwise mutual
+    // information with NO log(): PMI = log(c_xy·N/(r_x·c_y)) is monotone
+    // in the ratio, so the scaled integer c_xy·N·1e6 div (r_x·c_y)
+    // orders identically and replays bit-for-bit in DuckDB's BIGINT
+    // arithmetic (overflow bound documented in llm/BigramLm.scala; the
+    // 100 TB path is the same chain in DECIMAL(38,0)). min-count 5
+    // guards the classic low-count PMI blowup; ties broken (x, y) for a
+    // total order under the limit.
+    "q162_pmi_collocations" -> Q(
+      (s, d) => {
+        import graft.llm.BigramLm
+        BigramLm.pmiTopK(docs(s, d), "doc_id", col("text"),
+          minCount = 5L, k = 20)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(range(len(w))) AS pos,
+             |    unnest(w) AS x FROM w),
+             |big AS (SELECT doc_id, x,
+             |    lead(x) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+             |  FROM tok),
+             |b AS (SELECT doc_id, x, y FROM big WHERE y IS NOT NULL),
+             |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+             |  FROM b GROUP BY x, y),
+             |rx AS (SELECT x, CAST(count(*) AS BIGINT) AS r_x
+             |  FROM b GROUP BY x),
+             |cy AS (SELECT y, CAST(count(*) AS BIGINT) AS c_y
+             |  FROM b GROUP BY y),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM b)
+             |SELECT x, y, c_xy, r_x, c_y,
+             |  CAST((c_xy * n_big * 1000000) // (r_x * c_y) AS BIGINT)
+             |    AS pmi_x1e6
+             |FROM cxy JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN n
+             |WHERE c_xy >= 5
+             |ORDER BY pmi_x1e6 DESC, x, y LIMIT 20""".stripMargin)))
 }

@@ -431,6 +431,10 @@ object StreamOps {
     val tsUs = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         graft.Tables.nanosToMicrosExpr("ts")
+      // native-NTZ readers deliver TIMESTAMP_NTZ, which unix_micros
+      // refuses — reinterpret in the (UTC) session zone first
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
       case _ => unix_micros(col("ts"))
     }
     events.select(col("user_id").cast("long"),

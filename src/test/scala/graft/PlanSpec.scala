@@ -113,7 +113,8 @@ class PlanSpec extends AnyFunSuite {
       "q93_pagerank",           // 1-row broadcast scalar (node count N)
       "q100_assoc_rules",       // 1-row broadcast scalar (basket count)
       "q155_distinct_sketch",   // 1-row broadcast scalar (exact distinct)
-      "q157_quantile_sketch")   // 3-row percentile spec x bounded bucket walk
+      "q157_quantile_sketch",   // 3-row percentile spec x bounded bucket walk
+      "q162_pmi_collocations")  // 1-row broadcast scalar (total bigrams N)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {

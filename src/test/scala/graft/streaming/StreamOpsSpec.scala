@@ -54,7 +54,7 @@ class StreamOpsSpec extends AnyFunSuite {
 
   test("windowedEventStats: streaming result equals batch result") {
     val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs(_))
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowedEventStats(stream, "1 hour"), "complete")
     val batch = StreamOps.windowedEventStats(Tables.events(spark, sfDir), "1 hour")
@@ -70,7 +70,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(sp: Option[Int]) = {
       val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeTs(_))
       StreamOps.runToBatch(spark,
         StreamOps.windowedEventStats(stream, "1 hour"), "complete",
         statePartitions = sp)
@@ -145,7 +145,7 @@ class StreamOpsSpec extends AnyFunSuite {
     // no-data microbatch that flushes watermark-expired sessions races
     // processAllAvailable) and lets us assert exact parity
     val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs(_))
       .withWatermark("ts", "1 hour")
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.sessionStats(stream, "user_id", "6 hours"), "complete")
@@ -166,7 +166,7 @@ class StreamOpsSpec extends AnyFunSuite {
       StreamOps.intervalJoin(l, r, "user_id", "p_user", "click_ts", "p_ts", "1 hour")
         .select("click_id", "p_id")
     val raw = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs(_))
     // stream-stream self-join: two watermarked derivations of one source
     val streamed = StreamOps.runToBatch(spark,
       joined(

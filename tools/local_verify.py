@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local self-check mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/local_verify.py OUTDIR SFDIR [only,names]
+  OUTDIR: dir written by `sbt "runMain graft.Verify SFDIR OUTDIR"`
+  SFDIR:  /root/testdata/sf0.01 (tables registered as views by stem name)
+
+Compares per query: row count, sorted column-name list, and a value hash
+over rows with columns sorted by name (floats rounded to 9 significant
+decimals, same spirit as the driver).
+"""
+import sys, json, glob, os, hashlib
+import duckdb
+
+def canon(v):
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for row in rows:
+        h.update(("\x01".join(canon(row[i]) for i in order) + "\x02").encode())
+    return h.hexdigest()
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+        stem = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {stem} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        res_dir = os.path.join(outdir, name)
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no spark result dir")
+            n_fail += 1
+            continue
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM '{res_dir}/*.parquet'")
+            scols = [c for c in spark_rel.columns]
+            srows = spark_rel.fetchall()
+            orel = con.sql(sql)
+            ocols = [c for c in orel.columns]
+            orows = orel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error {e}")
+            n_fail += 1
+            continue
+        ok_rows = len(srows) == len(orows)
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_hash = ok_schema and table_hash(scols, srows) == table_hash(ocols, orows)
+        if ok_rows and ok_schema and ok_hash:
+            n_pass += 1
+            print(f"PASS {name} ({len(srows)} rows)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows {len(srows)}/{len(orows)} "
+                  f"schema_ok={ok_schema} hash_ok={ok_hash}")
+            if not ok_schema:
+                print(f"  spark cols:  {sorted(scols)}")
+                print(f"  oracle cols: {sorted(ocols)}")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
