@@ -2139,5 +2139,59 @@ object LlmQueries {
              |    AS pmi_x1e6
              |FROM cxy JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN n
              |WHERE c_xy >= 5
-             |ORDER BY pmi_x1e6 DESC, x, y LIMIT 20""".stripMargin)))
+             |ORDER BY pmi_x1e6 DESC, x, y LIMIT 20""".stripMargin)),
+
+    // Asymmetric containment (quote/subset) detection — the near-dup
+    // axis Jaccard misses: the corpus is augmented with a 12-word
+    // snippet of every doc (id + 100000), and llm/Containment.scala
+    // finds ordered pairs where >= 80% of the contained side's distinct
+    // 3-shingles appear in the container. Every snippet must surface
+    // inside its source (consecutive words => all its shingles are in
+    // the original, containment = 100), while the reverse direction
+    // scores ~35 and is correctly absent. Candidates form on the
+    // contained side's rarest-shingle PREFIX only (one-sided AllPairs —
+    // the container side has no safe prefix, inherent to containment);
+    // the oracle replays the exact semantics with a naive shared-shingle
+    // candidate join + the same scaled-integer score, so prefix
+    // filtering is proven lossless on this corpus by the hash match.
+    "q164_containment" -> Q(
+      (s, d) => {
+        import graft.llm.Containment
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val snippets = base.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+        Containment
+          .containedPairs(base.unionByName(snippets), "doc_id", "text",
+            n = 3, thresholdPct = 80)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id,
+             |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+             |  FROM documents),
+             |nrm AS (SELECT doc_id, $normSql AS nm FROM corpus),
+             |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+             |sets AS (SELECT doc_id, list_distinct(
+             |    CASE WHEN len(t) < 3 THEN [nm]
+             |         ELSE list_transform(range(1, len(t) - 1),
+             |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+             |    AS sh
+             |  FROM tok),
+             |post AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM post a JOIN post b
+             |    ON a.s = b.s AND a.doc_id <> b.doc_id),
+             |sc AS (SELECT id_a, id_b,
+             |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+             |    CAST(len(sa.sh) AS BIGINT) AS sz_a,
+             |    CAST(len(sb.sh) AS BIGINT) AS sz_b
+             |  FROM cand JOIN sets sa ON sa.doc_id = id_a
+             |            JOIN sets sb ON sb.doc_id = id_b)
+             |SELECT id_a, id_b, inter, sz_a, sz_b,
+             |  CAST((inter * 100) // sz_a AS BIGINT) AS cont_x100
+             |FROM sc WHERE (inter * 100) // sz_a >= 80
+             |ORDER BY id_a, id_b""".stripMargin)))
 }
