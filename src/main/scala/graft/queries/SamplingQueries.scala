@@ -264,7 +264,51 @@ object SamplingQueries {
               |  CAST(sum(CASE WHEN iv.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
               |    AS n_oov
               |FROM tf LEFT JOIN iv ON tf.w = iv.w
-              |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)))
+              |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)),
+
+    // Epoch shuffle + token-budget sharding (llm/EpochShards.scala):
+    // two deterministic epoch permutations (md5 priorities) packed
+    // greedily into 4096-token shards — the training-order plan a
+    // trainer streams. The engine computes the GLOBAL cumulative sum
+    // with the two-phase range-bucket form (256 hex-prefix buckets,
+    // tiny offset window, partitioned in-bucket windows — no
+    // single-task global sort); the ORACLE computes the same plan with
+    // a literal global window, so the hash match is precisely the
+    // proof that the scalable decomposition equals the naive cumsum.
+    // Per-shard totals also pin the balance property (every non-final
+    // shard within max-doc-tokens of the budget).
+    "q165_epoch_shards" -> Q(
+      (s, d) => {
+        import graft.llm.EpochShards
+        val weighted = Tables.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("tokens"))
+        EpochShards.plan(weighted, "doc_id", col("tokens"),
+            epochs = 2, budget = 4096L)
+          .groupBy("epoch", "shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("w").as("sum_tokens"),
+            min("doc_id").as("min_doc"))
+          .orderBy("epoch", "shard")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+             |  FROM documents),
+             |p AS (SELECT epoch, doc_id, w,
+             |    md5('ep' || epoch || ':' || doc_id) AS pr
+             |  FROM w CROSS JOIN (SELECT unnest(range(2)) AS epoch)),
+             |c AS (SELECT epoch, doc_id, w,
+             |    CAST(COALESCE(sum(w) OVER (PARTITION BY epoch
+             |      ORDER BY pr, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cb
+             |  FROM p)
+             |SELECT epoch, cb // 4096 AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(w) AS BIGINT) AS sum_tokens,
+             |  min(doc_id) AS min_doc
+             |FROM c GROUP BY epoch, cb // 4096
+             |ORDER BY epoch, shard""".stripMargin)))
 
   /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
   private def normSql: String = LlmQueries.normSql
