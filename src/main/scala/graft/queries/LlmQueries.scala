@@ -37,6 +37,23 @@ object LlmQueries {
   /** DuckDB SQL fragment mirroring `TextFunctions.normalized`. */
   private[queries] val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** The deterministic line structure q160/q166 wrap each doc in
+    * (per-source header, global nav, 8-word content chunks, per-source
+    * footer) — the fixture that makes boilerplate-line removal
+    * observable on the single-line corpus. Requires `text` + `source`.
+    */
+  private def docLines: org.apache.spark.sql.Column = {
+    val chunks = expr(
+      "transform(sequence(0, (size(split(text, ' ')) + 7) div 8 - 1)," +
+        " i -> array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' '))")
+    concat(
+      array(
+        concat(lit("== "), col("source"), lit(" portal ==")),
+        lit("home | about | contact")),
+      chunks,
+      array(concat(lit("(c) "), col("source"), lit(" media group"))))
+  }
+
   /** DuckDB CTE rebuilding the PORTABLE Rademacher hyperplane dots of
     * [[EmbeddingKnn.rademacherPlanes]] (Weyl mix, seed 42, dim 64): one
     * row per (vec_id, plane p) with the signed-sum dot. Plane entries are
@@ -2018,16 +2035,7 @@ object LlmQueries {
     "q160_line_dedup" -> Q(
       (s, d) => {
         import graft.llm.LineDedup
-        val chunks = expr(
-          "transform(sequence(0, (size(split(text, ' ')) + 7) div 8 - 1)," +
-            " i -> array_join(slice(split(text, ' '), CAST(i * 8 + 1 AS INT), 8), ' '))")
-        val lines = concat(
-          array(
-            concat(lit("== "), col("source"), lit(" portal ==")),
-            lit("home | about | contact")),
-          chunks,
-          array(concat(lit("(c) "), col("source"), lit(" media group"))))
-        val withLines = docs(s, d).select(col("doc_id"), lines.as("lines"))
+        val withLines = docs(s, d).select(col("doc_id"), docLines.as("lines"))
         LineDedup.clean(withLines, "doc_id", col("lines"), maxDf = 5L)
           .select(
             col("doc_id"),
@@ -2193,5 +2201,82 @@ object LlmQueries {
              |SELECT id_a, id_b, inter, sz_a, sz_b,
              |  CAST((inter * 100) // sz_a AS BIGINT) AS cont_x100
              |FROM sc WHERE (inter * 100) // sz_a >= 80
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Streaming boilerplate-index maintenance (llm/LineDedupIndex.scala):
+    // two REAL microbatches (doc_id < 250 / >= 250) foreachBatch-folded
+    // into the persisted line-df index — batch 1 builds v=1, batch 2
+    // adds v=2 without rescanning batch 1 — then the WHOLE corpus is
+    // cleaned against the indexed df. Because df merge is addition and
+    // the batches are doc-disjoint, the incremental table equals the
+    // full-corpus count line-for-line, so the cleaning decisions are
+    // hash-EXACT against q160's one-shot oracle (no recall caveat —
+    // same exactness class as q149/q150's CMS index). n_versions = 2 in
+    // the version chain pins that real batch-by-batch delivery happened.
+    "q166_stream_line_dedup" -> Q(
+      (s, d) => {
+        import graft.llm.LineDedupIndex
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q166-sld").toString
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val all = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, all.filter(col("doc_id") < 250))
+        writeBatch("b2.parquet", 2000000L, all.filter(col("doc_id") >= 250))
+        val idx = s"$root/idx"
+        s.readStream
+          .schema("doc_id LONG, source STRING, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!new java.io.File(idx).exists())
+              LineDedupIndex.build(b, idx, "doc_id", docLines)
+            else
+              LineDedupIndex.addBatch(s, idx, b, "doc_id", docLines)
+          }
+          .start().awaitTermination()
+        require(LineDedupIndex.latestVersion(idx).contains(2),
+          "expected two delivered microbatches")
+        LineDedupIndex.cleanWith(s, idx, all, "doc_id", docLines, maxDf = 5L)
+          .select(
+            col("doc_id"),
+            col("n_lines"),
+            col("n_kept"),
+            length(col("clean_text")).cast("long").as("clean_len"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+             |  FROM documents),
+             |l AS (SELECT doc_id,
+             |    (['== ' || source || ' portal ==', 'home | about | contact']
+             |     || list_transform(range((len(w) + 7) // 8),
+             |          i -> array_to_string(w[(i*8+1):(i*8+8)], ' '))
+             |     || ['(c) ' || source || ' media group']) AS lines
+             |  FROM w),
+             |ex AS (SELECT doc_id, unnest(range(len(lines))) AS pos,
+             |    unnest(lines) AS line FROM l),
+             |d AS (SELECT line, count(DISTINCT doc_id) AS df
+             |  FROM ex GROUP BY line),
+             |kept AS (SELECT ex.doc_id, ex.pos, ex.line
+             |  FROM ex JOIN d ON ex.line = d.line WHERE d.df <= 5),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+             |  COALESCE(a.n_kept, 0) AS n_kept,
+             |  CAST(length(COALESCE(a.clean_text, '')) AS BIGINT) AS clean_len,
+             |  md5(COALESCE(a.clean_text, '')) AS clean_md5
+             |FROM l LEFT JOIN agg a ON l.doc_id = a.doc_id
+             |ORDER BY l.doc_id""".stripMargin)))
 }

@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class LineDedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Long) = (0L until n).map { i =>
+    (i, Seq("SHARED HEADER", s"body $i", s"also $i", s"tag ${i % 3}"))
+  }.toDF("id", "lines")
+
+  test("incremental df table equals the from-scratch full-corpus count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldidx").toString
+    val all = corpus(40L)
+    LineDedupIndex.build(all.filter(col("id") < 25), s"$dir/idx", "id", col("lines"))
+    LineDedupIndex.addBatch(spark, s"$dir/idx",
+      all.filter(col("id") >= 25), "id", col("lines"))
+    assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(2))
+    val inc = spark.read.parquet(s"$dir/idx/v=2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = LineDedup.lineDf(all, "id", col("lines"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc == full && inc("SHARED HEADER") == 40L)
+  }
+
+  test("cleanWith against the index equals the one-shot LineDedup.clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldidx2").toString
+    val all = corpus(30L)
+    LineDedupIndex.build(all.filter(col("id") < 10), s"$dir/idx", "id", col("lines"))
+    LineDedupIndex.addBatch(spark, s"$dir/idx",
+      all.filter(col("id") >= 10), "id", col("lines"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val viaIndex = toMap(LineDedupIndex.cleanWith(
+      spark, s"$dir/idx", all, "id", col("lines"), maxDf = 5L))
+    val oneShot = toMap(LineDedup.clean(all, "id", col("lines"), maxDf = 5L))
+    assert(viaIndex == oneShot && viaIndex.size == 30)
+    // "tag 0" has df=10 > 5 -> boilerplate; "body i" survives
+    assert(viaIndex(0L)._3 == "body 0\nalso 0")
+  }
+
+  test("boilerplate slice is exactly the df > maxDf lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldidx3").toString
+    LineDedupIndex.build(corpus(12L), s"$dir/idx", "id", col("lines"))
+    // 12 docs: header df=12, each "tag i" df=4, per-doc lines df=1
+    val b = LineDedupIndex.boilerplate(spark, s"$dir/idx", maxDf = 3L)
+      .collect().map(_.getString(0)).toSet
+    assert(b == Set("SHARED HEADER", "tag 0", "tag 1", "tag 2"))
+    val tight = LineDedupIndex.boilerplate(spark, s"$dir/idx", maxDf = 4L)
+      .collect().map(_.getString(0)).toSet
+    assert(tight == Set("SHARED HEADER"))
+  }
+}
