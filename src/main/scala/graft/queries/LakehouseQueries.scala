@@ -951,5 +951,101 @@ object LakehouseQueries {
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents
              |WHERE NOT (lang = 'de') AND NOT (n_chars < 120)
-             |GROUP BY source ORDER BY source""".stripMargin)))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Snapshot profile drift (operators/Profile.scala) — the data-QA
+    // gate between pipeline runs: profile two snapshots (one wide
+    // aggregation pass each: rows / nulls / exact distincts per column)
+    // and diff them column-level. Snapshot B deterministically mutates
+    // the corpus: German docs dropped (row + distinct drift), source
+    // nulled on every 10th doc (null-rate drift in exact basis points),
+    // `text`/`n_chars` removed, `quality` added (schema drift). The
+    // oracle replays both profiles as per-column UNION ALL aggregates
+    // and the same full-outer diff — rates are integer basis points
+    // (x*10000 div n), so the report hash-matches exactly.
+    "q167_profile_drift" -> Q(
+      (s, d) => {
+        import graft.operators.Profile
+        val snapA = Tables.documents(s, d)
+        val snapB = snapA.filter(col("lang") =!= "de")
+          .select(
+            col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 0, lit(null))
+              .otherwise(col("source")).as("source"),
+            col("lang"),
+            (col("n_chars") * 2).as("quality"))
+        Profile.drift(
+            Profile.profile(snapA,
+              Seq("doc_id", "source", "lang", "text", "n_chars")),
+            Profile.profile(snapB,
+              Seq("doc_id", "source", "lang", "quality")))
+          .orderBy("column_name")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE source END
+             |      AS source,
+             |    lang, n_chars * 2 AS quality
+             |  FROM documents WHERE lang <> 'de'),
+             |pa AS (
+             |  SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_null,
+             |    count(DISTINCT doc_id) AS n_distinct FROM documents
+             |  UNION ALL SELECT 'source', count(*),
+             |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT source) FROM documents
+             |  UNION ALL SELECT 'lang', count(*),
+             |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT lang) FROM documents
+             |  UNION ALL SELECT 'text', count(*),
+             |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT text) FROM documents
+             |  UNION ALL SELECT 'n_chars', count(*),
+             |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT n_chars) FROM documents),
+             |pb AS (
+             |  SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_null,
+             |    count(DISTINCT doc_id) AS n_distinct FROM b
+             |  UNION ALL SELECT 'source', count(*),
+             |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT source) FROM b
+             |  UNION ALL SELECT 'lang', count(*),
+             |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT lang) FROM b
+             |  UNION ALL SELECT 'quality', count(*),
+             |    CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT quality) FROM b),
+             |j AS (SELECT
+             |    COALESCE(pa.column_name, pb.column_name) AS column_name,
+             |    CASE WHEN pa.column_name IS NULL THEN 'added'
+             |         WHEN pb.column_name IS NULL THEN 'removed'
+             |         ELSE 'kept' END AS status,
+             |    COALESCE(pa.n_rows, 0) AS rows_a,
+             |    COALESCE(pb.n_rows, 0) AS rows_b,
+             |    COALESCE(pa.n_null, 0) AS null_a,
+             |    COALESCE(pb.n_null, 0) AS null_b,
+             |    COALESCE(pa.n_distinct, 0) AS dist_a,
+             |    COALESCE(pb.n_distinct, 0) AS dist_b
+             |  FROM pa FULL OUTER JOIN pb ON pa.column_name = pb.column_name)
+             |SELECT column_name, status, rows_a, rows_b, null_a, null_b,
+             |  dist_a, dist_b,
+             |  CAST(CASE WHEN rows_a = 0 THEN 0
+             |    ELSE (null_a * 10000) // rows_a END AS BIGINT) AS null_bp_a,
+             |  CAST(CASE WHEN rows_b = 0 THEN 0
+             |    ELSE (null_b * 10000) // rows_b END AS BIGINT) AS null_bp_b,
+             |  CAST(CASE WHEN rows_b = 0 THEN 0
+             |    ELSE (null_b * 10000) // rows_b END AS BIGINT)
+             |  - CAST(CASE WHEN rows_a = 0 THEN 0
+             |    ELSE (null_a * 10000) // rows_a END AS BIGINT)
+             |    AS null_delta_bp
+             |FROM j ORDER BY column_name""".stripMargin)))
 }
