@@ -1262,5 +1262,69 @@ object ExtendedQueries {
              |  CAST(n_users AS DOUBLE)
              |    / CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE)
              |    AS conv_rate
-             |FROM c ORDER BY step""".stripMargin)))
+             |FROM c ORDER BY step""".stripMargin)),
+
+    // Robust outlier detection via median absolute deviation — the
+    // rank-exact cousin of q116's z-score anomalies (MAD survives the
+    // heavy tails that wreck mean/stddev gates). Lower-median by
+    // row_number rank ((n+1) div 2 — no two-element averaging, so every
+    // reported value is an ACTUAL datum), deviations are single IEEE
+    // subtractions, the 3·MAD gate one multiply — all bit-identical
+    // across engines, no transcendentals. Two rank passes = two
+    // per-group window shuffles; groups are few and the 100 TB path for
+    // a hot group is the q157 quantile sketch — this exact form is its
+    // verification-grade spec, same division of labor as q23/q27.
+    "q168_mad_outliers" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"))
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
+            outCol: String) = {
+          val w = Window.partitionBy("event_type")
+            .orderBy(col(valueCol), col("event_id"))
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(
+              Window.partitionBy("event_type")))
+            .filter(col("rn") === expr("(n + 1) div 2"))
+            .select(col("event_type"), col(valueCol).as(outCol))
+        }
+        val med = lowerMedian(ev, "value", "med")
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = lowerMedian(
+          dev.select(col("event_type"), col("dev"), col("event_id")),
+          "dev", "mad")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(col("dev") > lit(3d) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value, event_id FROM events),
+             |r1 AS (SELECT *,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+             |med AS (SELECT event_type, value AS med
+             |  FROM r1 WHERE rn = (n + 1) // 2),
+             |dv AS (SELECT e.event_type, e.value, e.event_id, m.med,
+             |    abs(e.value - m.med) AS dev
+             |  FROM e JOIN med m USING (event_type)),
+             |r2 AS (SELECT *,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY dev, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n FROM dv),
+             |mad AS (SELECT event_type, dev AS mad
+             |  FROM r2 WHERE rn = (n + 1) // 2)
+             |SELECT dv.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  max(dv.med) AS med, max(mad.mad) AS mad,
+             |  CAST(sum(CASE WHEN dv.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dv JOIN mad USING (event_type)
+             |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin)))
 }
