@@ -58,6 +58,58 @@ object QuantileSketch {
       .groupBy("bucket")
       .agg(sum("cnt").as("cnt"))
 
+  /** Grouped sketches: `(groupCols..., bucket, cnt)` — one bounded
+    * bucket table per group, still one aggregation pass (map-side
+    * combine collapses to ≤ 64·2^k rows per group per mapper).
+    */
+  def buildBy(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int = 5): DataFrame = {
+    require(k > 0 && k < 32, "sub-bucket bits must be in (0, 32)")
+    require(groupCols.nonEmpty)
+    val b = 1L << k
+    df.select(groupCols.map(col) :+ value.cast("long").as("v"): _*)
+      .filter(col("v") >= 0)
+      .withColumn("bucket", expr(
+        s"""CASE WHEN v < ${b}L THEN v
+           |     ELSE (CAST(length(bin(v)) AS BIGINT) - ${k + 1}) * ${b}L
+           |          + shiftright(v, CAST(length(bin(v)) AS INT) - ${k + 1})
+           |END""".stripMargin))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantile envelopes: `(groupCols..., p, est_lb, est_ub)`.
+    * Unlike the global walk, the cumulative window is PARTITIONED by the
+    * group — no single-task stage; each group's walk touches only its
+    * own bounded bucket rows.
+    */
+  def quantilesBy(sketch: DataFrame, groupCols: Seq[String],
+      percentiles: Seq[Int], k: Int = 5): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      "percentiles must be integers in [1, 100]")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val b = 1L << k
+    val cum = sketch.withColumn("cum", sum("cnt").over(
+      Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")))
+    val n = cum.groupBy(groupCols.map(col): _*).agg(max("cum").as("n"))
+    val targets = n
+      .crossJoin(broadcast(percentiles.toDF("p")))
+      .select(groupCols.map(col) :+ col("p").cast("long").as("p") :+
+        expr("(n * p + 99) div 100").as("target"): _*)
+    targets.join(cum, groupCols)
+      .where(col("cum") >= col("target"))
+      .groupBy(groupCols.map(col) :+ col("p"): _*)
+      .agg(min("bucket").as("bucket"))
+      .selectExpr(groupCols ++ Seq("p",
+        s"CASE WHEN bucket < ${b}L THEN bucket ELSE " +
+          s"shiftleft(bucket - (shiftright(bucket, $k) - 1) * ${b}L, " +
+          s"CAST(shiftright(bucket, $k) - 1 AS INT)) END AS est_lb",
+        s"CASE WHEN bucket < ${b}L THEN bucket ELSE " +
+          s"shiftleft(bucket - (shiftright(bucket, $k) - 1) * ${b}L + 1, " +
+          s"CAST(shiftright(bucket, $k) - 1 AS INT)) - 1 END AS est_ub"): _*)
+  }
+
   /** Quantile estimates from a sketch, one row per requested integer
     * percentile: `(p, est_lb, est_ub)` where the true p-th percentile
     * (rank `ceil(p·n/100)`, the inclusive nearest-rank definition) is

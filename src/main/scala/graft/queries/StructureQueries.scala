@@ -988,7 +988,77 @@ object StructureQueries {
              |SELECT est.p AS p, CAST(est_lb AS BIGINT) AS est_lb,
              |  CAST(est_ub AS BIGINT) AS est_ub,
              |  CAST(exact_val AS BIGINT) AS exact_val
-             |FROM est JOIN ex ON est.p = ex.p ORDER BY est.p""".stripMargin)))
+             |FROM est JOIN ex ON est.p = ex.p ORDER BY est.p""".stripMargin)),
+
+    // Per-group quantile sketches (q157's grouped form): one bounded
+    // bucket table PER SOURCE in a single aggregation pass, quantile
+    // walks as PARTITIONED windows (no single-task stage — the grouped
+    // sketch is what per-domain length profiling runs at 100 TB). Every
+    // (source, p) envelope is verified to contain the exact per-group
+    // nearest-rank percentile, replayed relationally like q157.
+    "q169_group_quantiles" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select(col("source"), col("n_chars").cast("long").as("v"))
+          .filter(col("v") >= 0)
+        val sk = graft.operators.QuantileSketch
+          .buildBy(base, Seq("source"), col("v"))
+        val est = graft.operators.QuantileSketch
+          .quantilesBy(sk, Seq("source"), Seq(50, 90, 99))
+        val n = base.groupBy("source").agg(count(lit(1)).as("n"))
+        val tgt = n.crossJoin(broadcast(Seq(50, 90, 99).toDF("p")))
+          .select(col("source"), col("p").cast("long").as("p"),
+            expr("(n * p + 99) div 100").as("target"))
+        val ranked = base.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("v")).cast("long"))
+        val exact = ranked.join(
+            tgt.withColumnRenamed("source", "tsrc"),
+            col("source") === col("tsrc") && col("rn") === col("target"))
+          .select(col("source"), col("p"), col("v").as("exact_val"))
+        est.join(exact, Seq("source", "p"))
+          .select("source", "p", "est_lb", "est_ub", "exact_val")
+          .orderBy("source", "p")
+      },
+      Some("""WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+             |           FROM documents WHERE n_chars >= 0),
+             |b AS (SELECT source, CASE WHEN v < 32 THEN v
+             |        ELSE (CAST(length(bin(v)) AS BIGINT) - 6) * 32
+             |             + (v >> (CAST(length(bin(v)) AS INT) - 6))
+             |      END AS bucket FROM v),
+             |sk AS (SELECT source, bucket, count(*) AS cnt
+             |       FROM b GROUP BY 1, 2),
+             |c AS (SELECT source, bucket,
+             |        sum(cnt) OVER (PARTITION BY source ORDER BY bucket)
+             |          AS cum FROM sk),
+             |n AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+             |q AS (SELECT unnest([50, 90, 99]) AS p),
+             |t AS (SELECT n.source, CAST(p AS BIGINT) AS p,
+             |        CAST((n.n * p + 99) // 100 AS BIGINT) AS target
+             |      FROM q, n),
+             |sel AS (SELECT t.source, t.p, min(bucket) AS bucket
+             |        FROM t JOIN c ON c.source = t.source
+             |          AND c.cum >= t.target
+             |        GROUP BY t.source, t.p),
+             |est AS (SELECT source, p,
+             |    CASE WHEN bucket < 32 THEN bucket
+             |      ELSE (bucket - ((bucket >> 5) - 1) * 32)
+             |           << CAST((bucket >> 5) - 1 AS INT) END AS est_lb,
+             |    CASE WHEN bucket < 32 THEN bucket
+             |      ELSE ((bucket - ((bucket >> 5) - 1) * 32 + 1)
+             |            << CAST((bucket >> 5) - 1 AS INT)) - 1 END AS est_ub
+             |  FROM sel),
+             |r AS (SELECT source, v, row_number() OVER (
+             |        PARTITION BY source ORDER BY v) AS rn FROM v),
+             |ex AS (SELECT t.source, t.p, r.v AS exact_val
+             |       FROM t JOIN r ON r.source = t.source
+             |         AND r.rn = t.target)
+             |SELECT est.source AS source, est.p AS p,
+             |  CAST(est_lb AS BIGINT) AS est_lb,
+             |  CAST(est_ub AS BIGINT) AS est_ub,
+             |  CAST(exact_val AS BIGINT) AS exact_val
+             |FROM est JOIN ex ON est.source = ex.source AND est.p = ex.p
+             |ORDER BY source, p""".stripMargin)))
 
   /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
   private def normSql: String = LlmQueries.normSql

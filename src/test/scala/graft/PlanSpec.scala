@@ -114,7 +114,8 @@ class PlanSpec extends AnyFunSuite {
       "q100_assoc_rules",       // 1-row broadcast scalar (basket count)
       "q155_distinct_sketch",   // 1-row broadcast scalar (exact distinct)
       "q157_quantile_sketch",   // 3-row percentile spec x bounded bucket walk
-      "q162_pmi_collocations")  // 1-row broadcast scalar (total bigrams N)
+      "q162_pmi_collocations",  // 1-row broadcast scalar (total bigrams N)
+      "q169_group_quantiles")   // 3-row percentile spec x per-group counts
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {

@@ -86,4 +86,33 @@ class QuantileSketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(sk == Map(0L -> 1L, 3L -> 1L))
   }
+
+  test("grouped sketch: per-group envelopes contain per-group exact percentiles") {
+    val rows = (for (g <- Seq("a", "b", "c"); i <- 1 to 200)
+      yield (g, (i.toLong * (g(0) - 'a' + 1) * 7) % 5000)).toSeq
+    val df = rows.toDF("g", "v")
+    val sk = QuantileSketch.buildBy(df, Seq("g"), col("v"))
+    val est = QuantileSketch.quantilesBy(sk, Seq("g"), Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for (g <- Seq("a", "b", "c"); p <- Seq(50, 90, 99)) {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      val exact = vs((vs.size * p + 99) / 100 - 1)
+      val (lb, ub) = est((g, p.toLong))
+      assert(lb <= exact && exact <= ub, s"g=$g p=$p exact=$exact in [$lb,$ub]")
+    }
+  }
+
+  test("grouped sketch equals per-group global sketches") {
+    val rows = (for (g <- Seq("x", "y"); i <- 1 to 150)
+      yield (g, i.toLong * 13 % 999)).toSeq
+    val df = rows.toDF("g", "v")
+    val grouped = QuantileSketch.buildBy(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val perGroup = Seq("x", "y").flatMap { g =>
+      QuantileSketch.build(df.filter(col("g") === g).select("v"), col("v"))
+        .collect().map(r => (g, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(grouped == perGroup)
+  }
 }
