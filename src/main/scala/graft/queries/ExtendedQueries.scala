@@ -1326,5 +1326,62 @@ object ExtendedQueries {
              |  CAST(sum(CASE WHEN dv.dev > 3 * mad.mad THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_outliers
              |FROM dv JOIN mad USING (event_type)
-             |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin)))
+             |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin)),
+
+    // HITS hubs & authorities over the DIRECTED customer→supplier trade
+    // graph (operators/Hits.scala) — the role-splitting companion to
+    // q93's PageRank: hubs are broad buyers, authorities widely-bought
+    // suppliers, two scores PageRank's single rank conflates. Two full
+    // update rounds, integer-quantized with max-normalization (no L2,
+    // no sqrt), every half-round one join + one agg + a 1-row scalar
+    // broadcast — the oracle unrolls the identical rounds as CTEs, so
+    // the training loop itself is replayed, not just the final ranking.
+    "q170_hits" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+          .distinct()
+        val scored = graft.operators.Hits.run(edges, iters = 2)
+        scored
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("side")
+              .orderBy(col("score_fp").desc, col("node"))).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select("side", "rnk", "node", "score_fp")
+          .orderBy("side", "rnk")
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |h0 AS (SELECT DISTINCT u, 1000000 AS h FROM e),
+             |a1r AS (SELECT v, CAST(sum(h0.h) AS BIGINT) AS ar
+             |        FROM e JOIN h0 USING (u) GROUP BY v),
+             |a1 AS (SELECT v, CAST((ar * 1000000)
+             |         // (SELECT max(ar) FROM a1r) AS BIGINT) AS a
+             |       FROM a1r),
+             |h1r AS (SELECT u, CAST(sum(a1.a) AS BIGINT) AS hr
+             |        FROM e JOIN a1 USING (v) GROUP BY u),
+             |h1 AS (SELECT u, CAST((hr * 1000000)
+             |         // (SELECT max(hr) FROM h1r) AS BIGINT) AS h
+             |       FROM h1r),
+             |a2r AS (SELECT v, CAST(sum(h1.h) AS BIGINT) AS ar
+             |        FROM e JOIN h1 USING (u) GROUP BY v),
+             |a2 AS (SELECT v, CAST((ar * 1000000)
+             |         // (SELECT max(ar) FROM a2r) AS BIGINT) AS a
+             |       FROM a2r),
+             |h2r AS (SELECT u, CAST(sum(a2.a) AS BIGINT) AS hr
+             |        FROM e JOIN a2 USING (v) GROUP BY u),
+             |h2 AS (SELECT u, CAST((hr * 1000000)
+             |         // (SELECT max(hr) FROM h2r) AS BIGINT) AS h
+             |       FROM h2r),
+             |un AS (SELECT 'hub' AS side, u AS node, h AS score_fp FROM h2
+             |       UNION ALL
+             |       SELECT 'auth', v, a FROM a2),
+             |rk AS (SELECT side, node, score_fp,
+             |    row_number() OVER (PARTITION BY side
+             |      ORDER BY score_fp DESC, node) AS rnk
+             |  FROM un)
+             |SELECT side, CAST(rnk AS BIGINT) AS rnk, node, score_fp
+             |FROM rk WHERE rnk <= 10 ORDER BY side, rnk""".stripMargin)))
 }
