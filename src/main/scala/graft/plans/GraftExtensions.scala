@@ -84,7 +84,41 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "repetition_stats takes exactly 1 argument")
         RepetitionStats(children.head)
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(array<string>, k) - k-hash MinHash signature as array<bigint>"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_signature takes exactly 2 arguments")
+        MinHashSignature(children.head, intLiteral("minhash_signature k", children(1)))
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(array<string>, w) - winnowed (MOSS) fingerprint set as array<bigint>"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "winnow_fingerprints takes exactly 2 arguments")
+        WinnowFingerprints(children.head, intLiteral("winnow_fingerprints w", children(1)))
+      }),
+    (FunctionIdentifier("shingle_generate"),
+      info("shingle_generate",
+        "shingle_generate(string, n) - generator: one (pos, shingle) row per word n-gram"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_generate takes exactly 2 arguments")
+        ShingleGenerator(children.head, intLiteral("shingle_generate n", children(1)))
+      }),
+    (FunctionIdentifier("media_meta"),
+      info("media_meta",
+        "media_meta(binary) - struct(format, width, height, n_frames) from real container headers (BMP/PPM/PGM/WAV)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "media_meta takes exactly 1 argument")
+        MediaMeta(children.head)
       }))
+
+  private def intLiteral(what: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Runtime registration on an ALREADY-BUILT session — the path for
     * notebooks/REPLs where `getOrCreate()` would silently ignore

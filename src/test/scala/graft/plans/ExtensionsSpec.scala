@@ -47,14 +47,22 @@ class ExtensionsSpec extends AnyFunSuite {
       "word_shingles" -> "word_shingles('a b c', 2)",
       "jaccard_similarity" -> "jaccard_similarity(array('a'), array('a'))",
       "lang_id" -> "lang_id('the cat and the dog is here')",
-      "repetition_stats" -> "repetition_stats(array('a', 'b', 'a', 'b')).top_bigram_frac")
+      "repetition_stats" -> "repetition_stats(array('a', 'b', 'a', 'b')).top_bigram_frac",
+      "minhash_signature" -> "minhash_signature(array('a', 'b'), 4)",
+      "winnow_fingerprints" -> "winnow_fingerprints(array('a', 'b', 'c'), 2)",
+      "media_meta" -> "media_meta(CAST('nonsense' AS BINARY)).format")
+    // generators can't alias to a single column — probed separately below
+    val generators = Set("shingle_generate")
     val registered = GraftExtensions.functions.map(_._1.funcName).toSet
-    assert(registered == probes.keySet,
-      s"probe map out of sync with the catalog: $registered vs ${probes.keySet}")
+    assert(registered == probes.keySet ++ generators,
+      s"probe map out of sync with the catalog: $registered vs ${probes.keySet ++ generators}")
     probes.foreach { case (name, expr) =>
       val r = spark.sql(s"SELECT $expr AS v").collect()(0)
       assert(r.get(0) != null, name)
     }
+    val gen = spark.sql("SELECT shingle_generate('a b c', 2)").collect()
+    assert(gen.length == 2 &&
+      gen.map(_.getString(1)).toSeq == Seq("a b", "b c"))
   }
 
   test("wrong arity fails analysis with the function's own message") {
