@@ -1383,5 +1383,72 @@ object ExtendedQueries {
              |      ORDER BY score_fp DESC, node) AS rnk
              |  FROM un)
              |SELECT side, CAST(rnk AS BIGINT) AS rnk, node, score_fp
-             |FROM rk WHERE rnk <= 10 ORDER BY side, rnk""".stripMargin)))
+             |FROM rk WHERE rnk <= 10 ORDER BY side, rnk""".stripMargin)),
+
+    // Interval union / coverage merge — the overlap half of
+    // gaps-and-islands (q118 collapses runs of EQUAL values; this merges
+    // OVERLAPPING spans): each event opens a deterministic integer-
+    // micros interval, a running max-end window splits each user's
+    // timeline into maximal covered islands, and the per-user report is
+    // total covered time vs the naive duration sum (the double-counted
+    // overlap made visible). Pure integer arithmetic on epoch micros —
+    // the one window order key is total, so both engines agree exactly.
+    "q172_interval_union" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = Tables.events(s, d).select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) +
+            (pmod(col("event_id"), lit(300)) + 60) * 1000000L).as("en"))
+        val order = Window.partitionBy("user_id")
+          .orderBy(col("st"), col("en"), col("event_id"))
+        val withPrev = iv.withColumn("prev_max_en",
+          max("en").over(order.rowsBetween(Window.unboundedPreceding, -1)))
+        val islands = withPrev
+          .withColumn("new_island",
+            when(col("prev_max_en").isNull ||
+              col("st") > col("prev_max_en"), 1L).otherwise(0L))
+          .withColumn("island", sum("new_island").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)))
+        islands
+          .groupBy("user_id", "island")
+          .agg(min("st").as("i_st"), max("en").as("i_en"),
+            count(lit(1)).as("n_ev"),
+            sum(col("en") - col("st")).as("raw_sum"))
+          .groupBy("user_id")
+          .agg(
+            sum("n_ev").as("n_events"),
+            count(lit(1)).as("n_islands"),
+            sum(col("i_en") - col("i_st")).as("covered_us"),
+            sum("raw_sum").as("naive_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id,
+             |    epoch_ns(ts) // 1000 AS st,
+             |    epoch_ns(ts) // 1000
+             |      + (event_id % 300 + 60) * 1000000 AS en
+             |  FROM events),
+             |p AS (SELECT *, max(en) OVER (PARTITION BY user_id
+             |      ORDER BY st, en, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_max_en
+             |  FROM iv),
+             |m AS (SELECT *, CASE WHEN prev_max_en IS NULL
+             |        OR st > prev_max_en THEN 1 ELSE 0 END AS new_island
+             |  FROM p),
+             |isl AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id
+             |      ORDER BY st, en, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS island
+             |  FROM m),
+             |g AS (SELECT user_id, island, min(st) AS i_st, max(en) AS i_en,
+             |    count(*) AS n_ev,
+             |    CAST(sum(en - st) AS BIGINT) AS raw_sum
+             |  FROM isl GROUP BY user_id, island)
+             |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+             |  CAST(count(*) AS BIGINT) AS n_islands,
+             |  CAST(sum(i_en - i_st) AS BIGINT) AS covered_us,
+             |  CAST(sum(raw_sum) AS BIGINT) AS naive_us
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }

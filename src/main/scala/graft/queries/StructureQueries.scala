@@ -1058,7 +1058,37 @@ object StructureQueries {
              |  CAST(est_ub AS BIGINT) AS est_ub,
              |  CAST(exact_val AS BIGINT) AS exact_val
              |FROM est JOIN ex ON est.source = ex.source AND est.p = ex.p
-             |ORDER BY source, p""".stripMargin)))
+             |ORDER BY source, p""".stripMargin)),
+
+    // Hierarchy flattening by pointer doubling (operators/TreePaths
+    // .scala): the documents ids form a synthetic 10-root forest
+    // (parent = id div 3, ids < 10 are self-rooted) ~8 levels deep;
+    // FOUR doubling rounds resolve every node's (root, depth) where
+    // per-level iteration would need eight+. The ORACLE is a literal
+    // recursive CTE — the O(log d) relational program must agree
+    // row-for-row with the O(d) textbook evaluation. Output is the
+    // (root, depth) census plus a min-node witness per layer.
+    "q171_tree_paths" -> Q(
+      (s, d) => {
+        val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+          .withColumn("parent",
+            when(col("node") < 10, col("node"))
+              .otherwise(expr("node div 3")))
+        graft.operators.TreePaths.resolve(nodes, rounds = 4)
+          .groupBy("root", "depth")
+          .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+          .orderBy("root", "depth")
+      },
+      Some("""WITH RECURSIVE r(node, root, depth) AS (
+             |  SELECT doc_id, doc_id, CAST(0 AS BIGINT)
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL
+             |  SELECT d.doc_id, r.root, r.depth + 1
+             |  FROM documents d JOIN r ON (d.doc_id // 3) = r.node
+             |  WHERE d.doc_id >= 10)
+             |SELECT root, depth, CAST(count(*) AS BIGINT) AS n_nodes,
+             |  min(node) AS min_node
+             |FROM r GROUP BY root, depth ORDER BY root, depth""".stripMargin)))
 
   /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
   private def normSql: String = LlmQueries.normSql
