@@ -2278,5 +2278,59 @@ object LlmQueries {
              |  CAST(length(COALESCE(a.clean_text, '')) AS BIGINT) AS clean_len,
              |  md5(COALESCE(a.clean_text, '')) AS clean_md5
              |FROM l LEFT JOIN agg a ON l.doc_id = a.doc_id
-             |ORDER BY l.doc_id""".stripMargin)))
+             |ORDER BY l.doc_id""".stripMargin)),
+
+    // BM25 lexical retrieval (llm/Bm25.scala) — the sparse search half
+    // next to the dense KNN/IVF path: three queries (the first three
+    // words of docs 0-2) scored against the corpus through an
+    // inverted-index join. Exact-integer BM25: quantized floor-log2 idf
+    // (the q161 bitlength trick at 1/64 octave), scaled-integer Okapi
+    // tf saturation (k1=1.2, b=0.75, every division a floor div) — the
+    // oracle replays the full scoring pipeline including the length
+    // normalization, so ranks AND scores hash-match.
+    "q173_bm25_retrieval" -> Q(
+      (s, d) => {
+        import graft.llm.Bm25
+        val corpus = docs(s, d)
+        val queries = corpus.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        Bm25.search(corpus, "doc_id", "text", queries, k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id AS did,
+             |    unnest(string_split(text, ' ')) AS t FROM documents),
+             |tf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY did, t),
+             |ln AS (SELECT did, CAST(count(*) AS BIGINT) AS len
+             |  FROM tok GROUP BY did),
+             |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY t),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len) AS BIGINT) AS total_len FROM ln),
+             |q AS (SELECT doc_id AS qid,
+             |    unnest(list_distinct(string_split(text, ' ')[1:3])) AS t
+             |  FROM documents WHERE doc_id < 3),
+             |sc AS (SELECT q.qid, tf.did, tf.tf, dfq.df, ln.len,
+             |    st.n_docs, st.total_len,
+             |    (st.total_len * 100) // st.n_docs AS avg_x100
+             |  FROM q JOIN tf ON q.t = tf.t JOIN dfq ON q.t = dfq.t
+             |    JOIN ln ON tf.did = ln.did CROSS JOIN st),
+             |parts AS (SELECT qid, did,
+             |    (tf * 2200 * 1000) // (tf * 1000 +
+             |      (12 * (250 + (750 * ((len * 100000) // avg_x100))
+             |        // 1000)) // 10) AS tfpart_x1000,
+             |    CAST(length(bin((n_docs * 64) // df)) - 1 AS BIGINT)
+             |      AS idf_bits
+             |  FROM sc),
+             |agg AS (SELECT qid, did,
+             |    CAST(sum(tfpart_x1000 * idf_bits) AS BIGINT)
+             |      AS score_x1000
+             |  FROM parts GROUP BY qid, did),
+             |rk AS (SELECT qid, did, score_x1000,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY score_x1000 DESC, did) AS rank
+             |  FROM agg)
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)))
 }

@@ -116,7 +116,8 @@ class PlanSpec extends AnyFunSuite {
       "q157_quantile_sketch",   // 3-row percentile spec x bounded bucket walk
       "q162_pmi_collocations",  // 1-row broadcast scalar (total bigrams N)
       "q169_group_quantiles",   // 3-row percentile spec x per-group counts
-      "q170_hits")              // 1-row normalization scalar per half-round
+      "q170_hits",              // 1-row normalization scalar per half-round
+      "q173_bm25_retrieval")    // 1-row corpus stats broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
