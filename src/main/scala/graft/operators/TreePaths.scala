@@ -28,18 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object TreePaths {
 
-  /** Resolve to `(node, root, depth)` in `rounds` doubling steps. */
+  /** Resolve to `(node, root, depth)` in `rounds` doubling steps.
+    *
+    * Each round `localCheckpoint`s the state before self-joining it (the
+    * [[ConnectedComponents]] idiom): without truncation the self-join
+    * doubles the logical plan per round — 2^rounds copies of the input
+    * scan — and the analyzer, not the data, becomes the bottleneck long
+    * before cluster scale. With truncation the plan is one join+project
+    * per round regardless of depth.
+    */
   def resolve(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20)
     var s = edges.select(
       col("node"),
       col("parent").as("anc"),
       when(col("parent") === col("node"), 0L).otherwise(1L).as("dist"))
+      .localCheckpoint()
     (1 to rounds).foreach { _ =>
       s = s.as("a")
         .join(s.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"),
           (col("a.dist") + col("b.dist")).as("dist"))
+        .localCheckpoint()
     }
     s.select(col("node"), col("anc").as("root"), col("dist").as("depth"))
   }

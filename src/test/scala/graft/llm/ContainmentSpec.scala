@@ -55,6 +55,62 @@ class ContainmentSpec extends AnyFunSuite {
     assert(fast.map { case (a, b, _) => (a, b) } == brute)
   }
 
+  test("hot-shingle cap bounds candidate width and reports what it dropped") {
+    // 1000 docs all share one boilerplate trigram ("click here now"); each
+    // also has a unique tail so no real containment exists between them.
+    // Two extra docs are true duplicates that share only RARE shingles.
+    val boiler = (0L until 1000L).map(i =>
+      (i, s"click here now u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val dup = Seq((5001L, "rare one two three four five"),
+      (5002L, "rare one two three four five"))
+    val docs = (boiler ++ dup).toDF("doc_id", "text")
+    // cap = 10: the 1000-doc boilerplate shingle is dropped from the index
+    val got = pairs(Containment.containedPairs(docs, "doc_id", "text",
+      maxDocFreq = 10L))
+    // true duplicates (rare shingles) still found both ways
+    assert(got.contains((5001L, 5002L, 100L)))
+    assert(got.contains((5002L, 5001L, 100L)))
+    // no boilerplate-only pair survives: each boiler doc has 6 distinct
+    // shingles, only 1 shared -> containment 16 < 80 even uncapped, and
+    // with the cap no candidate forms at all
+    assert(!got.exists { case (a, b, _) => a < 1000L && b < 1000L })
+    // the divergence report names exactly the one over-cap key
+    val report = Containment.hotShingles(docs, "doc_id", "text",
+      maxDocFreq = 10L).collect()
+    assert(report.length == 1)
+    assert(report.head.getAs[Long]("occupancy") == 1000L)
+    // and with the default cap (100k) the report is empty on this corpus
+    assert(Containment.hotShingles(docs, "doc_id", "text").isEmpty)
+  }
+
+  test("capped run drops pairs that share ONLY the hot shingle (observable trade)") {
+    // doc 1 is contained in doc 2 via a single shared shingle that is
+    // also present in 20 other docs; cap = 5 drops that shingle, so the
+    // pair is lost — and the report makes the loss observable.
+    val shared = "alpha beta gamma"
+    val others = (100L until 120L).map(i =>
+      (i, s"$shared filler${i}x filler${i}y filler${i}z"))
+    val docs = (Seq((1L, shared), (2L, s"$shared tail1 tail2 tail3"))
+      ++ others).toDF("doc_id", "text")
+    val uncapped = pairs(Containment.containedPairs(docs, "doc_id", "text",
+      maxDocFreq = 1000000L))
+    assert(uncapped.contains((1L, 2L, 100L)))
+    val capped = pairs(Containment.containedPairs(docs, "doc_id", "text",
+      maxDocFreq = 5L))
+    assert(!capped.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(Containment.hotShingles(docs, "doc_id", "text", maxDocFreq = 5L)
+      .count() == 1L)
+  }
+
+  test("integer prefix bound equals exact rational ceil at every size and threshold") {
+    // keep = sz - ceil(t*sz) + 1 with ceil computed as (sz*T + 99) div 100
+    for (sz <- 1 to 200; t <- Seq(1, 33, 50, 66, 80, 99, 100)) {
+      val exact = math.ceil(sz.toDouble * t / 100.0).toLong
+      val integer = (sz.toLong * t + 99) / 100
+      assert(integer == exact, s"sz=$sz t=$t: $integer != $exact")
+    }
+  }
+
   test("short documents (under n words) degrade to whole-text shingles") {
     val docs = Seq((1L, "ab"), (2L, "ab"), (3L, "cd")).toDF("doc_id", "text")
     val got = pairs(Containment.containedPairs(docs, "doc_id", "text"))

@@ -32,6 +32,19 @@ class TreePathsSpec extends AnyFunSuite {
     assert(got(0L) == ((0L, 0L)) && got(1L) == ((1L, 0L)))
   }
 
+  test("rounds=12 on a deep chain completes fast (plan stays linear in rounds)") {
+    // 2^12 = 4096 >= 300; without per-round localCheckpoint the logical
+    // plan holds 2^12 copies of the scan and the analyzer hangs — with
+    // it this finishes in seconds.
+    val chain = (0L, 0L) +: (1L to 300L).map(i => (i, i - 1))
+    val t0 = System.nanoTime()
+    val got = resolveMap(chain, rounds = 12)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got(300L) == ((0L, 300L)))
+    assert(got(137L) == ((0L, 137L)))
+    assert(secs < 120.0, s"deep-chain resolve took ${secs}s — plan growth?")
+  }
+
   test("too few rounds leaves deep nodes unresolved (contract, not magic)") {
     val chain = (0L, 0L) +: (1L to 10L).map(i => (i, i - 1))
     val got = resolveMap(chain, rounds = 2) // covers depth <= 4

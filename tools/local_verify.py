@@ -26,10 +26,14 @@ def canon(v):
     return str(v)
 
 def table_hash(cols, rows):
+    # rows sorted by their canonical string: the hash is row-order
+    # insensitive, so it does not depend on every query ending in a
+    # total-order ORDER BY or on parquet glob read order
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     h = hashlib.sha256()
-    for row in rows:
-        h.update(("\x01".join(canon(row[i]) for i in order) + "\x02").encode())
+    for line in sorted("\x01".join(canon(row[i]) for i in order)
+                       for row in rows):
+        h.update((line + "\x02").encode())
     return h.hexdigest()
 
 def main():
