@@ -7,11 +7,12 @@ package graft.multimodal
   * and WAV (RIFF chunk walk, not fixed offsets — handles non-canonical
   * chunk orders and word-aligned padding).
   *
-  * These replace the previous hash-derived metadata STUB: `width`,
-  * `height` and `n_frames` now come from the actual bytes. Pixel/sample
-  * DECODE beyond the header (JPEG entropy decoding etc.) still needs a
-  * codec and remains out of scope; the raw-RGB888 / raw-PCM kernels in
-  * [[MultimodalOps]] cover the post-decode compute path.
+  * `width`, `height` and `n_frames` come from the actual bytes, and the
+  * UNCOMPRESSED image rasters (BMP 24-bit, binary Netpbm) decode to full
+  * RGB888 pixel buffers — see the pixel-decode section. Only compressed
+  * codecs (JPEG entropy decoding etc.) remain out of scope: they need a
+  * codec library this container doesn't have; the raw-RGB888 / raw-PCM
+  * kernels in [[MultimodalOps]] cover their post-decode compute path.
   *
   * All multi-byte integers are little-endian per both specs. Parsers
   * return None on anything malformed rather than throwing — at corpus
@@ -59,12 +60,16 @@ object MediaContainers {
     } else None
   }
 
-  /** Binary Netpbm (P6 = PPM, P5 = PGM): ASCII magic, then
-    * whitespace-separated decimal width, height, maxval; '#' starts a
-    * comment running to end-of-line; a single whitespace then raster.
+  /** Full Netpbm header: color flag (P6 vs P5), dims, maxval, and the
+    * raster's byte offset (the spec mandates exactly ONE whitespace
+    * character between maxval and the raster).
     */
-  def parsePpm(b: Array[Byte]): Option[ImageMeta] = {
+  private final case class PpmHeader(
+      color: Boolean, width: Int, height: Int, maxval: Int, rasterPos: Int)
+
+  private def parsePpmHeader(b: Array[Byte]): Option[PpmHeader] = {
     if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val color = b(1) == '6'
     var pos = 2
     def skipSeparators(): Unit = {
       var moved = true
@@ -93,8 +98,15 @@ object MediaContainers {
       h <- readInt()
       maxval <- readInt()
       if w > 0 && h > 0 && maxval > 0 && maxval < 65536
-    } yield ImageMeta(w, h)
+    } yield PpmHeader(color, w, h, maxval, pos + 1)
   }
+
+  /** Binary Netpbm (P6 = PPM, P5 = PGM): ASCII magic, then
+    * whitespace-separated decimal width, height, maxval; '#' starts a
+    * comment running to end-of-line; a single whitespace then raster.
+    */
+  def parsePpm(b: Array[Byte]): Option[ImageMeta] =
+    parsePpmHeader(b).map(h => ImageMeta(h.width, h.height))
 
   /** WAV: 'RIFF' <size> 'WAVE', then a chunk walk — each chunk is a
     * 4-byte id, u32 size, payload, and a pad byte when the size is odd.
@@ -149,6 +161,92 @@ object MediaContainers {
     }
 
   // -------------------------------------------------------------------
+  // Pixel decode — BMP and binary Netpbm rasters are UNCOMPRESSED, so
+  // full pixel extraction needs no codec library: the bytes after the
+  // header the parsers above already read ARE the image. Output is
+  // always row-major top-down RGB888, the exact input shape of
+  // MultimodalOps.resizeRawRgb / channelStats. Compressed containers
+  // (JPEG etc.) and non-24-bit BMPs return None — at corpus scale an
+  // undecodable payload is data to quarantine, not an error.
+  // -------------------------------------------------------------------
+
+  /** Row-major top-down RGB888: `rgb.length == width * height * 3`. */
+  final case class RawPixels(width: Int, height: Int, rgb: Array[Byte])
+
+  /** 24-bit BI_RGB BMP pixel extraction: rows are 4-byte padded BGR,
+    * stored bottom-up (positive height) or top-down (negative height);
+    * both orientations and the padding are undone here. Any other bit
+    * depth or a non-zero compression field → None.
+    */
+  def decodeBmpPixels(b: Array[Byte]): Option[RawPixels] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixelOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return None // CORE header: no compression field
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+      bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowSize = ((3L * w + 3) / 4) * 4
+    if (w > (1 << 20) || h > (1 << 20) || 3L * w * h > Int.MaxValue - 8) return None
+    if (pixelOff < 0 || pixelOff.toLong + rowSize * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy = if (topDown) y else h - 1 - y
+      val src = pixelOff + (sy * rowSize).toInt
+      var x = 0
+      while (x < w) {
+        val s = src + x * 3
+        val t = (y * w + x) * 3
+        out(t) = b(s + 2)     // R (BMP stores BGR)
+        out(t + 1) = b(s + 1) // G
+        out(t + 2) = b(s)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(RawPixels(w, h, out))
+  }
+
+  /** Binary Netpbm pixel extraction for 1-byte samples (maxval <= 255):
+    * P6 rasters are already top-down RGB; P5 gray is replicated across
+    * channels. 2-byte-sample files (maxval >= 256) → None.
+    */
+  def decodePpmPixels(b: Array[Byte]): Option[RawPixels] =
+    parsePpmHeader(b).flatMap { hd =>
+      if (hd.maxval > 255) return None
+      val w = hd.width
+      val h = hd.height
+      if (3L * w * h > Int.MaxValue - 8) return None
+      val samples = if (hd.color) 3L * w * h else w.toLong * h
+      if (hd.rasterPos.toLong + samples > b.length) return None
+      if (hd.color) {
+        val out = new Array[Byte](w * h * 3)
+        System.arraycopy(b, hd.rasterPos, out, 0, out.length)
+        Some(RawPixels(w, h, out))
+      } else {
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val g = b(hd.rasterPos + i)
+          out(i * 3) = g; out(i * 3 + 1) = g; out(i * 3 + 2) = g
+          i += 1
+        }
+        Some(RawPixels(w, h, out))
+      }
+    }
+
+  /** Sniff + pixel decode: the union of the uncompressed image paths. */
+  def decodePixels(b: Array[Byte]): Option[RawPixels] =
+    if (b == null) None
+    else decodeBmpPixels(b).orElse(decodePpmPixels(b))
+
+  // -------------------------------------------------------------------
   // Synthesis — real, openable files (zeroed raster/samples), used by
   // specs to prove the parsers read genuine containers.
   // -------------------------------------------------------------------
@@ -161,8 +259,12 @@ object MediaContainers {
     out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
   }
 
-  /** 24-bit BITMAPINFOHEADER BMP with zeroed, 4-byte-padded rows. */
-  def bmpBytes(w: Int, h: Int): Array[Byte] = {
+  /** 24-bit BITMAPINFOHEADER BMP encoding of a top-down RGB888 buffer:
+    * rows written bottom-up as BGR with 4-byte padding, per spec — the
+    * exact inverse of [[decodeBmpPixels]].
+    */
+  def bmpBytesRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"expected ${w * h * 3} bytes, got ${rgb.length}")
     val rowSize = ((3 * w + 3) / 4) * 4
     val imgSize = rowSize * h
     val out = new java.io.ByteArrayOutputStream(54 + imgSize)
@@ -172,17 +274,39 @@ object MediaContainers {
     w16(out, 1); w16(out, 24)
     w32(out, 0); w32(out, imgSize); w32(out, 2835); w32(out, 2835)
     w32(out, 0); w32(out, 0)
-    out.write(new Array[Byte](imgSize))
+    val row = new Array[Byte](rowSize)
+    var y = h - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        row(x * 3) = rgb(s + 2)     // B
+        row(x * 3 + 1) = rgb(s + 1) // G
+        row(x * 3 + 2) = rgb(s)     // R
+        x += 1
+      }
+      out.write(row)
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** 24-bit BITMAPINFOHEADER BMP with zeroed, 4-byte-padded rows. */
+  def bmpBytes(w: Int, h: Int): Array[Byte] =
+    bmpBytesRgb(w, h, new Array[Byte](w * h * 3))
+
+  /** Binary P6 PPM of a top-down RGB888 buffer (raster is verbatim). */
+  def ppmBytesRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"expected ${w * h * 3} bytes, got ${rgb.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+    out.write(rgb)
     out.toByteArray
   }
 
   /** Binary P6 PPM with a zeroed raster. */
-  def ppmBytes(w: Int, h: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
-    out.write(new Array[Byte](3 * w * h))
-    out.toByteArray
-  }
+  def ppmBytes(w: Int, h: Int): Array[Byte] =
+    ppmBytesRgb(w, h, new Array[Byte](3 * w * h))
 
   /** Canonical 44-byte-header PCM WAV with zeroed (silent) samples. */
   def wavBytes(channels: Int, sampleRate: Int, nFrames: Int): Array[Byte] = {

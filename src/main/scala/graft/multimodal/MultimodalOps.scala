@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * columns next to typed metadata, and decode/feature-extraction runs as
   * batched per-partition processing.
   *
-  * Container METADATA is parsed for real — [[MediaContainers]] reads BMP
-  * / PPM / WAV headers byte-by-byte, surfaced as the native
-  * [[graft.plans.MediaMeta]] expression. Pixel/sample decode of
-  * compressed codecs (JPEG entropy decode etc.) needs a codec library
-  * this container doesn't have; the raw-RGB888 and raw-PCM kernels below
-  * cover the post-decode compute path with real byte math, and
-  * [[resizeStub]] remains the one clearly-marked stub (identity payload).
+  * Containers are parsed for real — [[MediaContainers]] reads BMP / PPM
+  * / WAV headers byte-by-byte (surfaced as the native
+  * [[graft.plans.MediaMeta]] expression) and extracts full pixel rasters
+  * from the uncompressed image formats ([[decodeImages]]: BMP 24-bit
+  * BI_RGB and binary Netpbm, no codec library needed). Compressed codecs
+  * (JPEG entropy decode etc.) would need a library this container
+  * doesn't have; such payloads decode to metadata only and are dropped
+  * by the pixel path — quarantine them upstream via the `format` column.
+  * The raw-RGB888 and raw-PCM kernels below are the post-decode compute
+  * path on real byte math.
   */
 object MultimodalOps {
 
@@ -67,14 +70,25 @@ object MultimodalOps {
     }
   }
 
-  /** STUB "resize": a real kernel would transform pixels; the plumbing
-    * (binary in, binary out, new dims in metadata) is what's exercised.
-    * For DECODED payloads the real kernel exists — [[resizeRawRgb]].
+  /** Encoded payloads → raw RGB888: real pixel extraction for the
+    * uncompressed containers (BMP 24-bit, binary PPM/PGM) via
+    * [[MediaContainers.decodePixels]], batched per partition like
+    * [[decodeBatched]]. Rows whose payload is not an uncompressed image
+    * (WAV, truncated, compressed codecs) are DROPPED here — route them
+    * first on the `format` metadata column if they must be kept. The
+    * output feeds [[resizeRawRgb]] / [[channelStats]] directly, so
+    * encoded-in → resized-raw-out is a two-call pipeline with no stub
+    * anywhere in it.
     */
-  def resizeStub(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame =
-    df.withColumn("resized_width", lit(w))
-      .withColumn("resized_height", lit(h))
-      .withColumn("resized_media", col(mediaCol)) // STUB: identity payload
+  def decodeImages(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[RawImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        MediaContainers.decodePixels(r.media)
+          .map(p => RawImage(r.id, p.width, p.height, p.rgb))
+      })
+    }
+  }
 
   // ---------------------------------------------------------------------
   // Raw-bitmap kernels — REAL pixel math, codec-free. Once a decoder has

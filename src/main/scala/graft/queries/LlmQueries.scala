@@ -2332,5 +2332,47 @@ object LlmQueries {
              |      ORDER BY score_x1000 DESC, did) AS rank
              |  FROM agg)
              |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000
-             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)))
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Encoded image → resized raw → features, END TO END with no stub:
+    // per-doc bitmaps carry the q110 modular-arithmetic pixel pattern
+    // but arrive ENCODED — even docs as 24-bit BMP (bottom-up padded
+    // BGR rows the decoder must undo), odd docs as binary P6 PPM —
+    // then MultimodalOps.decodeImages extracts the raster
+    // (MediaContainers.decodePixels), resizeRawRgb halves 16x12 → 8x6
+    // (NN floor map: target (x,y) reads source (2x,2y)), and
+    // channelStats walks the resized bytes. The oracle replays the
+    // whole chain relationally: the decode is proven byte-exact because
+    // any container/orientation/padding mistake shifts pixels and
+    // breaks the closed-form mean. Sum/48.0 is one exact IEEE division.
+    "q174_image_decode_resize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{MediaContainers, MultimodalOps}
+        val encoded = docs(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val rgb = MultimodalOps.synthBitmap(id, 16, 12)
+            val bytes =
+              if (id % 2 == 0) MediaContainers.bmpBytesRgb(16, 12, rgb)
+              else MediaContainers.ppmBytesRgb(16, 12, rgb)
+            MultimodalOps.MediaRecord(id, bytes, "image")
+          }
+        val raw = MultimodalOps.decodeImages(encoded)
+        val resized = MultimodalOps.resizeRawRgb(raw, 8, 6)
+          .map(r => MultimodalOps.RawImage(r.id, r.width, r.height, r.pixels))
+        MultimodalOps.channelStats(resized)
+          .toDF()
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH px AS (SELECT d.doc_id, x.x, y.y
+             |  FROM documents d, range(0, 8) x(x), range(0, 6) y(y))
+             |SELECT doc_id,
+             |  CAST(sum((doc_id*31 + (x*2)*7 + (y*2)*13) % 256) AS DOUBLE)/48.0
+             |    AS mean_r,
+             |  CAST(sum((doc_id*17 + (x*2)*3 + (y*2)*11) % 256) AS DOUBLE)/48.0
+             |    AS mean_g,
+             |  CAST(sum((doc_id*23 + (x*2)*5 + (y*2)*19) % 256) AS DOUBLE)/48.0
+             |    AS mean_b
+             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -91,6 +91,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == Seq(0))
   }
 
+  test("pixel decode round-trips the encoders byte-exactly (BMP + PPM + PGM)") {
+    import MediaContainers._
+    import MultimodalOps.synthBitmap
+    // BMP: encode top-down RGB → bottom-up padded BGR file → decode back
+    val rgb = synthBitmap(11L, 17, 9) // odd width => nonzero row padding
+    val viaBmp = decodeBmpPixels(bmpBytesRgb(17, 9, rgb)).get
+    assert(viaBmp.width == 17 && viaBmp.height == 9)
+    assert(viaBmp.rgb.sameElements(rgb))
+    // PPM: raster is verbatim
+    val viaPpm = decodePpmPixels(ppmBytesRgb(17, 9, rgb)).get
+    assert(viaPpm.rgb.sameElements(rgb))
+    // sniffing union picks the right decoder
+    assert(decodePixels(bmpBytesRgb(17, 9, rgb)).get.rgb.sameElements(rgb))
+    assert(decodePixels(ppmBytesRgb(17, 9, rgb)).get.rgb.sameElements(rgb))
+    // PGM gray replicates to RGB
+    val pgm = ("P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](7, 9))
+    assert(decodePpmPixels(pgm).get.rgb.toSeq == Seq[Byte](7, 7, 7, 9, 9, 9))
+    // top-down BMP (negative height) decodes to the same top-down raster
+    val td = bmpBytesRgb(4, 3, synthBitmap(5L, 4, 3))
+    // flip stored rows to top-down and negate the height field
+    val rowSize = ((3 * 4 + 3) / 4) * 4
+    val flipped = td.clone()
+    for (y <- 0 until 3; i <- 0 until rowSize)
+      flipped(54 + y * rowSize + i) = td(54 + (2 - y) * rowSize + i)
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-3).array()
+    System.arraycopy(negH, 0, flipped, 22, 4)
+    assert(decodeBmpPixels(flipped).get.rgb
+      .sameElements(synthBitmap(5L, 4, 3)))
+    // undecodable: WAV, compressed flag, 8-bit BMP, truncated raster, junk
+    assert(decodePixels(wavBytes(1, 8000, 4)).isEmpty)
+    val comp = bmpBytesRgb(4, 3, synthBitmap(5L, 4, 3)).clone()
+    comp(30) = 1 // BI_RLE8
+    assert(decodeBmpPixels(comp).isEmpty)
+    assert(decodePpmPixels("P6\n4 4\n255\nxx".getBytes("US-ASCII")).isEmpty)
+    assert(decodePpmPixels("P6\n2 2\n65535\n".getBytes("US-ASCII") ++
+      new Array[Byte](24)).isEmpty, "2-byte samples are out of scope")
+    assert(decodePixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(decodePixels(null).isEmpty)
+  }
+
+  test("decodeImages: encoded-in → raw-out pipeline drops undecodables, keeps pixels") {
+    import MultimodalOps._
+    val rgbA = synthBitmap(1L, 6, 4)
+    val rgbB = synthBitmap(2L, 5, 3)
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, MediaContainers.bmpBytesRgb(6, 4, rgbA), "image"),
+      MediaRecord(2L, MediaContainers.ppmBytesRgb(5, 3, rgbB), "image"),
+      MediaRecord(3L, MediaContainers.wavBytes(1, 8000, 4), "audio"),
+      MediaRecord(4L, Array[Byte](9, 9), "unknown")))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val out = decodeImages(ds, batchSize = 2).collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L))
+    assert(out(0).width == 6 && out(0).pixels.sameElements(rgbA))
+    assert(out(1).height == 3 && out(1).pixels.sameElements(rgbB))
+    // end to end: encoded → decode → resize → stats equals the raw path
+    val resized = resizeRawRgb(decodeImages(ds), 3, 2).collect()
+      .find(_.id == 1L).get
+    assert(resized.pixels.sameElements(
+      resizeNearestKernel(rgbA, 6, 4, 3, 2)))
+  }
+
   test("resizeNearestKernel: identity at same dims; floor-mapped picks at 2x down") {
     import graft.multimodal.MultimodalOps._
     val src = synthBitmap(7L, 4, 4)
