@@ -49,7 +49,7 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val work = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val work = graft.queries.Scratch.dir("graft-streambench")
     val events = Tables.events(spark, sfDir)
     val baseCount = events.count()
     val copies = math.max(1, (targetRows / math.max(1L, baseCount)).toInt)

@@ -99,8 +99,12 @@ object BigramLm {
       .join(rx, Seq("x"))
       .join(cy, Seq("y"))
       .crossJoin(broadcast(n))
+      // the c_xy·n_big·1e6 chain runs in DECIMAL(38,0): in long math it
+      // wraps (non-ANSI) or errors (ANSI) past ~3e6 bigrams at worst-case
+      // skew; decimal keeps it exact to 1e38 and `div` lands back in long
       .withColumn("pmi_x1e6",
-        expr("c_xy * n_big * 1000000 div (r_x * c_y)"))
+        expr("CAST(c_xy AS DECIMAL(38,0)) * n_big * 1000000" +
+          " div (CAST(r_x AS DECIMAL(38,0)) * c_y)"))
       .select("x", "y", "c_xy", "r_x", "c_y", "pmi_x1e6")
       .orderBy(col("pmi_x1e6").desc, col("x"), col("y"))
       .limit(k)

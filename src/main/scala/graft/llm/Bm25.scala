@@ -36,6 +36,15 @@ object Bm25 {
   /** Score `queries` (qid, qtext) against `docs` (idCol, textCol);
     * returns the top-`k` (qid, rank, doc id, score_x1000) per query,
     * ties broken by doc id.
+    *
+    * A query whose terms ALL miss the corpus has no rows in the output —
+    * the term→postings join is inner, so a zero-result qid VANISHES
+    * rather than appearing with an empty hit list. Callers iterating a
+    * query set must anti-join the output's qids against the input's to
+    * distinguish "no hits" from "query lost"; this is the standard
+    * sparse-retrieval contract (an all-OOV query has no defined score
+    * against any document), kept inner deliberately so the scoring join
+    * cost stays proportional to matching postings.
     */
   def search(
       docs: DataFrame,

@@ -25,31 +25,52 @@ import org.apache.spark.sql.functions._
   * truncation is needed at this depth — add `localCheckpoint` per round
   * beyond ~8 like PageRank does. Overflow bound: score ≤ 1e6, so a
   * round's raw sum ≤ 1e6·max_degree and the renormalize multiply stays
-  * under 2^63 while max_degree < 9e6 — the DECIMAL(38,0) chain is the
-  * path beyond.
+  * under 2^63 while max_degree < 9.2e6. Long mode enforces that bound
+  * LOUDLY (one degree aggregation up front, then a clear error naming
+  * the fix) instead of corrupting scores; `decimal = true` runs the
+  * sum/renormalize chain in DECIMAL(38,0) — bit-identical results
+  * (integer math is exact in both), degree bound lifted to ~1e26.
   */
 object Hits {
 
   val Scale = 1000000L
+
+  /** Largest max-degree the long-mode chain is provably exact for:
+    * ar ≤ Scale·d and the renormalize multiplies by Scale again.
+    */
+  val LongModeMaxDegree: Long = Long.MaxValue / (Scale * Scale)
 
   /** Run `iters` full (authority, hub) update rounds over `edges`
     * (columns u, v — u points at v). Returns (side, node, score_fp):
     * side "hub" for u-nodes, "auth" for v-nodes, scores L∞-normalized
     * to [0, 1e6].
     */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int, decimal: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, "unrolled HITS wants few rounds")
     val e = edges.select(col("u"), col("v"))
+    if (!decimal) {
+      val maxDeg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .agg(max("d")).first().get(0)
+      val d = Option(maxDeg).map(_.asInstanceOf[Long]).getOrElse(0L)
+      require(d <= LongModeMaxDegree,
+        s"max degree $d exceeds the long-mode exactness bound " +
+          s"$LongModeMaxDegree; call run(edges, iters, decimal = true)")
+    }
+    val wide = org.apache.spark.sql.types.DecimalType(38, 0)
+    def scoreSum(c: String) =
+      if (decimal) sum(col(c).cast(wide)) else sum(col(c))
     var h: DataFrame = e.select(col("u")).distinct()
       .withColumn("h", lit(Scale))
     var a: DataFrame = null
     (1 to iters).foreach { _ =>
-      val aRaw = e.join(h, "u").groupBy("v").agg(sum("h").as("ar"))
+      val aRaw = e.join(h, "u").groupBy("v").agg(scoreSum("h").as("ar"))
       a = aRaw.crossJoin(broadcast(aRaw.agg(max("ar").as("m"))))
-        .select(col("v"), expr(s"ar * $Scale div m").as("a"))
-      val hRaw = e.join(a, "v").groupBy("u").agg(sum("a").as("hr"))
+        .select(col("v"), expr(s"ar * $Scale div m").cast("long").as("a"))
+      val hRaw = e.join(a, "v").groupBy("u").agg(scoreSum("a").as("hr"))
       h = hRaw.crossJoin(broadcast(hRaw.agg(max("hr").as("m"))))
-        .select(col("u"), expr(s"hr * $Scale div m").as("h"))
+        .select(col("u"), expr(s"hr * $Scale div m").cast("long").as("h"))
     }
     h.select(lit("hub").as("side"), col("u").as("node"),
         col("h").as("score_fp"))

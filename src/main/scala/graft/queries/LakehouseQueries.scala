@@ -344,8 +344,7 @@ object LakehouseQueries {
     "q122_stream_merge" -> Q(
       (s, d) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q122-merge").toString
+        val dir = graft.queries.Scratch.dir("graft-q122-merge")
         val targetInit = Tables.events(s, d)
           .filter(col("user_id") < 50).select(col("user_id")).distinct()
           .withColumn("n_seen", lit(-1L))
@@ -372,8 +371,7 @@ object LakehouseQueries {
     // rendering round-trips exactly in CSV/JSON; ORC is binary).
     "q123_format_roundtrip" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q123-fmt").toString
+        val dir = graft.queries.Scratch.dir("graft-q123-fmt")
         val ev = Tables.events(s, d)
           .select("event_id", "event_type", "value")
         val formats = Seq(
@@ -616,8 +614,7 @@ object LakehouseQueries {
     "q128_stream_merge_partitioned" -> Q(
       (s, d) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q128-pmerge").toString
+        val dir = graft.queries.Scratch.dir("graft-q128-pmerge")
         val targetInit = Tables.events(s, d)
           .filter(col("user_id") < 50).select(col("user_id")).distinct()
           .withColumn("n_seen", lit(-1L))
@@ -669,8 +666,7 @@ object LakehouseQueries {
     // generations. The lakehouse reality every long-lived table hits.
     "q130_schema_evolution" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q130-evo").toString
+        val dir = graft.queries.Scratch.dir("graft-q130-evo")
         val ev = Tables.events(s, d)
         ev.filter(pmod(col("event_id"), lit(2)) === 0)
           .select("event_id", "user_id")
@@ -703,8 +699,7 @@ object LakehouseQueries {
     // ride along for the oracle.
     "q131_sketch_index" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q131-skidx").toString
+        val dir = graft.queries.Scratch.dir("graft-q131-skidx")
         val dd = Tables.documents(s, d)
         dd.filter(col("doc_id") < 250)
           .groupBy("source")
@@ -741,8 +736,7 @@ object LakehouseQueries {
     // checks end-to-end.
     "q132_bloom_blocklist" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q132-bloom").toString
+        val dir = graft.queries.Scratch.dir("graft-q132-bloom")
         val dd = Tables.documents(s, d)
         graft.llm.BloomBlocklist.build(
           dd.filter(col("doc_id") < 100), "text", n = 3,
@@ -788,8 +782,7 @@ object LakehouseQueries {
     "q152_log_ingest" -> Q(
       (s, d) => {
         import graft.sources.LogTopic
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q152-log").toString + "/topic"
+        val root = graft.queries.Scratch.dir("graft-q152-log") + "/topic"
         LogTopic.create(root, 4)
         // producer side: deterministic order within each partition
         val produced = Tables.documents(s, d)
@@ -850,8 +843,7 @@ object LakehouseQueries {
     "q154_zonemap_prune" -> Q(
       (s, d) => {
         import graft.sources.ZoneMap
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q154-zm").toString + "/t"
+        val root = graft.queries.Scratch.dir("graft-q154-zm") + "/t"
         val li = Tables.lineitem(s, d)
           .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
         li.repartitionByRange(8, col("l_orderkey"))
@@ -889,8 +881,7 @@ object LakehouseQueries {
       (s, d) => {
         import graft.operators.ZOrder
         import graft.sources.ZoneMap
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q156-zb").toString + "/t"
+        val root = graft.queries.Scratch.dir("graft-q156-zb") + "/t"
         val li = Tables.lineitem(s, d)
           .select("l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
         ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 16)
@@ -930,8 +921,7 @@ object LakehouseQueries {
     "q163_deletion_vectors" -> Q(
       (s, d) => {
         import graft.sources.DeletionVectors
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q163-dv").toString + "/t"
+        val root = graft.queries.Scratch.dir("graft-q163-dv") + "/t"
         Tables.documents(s, d)
           .repartition(4)
           .write.parquet(root)

@@ -1506,8 +1506,7 @@ object LlmQueries {
     // exact by construction, not sampled (WinnowIndexSpec pins it too).
     "q105_winnow_incremental" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q105-wnidx").toString
+        val dir = graft.queries.Scratch.dir("graft-q105-wnidx")
         val all = docs(s, d)
         graft.llm.WinnowIndex.build(
           all.filter(col("doc_id") < 250), s"$dir/idx", "doc_id", "text")
@@ -1560,8 +1559,7 @@ object LlmQueries {
     "q153_stream_neardup_ingest" -> Q(
       (s, d) => {
         import graft.llm.WinnowIndex
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q153-sni").toString
+        val root = graft.queries.Scratch.dir("graft-q153-sni")
         val src = s"$root/src"
         new java.io.File(src).mkdirs()
         val all = docs(s, d).select(col("doc_id"), col("text"))
@@ -1672,8 +1670,7 @@ object LlmQueries {
     // Hamming and Jaccard forms against their full runs).
     "q106_simhash_incremental" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q106-shidx").toString
+        val dir = graft.queries.Scratch.dir("graft-q106-shidx")
         val all = docs(s, d)
         graft.llm.SimHashIndex.build(
           all.filter(col("doc_id") < 250), s"$dir/idx", "doc_id", "text",
@@ -2216,8 +2213,7 @@ object LlmQueries {
     "q166_stream_line_dedup" -> Q(
       (s, d) => {
         import graft.llm.LineDedupIndex
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q166-sld").toString
+        val root = graft.queries.Scratch.dir("graft-q166-sld")
         val src = s"$root/src"
         new java.io.File(src).mkdirs()
         val all = docs(s, d).select(col("doc_id"), col("source"), col("text"))

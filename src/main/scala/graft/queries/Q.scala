@@ -20,3 +20,25 @@ case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     headline: Boolean = false)
+
+/** Scratch roots for queries that must materialize intermediate tables
+  * (persisted indexes, lakehouse state, stream checkpoints): created
+  * under java.io.tmpdir and deleted RECURSIVELY by a JVM shutdown hook,
+  * so repeated suite/bench runs don't accumulate corpus copies in /tmp.
+  * Exit-time (not eager) deletion is the correct point: every query's
+  * result is materialized before the JVM exits, while the DataFrame it
+  * returns may lazily re-read the scratch files until then.
+  */
+object Scratch {
+  def dir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p.toFile)))
+    p.toString
+  }
+  private def delete(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(delete)
+    f.delete()
+    ()
+  }
+}

@@ -742,8 +742,7 @@ object StructureQueries {
     "q149_cms_incremental" -> Q(
       (s, d) => {
         import graft.llm.CmsIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q149-cms").toString
+        val dir = graft.queries.Scratch.dir("graft-q149-cms")
         val toks = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(split(TextFunctions.normalized(col("text")), " "))
@@ -802,8 +801,7 @@ object StructureQueries {
     "q150_stream_cms" -> Q(
       (s, d) => {
         import graft.llm.CmsIndex
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q150-scms").toString
+        val root = graft.queries.Scratch.dir("graft-q150-scms")
         val src = s"$root/src"
         new java.io.File(src).mkdirs()
         val toks = Tables.documents(s, d)

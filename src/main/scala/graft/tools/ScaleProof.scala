@@ -86,7 +86,7 @@ object ScaleProof {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-scaleproof").toString)
+      graft.queries.Scratch.dir("graft-scaleproof"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

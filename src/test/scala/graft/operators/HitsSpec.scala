@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -33,6 +34,32 @@ class HitsSpec extends AnyFunSuite {
     val got = scores(Hits.run(edges, iters = 1))
     assert(got(("auth", 10L)) == 1000000L)
     assert(got(("auth", 20L)) == 500000L)  // indeg 1 vs 2 after round 1
+  }
+
+  test("decimal mode is bit-identical to long mode") {
+    val edges = (0L until 120L).map(i => (i % 20, 100L + (i * 7) % 11))
+      .toDF("u", "v").distinct()
+    assert(scores(Hits.run(edges, 3)) ==
+      scores(Hits.run(edges, 3, decimal = true)))
+  }
+
+  test("overflow boundary: long mode fails LOUDLY past the degree bound; decimal succeeds") {
+    // a star with max_degree just over Long.MaxValue / Scale^2 (~9.2e6):
+    // in long mode the renormalize multiply would exceed 2^63
+    val over = Hits.LongModeMaxDegree + 1
+    val star = spark.range(over)
+      .select(col("id").as("u"), lit(-1L).as("v"))
+    val e = intercept[IllegalArgumentException](Hits.run(star, 1))
+    assert(e.getMessage.contains("decimal = true"))
+    // decimal mode computes through it: the hub side all ties at 1e6
+    // (every u has out-degree 1), the single authority maxes out
+    val got = Hits.run(star, 1, decimal = true)
+      .filter(col("side") === "auth").collect()
+    assert(got.length == 1 && got.head.getLong(2) == 1000000L)
+    // and just UNDER the bound long mode runs (guard passes; the sums
+    // here stay tiny because scores renormalize each half-round)
+    val under = Seq((1L, 10L), (2L, 10L)).toDF("u", "v")
+    assert(scores(Hits.run(under, 1)).nonEmpty)
   }
 
   test("partition invariance") {

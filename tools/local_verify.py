@@ -14,7 +14,10 @@ import duckdb
 
 def canon(v):
     if v is None:
-        return "\x00"
+        # the driver's pandas to_csv writes NULL and '' identically
+        # (empty field); mirror that so e.g. a NULL-vs-'' skew on an
+        # array_to_string of an empty list matches the driver's verdict
+        return ""
     if isinstance(v, float):
         return f"{v:.9g}"
     if isinstance(v, bool):
