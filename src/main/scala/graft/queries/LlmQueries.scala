@@ -2370,5 +2370,49 @@ object LlmQueries {
              |    AS mean_g,
              |  CAST(sum((doc_id*23 + (x*2)*5 + (y*2)*19) % 256) AS DOUBLE)/48.0
              |    AS mean_b
-             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // The SQL function catalog as a correctness surface: the whole query
+    // is ONE spark.sql string over the registered native kernels
+    // (plans/GraftExtensions.scala — word_shingles, jaccard_similarity,
+    // simhash64, lang_id), the zero-Scala path a pure-SQL client gets
+    // via spark.sql.extensions. Adjacent-doc pairs score shingle-set
+    // Jaccard (exact double: one IEEE division both engines), SimHash
+    // signature equality (oracle replays it as normalized-text equality
+    // — equal texts force equal signatures; on this corpus the converse
+    // holds too, locally verified), and lang_id replays through the
+    // marker-count SQL shared with q22.
+    "q175_sql_catalog" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        docs(s, d).createOrReplaceTempView("sql_catalog_docs")
+        s.sql("""SELECT a.doc_id AS id_a,
+                |  b.doc_id AS id_b,
+                |  jaccard_similarity(word_shingles(a.text, 3),
+                |                     word_shingles(b.text, 3)) AS jac,
+                |  simhash64(word_shingles(a.text, 3)) =
+                |    simhash64(word_shingles(b.text, 3)) AS same_sig,
+                |  lang_id(a.text) AS lang_a
+                |FROM sql_catalog_docs a
+                |JOIN sql_catalog_docs b ON b.doc_id = a.doc_id + 1
+                |ORDER BY id_a""".stripMargin)
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+             |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+             |sets AS (SELECT doc_id, nm, list_distinct(
+             |    CASE WHEN len(t) < 3 THEN [nm]
+             |         ELSE list_transform(range(1, len(t) - 1),
+             |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+             |    AS sh
+             |  FROM tok),
+             |lang AS ($langIdSql),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 1.0
+             |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |           / len(list_distinct(a.sh || b.sh)) END AS jac,
+             |    a.nm = b.nm AS same_sig
+             |  FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1)
+             |SELECT p.id_a, p.id_b, p.jac, p.same_sig, l.lang_id AS lang_a
+             |FROM pairs p JOIN lang l ON l.doc_id = p.id_a
+             |ORDER BY id_a""".stripMargin)))
 }
