@@ -1385,6 +1385,49 @@ object ExtendedQueries {
              |SELECT side, CAST(rnk AS BIGINT) AS rnk, node, score_fp
              |FROM rk WHERE rnk <= 10 ORDER BY side, rnk""".stripMargin)),
 
+    // k-core decomposition (operators/KCore.scala) — the third member
+    // of the link-analysis family (PageRank: global influence; HITS:
+    // hub/authority roles; k-core: the dense backbone that survives
+    // iterative pruning). Bipartite customer→supplier graph with the
+    // supplier side offset into a disjoint id space; k=34 (above the
+    // median degree) peels the low-activity customers in round 1 and
+    // rounds 2-3 are proven no-ops by the oracle equality — the
+    // bounded-peel contract, same family as TreePaths' bounded
+    // doubling. The oracle unrolls all three rounds literally.
+    "q179_kcore" -> Q(
+      (s, d) => {
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("u"),
+            (col("l_suppkey") + 1000000L).as("v"))
+        graft.operators.KCore.peel(edges, k = 34, rounds = 3)
+          .orderBy("node")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS u,
+             |    l_suppkey + 1000000 AS v
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |d0 AS (SELECT n, count(*) AS d FROM (
+             |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+             |  GROUP BY n),
+             |k0 AS (SELECT n FROM d0 WHERE d >= 34),
+             |e1 AS (SELECT u, v FROM e0
+             |  WHERE u IN (SELECT n FROM k0) AND v IN (SELECT n FROM k0)),
+             |d1 AS (SELECT n, count(*) AS d FROM (
+             |    SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+             |  GROUP BY n),
+             |k1 AS (SELECT n FROM d1 WHERE d >= 34),
+             |e2 AS (SELECT u, v FROM e1
+             |  WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+             |d2 AS (SELECT n, count(*) AS d FROM (
+             |    SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+             |  GROUP BY n),
+             |k2 AS (SELECT n FROM d2 WHERE d >= 34),
+             |e3 AS (SELECT u, v FROM e2
+             |  WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2))
+             |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+             |    SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+             |GROUP BY n ORDER BY node""".stripMargin)),
+
     // Interval union / coverage merge — the overlap half of
     // gaps-and-islands (q118 collapses runs of EQUAL values; this merges
     // OVERLAPPING spans): each event opens a deterministic integer-

@@ -222,6 +222,45 @@ object LlmQueries {
        |FROM sc""".stripMargin
   }
 
+  /** The q173 BM25 scoring pipeline as a reusable CTE chain (through
+    * `rk`: per-query ranked (qid, did, score_x1000, rank)) — shared by
+    * the plain retrieval oracle (q173) and the RRF fusion oracle (q176).
+    */
+  private val bm25Ctes: String =
+    """tok AS (SELECT doc_id AS did,
+      |    unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY did, t),
+      |ln AS (SELECT did, CAST(count(*) AS BIGINT) AS len
+      |  FROM tok GROUP BY did),
+      |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY t),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len) AS BIGINT) AS total_len FROM ln),
+      |q AS (SELECT doc_id AS qid,
+      |    unnest(list_distinct(string_split(text, ' ')[1:3])) AS t
+      |  FROM documents WHERE doc_id < 3),
+      |sc AS (SELECT q.qid, tf.did, tf.tf, dfq.df, ln.len,
+      |    st.n_docs, st.total_len,
+      |    (st.total_len * 100) // st.n_docs AS avg_x100
+      |  FROM q JOIN tf ON q.t = tf.t JOIN dfq ON q.t = dfq.t
+      |    JOIN ln ON tf.did = ln.did CROSS JOIN st),
+      |parts AS (SELECT qid, did,
+      |    (tf * 2200 * 1000) // (tf * 1000 +
+      |      (12 * (250 + (750 * ((len * 100000) // avg_x100))
+      |        // 1000)) // 10) AS tfpart_x1000,
+      |    CAST(length(bin((n_docs * 64) // df)) - 1 AS BIGINT)
+      |      AS idf_bits
+      |  FROM sc),
+      |agg AS (SELECT qid, did,
+      |    CAST(sum(tfpart_x1000 * idf_bits) AS BIGINT)
+      |      AS score_x1000
+      |  FROM parts GROUP BY qid, did),
+      |rk AS (SELECT qid, did, score_x1000,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_x1000 DESC, did) AS rank
+      |  FROM agg)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Exact content dedup: one survivor (min doc_id) per distinct text.
@@ -2294,42 +2333,11 @@ object LlmQueries {
         Bm25.search(corpus, "doc_id", "text", queries, k = 5)
           .orderBy("qid", "rank")
       },
-      Some("""WITH tok AS (SELECT doc_id AS did,
-             |    unnest(string_split(text, ' ')) AS t FROM documents),
-             |tf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS tf
-             |  FROM tok GROUP BY did, t),
-             |ln AS (SELECT did, CAST(count(*) AS BIGINT) AS len
-             |  FROM tok GROUP BY did),
-             |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
-             |  FROM tf GROUP BY t),
-             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |    CAST(sum(len) AS BIGINT) AS total_len FROM ln),
-             |q AS (SELECT doc_id AS qid,
-             |    unnest(list_distinct(string_split(text, ' ')[1:3])) AS t
-             |  FROM documents WHERE doc_id < 3),
-             |sc AS (SELECT q.qid, tf.did, tf.tf, dfq.df, ln.len,
-             |    st.n_docs, st.total_len,
-             |    (st.total_len * 100) // st.n_docs AS avg_x100
-             |  FROM q JOIN tf ON q.t = tf.t JOIN dfq ON q.t = dfq.t
-             |    JOIN ln ON tf.did = ln.did CROSS JOIN st),
-             |parts AS (SELECT qid, did,
-             |    (tf * 2200 * 1000) // (tf * 1000 +
-             |      (12 * (250 + (750 * ((len * 100000) // avg_x100))
-             |        // 1000)) // 10) AS tfpart_x1000,
-             |    CAST(length(bin((n_docs * 64) // df)) - 1 AS BIGINT)
-             |      AS idf_bits
-             |  FROM sc),
-             |agg AS (SELECT qid, did,
-             |    CAST(sum(tfpart_x1000 * idf_bits) AS BIGINT)
-             |      AS score_x1000
-             |  FROM parts GROUP BY qid, did),
-             |rk AS (SELECT qid, did, score_x1000,
-             |    row_number() OVER (PARTITION BY qid
-             |      ORDER BY score_x1000 DESC, did) AS rank
-             |  FROM agg)
+      Some(s"""WITH $bm25Ctes
              |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000
              |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // placeholder kept for anchor-diff clarity; real entries continue
     // Encoded image → resized raw → features, END TO END with no stub:
     // per-doc bitmaps carry the q110 modular-arithmetic pixel pattern
     // but arrive ENCODED — even docs as 24-bit BMP (bottom-up padded
@@ -2414,5 +2422,119 @@ object LlmQueries {
              |  FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1)
              |SELECT p.id_a, p.id_b, p.jac, p.same_sig, l.lang_id AS lang_a
              |FROM pairs p JOIN lang l ON l.doc_id = p.id_a
-             |ORDER BY id_a""".stripMargin)))
+             |ORDER BY id_a""".stripMargin)),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (llm/Rrf.scala): the
+    // q173 sparse BM25 list and a q24-style dense cosine list (same
+    // qids 0-2; embeddings share the doc id space) fused WITHOUT score
+    // calibration — only ranks cross the boundary, each contributing
+    // the scaled-integer 1e6 div (60 + rank). The oracle replays BOTH
+    // retrieval pipelines (the shared bm25Ctes chain + the rounded
+    // cosine ranking) and the fusion arithmetic, so fused ranks AND
+    // scores AND the n_lists agreement signal all hash-match.
+    "q176_rrf_fusion" -> Q(
+      (s, d) => {
+        import graft.llm.{Bm25, Rrf}
+        val corpus = docs(s, d)
+        val queries = corpus.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        val sparse = Bm25.search(corpus, "doc_id", "text", queries, k = 5)
+          .select(col("qid"), col("did").as("id"), col("rank"))
+        val emb = Tables.embeddings(s, d)
+        val qv = broadcast(emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        val scored = emb
+          .select(col("vec_id").as("id"), col("embedding").as("nv"))
+          .crossJoin(qv)
+          .filter(col("id") =!= col("qid"))
+          .withColumn("sim",
+            round(VectorFunctions.cosine(col("qv"), col("nv")), 6))
+        val dense = TopK.perGroup(scored,
+            Seq(col("qid")), Seq(col("sim").desc, col("id").asc),
+            k = 5, rankCol = "rank")
+          .select(col("qid"), col("id"), col("rank"))
+        Rrf.fuse(sparse.unionByName(dense), k0 = 60, topK = 5)
+          .orderBy("qid", "fused_rank")
+      },
+      Some(s"""WITH $bm25Ctes,
+             |sparse AS (SELECT qid, did AS id, rank FROM rk WHERE rank <= 5),
+             |qv AS (SELECT vec_id AS qid, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 3),
+             |dsc AS (SELECT qv.qid, e.vec_id AS id,
+             |    round(list_cosine_similarity(CAST(qv.qv AS DOUBLE[]),
+             |      CAST(e.embedding AS DOUBLE[])), 6) AS sim
+             |  FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.qid),
+             |drk AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+             |    ORDER BY sim DESC, id) AS rank FROM dsc),
+             |dense AS (SELECT qid, id, rank FROM drk WHERE rank <= 5),
+             |uni AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+             |fused AS (SELECT qid, id,
+             |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_x1e6,
+             |    CAST(count(*) AS BIGINT) AS n_lists
+             |  FROM uni GROUP BY qid, id),
+             |frk AS (SELECT qid, id, rrf_x1e6, n_lists,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY rrf_x1e6 DESC, id) AS fused_rank
+             |  FROM fused)
+             |SELECT qid, CAST(fused_rank AS BIGINT) AS fused_rank, id,
+             |  rrf_x1e6, n_lists
+             |FROM frk WHERE fused_rank <= 5
+             |ORDER BY qid, fused_rank""".stripMargin)),
+
+    // Sorted-neighborhood blocking (operators/SortedNeighborhood.scala)
+    // — the record-linkage candidate generator orthogonal to LSH:
+    // window of w=3 positions over the (n_chars, doc_id) total order.
+    // The oracle is the textbook single-window formulation; the engine
+    // side uses the two-phase global-position scheme (range partitions
+    // + partition-local row_numbers + broadcast prefix offsets), so the
+    // hash match proves the distributed positions equal a literal
+    // global row_number.
+    "q177_sorted_blocking" -> Q(
+      (s, d) => graft.operators.SortedNeighborhood
+        .candidates(docs(s, d), "doc_id",
+          Seq(col("n_chars"), col("doc_id")), w = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH pos AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS p
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  a.p AS pos_a, b.p AS pos_b
+             |FROM pos a JOIN pos b ON b.p > a.p AND b.p <= a.p + 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Lexicon tagging — the brand-safety / topic-taxonomy pass of a
+    // crawl pipeline: a tiny category lexicon broadcast-joined against
+    // the exploded token stream (the dimension side never shuffles the
+    // corpus; cost is one pass over tokens + a hash agg on
+    // (doc, category)). The oracle replays the lexicon as a CASE map.
+    "q178_lexicon_tags" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val lex = Seq(
+          ("slow", "perf"), ("fast", "perf"),
+          ("join", "sqlop"), ("filter", "sqlop"),
+          ("sort", "sqlop"), ("agg", "sqlop"),
+          ("spark", "infra"), ("table", "infra"),
+          ("batch", "infra"), ("stream", "infra"))
+        val lexDf = broadcast(lex.toDF("w", "category"))
+        docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(lexDf, "w")
+          .groupBy("doc_id", "category")
+          .agg(count(lit(1)).as("hits"))
+          .orderBy("doc_id", "category")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS w FROM documents),
+             |tagged AS (SELECT doc_id,
+             |    CASE WHEN w IN ('slow','fast') THEN 'perf'
+             |         WHEN w IN ('join','filter','sort','agg') THEN 'sqlop'
+             |         WHEN w IN ('spark','table','batch','stream')
+             |           THEN 'infra' END AS category
+             |  FROM tok)
+             |SELECT doc_id, category, CAST(count(*) AS BIGINT) AS hits
+             |FROM tagged WHERE category IS NOT NULL
+             |GROUP BY doc_id, category
+             |ORDER BY doc_id, category""".stripMargin)))
 }

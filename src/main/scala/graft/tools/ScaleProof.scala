@@ -83,6 +83,29 @@ object ScaleProof {
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
 
+  /** 10x orders + lineitem with per-copy key offsets — disjoint copies
+    * of the customer→supplier bipartite graph, so q170's HITS workload
+    * (join+agg per half-round over the distinct edge set) scales 10x in
+    * edges while per-family structure is preserved. Offsets keep key
+    * spaces collision-free: orderkey stride 1e10, cust/supp stride 1e8.
+    */
+  def synthesizeGraph(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int = 10): Unit = {
+    def replicate(df: DataFrame, offsets: Map[String, Long]): DataFrame =
+      offsets.foldLeft(spark.range(copies).crossJoin(df)) {
+        case (acc, (c, stride)) =>
+          acc.withColumn(c, col(c) + col("id") * stride)
+      }.drop("id")
+    replicate(graft.Tables.orders(spark, srcDir),
+      Map("o_orderkey" -> 10000000000L, "o_custkey" -> 100000000L))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+    replicate(graft.Tables.lineitem(spark, srcDir),
+      Map("l_orderkey" -> 10000000000L, "l_suppkey" -> 100000000L))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse(
@@ -102,20 +125,42 @@ object ScaleProof {
     // two measured decades: 10x and 100x the sf0.1 corpus (the second
     // decade is what separates "fixed overhead still dominates" from a
     // genuine scaling trend)
+    val copyCapEarly = sys.env.get("SPARK_GRAFT_SCALEPROOF_MAXCOPIES")
+      .map(_.toInt).getOrElse(100)
     val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
+      .filter(_._2 <= copyCapEarly)
       .map { case (tag, copies) =>
         val dir = s"$work/$tag"
         val rows = synthesize(spark, sfDir, dir, copies)
         System.err.println(s"[scaleproof] synthesized $rows docs at $dir")
-        tag -> dir
+        (tag, dir, copies)
       }
+    // the graph tables scale only to the first decade (q170's row below)
+    synthesizeGraph(spark, sfDir, s"$work/sf1.0")
+    System.err.println(s"[scaleproof] synthesized 10x orders+lineitem at $work/sf1.0")
 
-    val queries = Seq("q27_minhash_neardup", "q28_simhash_neardup",
-      "q42_neardup_groups", "q53_corpus_pipeline", "q126_assembly_pipeline")
+    // (query, max copies): the round-5 flagships run both decades; the
+    // round-6 additions (containment, BM25, HITS) run sf0.1 -> sf1.0 —
+    // one measured decade each, per the round-6 scaling table
+    // SPARK_GRAFT_SCALEPROOF_ONLY=q164_...,q170_... scopes a run to a
+    // subset (same knob shape as Bench/Verify); _MAXCOPIES caps the
+    // decade globally (e.g. 10 to skip the 100x leg)
+    val only = sys.env.get("SPARK_GRAFT_SCALEPROOF_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val copyCap = sys.env.get("SPARK_GRAFT_SCALEPROOF_MAXCOPIES")
+      .map(_.toInt).getOrElse(100)
+    val queries = Seq(
+      "q27_minhash_neardup" -> 100, "q28_simhash_neardup" -> 100,
+      "q42_neardup_groups" -> 100, "q53_corpus_pipeline" -> 100,
+      "q126_assembly_pipeline" -> 100,
+      "q164_containment" -> 10, "q173_bm25_retrieval" -> 10,
+      "q170_hits" -> 10)
     val meter = new ShuffleMeter(spark)
     val out = for {
-      name <- queries
-      (tag, dir) <- ("sf0.1" -> sfDir) +: decades
+      (name, maxCopies) <- queries
+      if only.forall(_.contains(name))
+      (tag, dir, copies) <- ("sf0.1", sfDir, 1) +: decades
+      if copies <= maxCopies && copies <= copyCap
     } yield {
       val fn = graft.SparkEntry.queries(name)
       // min of 2 passes, same discipline as Bench (build inside the timer)
