@@ -52,17 +52,35 @@ object Bm25 {
       textCol: String,
       queries: DataFrame,
       k: Int = 5): DataFrame = {
-    val tok = docs.select(col(idCol).as("did"),
-      explode(split(col(textCol), " ")).as("t"))
-    val tf = tok.groupBy("did", "t").agg(count(lit(1)).as("tf"))
-    val len = tok.groupBy("did").agg(count(lit(1)).as("len"))
+    val (tf, len) = postings(docs, idCol, textCol)
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val stats = len.agg(count(lit(1)).as("n_docs"),
       sum("len").as("total_len"))
+    score(tf, len, df, stats, queries, k)
+  }
 
+  /** The (did, t, tf) postings and (did, len) length tables — the
+    * inverted-index building blocks shared with [[Bm25Index]].
+    */
+  private[llm] def postings(
+      docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val tok = docs.select(col(idCol).as("did"),
+      explode(split(col(textCol), " ")).as("t"))
+    (tok.groupBy("did", "t").agg(count(lit(1)).as("tf")),
+      tok.groupBy("did").agg(count(lit(1)).as("len")))
+  }
+
+  /** The scoring join over prebuilt index tables — ONE implementation of
+    * the Okapi arithmetic whether the tables were just aggregated
+    * ([[search]]) or read from a persisted incremental index
+    * ([[Bm25Index.search]]), so index-path scores are definitionally the
+    * one-shot scores whenever the tables match.
+    */
+  private[llm] def score(
+      tf: DataFrame, len: DataFrame, df: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val qt = queries.select(col("qid"),
       explode(array_distinct(split(col("qtext"), " "))).as("t"))
-
     qt.join(tf, "t")
       .join(df, "t")
       .join(len, "did")

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental inverted index for [[Bm25]] retrieval — the
+  * lexical-search member of the persisted-index tier
+  * ([[MinHashIndex]]/[[SimHashIndex]]/[[WinnowIndex]] near-dup,
+  * [[IvfIndex]] ANN, [[CmsIndex]]/[[LineDedupIndex]] frequency).
+  *
+  * Like [[LineDedupIndex]] — and unlike the capped near-dup indexes —
+  * incremental maintenance is parity-EXACT by construction, PROVIDED
+  * batches are doc-disjoint (a re-delivered doc would double its
+  * postings; same contract as LineDedupIndex). The moving parts:
+  *
+  *  - `post/v=N`, `dlen/v=N`: batch N's (did, t, tf) postings and
+  *    (did, len) lengths. APPEND-shaped — disjoint batches mean the
+  *    full tables are the plain union of all versions, so adding a
+  *    batch writes only that batch (the corpus is never rescanned and
+  *    never rewritten; at 100 TB the postings ARE the big table and
+  *    copy-on-write would be a full-corpus write per batch).
+  *  - `df/v=N`, `stats/v=N`: cumulative document-frequency
+  *    (vocabulary-sized) and 1-row corpus stats. Merge is addition, so
+  *    these are copy-on-write like LineDedupIndex's df table — small by
+  *    construction, and reading ONLY the latest version gives the
+  *    whole-corpus values without touching the postings.
+  *
+  * Search loads the union of postings, latest df/stats, and runs the
+  * SAME scoring join as the one-shot path (`Bm25.score`), so
+  * build(b₁) ⊕ add(b₂) then search == Bm25.search(b₁ ∪ b₂) row-for-row
+  * — the exactness class the q181 oracle pins by reusing q173's SQL.
+  */
+object Bm25Index {
+
+  private def versionDirs(path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
+  }
+
+  def latestVersion(path: String): Option[Int] =
+    versionDirs(s"$path/df").sorted.lastOption
+
+  private def writeBatch(path: String, v: Int,
+      tf: DataFrame, len: DataFrame, df: DataFrame, stats: DataFrame): Unit = {
+    tf.write.mode("errorifexists").parquet(s"$path/post/v=$v")
+    len.write.mode("errorifexists").parquet(s"$path/dlen/v=$v")
+    df.write.mode("errorifexists").parquet(s"$path/df/v=$v")
+    stats.write.mode("errorifexists").parquet(s"$path/stats/v=$v")
+  }
+
+  /** Start the index (v=1) from an initial document batch. */
+  def build(docs: DataFrame, path: String,
+      idCol: String, textCol: String): Unit = {
+    val (tf, len) = Bm25.postings(docs, idCol, textCol)
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val stats = len.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_len"))
+    writeBatch(path, 1, tf, len, df, stats)
+  }
+
+  /** Fold a new DOC-DISJOINT batch into the index: postings/lengths
+    * appended as the new version's partition, df and stats merged by
+    * addition into a new cumulative version.
+    */
+  def addBatch(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no Bm25Index at $path"))
+    val (tf, len) = Bm25.postings(docs, idCol, textCol)
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .unionByName(spark.read.parquet(s"$path/df/v=$v"))
+      .groupBy("t").agg(sum("df").as("df"))
+    val stats = len.agg(count(lit(1)).as("n_docs"),
+        sum("len").as("total_len"))
+      .unionByName(spark.read.parquet(s"$path/stats/v=$v"))
+      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+    writeBatch(path, v + 1, tf, len, df, stats)
+  }
+
+  /** Score `queries` (qid, qtext) against the INDEX — same output
+    * contract (and same dropped-qid caveat) as [[Bm25.search]].
+    */
+  def search(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no Bm25Index at $path"))
+    // v=N dirs read as a partition column; drop it — the union of all
+    // versions IS the full table (batches are doc-disjoint)
+    val tf = spark.read.parquet(s"$path/post").drop("v")
+    val len = spark.read.parquet(s"$path/dlen").drop("v")
+    val df = spark.read.parquet(s"$path/df/v=$v")
+    val stats = spark.read.parquet(s"$path/stats/v=$v")
+    Bm25.score(tf, len, df, stats, queries, k)
+  }
+}

@@ -98,23 +98,38 @@ object SimHashDedup {
       }: _*)).as(Seq("combo", "bkey")))
   }
 
+  /** @param maxHamming when >= 0, drop candidate pairs whose exact
+    *        Hamming distance exceeds it BEFORE the dedup shuffle. This
+    *        is the scale valve for the verified forms: banding with
+    *        many short combo keys (e.g. radius=5/blocks=8: 56 combos of
+    *        ~24 bits) collides far pairs constantly — measured at a
+    *        synthesized 500k-doc corpus, ~900M raw candidate pairs of
+    *        which only the within-radius sliver can satisfy any
+    *        downstream check; without the prefilter the pair-distinct
+    *        shuffle and the shingle-array verification join materialize
+    *        all of them (a disk-filling ~TB at that size, measured).
+    *        The filter runs on the join output row (two longs already
+    *        in hand), so far collisions die before costing anything.
+    */
   def candidatePairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       radius: Int = 3,
       blocks: Int = 6,
-      maxBucketSize: Long = 100000L): DataFrame = {
+      maxBucketSize: Long = 100000L,
+      maxHamming: Int = -1): DataFrame = {
     val keyed = bandKeys(docs, idCol, textCol, radius, blocks)
     val capped = graft.operators.BucketCaps.capBuckets(
       keyed, Seq(col("combo"), col("bkey")), maxBucketSize)
-    capped.as("l")
+    val raw = capped.as("l")
       .join(capped.as("r"),
         col("l.combo") === col("r.combo") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
       .select(
         col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    (if (maxHamming >= 0) raw.filter(col("hamming") <= maxHamming) else raw)
       .distinct()
   }
 
@@ -128,15 +143,25 @@ object SimHashDedup {
       radius: Int = 3,
       blocks: Int = 6,
       maxBucketSize: Long = 100000L): DataFrame =
-    candidatePairs(docs, idCol, textCol, radius, blocks, maxBucketSize)
-      .filter(col("hamming") <= radius)
+    candidatePairs(docs, idCol, textCol, radius, blocks, maxBucketSize,
+      maxHamming = radius)
 
   /** SimHash banding as CANDIDATE GENERATION with exact shingle-Jaccard
-    * verification deciding membership: output is a subset of
-    * `{pairs : jaccard >= threshold}`, with equality whenever every true
-    * pair's signatures are within `radius` Hamming bits (guaranteed
-    * candidates). Dedup pipelines that must not emit false positives use
-    * this form; the Hamming radius trades candidate volume for recall.
+    * verification deciding membership. Output contract:
+    * `{(a,b) : jaccard >= threshold AND hamming(sig_a, sig_b) <= radius}`
+    * — banding GUARANTEES every within-radius pair surfaces
+    * (pigeonhole), and the radius prefilter drops out-of-radius combo
+    * collisions deterministically, so the result is a fixed set, not
+    * "true pairs plus whatever happened to collide". The Hamming radius
+    * is the explicit recall knob: a true Jaccard pair whose signatures
+    * differ in more than `radius` bits is out of contract (raise
+    * `radius` to chase it — candidate volume rises accordingly).
+    *
+    * The prefilter is also what makes this form survive scale: without
+    * it the verification join hauls both documents' shingle arrays for
+    * EVERY raw banding collision (measured ~900M pairs / ~TB of shuffle
+    * at a 500k-doc corpus with the q28 parameters; with the prefilter
+    * the verified set is proportional to real near-dup density).
     */
   def nearDupPairsJaccard(
       docs: DataFrame,
@@ -148,6 +173,7 @@ object SimHashDedup {
       shingleWords: Int = 3,
       maxBucketSize: Long = 100000L): DataFrame =
     JaccardVerify.verify(
-      candidatePairs(docs, idCol, textCol, radius, blocks, maxBucketSize),
+      candidatePairs(docs, idCol, textCol, radius, blocks, maxBucketSize,
+        maxHamming = radius),
       docs, idCol, textCol, threshold, shingleWords)
 }

@@ -147,6 +147,11 @@ object SimHashIndex {
 
   /** Banding candidates with exact shingle-Jaccard verification against
     * `allDocs` (must cover batch and indexed ids — Jaccard needs text).
+    * Same contract and same scale valve as
+    * [[SimHashDedup.nearDupPairsJaccard]]: candidates are prefiltered to
+    * `hamming <= radius` before the shingle-array verification join, so
+    * out-of-radius combo collisions die as two-long rows instead of
+    * hauling document shingles through the shuffle.
     */
   def incrementalNearDupPairsJaccard(
       spark: SparkSession,
@@ -166,7 +171,8 @@ object SimHashIndex {
       maxBucketSize: Long = 100000L): DataFrame =
     JaccardVerify.verify(
       incrementalCandidates(spark, path, newDocs, idCol, textCol,
-        radius, blocks, maxBucketSize),
+          radius, blocks, maxBucketSize)
+        .filter(col("hamming") <= radius),
       allDocs, idCol, textCol, threshold, shingleWords)
 
   /** Buckets whose cross-batch occupancy exceeds the per-batch cap —

@@ -2536,5 +2536,82 @@ object LlmQueries {
              |SELECT doc_id, category, CAST(count(*) AS BIGINT) AS hits
              |FROM tagged WHERE category IS NOT NULL
              |GROUP BY doc_id, category
-             |ORDER BY doc_id, category""".stripMargin)))
+             |ORDER BY doc_id, category""".stripMargin)),
+
+    // Dedup-aware sampling — the mixture correction production dataset
+    // curation applies AFTER near-dup clustering: a 40-copy boilerplate
+    // family must not get 40x the sampling mass of a unique doc, so
+    // each doc weighs 1/|its near-dup family| (families from the q42
+    // machinery: MinHash pairs -> connected components; singletons
+    // weigh 1). The draw is the q133 A-ES sampler with those weights —
+    // per-lang top-10 by priority hash/weight. The oracle replays the
+    // RECURSIVE closure, the family sizes, and the exact priority
+    // arithmetic (one IEEE division; integer weight 1e6 div size).
+    "q180_dedup_aware_sample" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = MinHashDedup
+          .nearDupPairs(dd, "doc_id", "text", threshold = 0.5)
+        val cc = graft.operators.ConnectedComponents
+          .run(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        val grouped = dd.join(cc, Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("component"), col("doc_id")))
+        val sizes = grouped.groupBy("group_id")
+          .agg(count(lit(1)).as("gsz"))
+        val weighted = grouped.join(sizes, "group_id")
+          .withColumn("w", expr("1000000 div gsz"))
+        SamplingQueries.weightedSample(weighted, "lang", "doc_id", "w", 10)
+          .select(col("lang"), col("rk"), col("doc_id"),
+            col("group_id"), col("gsz"))
+          .orderBy("lang", "rk")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes,
+              |grp AS (SELECT d.doc_id, d.lang,
+              |    coalesce(c.group_id, d.doc_id) AS group_id
+              |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+              |sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS gsz
+              |  FROM grp GROUP BY group_id),
+              |pri AS (SELECT g.lang, g.doc_id, g.group_id, sz.gsz,
+              |    CAST(CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)),
+              |      1, 8)) AS BIGINT) + 1 AS DOUBLE)
+              |      / (1000000 // sz.gsz) AS priority
+              |  FROM grp g JOIN sz USING (group_id)),
+              |rk AS (SELECT lang, doc_id, group_id, gsz,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY priority, doc_id) AS rk
+              |  FROM pri)
+              |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, group_id, gsz
+              |FROM rk WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)),
+
+    // Incremental persisted inverted index (llm/Bm25Index.scala): the
+    // corpus arrives in two doc-disjoint batches folded into the index
+    // (postings append-shaped, df/stats merged by addition — batch 2
+    // never rescans batch 1), then q173's query set searches the INDEX.
+    // Because the index tables equal the one-shot aggregates exactly
+    // and the scoring join is literally shared (Bm25.score), the
+    // incremental search hash-matches q173's one-shot oracle;
+    // n_versions = 2 pins that real batch-by-batch delivery happened.
+    // Same exactness class as q149/q166's additive indexes.
+    "q181_bm25_incremental" -> Q(
+      (s, d) => {
+        import graft.llm.Bm25Index
+        val idx = graft.queries.Scratch.dir("graft-q181-bmidx") + "/idx"
+        val all = docs(s, d)
+        Bm25Index.build(all.filter(col("doc_id") < 250), idx,
+          "doc_id", "text")
+        Bm25Index.addBatch(s, idx, all.filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        val queries = all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        Bm25Index.search(s, idx, queries, k = 5)
+          .withColumn("n_versions",
+            lit(Bm25Index.latestVersion(idx).get.toLong))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH $bm25Ctes
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000,
+             |  CAST(2 AS BIGINT) AS n_versions
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)))
 }

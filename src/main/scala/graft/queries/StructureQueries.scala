@@ -475,6 +475,64 @@ object StructureQueries {
              |  CAST(sum(CAST(qv * qv AS DECIMAL(38,0))) AS DOUBLE) AS sumsq_q
              |FROM q GROUP BY dim ORDER BY dim""".stripMargin)),
 
+    // Embedding drift monitor — q144's per-dim statistics split into a
+    // reference vs current cohort (even/odd vec_id standing in for
+    // yesterday's/today's embedding batch): per-dimension means of the
+    // 2^20-quantized coordinates and the absolute mean shift, the
+    // first-order alarm for encoder version skew or upstream
+    // distribution drift before vectors reach the ANN index. Integer
+    // sums end-to-end; the two means and the shift are three IEEE ops
+    // replayed identically by the oracle.
+    "q182_embedding_drift" -> Q(
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .withColumn("cohort",
+            when(col("vec_id") % 2 === 0, lit("ref")).otherwise(lit("cur")))
+          .withColumn("qv_arr", graft.llm.Clustering.quantize(col("embedding")))
+          .select(col("cohort"), posexplode(col("qv_arr")).as(Seq("dim", "qv")))
+        q.groupBy(col("dim").cast("long").as("dim"))
+          .agg(
+            count(when(col("cohort") === "ref", 1)).as("n_ref"),
+            count(when(col("cohort") === "cur", 1)).as("n_cur"),
+            sum(when(col("cohort") === "ref", col("qv")).otherwise(0L))
+              .as("sum_ref"),
+            sum(when(col("cohort") === "cur", col("qv")).otherwise(0L))
+              .as("sum_cur"))
+          .withColumn("mean_ref_q",
+            col("sum_ref").cast("double") / col("n_ref").cast("double"))
+          .withColumn("mean_cur_q",
+            col("sum_cur").cast("double") / col("n_cur").cast("double"))
+          .withColumn("drift_q", abs(col("mean_cur_q") - col("mean_ref_q")))
+          .select(col("dim"), col("n_ref"), col("n_cur"), col("sum_ref"),
+            col("sum_cur"), col("mean_ref_q"), col("mean_cur_q"),
+            col("drift_q"))
+          .orderBy("dim")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
+             |    i -> {'dim': i, 'x': embedding[i+1]})) AS u
+             |  FROM embeddings),
+             |q AS (SELECT CAST(u.dim AS BIGINT) AS dim,
+             |        CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END
+             |          AS cohort,
+             |        CAST(round(CAST(u.x AS DOUBLE) * 1048576) AS BIGINT)
+             |          AS qv
+             |      FROM e),
+             |agg AS (SELECT dim,
+             |    CAST(count(*) FILTER (cohort = 'ref') AS BIGINT) AS n_ref,
+             |    CAST(count(*) FILTER (cohort = 'cur') AS BIGINT) AS n_cur,
+             |    CAST(coalesce(sum(qv) FILTER (cohort = 'ref'), 0) AS BIGINT)
+             |      AS sum_ref,
+             |    CAST(coalesce(sum(qv) FILTER (cohort = 'cur'), 0) AS BIGINT)
+             |      AS sum_cur
+             |  FROM q GROUP BY dim)
+             |SELECT dim, n_ref, n_cur, sum_ref, sum_cur,
+             |  CAST(sum_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) AS mean_ref_q,
+             |  CAST(sum_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) AS mean_cur_q,
+             |  abs(CAST(sum_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+             |    - CAST(sum_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)) AS drift_q
+             |FROM agg ORDER BY dim""".stripMargin)),
+
     // Largest-remainder (Hamilton) apportionment of a 1000-slot sample
     // budget across (lang, source) strata — the exact-proportionality
     // allocator for an evaluation-set draw: floor shares, then the

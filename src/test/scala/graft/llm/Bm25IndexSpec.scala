@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class Bm25IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffles data across the cluster"),
+    (2L, "spark caches hot data in memory"),
+    (3L, "the cluster scales the shuffle tier"),
+    (4L, "rare xylophone token lives here"),
+    (5L, "memory tier caches the hot shuffle")).toDF("doc_id", "text")
+
+  private def queries = Seq(
+    (100L, "spark data"), (200L, "xylophone"), (300L, "hot memory"))
+    .toDF("qid", "qtext")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rank", "did", "score_x1000").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("incremental build+add equals the one-shot search row-for-row") {
+    val path = graft.queries.Scratch.dir("bm25idx-parity")
+    Bm25Index.build(corpus.filter(col("doc_id") <= 2), path, "doc_id", "text")
+    Bm25Index.addBatch(spark, path, corpus.filter(col("doc_id") > 2),
+      "doc_id", "text")
+    assert(Bm25Index.latestVersion(path).contains(2))
+    val incremental = rows(Bm25Index.search(spark, path, queries, k = 3))
+    val oneShot = rows(Bm25.search(corpus, "doc_id", "text", queries, k = 3))
+    assert(incremental == oneShot && incremental.nonEmpty)
+  }
+
+  test("three disjoint batches still match; df and stats accumulate") {
+    val path = graft.queries.Scratch.dir("bm25idx-3batch")
+    Bm25Index.build(corpus.filter(col("doc_id") === 1), path, "doc_id", "text")
+    Bm25Index.addBatch(spark, path,
+      corpus.filter(col("doc_id").isin(2L, 3L)), "doc_id", "text")
+    Bm25Index.addBatch(spark, path,
+      corpus.filter(col("doc_id") > 3), "doc_id", "text")
+    assert(Bm25Index.latestVersion(path).contains(3))
+    val stats = spark.read.parquet(s"$path/stats/v=3").collect().head
+    assert(stats.getLong(0) == 5L) // n_docs accumulated across versions
+    assert(rows(Bm25Index.search(spark, path, queries, k = 3)) ==
+      rows(Bm25.search(corpus, "doc_id", "text", queries, k = 3)))
+  }
+
+  test("search on a missing index fails loudly") {
+    intercept[IllegalStateException](
+      Bm25Index.search(spark, "/tmp/definitely-missing-bm25idx", queries))
+  }
+
+  test("all-OOV query vanishes from index search too (documented contract)") {
+    val path = graft.queries.Scratch.dir("bm25idx-oov")
+    Bm25Index.build(corpus, path, "doc_id", "text")
+    val out = Bm25Index.search(spark, path,
+      Seq((9L, "zzz qqq")).toDF("qid", "qtext"), k = 3)
+    assert(out.isEmpty)
+  }
+}

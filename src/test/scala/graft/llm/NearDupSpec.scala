@@ -93,16 +93,38 @@ class NearDupSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
-  test("SimHash jaccard-verified: equals the exact pair set when banding covers the radius") {
+  test("SimHash jaccard-verified: exactly the exact pairs WITHIN the Hamming radius") {
+    // the output contract is {jaccard >= t AND hamming <= radius} — a
+    // fixed set, not "true pairs plus whatever combo keys collided".
+    // On this tiny fixture the (1,2)/(2,4) near-dups flip MANY signature
+    // bits (one extra word in a 14-token doc moves a large fraction of
+    // the simhash sums), so they fall outside radius 5 and are out of
+    // contract at that radius; the exact duplicate (hamming 0) is in.
+    val sig = SimHashDedup.signatures(docs, "doc_id", "text")
+    val ham = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
     val exact = NGramJaccard.similarPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 1000L)
       .as[(Long, Long, Double)].collect().toSet
-    val banded = SimHashDedup.nearDupPairsJaccard(docs, "doc_id", "text",
-        threshold = 0.5, radius = 5, blocks = 8)
-      .as[(Long, Long, Double)].collect().toSet
-    // near-identical docs sit within hamming 5 -> guaranteed candidates;
-    // exact verification then reproduces the exact scores, not estimates
-    assert(banded == exact)
+    def bandedAt(r: Int, blocks: Int) =
+      SimHashDedup.nearDupPairsJaccard(docs, "doc_id", "text",
+          threshold = 0.5, radius = r, blocks = blocks)
+        .as[(Long, Long, Double)].collect().toSet
+    val at5 = bandedAt(5, 8)
+    assert(at5 == exact.filter { case (a, b, _) => ham((a, b)) <= 5 })
+    assert(at5.map(p => (p._1, p._2)) == Set((1L, 4L)))
+    // raising the radius past the fixture's max true-pair hamming
+    // recovers the full exact set with exact (not estimated) scores
+    val maxTrueHam = exact.map { case (a, b, _) => ham((a, b)) }.max
+    assert(maxTrueHam > 5, "fixture should exercise the out-of-radius case")
+    // blocks = radius + 1 keeps the pigeonhole guarantee with only
+    // C(radius+1, 1) = radius+1 single-block keys — the cheap way to
+    // band a wide radius (tiny blocks -> hot buckets, fine at this size)
+    val wide = bandedAt(maxTrueHam, maxTrueHam + 1)
+    assert(wide == exact)
   }
 
   test("SimHash: radius 0 with blocks 1 keys on the full signature (width-64 mask)") {
