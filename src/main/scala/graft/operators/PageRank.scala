@@ -75,4 +75,48 @@ object PageRank {
     e.unpersist(blocking = false)
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
+
+  /** Personalized PageRank: teleport mass lands on `seeds` (one `node`
+    * column) instead of uniformly — the seed-relative relevance
+    * propagation behind "related items" and trust-rank flows. Same
+    * integer arithmetic as [[run]] with two changes: the initial rank
+    * splits `scale` over the seed set, and the per-round teleport term
+    * `(3·scale) div (20·|seeds|)` is paid ONLY to seed nodes (everyone
+    * else gets pure damped in-flow). Same per-iteration cost profile and
+    * localCheckpoint lineage discipline as the uniform form; |seeds|
+    * rides along as a broadcast scalar just like N.
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val e = edges.cache()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .distinct()
+    val sd = seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1L))
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    var ranks = nodes
+      .join(deg, nodes("node") === deg("u"), "left")
+      .join(sd, Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"), col("ns"),
+        expr(s"is_seed * ($scale div ns)").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ranks.filter(col("deg") > 0)
+        .join(e, ranks("node") === e("u"))
+        .select(col("v"), expr("r div deg").as("share"))
+        .groupBy("v").agg(sum("share").as("c"))
+      ranks = ranks.join(contrib, ranks("node") === contrib("v"), "left")
+        .select(col("node"), col("deg"), col("is_seed"), col("ns"),
+          (expr(s"is_seed * ((3 * $scale) div (20 * ns))") +
+            expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
+  }
 }

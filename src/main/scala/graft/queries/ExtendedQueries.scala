@@ -1428,6 +1428,66 @@ object ExtendedQueries {
              |    SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
              |GROUP BY n ORDER BY node""".stripMargin)),
 
+    // Personalized PageRank (operators/PageRank.personalized): teleport
+    // mass pinned to a seed set (customers 0-9) over the SYMMETRIZED
+    // customer↔supplier graph — the seed-relative relevance propagation
+    // behind related-item surfacing and trust rank. Two damped rounds,
+    // the same quantized integer arithmetic as q93, literally unrolled
+    // by the oracle (r0 mass split over seeds; per-round teleport paid
+    // only to seeds). Top-20 by rank with node tie-break.
+    "q184_personalized_pagerank" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cu"),
+            (col("l_suppkey") + 1000000L).as("su"))
+          .distinct()
+        val edges = base.select(col("cu").as("u"), col("su").as("v"))
+          .unionByName(base.select(col("su").as("u"), col("cu").as("v")))
+        val seeds = base.filter(col("cu") < 10).select(col("cu").as("node"))
+        graft.operators.PageRank.personalized(edges, seeds, iters = 2)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rank_fp").desc, col("node"))).cast("long"))
+          .filter(col("rnk") <= 20)
+          .select("rnk", "node", "deg", "rank_fp")
+          .orderBy("rnk")
+      },
+      Some("""WITH b AS (SELECT DISTINCT o_custkey AS cu,
+             |    l_suppkey + 1000000 AS su
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT cu AS u, su AS v FROM b
+             |      UNION ALL SELECT su, cu FROM b),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+             |  FROM e GROUP BY u),
+             |nodes AS (SELECT DISTINCT u AS node FROM e
+             |          UNION SELECT DISTINCT v FROM e),
+             |sd AS (SELECT DISTINCT cu AS node FROM b WHERE cu < 10),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd),
+             |r0 AS (SELECT n.node, coalesce(deg.deg, 0) AS deg,
+             |    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+             |    CASE WHEN sd.node IS NOT NULL
+             |         THEN 1000000 // (SELECT ns FROM ns) ELSE 0 END AS r
+             |  FROM nodes n LEFT JOIN deg ON deg.u = n.node
+             |    LEFT JOIN sd ON sd.node = n.node),
+             |c1 AS (SELECT e.v, CAST(sum(r0.r // r0.deg) AS BIGINT) AS c
+             |  FROM r0 JOIN e ON e.u = r0.node WHERE r0.deg > 0 GROUP BY e.v),
+             |r1 AS (SELECT r0.node, r0.deg, r0.is_seed,
+             |    r0.is_seed * (3000000 // (20 * (SELECT ns FROM ns)))
+             |      + (17 * coalesce(c1.c, 0)) // 20 AS r
+             |  FROM r0 LEFT JOIN c1 ON c1.v = r0.node),
+             |c2 AS (SELECT e.v, CAST(sum(r1.r // r1.deg) AS BIGINT) AS c
+             |  FROM r1 JOIN e ON e.u = r1.node WHERE r1.deg > 0 GROUP BY e.v),
+             |r2 AS (SELECT r1.node, r1.deg, r1.is_seed,
+             |    r1.is_seed * (3000000 // (20 * (SELECT ns FROM ns)))
+             |      + (17 * coalesce(c2.c, 0)) // 20 AS r
+             |  FROM r1 LEFT JOIN c2 ON c2.v = r1.node),
+             |rk AS (SELECT node, deg, CAST(r AS BIGINT) AS rank_fp,
+             |    row_number() OVER (ORDER BY r DESC, node) AS rnk
+             |  FROM r2)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, node, deg, rank_fp
+             |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin)),
+
     // Interval union / coverage merge — the overlap half of
     // gaps-and-islands (q118 collapses runs of EQUAL values; this merges
     // OVERLAPPING spans): each event opens a deterministic integer-

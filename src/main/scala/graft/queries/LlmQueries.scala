@@ -2613,5 +2613,40 @@ object LlmQueries {
       Some(s"""WITH $bm25Ctes
              |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000,
              |  CAST(2 AS BIGINT) AS n_versions
-             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)))
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Leakage-safe train/val split — the dedup-aware sibling of q114's
+    // plain hash split: near-identical documents must NEVER straddle
+    // the boundary (a val doc whose near-dup sits in train is
+    // contamination), so the split key is the near-dup FAMILY id from
+    // the q42 closure, not the doc id. Every family lands wholly on one
+    // side by construction; singletons split like q114 would. 80/20 by
+    // md5 of the family id — the oracle replays closure and hash
+    // arithmetic exactly.
+    "q183_leakage_safe_split" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = MinHashDedup
+          .nearDupPairs(dd, "doc_id", "text", threshold = 0.5)
+        val cc = graft.operators.ConnectedComponents
+          .run(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        dd.select("doc_id").join(cc, Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("component"), col("doc_id")))
+          .withColumn("split",
+            when(conv(substring(md5(col("group_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 10 < 8, lit("train"))
+              .otherwise(lit("val")))
+          .select("doc_id", "group_id", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes,
+              |grp AS (SELECT d.doc_id,
+              |    coalesce(c.group_id, d.doc_id) AS group_id
+              |  FROM documents d LEFT JOIN comp c USING (doc_id))
+              |SELECT doc_id, group_id,
+              |  CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)),
+              |    1, 8)) AS BIGINT) % 10 < 8 THEN 'train' ELSE 'val' END
+              |    AS split
+              |FROM grp ORDER BY doc_id""".stripMargin)))
 }

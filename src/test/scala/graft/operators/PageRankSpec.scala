@@ -32,6 +32,35 @@ class PageRankSpec extends AnyFunSuite {
     assert(total > scale - 100 && total <= scale, s"total=$total")
   }
 
+  test("personalized: mass concentrates around the seed, far nodes get none") {
+    // path 0-1-2-3-4-5 (symmetric), seed at node 0, 2 rounds: rank can
+    // only have reached distance <= 2 from the seed
+    val path = (0L until 5L).map(i => (i, i + 1))
+    val e0 = path.toDF("u", "v")
+    val edges = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    val seeds = Seq(0L).toDF("node")
+    val out = PageRank.personalized(edges, seeds, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(0L) > out(1L) && out(1L) > 0L && out(2L) > 0L)
+    assert(out(3L) == 0L && out(4L) == 0L && out(5L) == 0L)
+    // uniform teleport (run) would fund every node instead
+    val uni = PageRank.run(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(uni(5L) > 0L)
+  }
+
+  test("personalized with ALL nodes as seeds equals the uniform form") {
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val e0 = ring.toDF("u", "v")
+    val edges = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    val all = (0L until 12L).toDF("node")
+    val p = PageRank.personalized(edges, all, iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val u = PageRank.run(edges, iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p == u && p.nonEmpty)
+  }
+
   test("20 iterations stay fast (per-iteration lineage truncation)") {
     // ring of 50 nodes, symmetric: without localCheckpoint per round the
     // analyzed plan doubles each iteration and analysis alone dominates
