@@ -117,7 +117,9 @@ class PlanSpec extends AnyFunSuite {
       "q162_pmi_collocations",  // 1-row broadcast scalar (total bigrams N)
       "q169_group_quantiles",   // 3-row percentile spec x per-group counts
       "q170_hits",              // 1-row normalization scalar per half-round
-      "q173_bm25_retrieval")    // 1-row corpus stats broadcast
+      "q173_bm25_retrieval",    // 1-row corpus stats broadcast
+      "q176_rrf_fusion",        // q24's broadcast query-vector set (dense leg)
+      "q181_bm25_incremental")  // q173's 1-row stats broadcast, via the index
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
