@@ -868,6 +868,32 @@ object LakehouseQueries {
              |WHERE l_orderkey >= m // 4 AND l_orderkey <= m // 2
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Per-file Bloom data skipping (sources/BloomSkip.scala) — the
+    // POINT-LOOKUP sibling of q154's zone maps: a high-cardinality
+    // equality probe over an id column prunes files via per-file Bloom
+    // sidecars built in ONE distributed pass (native
+    // BloomFilterAggregate, partial-merged executor-side). Pruning is
+    // conservative (FPs only keep extra files; no false negatives), so
+    // the indexed point read equals the plain IN filter row-for-row —
+    // exactly what the oracle replays. BloomSkipSpec pins that the
+    // skipping itself happens (3 keys -> ~3 of 8 files; absent -> ~0).
+    "q185_bloom_skipping" -> Q(
+      (s, d) => {
+        import graft.sources.BloomSkip
+        val root = graft.queries.Scratch.dir("graft-q185-bs") + "/t"
+        val dd = Tables.documents(s, d)
+        dd.repartitionByRange(8, col("doc_id"))
+          .write.parquet(root)
+        BloomSkip.write(s, root, "doc_id", expectedItemsPerFile = 10000L)
+        val keys = Seq(7L, 123L, 250L, 444L, 999999L) // last one absent
+        BloomSkip.readIn(s, root, "doc_id", keys)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE doc_id IN (7, 123, 250, 444, 999999)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Z-order layout x multi-dimension skipping — the composition q67
     // (z-value clustering) and q154 (zone maps) exist FOR: lineitem is
     // laid out along the (l_partkey, l_suppkey) z-curve so every file
