@@ -894,6 +894,48 @@ object LakehouseQueries {
              |WHERE doc_id IN (7, 123, 250, 444, 999999)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental zone-map maintenance (ZoneMap.append): the table grows
+    // by an appended batch and ONLY the new part files are scanned to
+    // fold their envelopes into the manifest — upkeep proportional to
+    // the batch, not the table (the persisted-index family's addBatch
+    // argument applied to the skipping sidecar; ZoneMapSpec pins
+    // incremental == full-rebuild manifest equality). The range read
+    // then spans both batches and must equal the plain filter — which
+    // is exactly what the oracle replays.
+    "q186_zonemap_incremental" -> Q(
+      (s, d) => {
+        import graft.sources.ZoneMap
+        val root = graft.queries.Scratch.dir("graft-q186-zmi") + "/t"
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+        val maxk = li.agg(max("l_orderkey")).head().getLong(0)
+        li.filter(col("l_orderkey") < maxk / 2)
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.parquet(root)
+        ZoneMap.write(s, root, Seq("l_orderkey"))
+        li.filter(col("l_orderkey") >= maxk / 2)
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("append").parquet(root)
+        val added = ZoneMap.append(s, root, Seq("l_orderkey"))
+        ZoneMap.readRange(s, root, "l_orderkey",
+            lit(maxk / 3), lit((2 * maxk) / 3))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Stats.decimalSum(col("l_quantity")).as("sum_qty"))
+          .withColumn("n_new_files", lit(added.toLong))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH mk AS (SELECT max(l_orderkey) AS m FROM lineitem)
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(4 AS BIGINT) AS n_new_files
+             |FROM lineitem, mk
+             |WHERE l_orderkey >= m // 3 AND l_orderkey <= (2 * m) // 3
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Z-order layout x multi-dimension skipping — the composition q67
     // (z-value clustering) and q154 (zone maps) exist FOR: lineitem is
     // laid out along the (l_partkey, l_suppkey) z-curve so every file

@@ -49,6 +49,44 @@ object ZoneMap {
   def manifest(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(s"$tableDir/_zonemap")
 
+  /** Incremental manifest maintenance: scan ONLY the data files that are
+    * not in the manifest yet (an append's new part files) and fold their
+    * rows in. At 100 TB a table gains a handful of files per ingest
+    * batch; rebuilding the sidecar with [[write]] would rescan the whole
+    * table per batch — this makes manifest upkeep proportional to the
+    * batch, the same argument as the persisted-index family's addBatch.
+    *
+    * File identity is compared on scheme-stripped paths (Hadoop listing
+    * says `file:/...` where `input_file_name()` said `file:///...`).
+    * The merged manifest is localCheckpoint-materialized before the
+    * overwrite so the write never reads its own input. Returns the
+    * number of newly indexed files (0 = manifest was current).
+    */
+  def append(spark: SparkSession, tableDir: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "track at least one column")
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val cur = manifest(spark, tableDir)
+    val known = cur.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") &&
+        !known.contains(norm(st.getPath.toString)))
+      .map(_.getPath.toString)
+    if (fresh.isEmpty) return 0
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val added = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    cur.unionByName(added)
+      .localCheckpoint() // materialize: the overwrite must not read itself
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tableDir/_zonemap")
+    fresh.size
+  }
+
   /** Files whose envelope intersects `[lo, hi]` on `c` — i.e. NOT
     * provably disjoint. Null envelopes (all-null chunks) are kept.
     * The manifest is file-count-sized; collecting it is bounded model

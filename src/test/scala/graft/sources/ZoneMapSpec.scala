@@ -71,6 +71,31 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(box.count() == full.count() && full.count() > 0)
   }
 
+  test("append folds ONLY the new files into the manifest; result equals a full rebuild") {
+    val dir = clusteredTable()
+    import spark.implicits._
+    // manifest current -> append is a no-op
+    assert(ZoneMap.append(spark, dir, Seq("k")) == 0)
+    // two new slices arrive
+    (4 until 6).foreach { i =>
+      (i * 100 until (i + 1) * 100).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    assert(ZoneMap.append(spark, dir, Seq("k")) == 2)
+    assert(ZoneMap.manifest(spark, dir).count() == 6)
+    // incrementally-maintained manifest == full rebuild, row for row
+    val inc = ZoneMap.manifest(spark, dir)
+      .collect().map(_.toSeq).toSet
+    ZoneMap.write(spark, dir, Seq("k"))
+    val full = ZoneMap.manifest(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+    // and the skipping read spans old and new slices exactly
+    val got = ZoneMap.readRange(spark, dir, "k", lit(350L), lit(450L))
+      .select("k").as[Long].collect().toSet
+    assert(got == (350L to 450L).toSet)
+  }
+
   test("null envelopes are conservative: an all-null chunk survives every prune") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-null").toString
     import spark.implicits._
