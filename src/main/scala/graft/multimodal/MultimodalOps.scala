@@ -226,6 +226,51 @@ object MultimodalOps {
     }
   }
 
+  /** Linear-interpolation resample of 16-bit LE PCM from `srIn` to
+    * `srOut` Hz — the decode-side DSP every audio ingest runs before a
+    * feature extractor with a fixed input rate. Output length is
+    * floor((n-1)·srOut/srIn)+1 (source positions stay inside
+    * [0, n-1]).
+    *
+    * EXACT integer arithmetic, deliberately: source position of output
+    * j is the rational j·srIn/srOut, split as i = (j·srIn) div srOut
+    * and remainder r; interpolation runs in the shifted non-negative
+    * domain u = s + 32768 as (u_i·(srOut−r) + u_{i+1}·r) div srOut — a
+    * single floor division of a non-negative numerator, so the whole
+    * resample replays relationally with no engine-rounding hazard
+    * (truncate-vs-floor division only differs on negative numerators,
+    * which the shift removes). r == 0 short-circuits to u_i so the
+    * final sample never reads past the buffer.
+    */
+  def resamplePcmLinear(ds: Dataset[RawAudio], srIn: Int, srOut: Int,
+      batchSize: Int = 64): Dataset[RawAudio] = {
+    require(srIn > 0 && srOut > 0)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { a =>
+        val n = a.pcm.length / 2
+        val nOut = if (n == 0) 0 else ((n - 1).toLong * srOut / srIn).toInt + 1
+        val out = new Array[Byte](nOut * 2)
+        def u(k: Int): Long =
+          ((((a.pcm(k * 2 + 1) & 0xff) << 8) | (a.pcm(k * 2) & 0xff))
+            .toShort.toInt + 32768).toLong
+        var j = 0
+        while (j < nOut) {
+          val num = j.toLong * srIn
+          val i = (num / srOut).toInt
+          val r = num % srOut
+          val uo = if (r == 0) u(i)
+            else (u(i) * (srOut - r) + u(i + 1) * r) / srOut
+          val s = (uo - 32768).toInt
+          out(j * 2) = (s & 0xff).toByte
+          out(j * 2 + 1) = ((s >> 8) & 0xff).toByte
+          j += 1
+        }
+        RawAudio(a.id, out)
+      })
+    }
+  }
+
   /** Frame sampling: one output row per sampled frame index — pure
     * expression (`sequence` + `explode`), so sampling N frames from a
     * video column never leaves codegen.

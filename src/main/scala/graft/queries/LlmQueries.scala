@@ -1910,6 +1910,65 @@ object LlmQueries {
              |  CAST(max(abs(s)) AS BIGINT) AS peak
              |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Audio resampling (q111's DSP sibling): 256-sample 16-bit clips
+    // linear-resampled 8000 Hz -> 6000 Hz by the exact-integer kernel
+    // (MultimodalOps.resamplePcmLinear — interpolation in the shifted
+    // non-negative u-domain, one floor division per sample), then
+    // per-clip features over the RESAMPLED bytes. The oracle replays
+    // position arithmetic, interpolation, and features relationally —
+    // truncate-vs-floor division can't diverge because every numerator
+    // is non-negative by construction.
+    "q187_audio_resample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.MultimodalOps
+        val clips = docs(s, d).select(col("doc_id")).as[Long]
+          .map(id => MultimodalOps.RawAudio(id, MultimodalOps.synthPcm(id, 256)))
+        MultimodalOps.resamplePcmLinear(clips, srIn = 8000, srOut = 6000)
+          .map { a =>
+            val n = a.pcm.length / 2
+            var sum = 0L
+            var peak = 0L
+            var first = 0
+            var last = 0
+            var i = 0
+            while (i < n) {
+              val v = ((((a.pcm(i * 2 + 1) & 0xff) << 8) |
+                (a.pcm(i * 2) & 0xff)).toShort).toInt
+              sum += v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i == 0) first = v
+              if (i == n - 1) last = v
+              i += 1
+            }
+            (a.id, n.toLong, sum, peak, first.toLong, last.toLong)
+          }
+          .toDF("doc_id", "n_out", "sum_s", "peak_s", "first_s", "last_s")
+          .orderBy("doc_id")
+      },
+      Some("""WITH j AS (SELECT d.doc_id, x.j
+             |  FROM documents d, range(0, 192) x(j)),
+             |c AS (SELECT doc_id, j, (j*8000) // 6000 AS i,
+             |    (j*8000) % 6000 AS r FROM j),
+             |u AS (SELECT doc_id, j, r,
+             |    (doc_id*7 + i*3) % 512 - 256 + 32768 AS u_i,
+             |    (doc_id*7 + (i+1)*3) % 512 - 256 + 32768 AS u_n
+             |  FROM c),
+             |o AS (SELECT doc_id, j,
+             |    CAST((CASE WHEN r = 0 THEN u_i * 6000
+             |          ELSE u_i * (6000 - r) + u_n * r END) // 6000 - 32768
+             |      AS BIGINT) AS s
+             |  FROM u)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_out,
+             |  CAST(sum(s) AS BIGINT) AS sum_s,
+             |  CAST(max(abs(s)) AS BIGINT) AS peak_s,
+             |  CAST(sum(CASE WHEN j = 0 THEN s ELSE 0 END) AS BIGINT)
+             |    AS first_s,
+             |  CAST(sum(CASE WHEN j = 191 THEN s ELSE 0 END) AS BIGINT)
+             |    AS last_s
+             |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // HTML -> training-text extraction (the crawl-pipeline pass before
     // any quality gate): wrap each doc in a deterministic page skeleton
     // (head with title/style/script, nav links varying per doc, main

@@ -188,6 +188,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(many(7L) == one)
   }
 
+  test("resamplePcmLinear: identity at equal rates; hand-checked midpoints; bounds") {
+    import MultimodalOps._
+    import spark.implicits._
+    def pcm(samples: Seq[Int]) = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    def decode(b: Array[Byte]) = (0 until b.length / 2).map(i =>
+      ((((b(i * 2 + 1) & 0xff) << 8) | (b(i * 2) & 0xff)).toShort).toInt)
+    val src = Seq(0, 100, -100, 50)
+    // same rate: bit-identical passthrough
+    val same = resamplePcmLinear(
+      spark.createDataset(Seq(RawAudio(1L, pcm(src)))), 8000, 8000)
+      .collect().head
+    assert(decode(same.pcm) == src)
+    // 2x upsample: odd outputs are exact midpoints (floor in u-domain)
+    val up = resamplePcmLinear(
+      spark.createDataset(Seq(RawAudio(1L, pcm(src)))), 4000, 8000)
+      .collect().head
+    val ud = decode(up.pcm)
+    assert(ud.length == 7) // (4-1)*8000/4000 + 1
+    assert(ud(0) == 0 && ud(2) == 100 && ud(4) == -100 && ud(6) == 50)
+    assert(ud(1) == 50 && ud(3) == 0 && ud(5) == -25)
+    // downsample keeps endpoints and stays within source min/max
+    val down = resamplePcmLinear(
+      spark.createDataset(Seq(RawAudio(1L, synthPcm(1L, 256)))), 8000, 6000)
+      .collect().head
+    val dd = decode(down.pcm)
+    assert(dd.length == 192)
+    val sd = decode(synthPcm(1L, 256))
+    assert(dd.head == sd.head)
+    assert(dd.forall(v => v >= sd.min && v <= sd.max))
+    // degenerate clips: empty stays empty, single sample copies
+    assert(resamplePcmLinear(spark.createDataset(
+      Seq(RawAudio(2L, Array[Byte]()))), 8000, 6000)
+      .collect().head.pcm.isEmpty)
+    assert(decode(resamplePcmLinear(spark.createDataset(
+      Seq(RawAudio(3L, pcm(Seq(42))))), 8000, 6000)
+      .collect().head.pcm) == Seq(42))
+  }
+
   test("resizeRawRgb + channelStats run distributed over raw bitmaps") {
     import graft.multimodal.MultimodalOps._
     import spark.implicits._
