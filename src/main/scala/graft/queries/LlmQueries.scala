@@ -2597,6 +2597,47 @@ object LlmQueries {
              |GROUP BY doc_id, category
              |ORDER BY doc_id, category""".stripMargin)),
 
+    // Blocked near-dup detection — q177's sorted-neighborhood blocking
+    // composed with the shared exact-Jaccard verifier: candidates are
+    // the w=5 window over the (n_chars, doc_id) order (near-identical
+    // docs have near-identical lengths, the classic cheap blocking
+    // key), verification is JaccardVerify — the SAME final stage as the
+    // MinHash/SimHash pipelines, demonstrating candidate generators are
+    // pluggable. Deterministic end-to-end, so unlike LSH the oracle
+    // replays the BLOCKING too (position window + shingle Jaccard):
+    // output = {pairs within 5 positions AND jaccard >= 0.5}, exactly.
+    "q188_blocked_neardup" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val cand = graft.operators.SortedNeighborhood
+          .candidates(dd, "doc_id", Seq(col("n_chars"), col("doc_id")), w = 5)
+          .select("id_a", "id_b")
+        graft.llm.JaccardVerify
+          .verify(cand, dd, "doc_id", "text", threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |sets AS (SELECT doc_id, list_distinct(
+              |    CASE WHEN len(t) < 3 THEN [nm]
+              |         ELSE list_transform(range(1, len(t) - 1),
+              |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)
+              |    AS sh
+              |  FROM tok),
+              |pos AS (SELECT doc_id,
+              |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS p
+              |  FROM documents),
+              |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM pos a JOIN pos b ON b.p > a.p AND b.p <= a.p + 5),
+              |sc AS (SELECT id_a, id_b,
+              |    CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 1.0
+              |         ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              |           / len(list_distinct(sa.sh || sb.sh)) END AS jaccard
+              |  FROM cand JOIN sets sa ON sa.doc_id = id_a
+              |            JOIN sets sb ON sb.doc_id = id_b)
+              |SELECT id_a, id_b, jaccard FROM sc WHERE jaccard >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // Dedup-aware sampling — the mixture correction production dataset
     // curation applies AFTER near-dup clustering: a 40-copy boilerplate
     // family must not get 40x the sampling mass of a unique doc, so
