@@ -1488,6 +1488,33 @@ object ExtendedQueries {
              |SELECT CAST(rnk AS BIGINT) AS rnk, node, deg, rank_fp
              |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin)),
 
+    // Pre-flight join profiling (operators/JoinStats.profile): the
+    // exact cardinality and skew profile of the events×events
+    // self-join on user_id — computed WITHOUT running the join, from
+    // the distinct-key-sized per-key count tables (inner equi-join
+    // cardinality is exactly sum over keys of n_a*n_b). This is the
+    // launch guard for 100 TB joins: the dominant `pairs` rows are the
+    // keys that need salting/AQE-skew handling; the total says whether
+    // the output is even writable. Products run in DECIMAL(38,0).
+    "q189_join_cardinality" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinStats.profile(ev, "user_id", ev, "user_id", 10)
+      },
+      Some("""WITH ca AS (SELECT user_id AS k, CAST(count(*) AS BIGINT)
+             |    AS n_a FROM events GROUP BY 1),
+             |prod AS (SELECT a.k, a.n_a, b.n_a AS n_b,
+             |    a.n_a * b.n_a AS pairs
+             |  FROM ca a JOIN ca b USING (k)),
+             |tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs
+             |  FROM prod),
+             |rk AS (SELECT k, n_a, n_b, CAST(pairs AS BIGINT) AS pairs,
+             |    row_number() OVER (ORDER BY pairs DESC, k) AS rnk
+             |  FROM prod)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, k, n_a, n_b, pairs,
+             |  tot.total_pairs
+             |FROM rk CROSS JOIN tot WHERE rnk <= 10 ORDER BY rnk""".stripMargin)),
+
     // Interval union / coverage merge — the overlap half of
     // gaps-and-islands (q118 collapses runs of EQUAL values; this merges
     // OVERLAPPING spans): each event opens a deterministic integer-

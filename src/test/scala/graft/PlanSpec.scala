@@ -119,7 +119,8 @@ class PlanSpec extends AnyFunSuite {
       "q170_hits",              // 1-row normalization scalar per half-round
       "q173_bm25_retrieval",    // 1-row corpus stats broadcast
       "q176_rrf_fusion",        // q24's broadcast query-vector set (dense leg)
-      "q181_bm25_incremental")  // q173's 1-row stats broadcast, via the index
+      "q181_bm25_incremental",  // q173's 1-row stats broadcast, via the index
+      "q189_join_cardinality")  // 1-row total_pairs broadcast scalar
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
