@@ -2597,6 +2597,87 @@ object LlmQueries {
              |GROUP BY doc_id, category
              |ORDER BY doc_id, category""".stripMargin)),
 
+    // Proximity re-ranking — the positional-index stage stacked on BM25
+    // retrieval: the bag-of-words scorer can't tell "new york" from
+    // "york ... 40 words ... new", so the top-k candidates (and ONLY
+    // those — the rerank set is k·|queries| docs by construction, which
+    // is what makes expensive per-candidate scoring affordable at any
+    // corpus size) are re-scored by the minimum token distance between
+    // the query's first two distinct terms, from positional postings
+    // (posexplode). Missing-term candidates keep a sentinel distance
+    // and fall behind all proximate ones; final order (min_dist asc,
+    // bm25 desc, did) replays exactly — the oracle recomputes BM25,
+    // the candidate cut, the positional join, and the re-sort.
+    "q190_proximity_rerank" -> Q(
+      (s, d) => {
+        import graft.llm.Bm25
+        val corpus = docs(s, d)
+        val queries = corpus.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        val cand = Bm25.search(corpus, "doc_id", "text", queries, k = 5)
+        // the query pair: first two DISTINCT terms of each query
+        val qpair = queries.select(col("qid"),
+            array_distinct(split(col("qtext"), " ")).as("qt"))
+          .filter(size(col("qt")) >= 2)
+          .select(col("qid"), element_at(col("qt"), 1).as("t1"),
+            element_at(col("qt"), 2).as("t2"))
+        // positional postings of the candidate docs only
+        val pos = corpus
+          .join(cand.select(col("did")).distinct(), col("doc_id") === col("did"))
+          .select(col("did"),
+            posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+        val d1 = pos.select(col("did"), col("t").as("t1"), col("p").as("p1"))
+        val d2 = pos.select(col("did").as("did2"), col("t").as("t2b"),
+          col("p").as("p2"))
+        val prox = cand.join(qpair, "qid")
+          .join(d1, Seq("did", "t1"), "left")
+          .join(d2, col("did") === col("did2") && col("t2b") === col("t2"),
+            "left")
+          .groupBy("qid", "did", "score_x1000")
+          .agg(coalesce(min(abs(col("p1") - col("p2"))), lit(1000000L))
+            .cast("long").as("min_dist"))
+        prox
+          .withColumn("prox_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("min_dist"), col("score_x1000").desc, col("did")))
+            .cast("long"))
+          .select("qid", "prox_rank", "did", "min_dist", "score_x1000")
+          .orderBy("qid", "prox_rank")
+      },
+      Some(s"""WITH $bm25Ctes,
+             |cand AS (SELECT qid, did, score_x1000 FROM rk WHERE rank <= 5),
+             |qw AS (SELECT doc_id AS qid,
+             |    unnest(range(1, 4)) AS p,
+             |    unnest(string_split(text, ' ')[1:3]) AS t
+             |  FROM documents WHERE doc_id < 3),
+             |qf AS (SELECT qid, t, min(p) AS fp FROM qw
+             |  WHERE t IS NOT NULL GROUP BY qid, t),
+             |qr AS (SELECT qid, t, row_number() OVER (PARTITION BY qid
+             |    ORDER BY fp) AS r FROM qf),
+             |qpair AS (SELECT a.qid, a.t AS t1, b.t AS t2
+             |  FROM qr a JOIN qr b ON a.qid = b.qid AND a.r = 1 AND b.r = 2),
+             |pos AS (SELECT c.did, u.p - 1 AS p, u.t FROM
+             |    (SELECT DISTINCT did FROM cand) c JOIN documents dd
+             |      ON dd.doc_id = c.did,
+             |    LATERAL (SELECT unnest(range(1,
+             |        len(string_split(dd.text, ' ')) + 1)) AS p,
+             |      unnest(string_split(dd.text, ' ')) AS t) u),
+             |prox AS (SELECT c.qid, c.did, c.score_x1000,
+             |    coalesce(CAST(min(abs(p1.p - p2.p)) AS BIGINT), 1000000)
+             |      AS min_dist
+             |  FROM cand c JOIN qpair q ON q.qid = c.qid
+             |    LEFT JOIN pos p1 ON p1.did = c.did AND p1.t = q.t1
+             |    LEFT JOIN pos p2 ON p2.did = c.did AND p2.t = q.t2
+             |  GROUP BY c.qid, c.did, c.score_x1000),
+             |rr AS (SELECT qid, did, min_dist, score_x1000,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY min_dist, score_x1000 DESC, did) AS prox_rank
+             |  FROM prox)
+             |SELECT qid, CAST(prox_rank AS BIGINT) AS prox_rank, did,
+             |  min_dist, score_x1000
+             |FROM rr ORDER BY qid, prox_rank""".stripMargin)),
+
     // Blocked near-dup detection — q177's sorted-neighborhood blocking
     // composed with the shared exact-Jaccard verifier: candidates are
     // the w=5 window over the (n_chars, doc_id) order (near-identical
