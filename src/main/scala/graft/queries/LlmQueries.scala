@@ -2597,6 +2597,55 @@ object LlmQueries {
              |GROUP BY doc_id, category
              |ORDER BY doc_id, category""".stripMargin)),
 
+    // Sparse TF-IDF cosine similarity join (llm/TfIdfCosine.scala) —
+    // the weighted-term relatedness axis between q23's set Jaccard and
+    // q30's dense cosine: the inverted-index join IS the sparse matrix
+    // product (no candidates-then-rescore), weights are tf x floor-log2
+    // idf (q173's exact-integer idf), and the cosine test runs SQUARED
+    // in DECIMAL(38,0) so no square root exists anywhere. The oracle
+    // replays weighting, the term join, and the squared-ratio filter
+    // (HUGEINT on the DuckDB side).
+    // NOTE on the corpus slice: the synthetic vocabulary is ~31 words
+    // total, so EVERY term is in nearly every document and tf-idf
+    // cosine is inherently all-pairs here (sum over terms of df² has no
+    // rare-term mass; the stop-term cap has nothing selective to drop).
+    // On Zipf-distributed real text the df cap is the operative valve;
+    // on THIS corpus the query bounds the scored slice instead.
+    "q191_tfidf_cosine_pairs" -> Q(
+      (s, d) => graft.llm.TfIdfCosine
+        .similarPairs(docs(s, d).filter(col("doc_id") < 1000),
+          "doc_id", "text", thresholdPct = 90)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (SELECT doc_id AS did,
+             |    unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE doc_id < 1000),
+             |tf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY did, t),
+             |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY t),
+             |st AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS n_docs
+             |  FROM tf),
+             |w AS (SELECT tf.did, tf.t,
+             |    tf.tf * CAST(length(bin((st.n_docs * 64) // dfq.df)) - 1
+             |      AS BIGINT) AS w
+             |  FROM tf JOIN dfq USING (t) CROSS JOIN st
+             |  WHERE dfq.df <= 100000),
+             |nrm AS (SELECT did, CAST(sum(w * w) AS BIGINT) AS n2
+             |  FROM w GROUP BY did),
+             |dt AS (SELECT a.did AS id_a, b.did AS id_b,
+             |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+             |  FROM w a JOIN w b ON a.t = b.t AND a.did < b.did
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT id_a, id_b, dot,
+             |    CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+             |      // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT)
+             |      AS cos2_x1e6
+             |  FROM dt JOIN nrm na ON na.did = id_a
+             |          JOIN nrm nb ON nb.did = id_b)
+             |SELECT id_a, id_b, dot, cos2_x1e6 FROM sc
+             |WHERE cos2_x1e6 >= 810000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Proximity re-ranking — the positional-index stage stacked on BM25
     // retrieval: the bag-of-words scorer can't tell "new york" from
     // "york ... 40 words ... new", so the top-k candidates (and ONLY

@@ -64,6 +64,38 @@ object BloomSkip {
   def manifest(spark: SparkSession, tableDir: String, c: String): DataFrame =
     spark.read.parquet(sidecar(tableDir, c))
 
+  /** Incremental manifest maintenance — [[ZoneMap.append]]'s contract
+    * for the Bloom sidecar: scan ONLY data files missing from the
+    * manifest (an append batch's new part files), build their blooms,
+    * and fold them in. Per-file blooms are independent, so incremental
+    * == full rebuild exactly (no merge subtleties). Returns the number
+    * of newly indexed files.
+    */
+  def append(spark: SparkSession, tableDir: String, c: String,
+      expectedItemsPerFile: Long = 1000000L, fpp: Double = 0.01): Int = {
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val cur = manifest(spark, tableDir, c)
+    val known = cur.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val freshFiles = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") &&
+        !known.contains(norm(st.getPath.toString)))
+      .map(_.getPath.toString)
+    if (freshFiles.isEmpty) return 0
+    val bits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
+    val added = spark.read.parquet(freshFiles: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        bloomAgg(col(c), expectedItemsPerFile, bits).as("bloom"))
+    cur.unionByName(added)
+      .localCheckpoint() // materialize: the overwrite must not read itself
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sidecar(tableDir, c))
+    freshFiles.size
+  }
+
   /** Files that might contain ANY of `keys` — the manifest is
     * file-count-sized (bounded model state, the ZoneMap argument), so
     * collecting and probing it driver-side is manifest work, not data

@@ -47,6 +47,20 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("k", "payload"))
   }
 
+  test("append folds only new files; point lookups reach both batches") {
+    val dir = freshTable()
+    BloomSkip.write(spark, dir, "k", expectedItemsPerFile = 1000L)
+    assert(BloomSkip.append(spark, dir, "k", expectedItemsPerFile = 1000L) == 0)
+    (4000L until 5000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartitionByRange(2, col("k"))
+      .write.mode("append").parquet(dir)
+    assert(BloomSkip.append(spark, dir, "k", expectedItemsPerFile = 1000L) == 2)
+    assert(BloomSkip.manifest(spark, dir, "k").count() == 10L)
+    val got = BloomSkip.readIn(spark, dir, "k", Seq(100L, 4500L))
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(100L, 4500L))
+  }
+
   test("no false negatives: every key of the table finds its row via the index") {
     val dir = freshTable()
     BloomSkip.write(spark, dir, "k", expectedItemsPerFile = 1000L)
