@@ -120,7 +120,9 @@ class PlanSpec extends AnyFunSuite {
       "q173_bm25_retrieval",    // 1-row corpus stats broadcast
       "q176_rrf_fusion",        // q24's broadcast query-vector set (dense leg)
       "q181_bm25_incremental",  // q173's 1-row stats broadcast, via the index
-      "q189_join_cardinality")  // 1-row total_pairs broadcast scalar
+      "q189_join_cardinality",  // 1-row total_pairs broadcast scalar
+      "q190_proximity_rerank",  // q173's 1-row stats broadcast (x3 plan reuse)
+      "q191_tfidf_cosine_pairs") // 1-row n_docs broadcast scalar (x4 plan reuse)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
