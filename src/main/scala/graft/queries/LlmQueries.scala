@@ -2845,6 +2845,61 @@ object LlmQueries {
              |  CAST(2 AS BIGINT) AS n_versions
              |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // Streaming BM25-index maintenance — q181's operator driven by the
+    // REAL streaming engine (q166's delivery shape): two file-stream
+    // microbatches (doc_id < 250 / >= 250, maxFilesPerTrigger=1,
+    // AvailableNow) foreachBatch-folded into the persisted inverted
+    // index — batch 2 never rescans batch 1 — then q173's query set
+    // searches the INDEX. Additive df/stats + the literally-shared
+    // scoring join make the result hash-EXACT against the one-shot
+    // oracle; n_versions = 2 pins that real batch-by-batch delivery
+    // happened (same exactness class as q149/q150/q166).
+    "q192_stream_bm25_ingest" -> Q(
+      (s, d) => {
+        import graft.llm.Bm25Index
+        val root = graft.queries.Scratch.dir("graft-q192-bmstream")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val all = docs(s, d).select(col("doc_id"), col("text"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, all.filter(col("doc_id") < 250))
+        writeBatch("b2.parquet", 2000000L, all.filter(col("doc_id") >= 250))
+        val idx = s"$root/idx"
+        s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (Bm25Index.latestVersion(idx).isEmpty)
+              Bm25Index.build(b, idx, "doc_id", "text")
+            else
+              Bm25Index.addBatch(s, idx, b, "doc_id", "text")
+          }
+          .start().awaitTermination()
+        require(Bm25Index.latestVersion(idx).contains(2),
+          "expected two delivered microbatches")
+        val queries = all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        Bm25Index.search(s, idx, queries, k = 5)
+          .withColumn("n_versions",
+            lit(Bm25Index.latestVersion(idx).get.toLong))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH $bm25Ctes
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000,
+             |  CAST(2 AS BIGINT) AS n_versions
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // Leakage-safe train/val split — the dedup-aware sibling of q114's
     // plain hash split: near-identical documents must NEVER straddle
     // the boundary (a val doc whose near-dup sits in train is

@@ -169,4 +169,59 @@ object OperatorProperties extends Properties("graft.operators") {
         }
         out == expected
     }
+
+  property("sortedNeighborhood equals the literal global window at any w") =
+    forAll(Gen.listOfN(25, Gen.choose(0L, 40L)), Gen.choose(1, 6)) {
+      (keys, w) =>
+        val rows = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        val df = rows.toDF("id", "key")
+        val got = SortedNeighborhood
+          .candidates(df, "id", Seq(col("key"), col("id")), w, 4)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        // reference: positions in the (key, id) total order
+        val pos = rows.sortBy { case (id, k) => (k, id) }
+          .map(_._1).zipWithIndex.toMap
+        val expected = (for {
+          a <- rows.map(_._1); b <- rows.map(_._1)
+          d = pos(b) - pos(a)
+          if d >= 1 && d <= w
+        } yield (a, b)).toSet
+        got == expected
+    }
+
+  property("kCore survivors all have degree >= k within the surviving subgraph") =
+    forAll(Gen.listOfN(30, for {
+      u <- Gen.choose(0L, 9L); v <- Gen.choose(0L, 9L)
+    } yield (u, v)), Gen.choose(1, 4)) { (edges, k) =>
+      val out = KCore.peel(edges.toDF("u", "v"), k, rounds = 6)
+        .as[(Long, Long)].collect().toMap
+      out.values.forall(_ >= k)
+    }
+
+  property("joinStats total equals the executed join cardinality") =
+    forAll(Gen.listOfN(20, Gen.choose(0L, 6L)),
+      Gen.listOfN(20, Gen.choose(0L, 6L))) { (as, bs) =>
+      val a = as.toDF("k")
+      val b = bs.toDF("k")
+      val prof = JoinStats.profile(a, "k", b, "k", topK = 50).collect()
+      val actual = a.as("x").join(b.as("y"),
+        col("x.k") === col("y.k")).count()
+      if (prof.isEmpty) actual == 0L
+      else prof.head.getAs[Long]("total_pairs") == actual
+    }
+
+  property("rrf fused score is the exact sum of floor contributions") =
+    forAll(Gen.nonEmptyListOf(for {
+      q <- Gen.choose(1L, 2L); id <- Gen.choose(1L, 6L)
+      r <- Gen.choose(1L, 10L)
+    } yield (q, id, r))) { rows =>
+      val out = graft.llm.Rrf.fuse(rows.toDF("qid", "id", "rank"),
+          k0 = 60, topK = 100)
+        .select("qid", "id", "rrf_x1e6")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val expected = rows.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.map(r => 1000000L / (60L + r._3)).sum).toMap
+      out == expected
+    }
 }
