@@ -143,6 +143,75 @@ object StructureQueries {
               |SELECT register, max_rho, exact_distinct
               |FROM sk CROSS JOIN ex ORDER BY register""".stripMargin)),
 
+    // Sketch ROLLUP — the property sketches exist for, exercised across
+    // a persistence boundary: per-(lang, source) FM register tables are
+    // built once and PERSISTED (the cube-cell sketch table a warehouse
+    // maintains), then per-lang distinct-token summaries are answered by
+    // merging the persisted segment sketches (per-register max — no
+    // rescan of the corpus, no re-hash). Merge-then-summarize equals
+    // build-at-the-coarser-grain by the max-merge algebra; the oracle
+    // replays hashing, register assignment, segment max, rollup max,
+    // and the exact per-lang distinct reference column.
+    "q193_sketch_rollup" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            explode(split(TextFunctions.normalized(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val h = TextFunctions.polyHash(col("w").cast("string"))
+        val h2 = (h * 31L + 7L) % 1000000007L
+        val tz = when(h2 === 0L, lit(0L))
+          .otherwise(bit_count(h2.bitwiseXOR(h2 - 1L)) - 1L)
+        val seg = base
+          .select(col("lang"), col("source"),
+            pmod(h, lit(64L)).as("register"), (tz + 1L).as("rho"))
+          .groupBy("lang", "source", "register")
+          .agg(max("rho").as("max_rho"))
+        val segPath = graft.queries.Scratch.dir("graft-q193-sk") + "/seg"
+        seg.write.parquet(segPath)
+        val merged = s.read.parquet(segPath)
+          .groupBy("lang", "register").agg(max("max_rho").as("max_rho"))
+        val summary = merged.groupBy("lang").agg(
+          count(lit(1)).as("n_occupied"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(max_rho AS INT))"))
+            .as("sum_pow2_rho"),
+          max("max_rho").as("max_rho"))
+        val exact = base.groupBy("lang")
+          .agg(countDistinct("w").cast("long").as("exact_distinct"))
+        summary.join(exact, "lang").orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang, source,
+              |    unnest(string_split($normSql, ' ')) AS w FROM documents),
+              |ws AS (SELECT lang, source, w FROM t WHERE w <> ''),
+              |h AS (SELECT lang, source, w, list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(range(1, len(w)+1),
+              |        i -> CAST(ascii(w[i]) AS BIGINT))),
+              |    (acc, c) -> (acc * 131 + c) % 1000000007) AS h
+              |  FROM ws),
+              |r AS (SELECT lang, source, h % 64 AS register,
+              |    (h * 31 + 7) % 1000000007 AS h2 FROM h),
+              |rr AS (SELECT lang, source, register,
+              |    CASE WHEN h2 = 0 THEN CAST(1 AS BIGINT)
+              |         ELSE CAST(bit_count(xor(h2, h2 - 1)) AS BIGINT)
+              |    END AS rho
+              |  FROM r),
+              |seg AS (SELECT lang, source, register, max(rho) AS max_rho
+              |  FROM rr GROUP BY 1, 2, 3),
+              |mg AS (SELECT lang, register, max(max_rho) AS max_rho
+              |  FROM seg GROUP BY 1, 2),
+              |sm AS (SELECT lang,
+              |    CAST(count(*) AS BIGINT) AS n_occupied,
+              |    CAST(sum(CAST(1 AS BIGINT) << CAST(max_rho AS INT))
+              |      AS BIGINT) AS sum_pow2_rho,
+              |    CAST(max(max_rho) AS BIGINT) AS max_rho
+              |  FROM mg GROUP BY 1),
+              |ex AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT)
+              |    AS exact_distinct FROM ws GROUP BY 1)
+              |SELECT sm.lang, n_occupied, sum_pow2_rho, sm.max_rho,
+              |  exact_distinct
+              |FROM sm JOIN ex USING (lang) ORDER BY lang""".stripMargin)),
+
     // Temperature-based domain mixture (the multilingual/multi-domain
     // sampling scheme of Lample & Conneau'19 at α = 1/2): upweight small
     // sources by sampling ∝ mass^α. Portable because sqrt IS correctly
