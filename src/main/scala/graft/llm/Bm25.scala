@@ -37,27 +37,43 @@ object Bm25 {
     * returns the top-`k` (qid, rank, doc id, score_x1000) per query,
     * ties broken by doc id.
     *
-    * A query whose terms ALL miss the corpus has no rows in the output —
-    * the term→postings join is inner, so a zero-result qid VANISHES
-    * rather than appearing with an empty hit list. Callers iterating a
-    * query set must anti-join the output's qids against the input's to
-    * distinguish "no hits" from "query lost"; this is the standard
-    * sparse-retrieval contract (an all-OOV query has no defined score
-    * against any document), kept inner deliberately so the scoring join
-    * cost stays proportional to matching postings.
+    * By default a query whose terms ALL miss the corpus has no rows in
+    * the output — the term→postings join is inner, so a zero-result qid
+    * VANISHES rather than appearing with an empty hit list (the
+    * standard sparse-retrieval contract: an all-OOV query has no
+    * defined score against any document; kept inner deliberately so
+    * the scoring join cost stays proportional to matching postings).
+    * With `emitEmpty = true`, zero-result qids are left-joined back in
+    * with an explicit empty-result marker row `(qid, rank = 0,
+    * did = NULL, score_x1000 = NULL)` — rank 0 can never occur for a
+    * real hit (ranks start at 1), so callers iterating a query set
+    * keep every qid without the anti-join dance.
     */
   def search(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       queries: DataFrame,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      emitEmpty: Boolean = false): DataFrame = {
     val (tf, len) = postings(docs, idCol, textCol)
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val stats = len.agg(count(lit(1)).as("n_docs"),
       sum("len").as("total_len"))
-    score(tf, len, df, stats, queries, k)
+    withEmpty(score(tf, len, df, stats, queries, k), queries, emitEmpty)
   }
+
+  /** Left-join `queries`' qids back onto `hits`, marking hitless qids
+    * with `(rank = 0, did = NULL, score_x1000 = NULL)` — shared by the
+    * one-shot and [[Bm25Index]] search paths.
+    */
+  private[llm] def withEmpty(
+      hits: DataFrame, queries: DataFrame, emitEmpty: Boolean): DataFrame =
+    if (!emitEmpty) hits
+    else queries.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("rank"), lit(0L)).as("rank"),
+        col("did"), col("score_x1000"))
 
   /** The (did, t, tf) postings and (did, len) length tables — the
     * inverted-index building blocks shared with [[Bm25Index]].

@@ -47,12 +47,21 @@ object Bm25Index {
   def latestVersion(path: String): Option[Int] =
     versionDirs(s"$path/df").sorted.lastOption
 
+  /** Commit protocol: `df/v=N` is the COMMIT MARKER — it is written
+    * LAST, and `latestVersion` / `search` treat a version as existing
+    * only once its df dir does. A crash mid-batch leaves orphan
+    * post/dlen/stats dirs for an uncommitted version; `search` ignores
+    * them (it reads only versions <= latestVersion by explicit path)
+    * and a retried `addBatch` deletes them before rewriting.
+    */
   private def writeBatch(path: String, v: Int,
       tf: DataFrame, len: DataFrame, df: DataFrame, stats: DataFrame): Unit = {
-    tf.write.mode("errorifexists").parquet(s"$path/post/v=$v")
-    len.write.mode("errorifexists").parquet(s"$path/dlen/v=$v")
+    // clear orphans from a previously crashed attempt at this version
+    // (df/v=N absent by contract, so overwrite of the others is safe)
+    tf.write.mode("overwrite").parquet(s"$path/post/v=$v")
+    len.write.mode("overwrite").parquet(s"$path/dlen/v=$v")
+    stats.write.mode("overwrite").parquet(s"$path/stats/v=$v")
     df.write.mode("errorifexists").parquet(s"$path/df/v=$v")
-    stats.write.mode("errorifexists").parquet(s"$path/stats/v=$v")
   }
 
   /** Start the index (v=1) from an initial document batch. */
@@ -85,18 +94,26 @@ object Bm25Index {
   }
 
   /** Score `queries` (qid, qtext) against the INDEX — same output
-    * contract (and same dropped-qid caveat) as [[Bm25.search]].
+    * contract (same dropped-qid caveat and same `emitEmpty` escape
+    * hatch) as [[Bm25.search]].
     */
   def search(spark: SparkSession, path: String,
-      queries: DataFrame, k: Int = 5): DataFrame = {
+      queries: DataFrame, k: Int = 5,
+      emitEmpty: Boolean = false): DataFrame = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalStateException(s"no Bm25Index at $path"))
-    // v=N dirs read as a partition column; drop it — the union of all
-    // versions IS the full table (batches are doc-disjoint)
-    val tf = spark.read.parquet(s"$path/post").drop("v")
-    val len = spark.read.parquet(s"$path/dlen").drop("v")
+    // the union of all COMMITTED versions IS the full table (batches
+    // are doc-disjoint). Versions are enumerated from the df commit
+    // markers and read by explicit path, so orphan post/dlen dirs left
+    // by a crashed addBatch are never scored against stale df/stats.
+    val committed = versionDirs(s"$path/df").sorted.filter(_ <= v)
+    val tf = committed.map(i => spark.read.parquet(s"$path/post/v=$i"))
+      .reduce(_ unionByName _)
+    val len = committed.map(i => spark.read.parquet(s"$path/dlen/v=$i"))
+      .reduce(_ unionByName _)
     val df = spark.read.parquet(s"$path/df/v=$v")
     val stats = spark.read.parquet(s"$path/stats/v=$v")
-    Bm25.score(tf, len, df, stats, queries, k)
+    Bm25.withEmpty(Bm25.score(tf, len, df, stats, queries, k),
+      queries, emitEmpty)
   }
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.BucketCaps
 
 /** Sparse TF-IDF cosine similarity join — the weighted-term relatedness
   * axis between set Jaccard (which ignores term importance) and dense
@@ -22,7 +23,9 @@ import org.apache.spark.sql.functions._
   * the repo-wide bucket bound) is the scale valve; dropped terms carry
   * the least idf weight by construction, and the cap is part of the
   * operator's definition (the oracle replays it), not a silent
-  * approximation.
+  * approximation. [[hotTerms]] is the divergence report — non-empty
+  * means dots on this corpus exclude exactly those terms' partial
+  * products (same observability contract as [[Containment.hotShingles]]).
   */
 object TfIdfCosine {
 
@@ -64,5 +67,27 @@ object TfIdfCosine {
       .filter(col("cos2_x1e6") >=
         lit(thresholdPct.toLong * thresholdPct * 100))
       .select("id_a", "id_b", "dot", "cos2_x1e6")
+  }
+
+  /** Divergence report for the `maxDocFreq` stop-term cap: every term
+    * whose document frequency exceeds the cap, with its occupancy (= df)
+    * — exactly the terms [[similarPairs]] drops from the inverted index
+    * before the Σ df² join. Empty ⇒ the capped run is identical to an
+    * uncapped one on this corpus; non-empty ⇒ every reported dot product
+    * excludes those terms' partial products (and pairs similar ONLY
+    * through them are absent). Same shape as [[Containment.hotShingles]]
+    * via `BucketCaps.overflowBuckets`, and the same df computation as
+    * [[similarPairs]] (per-doc distinct terms, two-phase groupBy).
+    */
+  def hotTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long = 100000L): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("t"))
+      .distinct()
+    BucketCaps.overflowBuckets(perDoc.select("t"), Seq(col("t")), maxDocFreq)
   }
 }

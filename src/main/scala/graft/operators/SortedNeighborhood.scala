@@ -42,9 +42,17 @@ object SortedNeighborhood {
     val keyCols = sortCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
     val keyed = df.select(col(idCol).as("__id") +: keyCols: _*)
     val ks = keyed.columns.filter(_.startsWith("__k")).toSeq.map(col)
+    // Pin the range partitioning ONCE (eager localCheckpoint) before
+    // either phase reads it: RangePartitioner samples with a seed
+    // derived from the per-execution RDD id, so re-executing the
+    // repartition in two separate jobs (the size collect below, then
+    // the row_number job) could draw DIFFERENT range boundaries —
+    // broadcast prefix offsets would then mismatch the partitions rows
+    // actually land in, silently corrupting global positions.
     val parted = keyed
       .repartitionByRange(numPartitions, ks: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // phase 1: partition sizes -> prefix offsets (numPartitions rows)
     val sizes = parted.groupBy("__pid").count()
       .orderBy("__pid").collect()

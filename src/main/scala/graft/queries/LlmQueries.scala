@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{EmbeddingKnn, MinHashDedup, NGramJaccard, ProductQuantization, SimHashDedup}
+import graft.llm.{EmbeddingKnn, JaccardVerify, MinHashDedup, NGramJaccard, ProductQuantization, SimHashDedup}
 import graft.operators.{Dedup, Stats, TopK}
 
 /** Training-data-pipeline operator corpus over the `documents`,
@@ -2647,46 +2647,36 @@ object LlmQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Proximity re-ranking — the positional-index stage stacked on BM25
-    // retrieval: the bag-of-words scorer can't tell "new york" from
-    // "york ... 40 words ... new", so the top-k candidates (and ONLY
-    // those — the rerank set is k·|queries| docs by construction, which
-    // is what makes expensive per-candidate scoring affordable at any
-    // corpus size) are re-scored by the minimum token distance between
-    // the query's first two distinct terms, from positional postings
-    // (posexplode). Missing-term candidates keep a sentinel distance
+    // retrieval (llm/Proximity.scala): the bag-of-words scorer can't
+    // tell "new york" from "york ... 40 words ... 40 words ... new", so
+    // the top-k candidates (and ONLY those — the rerank set is
+    // k·|queries| docs by construction, which is what makes expensive
+    // per-candidate scoring affordable at any corpus size) are
+    // re-scored by the minimum token distance between the query's first
+    // two distinct terms (adjacent pair pr=1). The operator computes it
+    // with a MERGE SCAN over position-ordered postings — linear in
+    // occurrences where a two-sided positional join is occ(t1)×occ(t2)
+    // — but the VALUE is the same min |p1-p2|, so the oracle replays it
+    // with the quadratic join (exactness, not efficiency, is the
+    // oracle's job). Missing-term candidates keep a sentinel distance
     // and fall behind all proximate ones; final order (min_dist asc,
     // bm25 desc, did) replays exactly — the oracle recomputes BM25,
-    // the candidate cut, the positional join, and the re-sort.
+    // the candidate cut, the positional min, and the re-sort. q195
+    // runs the generalized all-adjacent-pairs form.
     "q190_proximity_rerank" -> Q(
       (s, d) => {
-        import graft.llm.Bm25
+        import graft.llm.{Bm25, Proximity}
         val corpus = docs(s, d)
         val queries = corpus.filter(col("doc_id") < 3)
           .select(col("doc_id").as("qid"),
             array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
         val cand = Bm25.search(corpus, "doc_id", "text", queries, k = 5)
-        // the query pair: first two DISTINCT terms of each query
-        val qpair = queries.select(col("qid"),
-            array_distinct(split(col("qtext"), " ")).as("qt"))
-          .filter(size(col("qt")) >= 2)
-          .select(col("qid"), element_at(col("qt"), 1).as("t1"),
-            element_at(col("qt"), 2).as("t2"))
-        // positional postings of the candidate docs only
-        val pos = corpus
-          .join(cand.select(col("did")).distinct(), col("doc_id") === col("did"))
-          .select(col("did"),
-            posexplode(split(col("text"), " ")).as(Seq("p", "t")))
-        val d1 = pos.select(col("did"), col("t").as("t1"), col("p").as("p1"))
-        val d2 = pos.select(col("did").as("did2"), col("t").as("t2b"),
-          col("p").as("p2"))
-        val prox = cand.join(qpair, "qid")
-          .join(d1, Seq("did", "t1"), "left")
-          .join(d2, col("did") === col("did2") && col("t2b") === col("t2"),
-            "left")
-          .groupBy("qid", "did", "score_x1000")
-          .agg(coalesce(min(abs(col("p1") - col("p2"))), lit(1000000L))
-            .cast("long").as("min_dist"))
-        prox
+        val firstPair = Proximity.adjacentPairs(queries, "qid", "qtext")
+          .filter(col("pr") === 1)
+        val md = Proximity.minDistances(corpus, "doc_id", "text",
+          cand.select("qid", "did"), firstPair)
+        cand
+          .join(md.select("qid", "did", "min_dist"), Seq("qid", "did"))
           .withColumn("prox_rank", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("qid")
               .orderBy(col("min_dist"), col("score_x1000").desc, col("did")))
@@ -2933,5 +2923,104 @@ object LlmQueries {
               |  CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)),
               |    1, 8)) AS BIGINT) % 10 < 8 THEN 'train' ELSE 'val' END
               |    AS split
-              |FROM grp ORDER BY doc_id""".stripMargin)))
+              |FROM grp ORDER BY doc_id""".stripMargin)),
+
+    // Combined-recall near-dup: q188's sorted-neighborhood candidates
+    // UNIONED with q27's MinHash-LSH candidates, one exact-Jaccard
+    // verification over the union — the production linkage-stack shape
+    // (SortedNeighborhood.scala's own scaladoc): SNB misses similar
+    // docs whose blocking keys sort far apart, LSH misses what banding
+    // probability drops, and the two failure modes are independent, so
+    // the union's recall dominates either generator alone
+    // (CombinedRecallSpec pins a fixture where each one misses a pair
+    // the other catches). SNB pairs are position-oriented, LSH pairs
+    // id-oriented — canonicalize to id order BEFORE the distinct so
+    // the union actually dedups. Output contract = {pairs : jaccard >=
+    // 0.5}: LSH recall alone is 1.0 on this corpus (q27's argument),
+    // the union only adds candidates, and verification is exact — so
+    // the oracle is the SAME exact-Jaccard SQL as q23/q27.
+    "q194_combined_neardup" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val snb = graft.operators.SortedNeighborhood
+          .candidates(dd, "doc_id", Seq(col("n_chars"), col("doc_id")), w = 5)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+        val lsh = MinHashDedup.candidatePairs(dd, "doc_id", "text")
+        JaccardVerify
+          .verify(snb.unionByName(lsh).distinct(), dd, "doc_id", "text",
+            threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(jaccardPairsSql)),
+
+    // Generalized proximity rerank — q190's operator over ALL adjacent
+    // query-term pairs, not just the first: a 3-term query "a b c"
+    // scores each candidate by sum over pairs {(a,b), (b,c)} of the
+    // merge-scan min token distance (missing terms carry the sentinel
+    // per PAIR, so a doc holding one pair tightly but lacking the
+    // other ranks behind docs holding both). Candidates, corpus, and
+    // BM25 arithmetic are exactly q190's; the oracle replays the
+    // per-pair minima with the quadratic positional join and the same
+    // sum/sort.
+    "q195_proximity_multiterm" -> Q(
+      (s, d) => {
+        import graft.llm.{Bm25, Proximity}
+        val corpus = docs(s, d)
+        val queries = corpus.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        val cand = Bm25.search(corpus, "doc_id", "text", queries, k = 5)
+        val pairs = Proximity.adjacentPairs(queries, "qid", "qtext")
+        val agg = Proximity
+          .minDistances(corpus, "doc_id", "text",
+            cand.select("qid", "did"), pairs)
+          .groupBy("qid", "did")
+          .agg(sum("min_dist").as("sum_dist"),
+            count(lit(1)).as("n_pairs"))
+        cand.join(agg, Seq("qid", "did"))
+          .withColumn("prox_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("sum_dist"), col("score_x1000").desc, col("did")))
+            .cast("long"))
+          .select("qid", "prox_rank", "did", "sum_dist", "n_pairs",
+            "score_x1000")
+          .orderBy("qid", "prox_rank")
+      },
+      Some(s"""WITH $bm25Ctes,
+             |cand AS (SELECT qid, did, score_x1000 FROM rk WHERE rank <= 5),
+             |qw AS (SELECT doc_id AS qid,
+             |    unnest(range(1, 4)) AS p,
+             |    unnest(string_split(text, ' ')[1:3]) AS t
+             |  FROM documents WHERE doc_id < 3),
+             |qf AS (SELECT qid, t, min(p) AS fp FROM qw
+             |  WHERE t IS NOT NULL GROUP BY qid, t),
+             |qr AS (SELECT qid, t, row_number() OVER (PARTITION BY qid
+             |    ORDER BY fp) AS r FROM qf),
+             |qpair AS (SELECT a.qid, a.r AS pr, a.t AS t1, b.t AS t2
+             |  FROM qr a JOIN qr b ON a.qid = b.qid AND b.r = a.r + 1),
+             |pos AS (SELECT c.did, u.p - 1 AS p, u.t FROM
+             |    (SELECT DISTINCT did FROM cand) c JOIN documents dd
+             |      ON dd.doc_id = c.did,
+             |    LATERAL (SELECT unnest(range(1,
+             |        len(string_split(dd.text, ' ')) + 1)) AS p,
+             |      unnest(string_split(dd.text, ' ')) AS t) u),
+             |pd AS (SELECT c.qid, c.did, c.score_x1000, q.pr,
+             |    coalesce(CAST(min(abs(p1.p - p2.p)) AS BIGINT), 1000000)
+             |      AS md
+             |  FROM cand c JOIN qpair q ON q.qid = c.qid
+             |    LEFT JOIN pos p1 ON p1.did = c.did AND p1.t = q.t1
+             |    LEFT JOIN pos p2 ON p2.did = c.did AND p2.t = q.t2
+             |  GROUP BY c.qid, c.did, c.score_x1000, q.pr),
+             |ag AS (SELECT qid, did, score_x1000,
+             |    CAST(sum(md) AS BIGINT) AS sum_dist,
+             |    CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM pd GROUP BY qid, did, score_x1000),
+             |rr AS (SELECT qid, did, sum_dist, n_pairs, score_x1000,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY sum_dist, score_x1000 DESC, did) AS prox_rank
+             |  FROM ag)
+             |SELECT qid, CAST(prox_rank AS BIGINT) AS prox_rank, did,
+             |  sum_dist, n_pairs, score_x1000
+             |FROM rr ORDER BY qid, prox_rank""".stripMargin)))
 }

@@ -135,9 +135,19 @@ object ScaleProof {
         System.err.println(s"[scaleproof] synthesized $rows docs at $dir")
         (tag, dir, copies)
       }
-    // the graph tables scale only to the first decade (q170's row below)
-    synthesizeGraph(spark, sfDir, s"$work/sf1.0")
-    System.err.println(s"[scaleproof] synthesized 10x orders+lineitem at $work/sf1.0")
+    // the graph tables scale only to the first decade (q170's row
+    // below) — synthesize them only when that decade is in this run's
+    // cap AND a graph query is actually selected, so a docs-only or
+    // sf0.1-only run doesn't pay a 10x orders+lineitem synthesis
+    // nothing reads
+    val onlyEarly = sys.env.get("SPARK_GRAFT_SCALEPROOF_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val graphQueries = Set("q170_hits")
+    if (copyCapEarly >= 10 &&
+        onlyEarly.forall(sel => graphQueries.exists(sel.contains))) {
+      synthesizeGraph(spark, sfDir, s"$work/sf1.0")
+      System.err.println(s"[scaleproof] synthesized 10x orders+lineitem at $work/sf1.0")
+    }
 
     // (query, max copies): the round-5 flagships run both decades; the
     // round-6 additions (containment, BM25, HITS) run sf0.1 -> sf1.0 —

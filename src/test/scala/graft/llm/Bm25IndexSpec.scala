@@ -49,6 +49,29 @@ class Bm25IndexSpec extends AnyFunSuite {
       rows(Bm25.search(corpus, "doc_id", "text", queries, k = 3)))
   }
 
+  test("crashed addBatch leaves orphans that search ignores and retry heals") {
+    val path = graft.queries.Scratch.dir("bm25idx-crash")
+    Bm25Index.build(corpus.filter(col("doc_id") <= 2), path, "doc_id", "text")
+    val before = rows(Bm25Index.search(spark, path, queries, k = 3))
+    // simulate a crash mid-addBatch: post/dlen/stats for v=2 written,
+    // but the df commit marker never landed
+    val orphanTf = Seq((99L, "ghost", 1L)).toDF("did", "t", "tf")
+    orphanTf.write.parquet(s"$path/post/v=2")
+    Seq((99L, 1L)).toDF("did", "len").write.parquet(s"$path/dlen/v=2")
+    Seq((1L, 1L)).toDF("n_docs", "total_len")
+      .write.parquet(s"$path/stats/v=2")
+    // uncommitted version is invisible: latestVersion keys off df, and
+    // search reads only committed versions by explicit path
+    assert(Bm25Index.latestVersion(path).contains(1))
+    assert(rows(Bm25Index.search(spark, path, queries, k = 3)) == before)
+    // retried addBatch overwrites the orphans and commits cleanly
+    Bm25Index.addBatch(spark, path, corpus.filter(col("doc_id") > 2),
+      "doc_id", "text")
+    assert(Bm25Index.latestVersion(path).contains(2))
+    assert(rows(Bm25Index.search(spark, path, queries, k = 3)) ==
+      rows(Bm25.search(corpus, "doc_id", "text", queries, k = 3)))
+  }
+
   test("search on a missing index fails loudly") {
     intercept[IllegalStateException](
       Bm25Index.search(spark, "/tmp/definitely-missing-bm25idx", queries))

@@ -45,4 +45,24 @@ class Bm25Spec extends AnyFunSuite {
     val got = results(Seq((0L, "dragonfruit")))
     assert(got.isEmpty)
   }
+
+  test("emitEmpty keeps zero-result qids as (rank 0, NULL, NULL) markers") {
+    val q = Seq((1L, "apple"), (2L, "dragonfruit"), (3L, "zzz qqq"))
+      .toDF("qid", "qtext")
+    // default mode: all-OOV qids vanish (the documented contract)
+    assert(Bm25.search(docs, "doc_id", "text", q, k = 2)
+      .select("qid").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+    val kept = Bm25.search(docs, "doc_id", "text", q, k = 2, emitEmpty = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // every input qid present; hitless ones carry exactly one marker row
+    assert(kept.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(kept.filter(_._1 == 2L).toSeq == Seq((2L, 0L, -1L, -1L)))
+    assert(kept.filter(_._1 == 3L).toSeq == Seq((3L, 0L, -1L, -1L)))
+    // real hits are identical to the default mode (rank still starts at 1)
+    assert(kept.filter(_._1 == 1L).map(x => (x._2, x._3, x._4)).toSet ==
+      results(Seq((1L, "apple")), k = 2).map(x => (x._2, x._3, x._4)).toSet)
+  }
 }

@@ -51,6 +51,23 @@ class TfIdfCosineSpec extends AnyFunSuite {
     assert(uncapped.keySet.exists { case (a, b) => a == 1L && b == 2L })
   }
 
+  test("hotTerms reports exactly the over-cap terms with their df") {
+    val boiler = (10L until 20L).map(i => (i, s"click here u$i"))
+    val docs = (Seq((1L, "click here"), (2L, "click here please")) ++ boiler)
+      .toDF("doc_id", "text")
+    val hot = TfIdfCosine.hotTerms(docs, "doc_id", "text", maxDocFreq = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'click'/'here' appear in all 12 docs; every other term is rare
+    assert(hot == Map("click" -> 12L, "here" -> 12L))
+    // df counts DOCS, not occurrences: repeating a term within one doc
+    // must not push it over the cap
+    val rep = Seq((1L, "dup dup dup dup dup dup solo"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    assert(TfIdfCosine.hotTerms(rep, "doc_id", "text", maxDocFreq = 5).isEmpty)
+    // default cap on a clean corpus: empty report = capped == uncapped
+    assert(TfIdfCosine.hotTerms(docs, "doc_id", "text").isEmpty)
+  }
+
   test("partition invariance") {
     val docs = (0L until 60L).map(i =>
       (i, (0 to (i % 5).toInt).map(j => s"w${(i * 7 + j * 3) % 13}").mkString(" ")))

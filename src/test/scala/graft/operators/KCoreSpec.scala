@@ -29,15 +29,35 @@ class KCoreSpec extends AnyFunSuite {
     assert(run(chain, k = 2, rounds = 5).isEmpty)
   }
 
-  test("self-loops and duplicate edges are normalized away") {
-    val messy = Seq((1L, 2L), (2L, 1L) /* dup, same edge? no: reversed */,
+  test("self-loops and duplicate edges (incl. reversed) are normalized away") {
+    val messy = Seq((1L, 2L), (2L, 1L) /* reversed duplicate */,
       (1L, 1L), (2L, 3L), (1L, 3L))
-    // convention: rows are directed pairs; (1,2) and (2,1) are distinct
-    // rows but the caller orients canonically for undirected graphs —
-    // here they survive distinct(); degrees count both
+    // edges canonicalize to (least, greatest) before distinct(), so a
+    // reversed duplicate counts the edge ONCE — an input carrying both
+    // orientations must not double every degree (that would shift the
+    // effective k threshold)
     val got = run(messy, k = 1, rounds = 1)
-    assert(!got.contains(1L) || got(1L) >= 1L) // no self-loop contribution
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(run(Seq((1L, 2L), (2L, 1L)), k = 1, rounds = 1) ==
+      Map(1L -> 1L, 2L -> 1L))
+    // a symmetrized triangle is still only a 2-core, not a 4-core
+    val symTri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    assert(run(symTri, k = 3, rounds = 2).isEmpty)
+    assert(run(symTri, k = 2, rounds = 1).keySet == Set(1L, 2L, 3L))
     assert(run(Seq((1L, 1L)), k = 1, rounds = 1).isEmpty)
+  }
+
+  test("peelToFixpoint: early stop equals fixed-round peel, reports convergence") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val (survivors, roundsRun, converged) =
+      KCore.peelToFixpoint(chain, k = 2, maxRounds = 20)
+    assert(converged && roundsRun <= 3) // far below the 20-round budget
+    // early-stopped result == exhaustive fixed-round result
+    val fixed = KCore.peel(chain, k = 2, rounds = 5).collect().toSet
+    assert(survivors.collect().toSet == fixed)
+    // budget too small to converge -> reported honestly
+    val (_, ran, conv) = KCore.peelToFixpoint(chain, k = 2, maxRounds = 1)
+    assert(!conv && ran == 1)
   }
 
   test("k=degree+1 empties any graph; k=1 keeps every non-isolated node") {
