@@ -38,6 +38,13 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val targetRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "2000000").toLong
     val batches = math.max(2, sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt)
+    // mode "events" (default): the dedup→enrich→window ingest chain.
+    // mode "bm25": persisted-index maintenance throughput — the q192
+    // path at scale: replicated documents stream through foreachBatch
+    // into Bm25Index (build, then addBatch per microbatch), measuring
+    // docs/sec of INDEX UPKEEP rather than stateless transform rate.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "events")
+    if (mode == "bm25") { bm25Main(sfDir, cpus, batches); return }
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,6 +108,78 @@ object StreamBench {
         s""""batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
       println(s"""{"metric":"stream_throughput","value":${num(throughput, 0)},"unit":"events_per_sec","sf":"$sfDir"}""")
     }
+    spark.stop()
+  }
+
+  /** BM25 index-maintenance throughput: stream a replicated documents
+    * corpus (doc-id offsets keep batches doc-disjoint, the index's
+    * exactness contract) through admission-bounded microbatches, each
+    * foreachBatch-folded into the persisted inverted index. Wall clock
+    * covers planning + every append + df/stats merge; a post-drain
+    * search proves the built index answers queries. Docs default to
+    * SPARK_GRAFT_STREAM_DOCS (100k ≈ 20x the sf0.1 corpus).
+    */
+  private def bm25Main(sfDir: String, cpus: String, batches: Int): Unit = {
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = graft.queries.Scratch.dir("graft-streambench-bm25")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val baseCount = docs.count()
+    val copies = math.max(1, (targetDocs / math.max(1L, baseCount)).toInt)
+    val replicated = spark.range(copies).crossJoin(docs)
+      .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
+        col("text"))
+    val nFiles = batches * 2
+    replicated.repartition(nFiles).write.mode("overwrite")
+      .parquet(s"$work/in")
+    val total = copies * baseCount
+    val idx = s"$work/idx"
+
+    val t0 = System.nanoTime()
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", math.max(1, nFiles / batches))
+      .parquet(s"$work/in")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (graft.llm.Bm25Index.latestVersion(idx).isEmpty)
+          graft.llm.Bm25Index.build(b, idx, "doc_id", "text")
+        else
+          graft.llm.Bm25Index.addBatch(spark, idx, b, "doc_id", "text")
+      }
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val inputRows = progress.map(_.numInputRows).sum
+    val perBatch = progress.filter(_.numInputRows > 0)
+      .map(_.processedRowsPerSecond)
+    val versions = graft.llm.Bm25Index.latestVersion(idx).getOrElse(0)
+    // prove the index answers: 3 queries drawn from the corpus itself
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+    val hits = graft.llm.Bm25Index.search(spark, idx, queries, k = 5).count()
+    require(hits > 0, "post-ingest search returned no rows")
+    val throughput = inputRows / wall
+    val detail = perBatch.map(r => num(r, 0)).mkString("[", ",", "]")
+    println(s"""{"metric":"bm25_ingest_throughput","value":${num(throughput, 0)},""" +
+      s""""unit":"docs_per_sec","docs":$inputRows,"expected":$total,""" +
+      s""""wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},""" +
+      s""""index_versions":$versions,"search_hits":$hits,""" +
+      s""""batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"bm25_ingest_throughput","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,14 +64,25 @@ object Bm25Index {
     df.write.mode("errorifexists").parquet(s"$path/df/v=$v")
   }
 
-  /** Start the index (v=1) from an initial document batch. */
+  /** Start the index (v=1) from an initial document batch.
+    *
+    * The batch is cached for the duration of the fold: four consumers
+    * derive from it (postings write, lengths write, df aggregate,
+    * stats aggregate), and without the cache each one re-executes the
+    * source scan — measured as 4x the admitted rows on the streaming
+    * ingest path. Batches are bounded (admission-controlled) by
+    * contract, so the cache is executor-memory-safe.
+    */
   def build(docs: DataFrame, path: String,
       idCol: String, textCol: String): Unit = {
-    val (tf, len) = Bm25.postings(docs, idCol, textCol)
-    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val stats = len.agg(count(lit(1)).as("n_docs"),
-      sum("len").as("total_len"))
-    writeBatch(path, 1, tf, len, df, stats)
+    val cached = docs.persist()
+    try {
+      val (tf, len) = Bm25.postings(cached, idCol, textCol)
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val stats = len.agg(count(lit(1)).as("n_docs"),
+        sum("len").as("total_len"))
+      writeBatch(path, 1, tf, len, df, stats)
+    } finally cached.unpersist()
   }
 
   /** Fold a new DOC-DISJOINT batch into the index: postings/lengths
@@ -82,15 +93,18 @@ object Bm25Index {
       idCol: String, textCol: String): Unit = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalStateException(s"no Bm25Index at $path"))
-    val (tf, len) = Bm25.postings(docs, idCol, textCol)
-    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      .unionByName(spark.read.parquet(s"$path/df/v=$v"))
-      .groupBy("t").agg(sum("df").as("df"))
-    val stats = len.agg(count(lit(1)).as("n_docs"),
-        sum("len").as("total_len"))
-      .unionByName(spark.read.parquet(s"$path/stats/v=$v"))
-      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
-    writeBatch(path, v + 1, tf, len, df, stats)
+    val cached = docs.persist() // see build() — four consumers, one scan
+    try {
+      val (tf, len) = Bm25.postings(cached, idCol, textCol)
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        .unionByName(spark.read.parquet(s"$path/df/v=$v"))
+        .groupBy("t").agg(sum("df").as("df"))
+      val stats = len.agg(count(lit(1)).as("n_docs"),
+          sum("len").as("total_len"))
+        .unionByName(spark.read.parquet(s"$path/stats/v=$v"))
+        .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total_len"))
+      writeBatch(path, v + 1, tf, len, df, stats)
+    } finally cached.unpersist()
   }
 
   /** Score `queries` (qid, qtext) against the INDEX — same output

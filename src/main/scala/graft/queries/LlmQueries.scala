@@ -75,14 +75,21 @@ object LlmQueries {
     * candidates + exact verification): each outputs precisely
     * `{(a,b,jaccard) : jaccard >= 0.5}`, so they share this oracle.
     */
-  private[queries] def jaccardPairsCtesFrom(source: String): String =
+  /** Just the normalized word-3-shingle set CTEs (nrm/tok/sets) — the
+    * shared prefix of the Jaccard pair chain, also used standalone by
+    * the decontamination oracle (q196).
+    */
+  private[queries] def shingleSetsCtes(source: String): String =
     s"""nrm AS (SELECT doc_id, $normSql AS nm FROM $source),
        |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
        |sets AS (SELECT doc_id, list_distinct(
        |    CASE WHEN len(t) < 3 THEN [nm]
        |         ELSE list_transform(range(1, len(t) - 1),
        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
-       |  FROM tok),
+       |  FROM tok)""".stripMargin
+
+  private[queries] def jaccardPairsCtesFrom(source: String): String =
+    s"""${shingleSetsCtes(source)},
        |post AS (SELECT doc_id, unnest(sh) AS s FROM sets),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -3022,5 +3029,31 @@ object LlmQueries {
              |  FROM ag)
              |SELECT qid, CAST(prox_rank AS BIGINT) AS prox_rank, did,
              |  sum_dist, n_pairs, score_x1000
-             |FROM rr ORDER BY qid, prox_rank""".stripMargin)))
+             |FROM rr ORDER BY qid, prox_rank""".stripMargin)),
+
+    // Benchmark decontamination (llm/Decontaminate.scala) — docs 0-19
+    // stand in as the held-out eval set; every other doc sharing ANY
+    // word-3-shingle with it is flagged with its distinct-overlap
+    // count. Exact string-keyed join (no hashed shingles — a collision
+    // here either discards good data or leaks eval answers), so the
+    // oracle replays it directly on the same normalized shingle CTEs
+    // as the Jaccard tier. The injected near-dup copies of benchmark
+    // docs are exactly what a real decontamination pass must catch:
+    // they overlap heavily without being the benchmark docs.
+    "q196_decontamination" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        graft.llm.Decontaminate
+          .overlap(dd.filter(col("doc_id") >= 20),
+            dd.filter(col("doc_id") < 20), "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${shingleSetsCtes("documents")},
+             |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sets
+             |  WHERE doc_id < 20),
+             |csh AS (SELECT doc_id, unnest(sh) AS s FROM sets
+             |  WHERE doc_id >= 20)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             |FROM csh JOIN bsh USING (s)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

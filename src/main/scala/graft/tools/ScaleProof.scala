@@ -83,11 +83,37 @@ object ScaleProof {
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
 
+  /** Zipf-vocabulary corpus for the TF-IDF cosine join (q191): term
+    * rank drawn log-uniformly (inverse-CDF of Zipf s≈1 — u uniform
+    * from xxhash64(doc, pos), rank = floor(exp(u·ln(V+1))) - 1), so the
+    * df distribution has a hot head (df ≈ n_docs) AND genuine rare-term
+    * mass — the shape on which `maxDocFreq` is the operative scale
+    * valve. The sf0.1-replica corpus can't exercise that cap: its
+    * 31-word vocabulary puts EVERY term in nearly every doc, making
+    * tf-idf cosine inherently all-pairs (the round-6 finding that
+    * forced q191's bench slice).
+    */
+  def synthesizeZipf(spark: SparkSession, outDir: String, nDocs: Long,
+      vocab: Int = 50000, wordsPerDoc: Int = 80): Long = {
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(transform(
+        sequence(lit(0), lit(wordsPerDoc - 1)),
+        p => concat(lit("w"), least(
+          (floor(exp((pmod(xxhash64(col("id"), p), lit(1000000000L)) / 1e9)
+            * log(lit(vocab + 1.0)))) - 1).cast("long"),
+          lit(vocab - 1L)))), " ").as("text"))
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
   /** 10x orders + lineitem with per-copy key offsets — disjoint copies
     * of the customer→supplier bipartite graph, so q170's HITS workload
     * (join+agg per half-round over the distinct edge set) scales 10x in
     * edges while per-family structure is preserved. Offsets keep key
-    * spaces collision-free: orderkey stride 1e10, cust/supp stride 1e8.
+    * spaces collision-free: orderkey stride 1e10, cust/supp stride 1e8
+    * (1e5 copies would collide; the decade protocol stops at 100).
     */
   def synthesizeGraph(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int = 10): Unit = {
@@ -127,7 +153,14 @@ object ScaleProof {
     // genuine scaling trend)
     val copyCapEarly = sys.env.get("SPARK_GRAFT_SCALEPROOF_MAXCOPIES")
       .map(_.toInt).getOrElse(100)
+    // a zipf-only run (ONLY=q191...) reads no replica corpus — skip
+    // synthesizing decades nothing will read (same waste class as the
+    // graph-table gating below)
+    val onlyPre = sys.env.get("SPARK_GRAFT_SCALEPROOF_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val replicaNeeded = onlyPre.forall(_.exists(!_.startsWith("q191")))
     val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
+      .filter(_ => replicaNeeded)
       .filter(_._2 <= copyCapEarly)
       .map { case (tag, copies) =>
         val dir = s"$work/$tag"
@@ -135,36 +168,37 @@ object ScaleProof {
         System.err.println(s"[scaleproof] synthesized $rows docs at $dir")
         (tag, dir, copies)
       }
-    // the graph tables scale only to the first decade (q170's row
-    // below) — synthesize them only when that decade is in this run's
-    // cap AND a graph query is actually selected, so a docs-only or
-    // sf0.1-only run doesn't pay a 10x orders+lineitem synthesis
-    // nothing reads
-    val onlyEarly = sys.env.get("SPARK_GRAFT_SCALEPROOF_ONLY")
+    // graph tables (orders+lineitem) are synthesized only for the
+    // decades this run will read AND only when a graph query is
+    // selected, so a docs-only or sf0.1-only run doesn't pay a
+    // synthesis nothing reads
+    val only = sys.env.get("SPARK_GRAFT_SCALEPROOF_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val graphQueries = Set("q170_hits")
-    if (copyCapEarly >= 10 &&
-        onlyEarly.forall(sel => graphQueries.exists(sel.contains))) {
-      synthesizeGraph(spark, sfDir, s"$work/sf1.0")
-      System.err.println(s"[scaleproof] synthesized 10x orders+lineitem at $work/sf1.0")
+    val copyCap = copyCapEarly
+    val graphQueries = Set("q170_hits", "q184_personalized_pagerank")
+    if (only.forall(sel => graphQueries.exists(sel.contains))) {
+      decades.foreach { case (tag, dir, copies) =>
+        synthesizeGraph(spark, sfDir, dir, copies)
+        System.err.println(
+          s"[scaleproof] synthesized ${copies}x orders+lineitem at $dir")
+      }
     }
 
-    // (query, max copies): the round-5 flagships run both decades; the
-    // round-6 additions (containment, BM25, HITS) run sf0.1 -> sf1.0 —
-    // one measured decade each, per the round-6 scaling table
+    // (query, max copies): every flagship with pinned minimum > 2.5 s
+    // runs BOTH decades (the round-6 "first decade only" stubs are
+    // gone; q103's minimum is streaming-engine startup, not data, so it
+    // has no decade row).
     // SPARK_GRAFT_SCALEPROOF_ONLY=q164_...,q170_... scopes a run to a
     // subset (same knob shape as Bench/Verify); _MAXCOPIES caps the
     // decade globally (e.g. 10 to skip the 100x leg)
-    val only = sys.env.get("SPARK_GRAFT_SCALEPROOF_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val copyCap = sys.env.get("SPARK_GRAFT_SCALEPROOF_MAXCOPIES")
-      .map(_.toInt).getOrElse(100)
     val queries = Seq(
       "q27_minhash_neardup" -> 100, "q28_simhash_neardup" -> 100,
       "q42_neardup_groups" -> 100, "q53_corpus_pipeline" -> 100,
       "q126_assembly_pipeline" -> 100,
-      "q164_containment" -> 10, "q173_bm25_retrieval" -> 10,
-      "q170_hits" -> 10)
+      "q164_containment" -> 100, "q173_bm25_retrieval" -> 100,
+      "q170_hits" -> 100, "q181_bm25_incremental" -> 100,
+      "q184_personalized_pagerank" -> 100,
+      "q192_stream_bm25_ingest" -> 100)
     val meter = new ShuffleMeter(spark)
     val out = for {
       (name, maxCopies) <- queries
@@ -186,10 +220,63 @@ object ScaleProof {
       System.err.println(f"[scaleproof] $name $tag ${sec}%.2fs write=${w >> 20}MiB read=${r >> 20}MiB")
       (name, tag, sec, w, r)
     }
-    val json = out.map { case (n, t, s, w, r) =>
+    // q191 TF-IDF cosine: the replica corpus can't exercise the
+    // maxDocFreq cap (31-word vocab — every term is hot, all-pairs by
+    // construction), so its decade runs on the Zipf-vocab corpus where
+    // the cap is the operative valve. Evidence recorded per decade:
+    // Σ df² with and without the cap (the join's cost functional) and
+    // the hotTerms dropped-term count (non-empty ⇒ the cap did work).
+    // cap=500: capped join cost ≈ (wordsPerDoc/ln V)·n_docs·cap partial
+    // products — LINEAR in the corpus (1.9e8 at 50k docs, 1.9e9 at
+    // 500k), vs the uncapped Σ df² ≈ (head terms with df≈n)·n² —
+    // QUADRATIC (~1.7e12 at 500k docs, a ~1000x reduction at the
+    // second decade). That n-vs-n² gap is exactly the cap's job.
+    val zipf = if (!only.forall(_.exists(_.startsWith("q191")))) Seq.empty
+    else {
+      val cap = 500L
+      for ((tag, nDocs) <- Seq("zipf-sf1.0" -> 50000L, "zipf-sf10" -> 500000L)
+          if nDocs / 50000 <= copyCap) yield {
+        val dir = s"$work/$tag"
+        val rows = synthesizeZipf(spark, dir, nDocs)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val dfT = docs.select(col("doc_id").as("did"),
+            explode(split(col("text"), " ")).as("t"))
+          .groupBy("did", "t").agg(count(lit(1)).as("tf"))
+          .groupBy("t").agg(count(lit(1)).as("df"))
+        val Array(sumAll, sumCapped, nHot) = dfT.agg(
+          sum(col("df") * col("df")),
+          sum(when(col("df") <= cap, col("df") * col("df")).otherwise(0L)),
+          sum(when(col("df") > cap, 1L).otherwise(0L)))
+          .collect().head.toSeq.map(v => v.asInstanceOf[Long]).toArray
+        val hot = graft.llm.TfIdfCosine.hotTerms(docs, "doc_id", "text", cap)
+        require(hot.count() == nHot, "hotTerms disagrees with the df scan")
+        System.err.println(
+          s"[scaleproof] $tag ($rows docs): sum(df^2) uncapped=$sumAll " +
+            s"capped=$sumCapped hot_terms=$nHot")
+        val passes = (1 to 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val (_, w, r) = meter.measure {
+            graft.llm.TfIdfCosine
+              .similarPairs(docs, "doc_id", "text",
+                thresholdPct = 60, maxDocFreq = cap)
+              .write.format("noop").mode("overwrite").save()
+          }
+          ((System.nanoTime() - t0) / 1e9, w, r)
+        }
+        val (sec, w, r) = passes.minBy(_._1)
+        System.err.println(f"[scaleproof] q191_tfidf_cosine_pairs $tag ${sec}%.2fs write=${w >> 20}MiB read=${r >> 20}MiB")
+        ("q191_tfidf_cosine_pairs", tag, sec, w, r, sumAll, sumCapped, nHot)
+      }
+    }
+    val json = (out.map { case (n, t, s, w, r) =>
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
-    }.mkString("[", ",", "]")
+    } ++ zipf.map { case (n, t, s, w, r, sa, sc, nh) =>
+      s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
+        s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +
+        s""""sum_df2_uncapped":$sa,"sum_df2_capped":$sc,"hot_terms":$nh}"""
+    }).mkString("[", ",", "]")
     println(s"""{"metric":"scale_proof","decades":"sf0.1->sf1.0->sf10","runs":$json}""")
     spark.stop()
   }

@@ -123,7 +123,8 @@ class PlanSpec extends AnyFunSuite {
       "q189_join_cardinality",  // 1-row total_pairs broadcast scalar
       "q190_proximity_rerank",  // q173's 1-row stats broadcast (x3 plan reuse)
       "q191_tfidf_cosine_pairs", // 1-row n_docs broadcast scalar (x4 plan reuse)
-      "q192_stream_bm25_ingest") // q181's 1-row stats broadcast via the index
+      "q192_stream_bm25_ingest", // q181's 1-row stats broadcast via the index
+      "q195_proximity_multiterm") // q190's 1-row stats broadcast (x4 plan reuse)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
