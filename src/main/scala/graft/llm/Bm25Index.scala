@@ -32,36 +32,29 @@ import org.apache.spark.sql.functions._
   */
 object Bm25Index {
 
-  private def versionDirs(path: String): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toInt)
-  }
-
+  /** Latest COMMITTED version: a version exists only once its df dir is
+    * fully written (`_SUCCESS` present — [[IndexVersions]]); df is the
+    * last dir [[writeBatch]] writes, making it the commit marker.
+    */
   def latestVersion(path: String): Option[Int] =
-    versionDirs(s"$path/df").sorted.lastOption
+    IndexVersions.latest(s"$path/df")
 
   /** Commit protocol: `df/v=N` is the COMMIT MARKER — it is written
     * LAST, and `latestVersion` / `search` treat a version as existing
-    * only once its df dir does. A crash mid-batch leaves orphan
-    * post/dlen/stats dirs for an uncommitted version; `search` ignores
-    * them (it reads only versions <= latestVersion by explicit path)
-    * and a retried `addBatch` deletes them before rewriting.
+    * only once its df dir is complete (`_SUCCESS` present, so even a
+    * crash mid-df-write leaves the version uncommitted). A crash
+    * mid-batch leaves orphan post/dlen/stats (or torn df) dirs for an
+    * uncommitted version; `search` ignores them (it reads only
+    * committed versions by explicit path) and a retried `addBatch`
+    * overwrites them — overwrite of a version number `latestVersion`
+    * never returned cannot clobber readable data.
     */
   private def writeBatch(path: String, v: Int,
       tf: DataFrame, len: DataFrame, df: DataFrame, stats: DataFrame): Unit = {
-    // clear orphans from a previously crashed attempt at this version
-    // (df/v=N absent by contract, so overwrite of the others is safe)
     tf.write.mode("overwrite").parquet(s"$path/post/v=$v")
     len.write.mode("overwrite").parquet(s"$path/dlen/v=$v")
     stats.write.mode("overwrite").parquet(s"$path/stats/v=$v")
-    df.write.mode("errorifexists").parquet(s"$path/df/v=$v")
+    df.write.mode("overwrite").parquet(s"$path/df/v=$v")
   }
 
   /** Start the index (v=1) from an initial document batch.
@@ -120,7 +113,7 @@ object Bm25Index {
     // are doc-disjoint). Versions are enumerated from the df commit
     // markers and read by explicit path, so orphan post/dlen dirs left
     // by a crashed addBatch are never scored against stale df/stats.
-    val committed = versionDirs(s"$path/df").sorted.filter(_ <= v)
+    val committed = IndexVersions.committed(s"$path/df").sorted.filter(_ <= v)
     val tf = committed.map(i => spark.read.parquet(s"$path/post/v=$i"))
       .reduce(_ unionByName _)
     val len = committed.map(i => spark.read.parquet(s"$path/dlen/v=$i"))

@@ -51,33 +51,23 @@ object CmsIndex {
         cellExpr(col("j"), col("h")).as("cell"), col("n"))
       .groupBy("j", "cell").agg(sum(col("n")).as("cnt"))
 
-  // Hadoop-FS listing, not java.io.File: build/addBatch write through
-  // Spark's resolved filesystem, so on HDFS/S3 a local-File listing
-  // would report "no index" for an index that exists (StreamMerge
-  // .versions handles this the same way).
-  private def versionDirs(path: String): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toInt)
-  }
-
-  def latestVersion(path: String): Option[Int] =
-    versionDirs(path).sorted.lastOption
+  /** Latest COMMITTED version (see [[IndexVersions]]: a crashed write
+    * leaves a `v=N` dir without `_SUCCESS`, which is invisible here and
+    * healed by the next add's overwrite).
+    */
+  def latestVersion(path: String): Option[Int] = IndexVersions.latest(path)
 
   /** Build the index from an initial batch of poly-hashed tokens
-    * (column `h`); starts the version chain at v=1.
+    * (column `h`); starts the version chain at v=1. Overwrite mode
+    * heals a torn `v=1` left by a crashed earlier attempt.
     */
   def build(toks: DataFrame, path: String): Unit =
-    cells(toks).write.mode("errorifexists").parquet(s"$path/v=1")
+    cells(toks).write.mode("overwrite").parquet(s"$path/v=1")
 
   /** Fold a new batch into the index: new cells ⊕ current cells →
-    * next version. Exact — see the scaladoc.
+    * next version. Exact — see the scaladoc. The target version is
+    * `latest committed + 1`, so a retry after a crash overwrites only
+    * the torn, never-readable directory.
     */
   def addBatch(spark: SparkSession, path: String, toks: DataFrame): Unit = {
     val v = latestVersion(path).getOrElse(
@@ -85,7 +75,7 @@ object CmsIndex {
     val cur = spark.read.parquet(s"$path/v=$v")
     cells(toks).unionByName(cur)
       .groupBy("j", "cell").agg(sum(col("cnt")).as("cnt"))
-      .write.mode("errorifexists").parquet(s"$path/v=${v + 1}")
+      .write.mode("overwrite").parquet(s"$path/v=${v + 1}")
   }
 
   /** Frequency estimates for a probe frame carrying key column `w` and

@@ -29,33 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object LineDedupIndex {
 
-  private def versionDirs(path: String): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toInt)
-  }
-
-  def latestVersion(path: String): Option[Int] =
-    versionDirs(path).sorted.lastOption
+  /** Latest COMMITTED version (see [[IndexVersions]]: a crashed write
+    * leaves a `v=N` dir without `_SUCCESS`, which is invisible here and
+    * healed by the next add's overwrite).
+    */
+  def latestVersion(path: String): Option[Int] = IndexVersions.latest(path)
 
   private def dfTable(docs: DataFrame, idCol: String, linesCol: Column) =
     LineDedup.lineDf(docs, idCol, linesCol)
 
-  /** Start the index (v=1) from an initial document batch. */
+  /** Start the index (v=1) from an initial document batch. Overwrite
+    * mode heals a torn `v=1` left by a crashed earlier attempt.
+    */
   def build(docs: DataFrame, path: String, idCol: String,
       linesCol: Column): Unit =
     dfTable(docs, idCol, linesCol)
-      .write.mode("errorifexists").parquet(s"$path/v=1")
+      .write.mode("overwrite").parquet(s"$path/v=1")
 
   /** Fold a new DISJOINT document batch into the index (caller
     * guarantees no doc id was indexed before — re-delivery would
     * double-count df, same contract as WinnowIndex's precondition).
+    * The target version is `latest committed + 1`, so a crash-retry
+    * overwrites only the torn, never-readable directory.
     */
   def addBatch(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, linesCol: Column): Unit = {
@@ -64,7 +59,7 @@ object LineDedupIndex {
     val cur = spark.read.parquet(s"$path/v=$v")
     dfTable(docs, idCol, linesCol).unionByName(cur)
       .groupBy("line").agg(sum(col("df")).as("df"))
-      .write.mode("errorifexists").parquet(s"$path/v=${v + 1}")
+      .write.mode("overwrite").parquet(s"$path/v=${v + 1}")
   }
 
   /** The current boilerplate set: lines with indexed df > maxDf. */

@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   * exceed a single batch's cap; cap at build time if batches are tiny.)
   * Capping is a silent recall trade: [[cappedBucketReport]] makes it
   * observable — run it when parity with a full-corpus pass matters.
+  *
+  * Crash semantics of the flat `append` layout: a writer dying before
+  * job commit leaves its files under `_temporary` (invisible to
+  * reads); dying DURING commit can leave a torn batch — a subset of
+  * the batch's band keys visible. Re-appending the same batch after
+  * either crash is SAFE for correctness: duplicate band keys only add
+  * candidate-join work, and the `distinct()` before verification
+  * collapses them — so the retry discipline is "re-append on any
+  * doubt". A torn batch left WITHOUT retry costs recall on the torn
+  * docs only (their keys are partial), never precision. The exact
+  * indexes ([[LineDedupIndex]]/[[CmsIndex]]/[[Bm25Index]]), where a
+  * torn write would corrupt counts rather than recall, use versioned
+  * commit-marker writes instead ([[IndexVersions]]).
   */
 object MinHashIndex {
 

@@ -78,6 +78,11 @@ object SimHashIndex {
 
   /** Append a new batch's band keys (call AFTER deduping the batch
     * against the index). Parameters are validated against the sidecar.
+    *
+    * Crash semantics are [[MinHashIndex]]'s (see its scaladoc): band
+    * keys are presence-only, so re-appending a batch after a torn or
+    * uncertain write is SAFE — duplicates only add candidate-join work
+    * and the downstream distinct/verify collapses them.
     */
   def append(
       docs: DataFrame,

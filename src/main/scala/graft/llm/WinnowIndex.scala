@@ -38,9 +38,29 @@ object WinnowIndex {
 
   /** Append a new batch's postings (call AFTER deduping the batch
     * against the index).
+    *
+    * Idempotent at DOC granularity: postings of batch docs whose id is
+    * already indexed are dropped (same anti-join as
+    * [[incrementalPairs]]' re-delivery guard), because unlike the
+    * band-key indexes these postings feed COUNTS (df, shared_fps) —
+    * re-appending a delivered doc would inflate both and silently
+    * shift the maxDf/minShared thresholds. Crash contract: a torn
+    * append leaves a doc with partial postings AND its id present, so
+    * the retry skips it — recall loss on the torn docs only, never
+    * precision; rebuild from the corpus if that matters.
     */
-  def append(docs: DataFrame, path: String, idCol: String, textCol: String): Unit =
-    postings(docs, idCol, textCol).write.mode("append").parquet(path)
+  def append(docs: DataFrame, path: String, idCol: String, textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val existing =
+      try spark.read.parquet(path).select("id").distinct()
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        return postings(docs, idCol, textCol)
+          .write.mode("append").parquet(path)
+      }
+    postings(docs, idCol, textCol)
+      .join(existing, Seq("id"), "left_anti")
+      .write.mode("append").parquet(path)
+  }
 
   /** Fingerprint-sharing pairs INVOLVING the new batch: new-vs-indexed
     * plus new-vs-new, with the df cutoff evaluated over index ∪ batch.

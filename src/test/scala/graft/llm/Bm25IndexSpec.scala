@@ -60,8 +60,14 @@ class Bm25IndexSpec extends AnyFunSuite {
     Seq((99L, 1L)).toDF("did", "len").write.parquet(s"$path/dlen/v=2")
     Seq((1L, 1L)).toDF("n_docs", "total_len")
       .write.parquet(s"$path/stats/v=2")
-    // uncommitted version is invisible: latestVersion keys off df, and
-    // search reads only committed versions by explicit path
+    // a TORN df dir (crash mid-commit-marker write: data but no
+    // _SUCCESS) is equally invisible
+    val tornDf = new java.io.File(s"$path/df/v=2")
+    Seq(("ghost", 1L)).toDF("t", "df").write.parquet(tornDf.toString)
+    assert(new java.io.File(tornDf, "_SUCCESS").delete())
+    // uncommitted version is invisible: latestVersion keys off the df
+    // commit marker, and search reads only committed versions by
+    // explicit path
     assert(Bm25Index.latestVersion(path).contains(1))
     assert(rows(Bm25Index.search(spark, path, queries, k = 3)) == before)
     // retried addBatch overwrites the orphans and commits cleanly

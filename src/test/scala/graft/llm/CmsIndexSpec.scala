@@ -29,6 +29,28 @@ class CmsIndexSpec extends AnyFunSuite {
     assert(CmsIndex.latestVersion(s"$dir/inc").contains(2))
   }
 
+  test("a torn version dir (no _SUCCESS) is invisible and heals on retry") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cms-idx-crash").toString
+    val b1 = Seq.tabulate(100)(i => (i % 7).toLong)
+    val b2 = Seq.tabulate(100)(i => (i % 13).toLong)
+    CmsIndex.build(toks(b1), s"$dir/idx")
+    // simulate a crash mid-addBatch: v=2 dir exists with data but the
+    // _SUCCESS job marker never landed
+    val torn = new java.io.File(s"$dir/idx/v=2")
+    toks(b2).write.parquet(torn.toString)
+    assert(new java.io.File(torn, "_SUCCESS").delete())
+    assert(CmsIndex.latestVersion(s"$dir/idx").contains(1))
+    // retried addBatch overwrites the torn dir and commits v=2 cleanly
+    CmsIndex.addBatch(spark, s"$dir/idx", toks(b2))
+    assert(CmsIndex.latestVersion(s"$dir/idx").contains(2))
+    CmsIndex.build(toks(b1 ++ b2), s"$dir/full")
+    assert(spark.read.parquet(s"$dir/idx/v=2")
+      .as[(Int, Int, Long)].collect().toSet ==
+      spark.read.parquet(s"$dir/full/v=1")
+        .as[(Int, Int, Long)].collect().toSet)
+  }
+
   test("estimates never undercount and untouched cells probe as zero") {
     val hs = Seq.tabulate(200)(i => (i % 11).toLong)
     val dir = java.nio.file.Files

@@ -26,6 +26,23 @@ class LineDedupIndexSpec extends AnyFunSuite {
     assert(inc == full && inc("SHARED HEADER") == 40L)
   }
 
+  test("a torn version dir (no _SUCCESS) is invisible and heals on retry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldidx3").toString
+    val all = corpus(20L)
+    LineDedupIndex.build(all.filter(col("id") < 10), s"$dir/idx", "id", col("lines"))
+    // crash mid-addBatch: v=2 has data but no _SUCCESS marker
+    val torn = new java.io.File(s"$dir/idx/v=2")
+    Seq(("garbage line", 1L)).toDF("line", "df").write.parquet(torn.toString)
+    assert(new java.io.File(torn, "_SUCCESS").delete())
+    assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(1))
+    LineDedupIndex.addBatch(spark, s"$dir/idx",
+      all.filter(col("id") >= 10), "id", col("lines"))
+    assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(2))
+    val inc = spark.read.parquet(s"$dir/idx/v=2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!inc.contains("garbage line") && inc("SHARED HEADER") == 20L)
+  }
+
   test("cleanWith against the index equals the one-shot LineDedup.clean") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ldidx2").toString
     val all = corpus(30L)

@@ -55,6 +55,19 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("append is idempotent at doc granularity (retry cannot double postings)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wnidx5").toString
+    WinnowIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    WinnowIndex.append(newDocs, s"$dir/idx", "doc_id", "text")
+    val once = spark.read.parquet(s"$dir/idx").count()
+    // the "on any doubt, re-append" retry: a second append of the SAME
+    // batch must drop every already-indexed doc's postings — winnow
+    // postings feed counts (df, shared_fps), so duplicates would shift
+    // the maxDf/minShared thresholds, unlike the band-key indexes
+    WinnowIndex.append(newDocs, s"$dir/idx", "doc_id", "text")
+    assert(spark.read.parquet(s"$dir/idx").count() == once)
+  }
+
   test("re-delivered docs cannot skew the df cutoff (idempotent delivery)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wnidx4").toString
     WinnowIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
