@@ -3055,5 +3055,70 @@ object LlmQueries {
              |  WHERE doc_id >= 20)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
              |FROM csh JOIN bsh USING (s)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Threshold-survival curve — the curation telemetry behind "set
+    // the min-length filter at t": per 10-token histogram bucket, how
+    // many docs/tokens sit there and how many SURVIVE a threshold at
+    // that bucket's floor (cumulative from above). The window cumsum
+    // runs over the AGGREGATED histogram (bucket-count rows, bounded
+    // by max doc length / 10), not the corpus — the single-partition
+    // window is a few dozen rows at any corpus size.
+    "q197_survival_curve" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket").desc)
+        docs(s, d)
+          .select(TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+          .groupBy(expr("nt div 10").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+          .withColumn("surviving_docs", sum("n_docs").over(w))
+          .withColumn("surviving_tokens", sum("n_tokens").over(w))
+          .orderBy("bucket")
+      },
+      Some("""WITH nt AS (SELECT CAST(CASE WHEN length(trim(text)) = 0
+             |      THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             |      END AS BIGINT) AS nt
+             |  FROM documents),
+             |h AS (SELECT nt // 10 AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(nt) AS BIGINT) AS n_tokens
+             |  FROM nt GROUP BY 1)
+             |SELECT bucket, n_docs, n_tokens,
+             |  CAST(sum(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT)
+             |    AS surviving_docs,
+             |  CAST(sum(n_tokens) OVER (ORDER BY bucket DESC) AS BIGINT)
+             |    AS surviving_tokens
+             |FROM h ORDER BY bucket""".stripMargin)),
+
+    // Per-source quota sampling — domain balancing, the mixture
+    // control that keeps one crawl source from dominating the corpus:
+    // each source keeps at most K=50 docs, chosen by a deterministic
+    // md5 priority (so the draw is reproducible and per-doc
+    // independent — the same doc survives regardless of what else
+    // arrived, unlike a naive LIMIT). One window per source over a
+    // rank-limited sort — WindowGroupLimit pushes the K cut map-side.
+    "q198_source_quota" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("pri"), col("doc_id"))
+        docs(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("pri"))
+          .withColumn("qrank", row_number().over(w).cast("long"))
+          .filter(col("qrank") <= 50)
+          .select("source", "qrank", "doc_id")
+          .orderBy("source", "qrank")
+      },
+      Some("""WITH pri AS (SELECT doc_id, source,
+             |    md5(CAST(doc_id AS VARCHAR)) AS pri
+             |  FROM documents),
+             |rk AS (SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY pri, doc_id) AS qrank
+             |  FROM pri)
+             |SELECT source, CAST(qrank AS BIGINT) AS qrank, doc_id
+             |FROM rk WHERE qrank <= 50
+             |ORDER BY source, qrank""".stripMargin)))
 }
