@@ -3120,5 +3120,42 @@ object LlmQueries {
              |  FROM pri)
              |SELECT source, CAST(qrank AS BIGINT) AS qrank, doc_id
              |FROM rk WHERE qrank <= 50
-             |ORDER BY source, qrank""".stripMargin)))
+             |ORDER BY source, qrank""".stripMargin)),
+
+    // Mixture rebalance — the proportional complement to q198's hard
+    // quota: downsample every source to HALF the rarest source's size
+    // (a target the filter provably enforces even on this corpus's
+    // equal-sized sources, where balancing to the min would keep
+    // everything), keeping each doc independently iff its
+    // deterministic md5 bucket falls under the source's keep
+    // probability (target·1e6 div count, integer arithmetic). Per-
+    // doc independence means the same doc survives regardless of what
+    // else arrived — re-runs and incremental delivery agree — unlike a
+    // LIMIT which depends on scan order. The 1-row min-count broadcast
+    // rides a crossJoin (same scalar-broadcast class as q89/q93); the
+    // S-row per-source counts broadcast onto the corpus scan.
+    "q199_mixture_rebalance" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val counts = dd.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val minN = counts.agg(min("n_src").as("n_min"))
+        dd.select(col("doc_id"), col("source"))
+          .join(broadcast(counts), "source")
+          .crossJoin(broadcast(minN))
+          .withColumn("keep_x1e6", expr("n_min * 500000 div n_src"))
+          .withColumn("bucket",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 1000000L)
+          .filter(col("bucket") < col("keep_x1e6"))
+          .select("source", "doc_id")
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+             |  FROM documents GROUP BY source),
+             |m AS (SELECT min(n_src) AS n_min FROM c)
+             |SELECT source, doc_id
+             |FROM documents JOIN c USING (source) CROSS JOIN m
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |    AS BIGINT) % 1000000 < (n_min * 500000) // n_src
+             |ORDER BY source, doc_id""".stripMargin)))
 }

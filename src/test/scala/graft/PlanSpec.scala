@@ -124,7 +124,8 @@ class PlanSpec extends AnyFunSuite {
       "q190_proximity_rerank",  // q173's 1-row stats broadcast (x3 plan reuse)
       "q191_tfidf_cosine_pairs", // 1-row n_docs broadcast scalar (x4 plan reuse)
       "q192_stream_bm25_ingest", // q181's 1-row stats broadcast via the index
-      "q195_proximity_multiterm") // q190's 1-row stats broadcast (x4 plan reuse)
+      "q195_proximity_multiterm", // q190's 1-row stats broadcast (x4 plan reuse)
+      "q199_mixture_rebalance")  // 1-row min-source-count broadcast scalar
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
