@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{EmbeddingKnn, JaccardVerify, MinHashDedup, NGramJaccard, ProductQuantization, SimHashDedup}
+import graft.llm.{EmbeddingKnn, JaccardVerify, MinHashDedup, NGramJaccard, ProductQuantization, SimHashDedup, SpanDedup}
 import graft.operators.{Dedup, Stats, TopK}
 
 /** Training-data-pipeline operator corpus over the `documents`,
@@ -3157,5 +3157,67 @@ object LlmQueries {
              |FROM documents JOIN c USING (source) CROSS JOIN m
              |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
              |    AS BIGINT) % 1000000 < (n_min * 500000) // n_src
-             |ORDER BY source, doc_id""".stripMargin)))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // Exact duplicated-span dedup (ExactSubstr, Lee et al. ACL 2022, as
+    // a k-gram run-merge instead of a suffix array): cut every maximal
+    // token run ≥ 20 tokens whose normalized form appears verbatim ≥ 2
+    // times anywhere in the corpus — every occurrence, no survivor
+    // (pair with doc-level dedup when one copy must live). The oracle
+    // replays gram fingerprints, the pos − row_number() run merge, the
+    // clipped token extents, and the span cut itself (NOT EXISTS range
+    // probe + ordered string_agg rebuild); md5 of the rebuilt text pins
+    // the cut bit-for-bit. On this corpus the injected near-dup copies
+    // carry 11-93-token verbatim runs; the 20-token threshold provably
+    // bites both ways (sub-threshold runs survive, long runs are cut).
+    "q200_span_dedup" -> Q(
+      (s, d) => {
+        val out = SpanDedup.cleanse(docs(s, d), "doc_id", "text",
+          k = 8, minSpanTokens = 20)
+        out.select(col("doc_id"), col("ntok"), col("n_spans"),
+            col("dup_tokens"),
+            md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |gr0 AS (SELECT doc_id, CASE WHEN len(t) < 8 THEN [nm]
+              |    ELSE list_transform(range(1, len(t) - 6),
+              |           i -> array_to_string(t[i:i+7], ' ')) END AS gr
+              |  FROM tok),
+              |g0 AS (SELECT doc_id, unnest(range(len(gr))) AS pos,
+              |    unnest(gr) AS sh FROM gr0),
+              |g AS (SELECT doc_id, pos, md5(sh) AS f FROM g0),
+              |occ AS (SELECT f, count(*) AS n_occ FROM g GROUP BY f),
+              |dp AS (SELECT doc_id, pos FROM g JOIN occ USING (f)
+              |  WHERE n_occ >= 2),
+              |rn AS (SELECT doc_id, pos, pos - row_number()
+              |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+              |runs AS (SELECT doc_id, min(pos) AS s0, count(*) AS ng
+              |  FROM rn GROUP BY doc_id, grp),
+              |nt AS (SELECT doc_id,
+              |    CASE WHEN nm = '' THEN 0 ELSE len(t) END AS ntok FROM tok),
+              |q AS (SELECT r.doc_id, s0,
+              |    least(s0 + ng + 7, ntok) - s0 AS sl
+              |  FROM runs r JOIN nt USING (doc_id)
+              |  WHERE least(s0 + ng + 7, ntok) - s0 >= 20),
+              |tp AS (SELECT doc_id, unnest(range(len(t))) AS j,
+              |    unnest(t) AS w FROM tok WHERE nm <> ''),
+              |kept AS (SELECT tp.doc_id, j, w FROM tp
+              |  WHERE NOT EXISTS (SELECT 1 FROM q
+              |    WHERE q.doc_id = tp.doc_id
+              |      AND tp.j >= q.s0 AND tp.j < q.s0 + q.sl)),
+              |ks AS (SELECT doc_id, count(*) AS kc,
+              |    string_agg(w, ' ' ORDER BY j) AS kt
+              |  FROM kept GROUP BY doc_id),
+              |nq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+              |  FROM q GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(nt.ntok AS BIGINT) AS ntok,
+              |  coalesce(nq.n_spans, 0) AS n_spans,
+              |  CAST(nt.ntok - coalesce(ks.kc, 0) AS BIGINT) AS dup_tokens,
+              |  md5(coalesce(ks.kt, '')) AS kept_md5
+              |FROM documents d JOIN nt USING (doc_id)
+              |LEFT JOIN nq ON nq.doc_id = d.doc_id
+              |LEFT JOIN ks ON ks.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)))
 }
