@@ -44,6 +44,37 @@ import graft.functions.TextFunctions
   */
 object SpanDedup {
 
+  /** Positional gram fingerprints: `(id, pos, f)` with `f` = md5 of the
+    * normalized k-gram starting at 0-based token position `pos` (texts
+    * shorter than k tokens yield one whole-text gram at pos 0).
+    */
+  private[llm] def gramPositions(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "gram width must be at least 2")
+    docs
+      .select(col(idCol),
+        TextFunctions.shingleGenerate(col(textCol), k).as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(col("shingle")).as("f"))
+  }
+
+  /** Merge a document's duplicated gram positions into maximal runs
+    * (`dupF` = the single-column `f` set of duplicated fingerprints).
+    */
+  private[llm] def runsFrom(
+      g: DataFrame, dupF: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    g.join(dupF, "f")
+      .select(col(idCol), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("span_start"), count(lit(1)).as("n_grams"))
+      .drop("grp")
+  }
+
   /** Maximal runs of duplicated k-gram positions per document:
     * `(id, span_start, n_grams)` with `span_start` the 0-based token
     * position of the run's first gram and `n_grams` the run length in
@@ -55,21 +86,10 @@ object SpanDedup {
       idCol: String,
       textCol: String,
       k: Int = 8): DataFrame = {
-    require(k >= 2, "gram width must be at least 2")
-    val g = docs
-      .select(col(idCol),
-        TextFunctions.shingleGenerate(col(textCol), k).as(Seq("pos", "shingle")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        md5(col("shingle")).as("f"))
+    val g = gramPositions(docs, idCol, textCol, k)
     val dupF = g.groupBy("f").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select("f")
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    g.join(dupF, "f")
-      .select(col(idCol), col("pos"))
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col(idCol), col("grp"))
-      .agg(min("pos").as("span_start"), count(lit(1)).as("n_grams"))
-      .drop("grp")
+    runsFrom(g, dupF, idCol)
   }
 
   /** Qualifying spans in token units: `(id, span_start, span_tokens)`
@@ -81,13 +101,26 @@ object SpanDedup {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      minSpanTokens: Int = 20): DataFrame = {
+      minSpanTokens: Int = 20): DataFrame =
+    spansFromRuns(duplicatedRuns(docs, idCol, textCol, k),
+      docs, idCol, textCol, k, minSpanTokens)
+
+  /** Token-unit qualifying spans from an externally produced run table
+    * (one-shot or index-backed — see [[SpanDedupIndex]]).
+    */
+  private[llm] def spansFromRuns(
+      runs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minSpanTokens: Int): DataFrame = {
     require(minSpanTokens >= k,
       s"minSpanTokens ($minSpanTokens) below the k-gram detection floor ($k)")
     val nt = docs.select(col(idCol),
       TextFunctions.tokenCount(TextFunctions.normalized(col(textCol)))
         .as("ntok"))
-    duplicatedRuns(docs, idCol, textCol, k)
+    runs
       .join(nt, idCol)
       .withColumn("span_tokens",
         least(col("span_start") + col("n_grams") + lit((k - 1).toLong),
@@ -107,8 +140,17 @@ object SpanDedup {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      minSpanTokens: Int = 20): DataFrame = {
-    val sp = spans(docs, idCol, textCol, k, minSpanTokens)
+      minSpanTokens: Int = 20): DataFrame =
+    cleanseFromSpans(spans(docs, idCol, textCol, k, minSpanTokens),
+      docs, idCol, textCol)
+
+  /** The span cut itself, from an externally produced span table. */
+  private[llm] def cleanseFromSpans(
+      spansDf: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val sp = spansDf
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_spans"),
         collect_list(struct(col("span_start"), col("span_tokens"))).as("sp"))

@@ -3179,7 +3179,41 @@ object LlmQueries {
             md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+      Some(spanDedupOracle)),
+
+    // Incremental exact-span dedup: the q200 pass through the persisted
+    // gram-occurrence index (SpanDedupIndex) — three disjoint batches
+    // folded by ADDITION (build + 2 addBatch), then the whole corpus
+    // cleansed against the indexed global counts. The oracle is q200's
+    // one-shot SQL VERBATIM: occurrence-count merge is addition, so the
+    // incremental path must reproduce the from-scratch cut bit-for-bit
+    // (same parity-exact contract as the line-df/CMS/BM25 indexes).
+    "q201_span_dedup_incremental" -> Q(
+      (s, d) => {
+        val dir = graft.queries.Scratch.dir("graft-q201-sdidx")
+        val all = docs(s, d)
+        graft.llm.SpanDedupIndex.build(
+          all.filter(col("doc_id") < 170), s"$dir/idx", "doc_id", "text")
+        graft.llm.SpanDedupIndex.addBatch(s, s"$dir/idx",
+          all.filter(col("doc_id") >= 170 && col("doc_id") < 340),
+          "doc_id", "text")
+        graft.llm.SpanDedupIndex.addBatch(s, s"$dir/idx",
+          all.filter(col("doc_id") >= 340), "doc_id", "text")
+        graft.llm.SpanDedupIndex
+          .cleanseWith(s, s"$dir/idx", all, "doc_id", "text",
+            k = 8, minSpanTokens = 20)
+          .select(col("doc_id"), col("ntok"), col("n_spans"),
+            col("dup_tokens"),
+            md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some(spanDedupOracle)))
+
+  /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)
+    * and q201 (index-backed incremental, which must match it exactly).
+    */
+  private lazy val spanDedupOracle: String =
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
               |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
               |gr0 AS (SELECT doc_id, CASE WHEN len(t) < 8 THEN [nm]
               |    ELSE list_transform(range(1, len(t) - 6),
@@ -3219,5 +3253,5 @@ object LlmQueries {
               |FROM documents d JOIN nt USING (doc_id)
               |LEFT JOIN nq ON nq.doc_id = d.doc_id
               |LEFT JOIN ks ON ks.doc_id = d.doc_id
-              |ORDER BY d.doc_id""".stripMargin)))
+              |ORDER BY d.doc_id""".stripMargin
 }

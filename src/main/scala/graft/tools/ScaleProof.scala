@@ -198,7 +198,9 @@ object ScaleProof {
       "q164_containment" -> 100, "q173_bm25_retrieval" -> 100,
       "q170_hits" -> 100, "q181_bm25_incremental" -> 100,
       "q184_personalized_pagerank" -> 100,
-      "q192_stream_bm25_ingest" -> 100)
+      "q192_stream_bm25_ingest" -> 100,
+      "q195_proximity_multiterm" -> 100,
+      "q201_span_dedup_incremental" -> 100)
     val meter = new ShuffleMeter(spark)
     val out = for {
       (name, maxCopies) <- queries
