@@ -144,6 +144,35 @@ object SpanDedup {
     cleanseFromSpans(spans(docs, idCol, textCol, k, minSpanTokens),
       docs, idCol, textCol)
 
+  /** Span-surgical decontamination: cut from `docs` every span of at
+    * least `minSpanTokens` tokens that appears VERBATIM in `reference`
+    * (a held-out benchmark/eval set) — the span-level complement of
+    * [[Decontaminate]]'s document-level flagging: drop only the leaked
+    * passage, keep the document. Same machinery as [[cleanse]] with the
+    * duplicated-fingerprint set swapped for the reference's distinct
+    * gram fingerprints; like there, matching is exact string identity
+    * on normalized k-grams (hashing is 128-bit md5 — a collision either
+    * discards good data or leaks eval answers, so no narrower key).
+    * Output schema matches [[cleanse]]; rows cover `docs` only.
+    */
+  def cleanseAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: DataFrame,
+      refIdCol: String,
+      refTextCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 20): DataFrame = {
+    val refF = gramPositions(reference, refIdCol, refTextCol, k)
+      .select("f").distinct()
+    val g = gramPositions(docs, idCol, textCol, k)
+    cleanseFromSpans(
+      spansFromRuns(runsFrom(g, refF, idCol),
+        docs, idCol, textCol, k, minSpanTokens),
+      docs, idCol, textCol)
+  }
+
   /** The span cut itself, from an externally produced span table. */
   private[llm] def cleanseFromSpans(
       spansDf: DataFrame,

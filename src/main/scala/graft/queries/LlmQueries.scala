@@ -3207,7 +3207,126 @@ object LlmQueries {
             md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
           .orderBy("doc_id")
       },
-      Some(spanDedupOracle)))
+      Some(spanDedupOracle)),
+
+    // Streaming span-dedup index maintenance: the q201 fold under the
+    // REAL streaming engine (file source, admission-bounded microbatches,
+    // Trigger.AvailableNow, foreachBatch) — the same protocol as q192's
+    // BM25 ingest, proving the newest exact index is maintainable at
+    // ingest time. The post-drain cleanse over the full corpus must
+    // still replay q200's one-shot SQL bit-for-bit.
+    "q202_stream_span_dedup" -> Q(
+      (s, d) => {
+        import graft.llm.SpanDedupIndex
+        val root = graft.queries.Scratch.dir("graft-q202-sdstream")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val all = docs(s, d).select(col("doc_id"), col("text"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, all.filter(col("doc_id") < 250))
+        writeBatch("b2.parquet", 2000000L, all.filter(col("doc_id") >= 250))
+        val idx = s"$root/idx"
+        s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (SpanDedupIndex.latestVersion(idx).isEmpty)
+              SpanDedupIndex.build(b, idx, "doc_id", "text")
+            else
+              SpanDedupIndex.addBatch(s, idx, b, "doc_id", "text")
+          }
+          .start().awaitTermination()
+        require(SpanDedupIndex.latestVersion(idx).contains(2),
+          "expected two delivered microbatches")
+        SpanDedupIndex
+          .cleanseWith(s, idx, docs(s, d), "doc_id", "text",
+            k = 8, minSpanTokens = 20)
+          .select(col("doc_id"), col("ntok"), col("n_spans"),
+            col("dup_tokens"),
+            md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"),
+            lit(2L).as("n_versions"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT o.*, CAST(2 AS BIGINT) AS n_versions
+              |FROM ($spanDedupOracle) o ORDER BY o.doc_id""".stripMargin)),
+
+    // Span-level decontamination: the surgical complement of q196 — cut
+    // only the benchmark-overlapping passage (≥ 20 verbatim tokens),
+    // keep the document. Held-out split mirrors q196's shape (doc_id %
+    // 97 residue class stands in for the eval suite) but pins residue 1,
+    // whose members (98, 389, 486, ...) have injected near-dup partners
+    // in the corpus at this SF — so the cut branch provably fires in the
+    // gate; q196's residue 0 happens to share only sub-threshold runs
+    // with the corpus). The cut machinery is q200's
+    // with the duplicated-fingerprint set swapped for the benchmark's
+    // distinct grams, so a doc quoting an eval answer loses exactly the
+    // quote. Exact string-keyed matching for the same reason as q196:
+    // a hash collision either discards good data or leaks eval answers.
+    "q203_span_decontaminate" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val bench = all.filter(col("doc_id") % 97 === 1)
+        val corpus = all.filter(col("doc_id") % 97 =!= 1)
+        SpanDedup.cleanseAgainst(corpus, "doc_id", "text",
+            bench, "doc_id", "text", k = 8, minSpanTokens = 20)
+          .select(col("doc_id"), col("ntok"), col("n_spans"),
+            col("dup_tokens"),
+            md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH nrm AS (SELECT doc_id, $normSql AS nm FROM documents),
+              |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
+              |gr0 AS (SELECT doc_id, CASE WHEN len(t) < 8 THEN [nm]
+              |    ELSE list_transform(range(1, len(t) - 6),
+              |           i -> array_to_string(t[i:i+7], ' ')) END AS gr
+              |  FROM tok),
+              |g0 AS (SELECT doc_id, unnest(range(len(gr))) AS pos,
+              |    unnest(gr) AS sh FROM gr0),
+              |g AS (SELECT doc_id, pos, md5(sh) AS f FROM g0),
+              |ref AS (SELECT DISTINCT f FROM g WHERE doc_id % 97 = 1),
+              |dp AS (SELECT doc_id, pos FROM g JOIN ref USING (f)
+              |  WHERE doc_id % 97 <> 1),
+              |rn AS (SELECT doc_id, pos, pos - row_number()
+              |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+              |runs AS (SELECT doc_id, min(pos) AS s0, count(*) AS ng
+              |  FROM rn GROUP BY doc_id, grp),
+              |nt AS (SELECT doc_id,
+              |    CASE WHEN nm = '' THEN 0 ELSE len(t) END AS ntok FROM tok
+              |  WHERE doc_id % 97 <> 1),
+              |q AS (SELECT r.doc_id, s0,
+              |    least(s0 + ng + 7, ntok) - s0 AS sl
+              |  FROM runs r JOIN nt USING (doc_id)
+              |  WHERE least(s0 + ng + 7, ntok) - s0 >= 20),
+              |tp AS (SELECT doc_id, unnest(range(len(t))) AS j,
+              |    unnest(t) AS w FROM tok WHERE nm <> '' AND doc_id % 97 <> 1),
+              |kept AS (SELECT tp.doc_id, j, w FROM tp
+              |  WHERE NOT EXISTS (SELECT 1 FROM q
+              |    WHERE q.doc_id = tp.doc_id
+              |      AND tp.j >= q.s0 AND tp.j < q.s0 + q.sl)),
+              |ks AS (SELECT doc_id, count(*) AS kc,
+              |    string_agg(w, ' ' ORDER BY j) AS kt
+              |  FROM kept GROUP BY doc_id),
+              |nq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+              |  FROM q GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(nt.ntok AS BIGINT) AS ntok,
+              |  coalesce(nq.n_spans, 0) AS n_spans,
+              |  CAST(nt.ntok - coalesce(ks.kc, 0) AS BIGINT) AS dup_tokens,
+              |  md5(coalesce(ks.kt, '')) AS kept_md5
+              |FROM documents d JOIN nt USING (doc_id)
+              |LEFT JOIN nq ON nq.doc_id = d.doc_id
+              |LEFT JOIN ks ON ks.doc_id = d.doc_id
+              |WHERE d.doc_id % 97 <> 1
+              |ORDER BY d.doc_id""".stripMargin)))
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)
     * and q201 (index-backed incremental, which must match it exactly).

@@ -86,6 +86,29 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(sp == Set((1L, 20L, 20L), (2L, 20L, 20L)))
   }
 
+  test("cleanseAgainst cuts only reference-verbatim spans, not corpus-internal dups") {
+    val quote = words("bench", 22)
+    val selfDup = words("selfdup", 24)
+    val bench = Seq((100L, (words("bq", 5) ++ quote).mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, (words("c1", 8) ++ quote ++ words("c1t", 4)).mkString(" ")),
+      (2L, selfDup.mkString(" ")), // duplicated WITHIN corpus (docs 2+3)
+      (3L, (selfDup ++ words("c3", 6)).mkString(" ")),
+      (4L, words("c4", 30).mkString(" "))).toDF("doc_id", "text")
+    val out = SpanDedup.cleanseAgainst(corpus, "doc_id", "text",
+        bench, "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1 loses exactly the 22-token quote; the corpus-internal dup
+    // (docs 2/3) is NOT benchmark material and survives untouched
+    assert(out(1L) == ((1L, 22L,
+      (words("c1", 8) ++ words("c1t", 4)).mkString(" "))))
+    assert(out(2L) == ((0L, 0L, selfDup.mkString(" "))))
+    assert(out(3L)._2 == 0L && out(4L)._2 == 0L)
+    assert(!out.contains(100L)) // rows cover the corpus side only
+  }
+
   test("null and blank text degrade to null/zero rows, not errors") {
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, "   "),
       (3L, words("ok", 25).mkString(" "))).toDF("id", "text")
