@@ -43,8 +43,11 @@ object StreamBench {
     // path at scale: replicated documents stream through foreachBatch
     // into Bm25Index (build, then addBatch per microbatch), measuring
     // docs/sec of INDEX UPKEEP rather than stateless transform rate.
+    // mode "span": same protocol over SpanDedupIndex (the q202 path) —
+    // gram-count upkeep docs/sec, proven by a post-drain cleanse.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "events")
     if (mode == "bm25") { bm25Main(sfDir, cpus, batches); return }
+    if (mode == "span") { spanMain(sfDir, cpus, batches); return }
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -119,7 +122,51 @@ object StreamBench {
     * search proves the built index answers queries. Docs default to
     * SPARK_GRAFT_STREAM_DOCS (100k ≈ 20x the sf0.1 corpus).
     */
-  private def bm25Main(sfDir: String, cpus: String, batches: Int): Unit = {
+  private def bm25Main(sfDir: String, cpus: String, batches: Int): Unit =
+    indexIngest("bm25_ingest_throughput", "graft-streambench-bm25",
+      sfDir, cpus, batches)(
+      (b, idx) => graft.llm.Bm25Index.build(b, idx, "doc_id", "text"),
+      (s, b, idx) => graft.llm.Bm25Index.addBatch(s, idx, b, "doc_id", "text"),
+      (s, idx, docs) => {
+        // prove the index answers: 3 queries drawn from the corpus itself
+        val queries = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        graft.llm.Bm25Index.search(s, idx, queries, k = 5).count()
+      },
+      idx => graft.llm.Bm25Index.latestVersion(idx).getOrElse(0))
+
+  /** Span-dedup index-maintenance throughput (the q202 path): gram
+    * occurrence counts folded per microbatch; the post-drain proof
+    * cleanses the base corpus slice against the index — replicated
+    * copies are VERBATIM duplicates, so every base doc ≥ minSpan tokens
+    * must come back fully cut (dup_tokens > 0 rows is the assert).
+    */
+  private def spanMain(sfDir: String, cpus: String, batches: Int): Unit =
+    indexIngest("span_ingest_throughput", "graft-streambench-span",
+      sfDir, cpus, batches)(
+      (b, idx) => graft.llm.SpanDedupIndex.build(b, idx, "doc_id", "text"),
+      (s, b, idx) =>
+        graft.llm.SpanDedupIndex.addBatch(s, idx, b, "doc_id", "text"),
+      (s, idx, docs) =>
+        graft.llm.SpanDedupIndex
+          .cleanseWith(s, idx, docs.filter(col("doc_id") < 100),
+            "doc_id", "text")
+          .filter(col("dup_tokens") > 0).count(),
+      idx => graft.llm.SpanDedupIndex.latestVersion(idx).getOrElse(0))
+
+  /** Shared persisted-index ingest harness: replicate the documents
+    * corpus doc-disjointly (id offsets — the exact indexes' batch
+    * precondition), stream it through admission-bounded microbatches,
+    * fold each into the index, and prove the result answers. Wall
+    * covers planning + every fold; output contract matches [[Bench]].
+    */
+  private def indexIngest(metric: String, scratch: String, sfDir: String,
+      cpus: String, batches: Int)(
+      build: (org.apache.spark.sql.DataFrame, String) => Unit,
+      add: (SparkSession, org.apache.spark.sql.DataFrame, String) => Unit,
+      prove: (SparkSession, String, org.apache.spark.sql.DataFrame) => Long,
+      versionsOf: String => Int): Unit = {
     val targetDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -131,7 +178,7 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val work = graft.queries.Scratch.dir("graft-streambench-bm25")
+    val work = graft.queries.Scratch.dir(scratch)
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val baseCount = docs.count()
     val copies = math.max(1, (targetDocs / math.max(1L, baseCount)).toInt)
@@ -153,10 +200,7 @@ object StreamBench {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (graft.llm.Bm25Index.latestVersion(idx).isEmpty)
-          graft.llm.Bm25Index.build(b, idx, "doc_id", "text")
-        else
-          graft.llm.Bm25Index.addBatch(spark, idx, b, "doc_id", "text")
+        if (versionsOf(idx) == 0) build(b, idx) else add(spark, b, idx)
       }
       .start()
     q.awaitTermination()
@@ -165,21 +209,17 @@ object StreamBench {
     val inputRows = progress.map(_.numInputRows).sum
     val perBatch = progress.filter(_.numInputRows > 0)
       .map(_.processedRowsPerSecond)
-    val versions = graft.llm.Bm25Index.latestVersion(idx).getOrElse(0)
-    // prove the index answers: 3 queries drawn from the corpus itself
-    val queries = docs.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("qid"),
-        array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
-    val hits = graft.llm.Bm25Index.search(spark, idx, queries, k = 5).count()
-    require(hits > 0, "post-ingest search returned no rows")
+    val versions = versionsOf(idx)
+    val hits = prove(spark, idx, docs)
+    require(hits > 0, "post-ingest proof query returned no rows")
     val throughput = inputRows / wall
     val detail = perBatch.map(r => num(r, 0)).mkString("[", ",", "]")
-    println(s"""{"metric":"bm25_ingest_throughput","value":${num(throughput, 0)},""" +
+    println(s"""{"metric":"$metric","value":${num(throughput, 0)},""" +
       s""""unit":"docs_per_sec","docs":$inputRows,"expected":$total,""" +
       s""""wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},""" +
-      s""""index_versions":$versions,"search_hits":$hits,""" +
+      s""""index_versions":$versions,"proof_rows":$hits,""" +
       s""""batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
-    println(s"""{"metric":"bm25_ingest_throughput","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"$metric","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
