@@ -61,25 +61,33 @@ object SpanDedup {
         md5(col("shingle")).as("f"))
   }
 
-  /** Merge a document's duplicated gram positions into maximal runs
-    * (`dupF` = the single-column `f` set of duplicated fingerprints).
-    */
-  private[llm] def runsFrom(
-      g: DataFrame, dupF: DataFrame, idCol: String): DataFrame = {
+  /** Merge duplicated gram positions `(id, pos)` into maximal runs. */
+  private[llm] def mergeRuns(dp: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("pos")
-    g.join(dupF, "f")
-      .select(col(idCol), col("pos"))
-      .withColumn("grp", col("pos") - row_number().over(w))
+    dp.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col(idCol), col("grp"))
       .agg(min("pos").as("span_start"), count(lit(1)).as("n_grams"))
       .drop("grp")
   }
+
+  /** Runs from an EXTERNAL duplicated-fingerprint set `dupF` (the
+    * index-backed path — see [[SpanDedupIndex]]).
+    */
+  private[llm] def runsFrom(
+      g: DataFrame, dupF: DataFrame, idCol: String): DataFrame =
+    mergeRuns(g.join(dupF, "f").select(col(idCol), col("pos")), idCol)
 
   /** Maximal runs of duplicated k-gram positions per document:
     * `(id, span_start, n_grams)` with `span_start` the 0-based token
     * position of the run's first gram and `n_grams` the run length in
     * gram positions. Token extent = `n_grams + k − 1`, clipped to the
     * document end (see [[spans]]).
+    *
+    * The occurrence count rides a `count over (partition by f)` window
+    * rather than a groupBy + self-join: one corpus scan (the shingle
+    * kernel runs once) and one shuffle by fingerprint, where the
+    * aggregate-then-rejoin form scans and shingles the corpus twice for
+    * the same shuffle volume.
     */
   def duplicatedRuns(
       docs: DataFrame,
@@ -87,9 +95,11 @@ object SpanDedup {
       textCol: String,
       k: Int = 8): DataFrame = {
     val g = gramPositions(docs, idCol, textCol, k)
-    val dupF = g.groupBy("f").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2).select("f")
-    runsFrom(g, dupF, idCol)
+    val dp = g
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("f")))
+      .filter(col("n_occ") >= 2)
+      .select(col(idCol), col("pos"))
+    mergeRuns(dp, idCol)
   }
 
   /** Qualifying spans in token units: `(id, span_start, span_tokens)`
