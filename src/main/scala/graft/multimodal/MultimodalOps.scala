@@ -121,6 +121,41 @@ object MultimodalOps {
     px
   }
 
+  /** Deterministic NOISE bitmap (middle-square mix): each channel byte
+    * is the middle bits of `u²` for a per-(seed, x, y, channel) linear
+    * seed `u` — NONLINEAR in position, so neighboring pixels decorrelate
+    * (the gradient-structured [[synthBitmap]] makes every image's dHash
+    * near-identical; perceptual-hash fixtures need per-image
+    * pseudorandom content). All intermediates < 2⁶² — safe int64 under
+    * ANSI, replayable verbatim in oracle SQL. `perturbR00` adds to the
+    * (0,0) red channel (mod 256): the "small edit" a perceptual hash
+    * must tolerate.
+    */
+  def synthNoiseBitmap(seed: Long, w: Int, h: Int,
+      perturbR00: Int = 0): Array[Byte] = {
+    def chan(x: Int, y: Int, salt: Int): Int = {
+      val u = (seed * 40503L + x * 65521L + y * 97531L + salt * 11939L +
+        12345L) % 2147483648L
+      (((u * u) / 65536L) % 256L).toInt
+    }
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        px(base) = chan(x, y, 1).toByte
+        px(base + 1) = chan(x, y, 2).toByte
+        px(base + 2) = chan(x, y, 3).toByte
+        x += 1
+      }
+      y += 1
+    }
+    if (perturbR00 != 0)
+      px(0) = (((px(0) & 0xff) + perturbR00) % 256).toByte
+    px
+  }
+
   /** Nearest-neighbor resample of one raw RGB888 buffer (floor mapping
     * sx = x*sw/tw — the standard NN kernel, exact integer arithmetic).
     */

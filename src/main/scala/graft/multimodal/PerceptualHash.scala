@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.BucketCaps
+
+/** Perceptual image dedup — dHash (difference hash) over decoded
+  * rasters, the image-modality member of the near-dup family (text =
+  * MinHash/SimHash, audio = PCM features): re-encoding, metadata edits,
+  * or small pixel perturbations leave the hash within a few bits, while
+  * byte-level dedup ([[graft.operators.Dedup]]) sees entirely different
+  * files.
+  *
+  * dHash (public domain technique, popularized by Krawetz's
+  * "Kind of Like That", 2013): NN-resize the raster to a 9×8 grayscale
+  * grid and emit one bit per horizontal neighbor comparison
+  * `gray(x+1,y) > gray(x,y)` — 64 bits that encode the image's
+  * brightness GRADIENT structure, invariant to global brightness and
+  * scale. Everything is exact integer arithmetic on decoded bytes
+  * (floor-mapped NN resize, `(r+g+b) div 3` grayscale, strict
+  * comparison), so the full pipeline — decode → resize → hash → banded
+  * pairs — replays relationally in the oracle.
+  *
+  * The hash ships as two 32-bit halves `(h1, h2)` (rows 0-3 / 4-7, bit
+  * `y*8 + x` within each half): every downstream op (band keys, XOR,
+  * bit_count) stays in safe non-negative int64 under ANSI mode.
+  *
+  * Near-dup search is the same shape as SimHash banding: 4 disjoint
+  * 16-bit blocks; Hamming distance ≤ r with r < 4 pigeonholes at least
+  * one equal block, so the block-equality self-join finds every pair at
+  * small radius (and serves as a high-recall candidate generator above
+  * that — radius 8 with ≤ 2 flipped blocks still guarantees 2 shared
+  * blocks). Candidates verify by exact `bit_count(a XOR b)`. The
+  * self-join takes the standard `maxBucketSize` cap ([[BucketCaps]]) so
+  * a degenerate bucket (solid-color images all hash to 0) cannot go
+  * quadratic.
+  */
+object PerceptualHash {
+
+  case class PHash(id: Long, h1: Long, h2: Long)
+
+  /** dHash halves of one raw RGB888 buffer. */
+  def dHashKernel(src: Array[Byte], sw: Int, sh: Int): (Long, Long) = {
+    val g = MultimodalOps.resizeNearestKernel(src, sw, sh, 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val b = (y * 9 + x) * 3
+      ((g(b) & 0xff) + (g(b + 1) & 0xff) + (g(b + 2) & 0xff)) / 3
+    }
+    var h1 = 0L; var h2 = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) {
+          if (y < 4) h1 |= 1L << (y * 8 + x)
+          else h2 |= 1L << ((y - 4) * 8 + x)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (h1, h2)
+  }
+
+  /** Distributed dHash over decoded images (batched per partition like
+    * the decode path).
+    */
+  def dHash(ds: Dataset[MultimodalOps.RawImage],
+      batchSize: Int = 64): Dataset[PHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { img =>
+        val (h1, h2) = dHashKernel(img.pixels, img.width, img.height)
+        PHash(img.id, h1, h2)
+      })
+    }
+  }
+
+  /** Near-duplicate image pairs `(id_a, id_b, hamming)` with
+    * `hamming ≤ radius`, via 4-block banding + exact XOR-popcount
+    * verification. Complete for any pair sharing at least one 16-bit
+    * block (always true at radius ≤ 3; true at radius ≤ 8 unless the
+    * flips spread across all 4 blocks — at most `radius` blocks can be
+    * touched, so radius ≤ 8 pairs with flips in ≤ 3 blocks are found).
+    */
+  def nearDupPairs(
+      hashes: DataFrame,
+      idCol: String = "id",
+      radius: Int = 8,
+      maxBucketSize: Long = 10000L): DataFrame = {
+    val blocks = hashes.select(col(idCol).as("id"), col("h1"), col("h2"),
+        explode(array(
+          struct(lit(0).as("band"),
+            col("h1").bitwiseAND(lit(0xffffL)).as("key")),
+          struct(lit(1).as("band"), shiftright(col("h1"), 16).as("key")),
+          struct(lit(2).as("band"),
+            col("h2").bitwiseAND(lit(0xffffL)).as("key")),
+          struct(lit(3).as("band"), shiftright(col("h2"), 16).as("key"))))
+          .as("bx"))
+      .select(col("id"), col("h1"), col("h2"),
+        col("bx.band").as("band"), col("bx.key").as("key"))
+    val capped = BucketCaps.capBuckets(blocks,
+      Seq(col("band"), col("key")), maxBucketSize)
+    val a = capped.select(col("id").as("id_a"), col("h1").as("h1a"),
+      col("h2").as("h2a"), col("band"), col("key"))
+    val b = capped.select(col("id").as("id_b"), col("h1").as("h1b"),
+      col("h2").as("h2b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h1a", "h2a", "h1b", "h2b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("h1a").bitwiseXOR(col("h1b"))) +
+          bit_count(col("h2a").bitwiseXOR(col("h2b")))).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select("id_a", "id_b", "hamming")
+  }
+}
