@@ -237,6 +237,30 @@ object MultimodalOps {
     out
   }
 
+  /** Deterministic NOISE PCM (middle-square mix, like
+    * [[synthNoiseBitmap]]): decorrelated samples so per-clip frame
+    * energies are independent across seeds — [[synthPcm]]'s linear
+    * sawtooth gives every clip the same energy profile, useless as a
+    * fingerprint fixture. Samples are EVEN by construction, so
+    * `halve = true` (the acoustic twin: same signal at half volume) is
+    * an EXACT integer division — truncate-vs-floor can't diverge on the
+    * replay, and frame-energy ORDER is exactly preserved (E/4).
+    */
+  def synthNoisePcm(seed: Long, nSamples: Int,
+      halve: Boolean = false): Array[Byte] = {
+    val out = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val u = (seed * 40503L + i * 65521L + 12345L) % 2147483648L
+      val sb = (((u * u) / 65536L) % 65536L % 30000L - 15000L).toInt
+      val s = if (halve) sb else 2 * sb
+      out(i * 2) = (s & 0xff).toByte
+      out(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Energy (mean square — kept transcendental-free, unlike RMS), signed
     * zero-crossing count, and peak magnitude per clip, decoding the
     * 16-bit LE samples straight off the byte buffer. Sample squares are

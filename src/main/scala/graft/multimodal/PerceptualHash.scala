@@ -77,6 +77,59 @@ object PerceptualHash {
     }
   }
 
+  /** Audio fingerprint — the energy-GRADIENT analog of dHash for PCM
+    * clips: frame the 16-bit LE samples into windows of `frame`
+    * samples, one bit per consecutive-frame energy comparison
+    * `E(f+1) > E(f)` (E = Σ s², exact int64), comparisons 0-31 in h1,
+    * 32-63 in h2. Invariant to exact amplitude rescaling (energies
+    * scale together, order preserved) and, like dHash, robust to any
+    * transform that preserves the clip's ENERGY CONTOUR — while byte
+    * comparison sees unrelated buffers. Clips with fewer than 65
+    * frames leave the remaining high bits 0. Pairs search reuses
+    * [[nearDupPairs]] — the banding/verify layer is hash-agnostic.
+    */
+  def audioFingerprintKernel(pcm: Array[Byte], frame: Int = 8): (Long, Long) = {
+    require(frame > 0)
+    val n = pcm.length / 2
+    val nf = n / frame
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var acc = 0L
+      var i = f * frame
+      val end = i + frame
+      while (i < end) {
+        val s = (((pcm(i * 2 + 1) & 0xff) << 8) | (pcm(i * 2) & 0xff))
+          .toShort.toInt
+        acc += s.toLong * s
+        i += 1
+      }
+      e(f) = acc
+      f += 1
+    }
+    var h1 = 0L; var h2 = 0L
+    var c = 0
+    while (c < math.min(64, nf - 1)) {
+      if (e(c + 1) > e(c)) {
+        if (c < 32) h1 |= 1L << c else h2 |= 1L << (c - 32)
+      }
+      c += 1
+    }
+    (h1, h2)
+  }
+
+  /** Distributed audio fingerprint over raw PCM clips. */
+  def audioFingerprint(ds: Dataset[MultimodalOps.RawAudio],
+      frame: Int = 8, batchSize: Int = 64): Dataset[PHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { a =>
+        val (h1, h2) = audioFingerprintKernel(a.pcm, frame)
+        PHash(a.id, h1, h2)
+      })
+    }
+  }
+
   /** Near-duplicate image pairs `(id_a, id_b, hamming)` with
     * `hamming ≤ radius`, via 4-block banding + exact XOR-popcount
     * verification. Complete for any pair sharing at least one 16-bit

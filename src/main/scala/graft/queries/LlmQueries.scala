@@ -3401,6 +3401,66 @@ object LlmQueries {
              |    AS BIGINT) AS hamming
              |FROM cand
              |WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Audio fingerprint near-dup — the acoustic sibling of q204: each
+    // even doc's 520-sample noise clip paired with an odd twin at
+    // EXACTLY half volume (samples are even by construction, so the
+    // halving is exact integer division and frame-energy ORDER is
+    // preserved — byte comparison sees unrelated buffers, the
+    // energy-contour fingerprint is identical). RawAudio directly, the
+    // q111/q187 precedent (wavBytes writes only silent payloads). The
+    // banding/verify layer is the SAME hash-agnostic nearDupPairs as
+    // q204. Oracle replays synthesis, frame energies, all 64
+    // comparisons, both halves, band keys, and the Hamming cut.
+    "q205_audio_fp_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{MultimodalOps, PerceptualHash}
+        val clips = docs(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            MultimodalOps.RawAudio(id,
+              MultimodalOps.synthNoisePcm(id / 2, 520, halve = id % 2 == 1))
+          }
+        val hashes = PerceptualHash.audioFingerprint(clips).toDF()
+        PerceptualHash.nearDupPairs(hashes, "id", radius = 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH smp AS (SELECT d.doc_id, i.i,
+             |    ((d.doc_id // 2) * 40503 + i.i * 65521 + 12345)
+             |      % 2147483648 AS u
+             |  FROM documents d, range(0, 520) i(i)),
+             |sv AS (SELECT doc_id, i,
+             |    ((u * u) // 65536) % 65536 % 30000 - 15000 AS sb
+             |  FROM smp),
+             |sgn AS (SELECT doc_id, i,
+             |    CASE WHEN doc_id % 2 = 1 THEN sb ELSE 2 * sb END AS s
+             |  FROM sv),
+             |fe AS (SELECT doc_id, i // 8 AS f, sum(s * s) AS e
+             |  FROM sgn GROUP BY doc_id, i // 8),
+             |bits AS (SELECT a.doc_id, a.f AS c,
+             |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+             |  WHERE a.f < 64),
+             |h AS (SELECT doc_id,
+             |    sum(CASE WHEN c < 32
+             |        THEN CAST(bit AS BIGINT) << c ELSE 0 END) AS h1,
+             |    sum(CASE WHEN c >= 32
+             |        THEN CAST(bit AS BIGINT) << (c - 32) ELSE 0 END) AS h2
+             |  FROM bits GROUP BY doc_id),
+             |blk AS (SELECT doc_id, h1, h2,
+             |    unnest([h1 & 65535, h1 >> 16, h2 & 65535, h2 >> 16]) AS key,
+             |    unnest([0, 1, 2, 3]) AS band
+             |  FROM h),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
+             |  FROM blk a JOIN blk b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b,
+             |  CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b))
+             |    AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 8
              |ORDER BY id_a, id_b""".stripMargin)))
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)

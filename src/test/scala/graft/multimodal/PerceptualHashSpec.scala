@@ -67,6 +67,45 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(uncapped.count() == 50L * 49L / 2L)
   }
 
+  test("audio fingerprint: bit layout, amplitude invariance, noise decorrelation") {
+    // 66 frames of 8 samples with hand-chosen rising/flat energies
+    def pcm(vals: Seq[Int]): Array[Byte] = {
+      val out = new Array[Byte](vals.size * 2 * 8)
+      vals.zipWithIndex.foreach { case (v, f) =>
+        for (k <- 0 until 8) {
+          val i = f * 8 + k
+          out(i * 2) = (v & 0xff).toByte
+          out(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        }
+      }
+      out
+    }
+    // strictly rising |amplitude| per frame → every comparison bit set
+    val rising = pcm((0 until 65).map(f => f + 1))
+    val (r1, r2) = PerceptualHash.audioFingerprintKernel(rising)
+    assert(r1 == 0xffffffffL && r2 == 0xffffffffL)
+    // flat → no bits
+    val (f1, f2) = PerceptualHash.audioFingerprintKernel(pcm(Seq.fill(65)(9)))
+    assert(f1 == 0L && f2 == 0L)
+    // exact halving preserves the fingerprint bit-for-bit
+    val full = MultimodalOps.synthNoisePcm(7L, 520)
+    val half = MultimodalOps.synthNoisePcm(7L, 520, halve = true)
+    assert(PerceptualHash.audioFingerprintKernel(full) ==
+      PerceptualHash.audioFingerprintKernel(half))
+    // different seeds decorrelate: only the volume twins pair
+    val clips = (0L until 6L).flatMap { gid =>
+      Seq(
+        MultimodalOps.RawAudio(gid * 2, MultimodalOps.synthNoisePcm(gid, 520)),
+        MultimodalOps.RawAudio(gid * 2 + 1,
+          MultimodalOps.synthNoisePcm(gid, 520, halve = true)))
+    }
+    val hashes = PerceptualHash.audioFingerprint(clips.toDS()).toDF()
+    val pairs = PerceptualHash.nearDupPairs(hashes, "id", radius = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == (0L until 6L).map(g => (g * 2, g * 2 + 1)).toSet)
+    assert(pairs.values.forall(_ == 0L))
+  }
+
   test("synthNoiseBitmap decorrelates ids; perturbation stays within radius") {
     val imgs = (0L until 6L).flatMap { gid =>
       Seq(RawImage(gid * 2,
