@@ -130,6 +130,56 @@ object PerceptualHash {
     }
   }
 
+  /** Video near-dup from per-FRAME hashes `(id, f, h1, h2)` (sampled
+    * frames, each dHashed): two clips pair when at least `minMatched`
+    * of clip A's frames have SOME frame of B within `radius` — set
+    * matching over frame fingerprints, deliberately NOT positional
+    * alignment, so temporal shifts (trimmed intros, re-cut openings)
+    * and re-encodes still pair while byte comparison sees nothing.
+    * Returns `(id_a, id_b, matched_frames)`. Candidate generation is
+    * the same 16-bit-block banding as [[nearDupPairs]], per frame, with
+    * the same hot-bucket cap (a black-frame population would otherwise
+    * cross-join).
+    */
+  def videoNearDup(
+      frameHashes: DataFrame,
+      idCol: String = "id",
+      frameCol: String = "f",
+      radius: Int = 4,
+      minMatched: Int = 3,
+      maxBucketSize: Long = 10000L): DataFrame = {
+    val blocks = frameHashes.select(col(idCol).as("id"),
+        col(frameCol).as("f"), col("h1"), col("h2"),
+        explode(array(
+          struct(lit(0).as("band"),
+            col("h1").bitwiseAND(lit(0xffffL)).as("key")),
+          struct(lit(1).as("band"), shiftright(col("h1"), 16).as("key")),
+          struct(lit(2).as("band"),
+            col("h2").bitwiseAND(lit(0xffffL)).as("key")),
+          struct(lit(3).as("band"), shiftright(col("h2"), 16).as("key"))))
+          .as("bx"))
+      .select(col("id"), col("f"), col("h1"), col("h2"),
+        col("bx.band").as("band"), col("bx.key").as("key"))
+    val capped = BucketCaps.capBuckets(blocks,
+      Seq(col("band"), col("key")), maxBucketSize)
+    val a = capped.select(col("id").as("id_a"), col("f").as("fa"),
+      col("h1").as("h1a"), col("h2").as("h2a"), col("band"), col("key"))
+    val b = capped.select(col("id").as("id_b"), col("f").as("fb"),
+      col("h1").as("h1b"), col("h2").as("h2b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fa", "fb", "h1a", "h2a", "h1b", "h2b")
+      .distinct()
+      .filter(
+        (bit_count(col("h1a").bitwiseXOR(col("h1b"))) +
+          bit_count(col("h2a").bitwiseXOR(col("h2b")))) <= radius)
+      .select("id_a", "id_b", "fa")
+      .distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("matched_frames"))
+      .filter(col("matched_frames") >= minMatched)
+  }
+
   /** Near-duplicate image pairs `(id_a, id_b, hamming)` with
     * `hamming ≤ radius`, via 4-block banding + exact XOR-popcount
     * verification. Complete for any pair sharing at least one 16-bit

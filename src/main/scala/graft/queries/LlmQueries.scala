@@ -3461,6 +3461,80 @@ object LlmQueries {
              |    AS BIGINT) AS hamming
              |FROM cand
              |WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Video near-dup — frames as the third modality through the SAME
+    // perceptual layer: each doc is a 6-frame clip of noise bitmaps,
+    // the odd twin TRIMMED by one frame (frame seeds shifted +1: five
+    // shared frames, one new) — positional alignment would miss it;
+    // set-matching over per-frame dHashes pairs it at matched_frames=5.
+    // Frames arrive as decoded rasters (a video codec is out of scope
+    // like JPEG — the documented multimodal non-goal); everything
+    // downstream of decode is the real path. Oracle replays per-frame
+    // synthesis, all 64 comparisons per frame, band keys, the per-frame
+    // Hamming cut, and the distinct-frame count.
+    "q206_video_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{MultimodalOps, PerceptualHash}
+        val frames = docs(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            (0 until 6).map { f =>
+              val fs = (id / 2) * 7919 + f + (if (id % 2 == 1) 1 else 0)
+              val (h1, h2) = PerceptualHash.dHashKernel(
+                MultimodalOps.synthNoiseBitmap(fs, 16, 12), 16, 12)
+              (id, f, h1, h2)
+            }
+          }.toDF("id", "f", "h1", "h2")
+        PerceptualHash.videoNearDup(frames, radius = 4, minMatched = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH fr AS (SELECT d.doc_id, f.f,
+             |    (d.doc_id // 2) * 7919 + f.f
+             |      + CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 0 END AS fs
+             |  FROM documents d, range(0, 6) f(f)),
+             |cell AS (SELECT doc_id, f, fs, x.x, y.y,
+             |    (x.x * 16) // 9 AS sx, (y.y * 12) // 8 AS sy
+             |  FROM fr, range(0, 9) x(x), range(0, 8) y(y)),
+             |v AS (SELECT doc_id, f, x, y,
+             |    (fs * 40503 + sx * 65521 + sy * 97531 + 24284)
+             |      % 2147483648 AS v1,
+             |    (fs * 40503 + sx * 65521 + sy * 97531 + 36223)
+             |      % 2147483648 AS v2,
+             |    (fs * 40503 + sx * 65521 + sy * 97531 + 48162)
+             |      % 2147483648 AS v3
+             |  FROM cell),
+             |g AS (SELECT doc_id, f, x, y,
+             |    (((v1 * v1) // 65536) % 256 + ((v2 * v2) // 65536) % 256
+             |     + ((v3 * v3) // 65536) % 256) // 3 AS gv
+             |  FROM v),
+             |bits AS (SELECT a.doc_id, a.f, a.x, a.y,
+             |    CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.f = a.f
+             |    AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (SELECT doc_id, f,
+             |    sum(CASE WHEN y < 4
+             |        THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS h1,
+             |    sum(CASE WHEN y >= 4
+             |        THEN CAST(bit AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END) AS h2
+             |  FROM bits GROUP BY doc_id, f),
+             |blk AS (SELECT doc_id, f, h1, h2,
+             |    unnest([h1 & 65535, h1 >> 16, h2 & 65535, h2 >> 16]) AS key,
+             |    unnest([0, 1, 2, 3]) AS band
+             |  FROM h),
+             |fcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.f AS fa, b.f AS fb,
+             |    a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
+             |  FROM blk a JOIN blk b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+             |fmatch AS (SELECT DISTINCT id_a, id_b, fa FROM fcand
+             |  WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 4),
+             |pairs AS (SELECT id_a, id_b,
+             |    CAST(count(*) AS BIGINT) AS matched_frames
+             |  FROM fmatch GROUP BY id_a, id_b)
+             |SELECT id_a, id_b, matched_frames FROM pairs
+             |WHERE matched_frames >= 3
              |ORDER BY id_a, id_b""".stripMargin)))
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)

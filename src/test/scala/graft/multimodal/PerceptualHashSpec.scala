@@ -106,6 +106,26 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(pairs.values.forall(_ == 0L))
   }
 
+  test("video set-matching pairs shifted clips and rejects unrelated ones") {
+    import org.apache.spark.sql.functions.col
+    // clip 0: frames seeded 0..5; clip 1: seeds 1..6 (one-frame trim →
+    // 5 shared frames); clip 2: disjoint seeds 100..105
+    def clip(id: Long, seeds: Seq[Long]) = seeds.zipWithIndex.map {
+      case (fs, f) =>
+        val (h1, h2) = PerceptualHash.dHashKernel(
+          MultimodalOps.synthNoiseBitmap(fs, 16, 12), 16, 12)
+        (id, f, h1, h2)
+    }
+    val frames = (clip(0L, 0L to 5L) ++ clip(1L, 1L to 6L) ++
+      clip(2L, 100L to 105L)).toDF("id", "f", "h1", "h2")
+    val out = PerceptualHash.videoNearDup(frames, radius = 4, minMatched = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 1L) -> 5L))
+    // tighter threshold than the overlap → no pair
+    assert(PerceptualHash.videoNearDup(frames, radius = 4, minMatched = 6)
+      .filter(col("id_a") === 0L).count() == 0L)
+  }
+
   test("synthNoiseBitmap decorrelates ids; perturbation stays within radius") {
     val imgs = (0L until 6L).flatMap { gid =>
       Seq(RawImage(gid * 2,
