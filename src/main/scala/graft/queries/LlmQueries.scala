@@ -3357,51 +3357,7 @@ object LlmQueries {
         PerceptualHash.nearDupPairs(hashes, "id", radius = 8)
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH cell AS (SELECT d.doc_id, x.x, y.y,
-             |    (x.x * 16) // 9 AS sx, (y.y * 12) // 8 AS sy
-             |  FROM documents d, range(0, 9) x(x), range(0, 8) y(y)),
-             |u AS (SELECT doc_id, x, y, sx, sy,
-             |    (doc_id // 2) * 40503 + sx * 65521 + sy * 97531 AS base
-             |  FROM cell),
-             |v AS (SELECT doc_id, x, y, sx, sy,
-             |    (base + 24284) % 2147483648 AS v1,
-             |    (base + 36223) % 2147483648 AS v2,
-             |    (base + 48162) % 2147483648 AS v3
-             |  FROM u),
-             |bt AS (SELECT doc_id, x, y, sx, sy,
-             |    ((v1 * v1) // 65536) % 256 AS b1,
-             |    ((v2 * v2) // 65536) % 256 AS b2,
-             |    ((v3 * v3) // 65536) % 256 AS b3
-             |  FROM v),
-             |g AS (SELECT doc_id, x, y,
-             |    ((CASE WHEN doc_id % 2 = 1 AND sx = 0 AND sy = 0
-             |           THEN (b1 + 8) % 256 ELSE b1 END) + b2 + b3) // 3 AS gv
-             |  FROM bt),
-             |bits AS (SELECT a.doc_id, a.x, a.y,
-             |    CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
-             |  FROM g a JOIN g b
-             |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
-             |  WHERE a.x < 8),
-             |h AS (SELECT doc_id,
-             |    sum(CASE WHEN y < 4
-             |        THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS h1,
-             |    sum(CASE WHEN y >= 4
-             |        THEN CAST(bit AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END) AS h2
-             |  FROM bits GROUP BY doc_id),
-             |blk AS (SELECT doc_id, h1, h2,
-             |    unnest([h1 & 65535, h1 >> 16, h2 & 65535, h2 >> 16]) AS key,
-             |    unnest([0, 1, 2, 3]) AS band
-             |  FROM h),
-             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             |    a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
-             |  FROM blk a JOIN blk b
-             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-             |SELECT id_a, id_b,
-             |  CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b))
-             |    AS BIGINT) AS hamming
-             |FROM cand
-             |WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 8
-             |ORDER BY id_a, id_b""".stripMargin)),
+      Some(phashOracle)),
 
     // Audio fingerprint near-dup — the acoustic sibling of q204: each
     // even doc's 520-sample noise clip paired with an odd twin at
@@ -3535,7 +3491,38 @@ object LlmQueries {
              |  FROM fmatch GROUP BY id_a, id_b)
              |SELECT id_a, id_b, matched_frames FROM pairs
              |WHERE matched_frames >= 3
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Incremental perceptual dedup through the persisted band index
+    // (multimodal/PHashIndex.scala): q204's corpus split EVEN/ODD — so
+    // every twin pair straddles the batch boundary — batch 1 indexed,
+    // batch 2 probed against history + itself, verified entirely from
+    // the carried hash halves (history is never re-decoded; media bytes
+    // are read once, at ingest). Union with batch 1's internal pairs
+    // must reproduce q204's one-shot pair set exactly: the oracle IS
+    // q204's SQL.
+    "q207_phash_incremental" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{MultimodalOps, PerceptualHash, PHashIndex}
+        val dir = graft.queries.Scratch.dir("graft-q207-phidx")
+        val hashes = docs(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val (h1, h2) = PerceptualHash.dHashKernel(
+              MultimodalOps.synthNoiseBitmap(id / 2, 16, 12,
+                perturbR00 = if (id % 2 == 1) 8 else 0), 16, 12)
+            (id, h1, h2)
+          }.toDF("id", "h1", "h2")
+        val b1 = hashes.filter(col("id") % 2 === 0)
+        val b2 = hashes.filter(col("id") % 2 === 1)
+        PHashIndex.build(b1, s"$dir/idx")
+        val p1 = PerceptualHash.nearDupPairs(b1, "id", radius = 8)
+        val p2 = PHashIndex.incrementalNearDupPairs(
+          s, s"$dir/idx", b2, "id", radius = 8)
+        PHashIndex.append(b2, s"$dir/idx")
+        p1.union(p2).orderBy("id_a", "id_b")
+      },
+      Some(phashOracle)))
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)
     * and q201 (index-backed incremental, which must match it exactly).
@@ -3582,4 +3569,55 @@ object LlmQueries {
               |LEFT JOIN nq ON nq.doc_id = d.doc_id
               |LEFT JOIN ks ON ks.doc_id = d.doc_id
               |ORDER BY d.doc_id""".stripMargin
+
+  /** Full perceptual-hash pair-set SQL — shared oracle for q204
+    * (one-shot) and q207 (index-backed incremental, which must
+    * reproduce it exactly).
+    */
+  private lazy val phashOracle: String =
+    """WITH cell AS (SELECT d.doc_id, x.x, y.y,
+             |    (x.x * 16) // 9 AS sx, (y.y * 12) // 8 AS sy
+             |  FROM documents d, range(0, 9) x(x), range(0, 8) y(y)),
+             |u AS (SELECT doc_id, x, y, sx, sy,
+             |    (doc_id // 2) * 40503 + sx * 65521 + sy * 97531 AS base
+             |  FROM cell),
+             |v AS (SELECT doc_id, x, y, sx, sy,
+             |    (base + 24284) % 2147483648 AS v1,
+             |    (base + 36223) % 2147483648 AS v2,
+             |    (base + 48162) % 2147483648 AS v3
+             |  FROM u),
+             |bt AS (SELECT doc_id, x, y, sx, sy,
+             |    ((v1 * v1) // 65536) % 256 AS b1,
+             |    ((v2 * v2) // 65536) % 256 AS b2,
+             |    ((v3 * v3) // 65536) % 256 AS b3
+             |  FROM v),
+             |g AS (SELECT doc_id, x, y,
+             |    ((CASE WHEN doc_id % 2 = 1 AND sx = 0 AND sy = 0
+             |           THEN (b1 + 8) % 256 ELSE b1 END) + b2 + b3) // 3 AS gv
+             |  FROM bt),
+             |bits AS (SELECT a.doc_id, a.x, a.y,
+             |    CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g b
+             |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (SELECT doc_id,
+             |    sum(CASE WHEN y < 4
+             |        THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END) AS h1,
+             |    sum(CASE WHEN y >= 4
+             |        THEN CAST(bit AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END) AS h2
+             |  FROM bits GROUP BY doc_id),
+             |blk AS (SELECT doc_id, h1, h2,
+             |    unnest([h1 & 65535, h1 >> 16, h2 & 65535, h2 >> 16]) AS key,
+             |    unnest([0, 1, 2, 3]) AS band
+             |  FROM h),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
+             |  FROM blk a JOIN blk b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b,
+             |  CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b))
+             |    AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 8
+             |ORDER BY id_a, id_b""".stripMargin
 }

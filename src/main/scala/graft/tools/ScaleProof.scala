@@ -201,7 +201,8 @@ object ScaleProof {
       "q192_stream_bm25_ingest" -> 100,
       "q195_proximity_multiterm" -> 100,
       "q201_span_dedup_incremental" -> 100,
-      "q202_stream_span_dedup" -> 100)
+      "q202_stream_span_dedup" -> 100,
+      "q207_phash_incremental" -> 100)
     val meter = new ShuffleMeter(spark)
     val out = for {
       (name, maxCopies) <- queries
