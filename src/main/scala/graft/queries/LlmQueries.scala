@@ -3522,7 +3522,70 @@ object LlmQueries {
         PHashIndex.append(b2, s"$dir/idx")
         p1.union(p2).orderBy("id_a", "id_b")
       },
-      Some(phashOracle)))
+      Some(phashOracle)),
+
+    // Streaming perceptual ingest: q207's probe-then-append fold under
+    // the REAL engine (file source, admission-bounded microbatches,
+    // Trigger.AvailableNow, foreachBatch — the q192/q202 protocol).
+    // Each arriving batch is hashed once, probed against indexed
+    // history AND itself, its dedup DECISIONS written, then its band
+    // rows appended — the ingest-time image-dedup loop. Even/odd ids
+    // across the two batches ⇒ every twin pair is an ingest-time
+    // cross-history hit; the accumulated decisions must reproduce
+    // q204's one-shot pair set exactly, and n_batches pins real
+    // microbatch delivery.
+    "q208_stream_phash_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{MultimodalOps, PerceptualHash, PHashIndex}
+        val root = graft.queries.Scratch.dir("graft-q208-phstream")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val ids = docs(s, d).select(col("doc_id"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, ids.filter(col("doc_id") % 2 === 0))
+        writeBatch("b2.parquet", 2000000L, ids.filter(col("doc_id") % 2 === 1))
+        val idx = s"$root/idx"
+        val decisions = s"$root/decisions"
+        var nBatches = 0
+        s.readStream
+          .schema("doc_id LONG")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            nBatches += 1
+            val h = b.select(col("doc_id")).as[Long].map { id =>
+              val (h1, h2) = PerceptualHash.dHashKernel(
+                MultimodalOps.synthNoiseBitmap(id / 2, 16, 12,
+                  perturbR00 = if (id % 2 == 1) 8 else 0), 16, 12)
+              (id, h1, h2)
+            }.toDF("id", "h1", "h2").localCheckpoint()
+            val found =
+              if (!new java.io.File(idx).exists())
+                PerceptualHash.nearDupPairs(h, "id", radius = 8)
+              else PHashIndex.incrementalNearDupPairs(
+                s, idx, h, "id", radius = 8)
+            found.write.mode("append").parquet(decisions)
+            if (!new java.io.File(idx).exists()) PHashIndex.build(h, idx)
+            else PHashIndex.append(h, idx)
+          }
+          .start().awaitTermination()
+        require(nBatches == 2, s"expected two microbatches, saw $nBatches")
+        s.read.parquet(decisions)
+          .withColumn("n_batches", lit(2L))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""SELECT o.*, CAST(2 AS BIGINT) AS n_batches
+              |FROM ($phashOracle) o ORDER BY o.id_a, o.id_b""".stripMargin)))
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)
     * and q201 (index-backed incremental, which must match it exactly).

@@ -202,7 +202,8 @@ object ScaleProof {
       "q195_proximity_multiterm" -> 100,
       "q201_span_dedup_incremental" -> 100,
       "q202_stream_span_dedup" -> 100,
-      "q207_phash_incremental" -> 100)
+      "q207_phash_incremental" -> 100,
+      "q208_stream_phash_ingest" -> 100)
     val meter = new ShuffleMeter(spark)
     val out = for {
       (name, maxCopies) <- queries
