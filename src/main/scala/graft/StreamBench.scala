@@ -45,9 +45,13 @@ object StreamBench {
     // docs/sec of INDEX UPKEEP rather than stateless transform rate.
     // mode "span": same protocol over SpanDedupIndex (the q202 path) —
     // gram-count upkeep docs/sec, proven by a post-drain cleanse.
+    // mode "phash": perceptual-ingest throughput (the q208 path) —
+    // encode→decode→dHash→probe→append per microbatch; docs/sec of the
+    // full image-dedup ingest loop including the real decode.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "events")
     if (mode == "bm25") { bm25Main(sfDir, cpus, batches); return }
     if (mode == "span") { spanMain(sfDir, cpus, batches); return }
+    if (mode == "phash") { phashMain(sfDir, cpus, batches); return }
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -154,6 +158,84 @@ object StreamBench {
             "doc_id", "text")
           .filter(col("dup_tokens") > 0).count(),
       idx => graft.llm.SpanDedupIndex.latestVersion(idx).getOrElse(0))
+
+  /** Perceptual-ingest throughput (the q208 fold at scale): replicated
+    * doc ids stream through admission-bounded microbatches; each batch
+    * synthesizes its BMP payloads (fixture stand-in for arriving
+    * files), DECODES them (the real container parse), dHashes, probes
+    * the persisted band index for ingest-time dedup decisions, then
+    * appends its band rows. Twins (2g, 2g+1) land in the stream
+    * interleaved, so cross-batch probing does real work; the decision
+    * count is the proof the loop found them.
+    */
+  private def phashMain(sfDir: String, cpus: String, batches: Int): Unit = {
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = graft.queries.Scratch.dir("graft-streambench-phash")
+    val nFiles = batches * 2
+    spark.range(targetDocs).select(col("id").as("doc_id"))
+      .repartition(nFiles).write.mode("overwrite").parquet(s"$work/in")
+    val idx = s"$work/idx"
+    var decisions = 0L
+
+    val t0 = System.nanoTime()
+    val q = spark.readStream
+      .schema("doc_id LONG")
+      .option("maxFilesPerTrigger", math.max(1, nFiles / batches))
+      .parquet(s"$work/in")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        import graft.multimodal.{MediaContainers, MultimodalOps, PerceptualHash, PHashIndex}
+        val encoded = b.select(col("doc_id")).as[Long].map { id =>
+          MultimodalOps.MediaRecord(id, MediaContainers.bmpBytesRgb(16, 12,
+            MultimodalOps.synthNoiseBitmap(id / 2, 16, 12,
+              perturbR00 = if (id % 2 == 1) 8 else 0)), "image")
+        }
+        val h = PerceptualHash.dHash(MultimodalOps.decodeImages(encoded))
+          .toDF().localCheckpoint()
+        // radius 2: the fixture's twins sit within 1 bit, and at 500k
+        // docs the synthetic hash space has enough birthday pressure
+        // that radius 8 admits ~4x collision pairs (production stacks
+        // pixel-verify after the hash cut; the tight radius keeps this
+        // throughput loop's proof count ≈ the twin count)
+        decisions +=
+          (if (!new java.io.File(idx).exists())
+            PerceptualHash.nearDupPairs(h, "id", radius = 2).count()
+          else PHashIndex.incrementalNearDupPairs(spark, idx, h, "id",
+            radius = 2).count())
+        if (!new java.io.File(idx).exists()) PHashIndex.build(h, idx)
+        else PHashIndex.append(h, idx)
+      }
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val inputRows = progress.map(_.numInputRows).sum
+    require(decisions > 0, "ingest-time dedup found no pairs")
+    val perBatch = progress.filter(_.numInputRows > 0)
+      .map(_.processedRowsPerSecond)
+    val throughput = inputRows / wall
+    val detail = perBatch.map(r => num(r, 0)).mkString("[", ",", "]")
+    println(s"""{"metric":"phash_ingest_throughput","value":${num(throughput, 0)},""" +
+      s""""unit":"docs_per_sec","docs":$inputRows,"expected":$targetDocs,""" +
+      s""""wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},""" +
+      s""""pairs_found":$decisions,""" +
+      s""""batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"phash_ingest_throughput","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
+    spark.stop()
+  }
 
   /** Shared persisted-index ingest harness: replicate the documents
     * corpus doc-disjointly (id offsets — the exact indexes' batch
