@@ -73,6 +73,46 @@ object SpanDedupProperties extends Properties("graft.llm.SpanDedup") {
         brute(corpus)
     }
 
+  /** cleanseAgainst model: duplicated = gram present in the reference. */
+  private def bruteAgainst(corpus: List[(Long, Seq[String])],
+      ref: List[Seq[String]]): Map[Long, (Long, Long, Long, String)] = {
+    val refGrams = ref.flatMap { t =>
+      if (t.size < K) Seq(t.mkString(" "))
+      else (0 to t.size - K).map(p => t.slice(p, p + K).mkString(" "))
+    }.toSet
+    corpus.map { case (id, t) =>
+      val ntok = t.size.toLong
+      val grams =
+        if (t.size < K) Seq((0L, t.mkString(" ")))
+        else (0 to t.size - K).map(p => (p.toLong, t.slice(p, p + K).mkString(" ")))
+      val dupPos = grams.collect { case (p, g) if refGrams(g) => p }.sorted
+      val runs = dupPos.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, n) :: rest, p) if p == s + n => (s, n + 1) :: rest
+        case (acc, p) => (p, 1L) :: acc
+      }
+      val spans = runs.map { case (s, n) =>
+        (s, math.min(s + n + K - 1, ntok) - s)
+      }.filter(_._2 >= MinSpan)
+      val covered = spans.flatMap { case (s, l) => s until (s + l) }.toSet
+      val kept = t.zipWithIndex.collect {
+        case (w, i) if !covered.contains(i.toLong) => w
+      }
+      id -> ((ntok, spans.size.toLong, covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  property("cleanseAgainst matches its brute-force model (reference-keyed cuts)") =
+    forAll(genCorpus, Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genDoc))) {
+      (corpus, ref) =>
+        val corpusDf = corpus.map { case (id, t) => (id, t.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val refDf = ref.zipWithIndex
+          .map { case (t, i) => (1000L + i, t.mkString(" ")) }
+          .toDF("rid", "rtext")
+        collectCleanse(SpanDedup.cleanseAgainst(corpusDf, "doc_id", "text",
+          refDf, "rid", "rtext", K, MinSpan)) == bruteAgainst(corpus, ref)
+    }
+
   property("index split into arbitrary disjoint batches reproduces one-shot") =
     forAll(genCorpus, Gen.choose(2, 3)) { (corpus, nb) =>
       val df = corpus.map { case (id, t) => (id, t.mkString(" ")) }
