@@ -3585,7 +3585,57 @@ object LlmQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""SELECT o.*, CAST(2 AS BIGINT) AS n_batches
-              |FROM ($phashOracle) o ORDER BY o.id_a, o.id_b""".stripMargin)))
+              |FROM ($phashOracle) o ORDER BY o.id_a, o.id_b""".stripMargin)),
+
+    // Multimodal duplicate families — the capstone composition: a
+    // document pair is a duplicate if EITHER modality matches (text
+    // MinHash near-dup at jaccard ≥ 0.5 ∪ image dHash within Hamming
+    // 8), and the union graph's connected components are the family
+    // ids. On this corpus the families genuinely MERGE across
+    // modalities: image twins (2g, 2g+1) chain with text near-dup
+    // pairs into components neither modality finds alone. The oracle
+    // replays both pair generators (the shared exact-Jaccard chain +
+    // the full phash replay as a scoped subquery) and the transitive
+    // closure as a recursive CTE.
+    "q209_multimodal_dup_families" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{MultimodalOps, PerceptualHash}
+        val dd = docs(s, d)
+        val textPairs = graft.llm.MinHashDedup
+          .nearDupPairs(dd, "doc_id", "text", threshold = 0.5)
+          .select("id_a", "id_b")
+        val hashes = dd.select(col("doc_id")).as[Long]
+          .map { id =>
+            val (h1, h2) = PerceptualHash.dHashKernel(
+              MultimodalOps.synthNoiseBitmap(id / 2, 16, 12,
+                perturbR00 = if (id % 2 == 1) 8 else 0), 16, 12)
+            (id, h1, h2)
+          }.toDF("id", "h1", "h2")
+        val imgPairs = PerceptualHash.nearDupPairs(hashes, "id", radius = 8)
+          .select("id_a", "id_b")
+        val cc = graft.operators.ConnectedComponents
+          .run(textPairs.union(imgPairs).distinct(), "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        dd.select("doc_id").join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("family_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCtes,
+              |tpr AS (SELECT id_a, id_b FROM sc WHERE jaccard >= 0.5),
+              |ipr AS (SELECT id_a, id_b FROM ($phashOracle)),
+              |upr AS (SELECT id_a, id_b FROM tpr
+              |        UNION SELECT id_a, id_b FROM ipr),
+              |uedges AS (SELECT id_a AS u, id_b AS v FROM upr
+              |           UNION SELECT id_b, id_a FROM upr),
+              |reach2(u, v) AS (SELECT u, v FROM uedges
+              |  UNION SELECT r.u, e.v FROM reach2 r JOIN uedges e ON r.v = e.u),
+              |fam AS (SELECT u AS doc_id, least(u, min(v)) AS family_id
+              |        FROM reach2 GROUP BY u)
+              |SELECT d.doc_id, coalesce(f.family_id, d.doc_id) AS family_id
+              |FROM documents d LEFT JOIN fam f USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)))
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)
     * and q201 (index-backed incremental, which must match it exactly).
