@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.BucketCaps
+
+/** Persisted hyperplane-LSH band index — embedding-level near-dup
+  * detection as an INCREMENTAL operation, the vector member of the
+  * band-key index wing (text: [[MinHashDedup]]'s persisted sibling,
+  * perceptual: [[graft.multimodal.PHashIndex]]): each arriving batch
+  * dedups against the already-ingested corpus through a signature-key
+  * join, and history is never re-embedded or re-scanned from the
+  * source corpus.
+  *
+  * Layout is TWO flat-append tables under `path`:
+  *   - `bands/` — the signature rows `(id, table, sig)`, one per LSH
+  *     table (the join side; 24 bytes/row × tables per vector);
+  *   - `vecs/`  — the vectors `(id, v)` stored ONCE (the verification
+  *     side; candidates re-join here for the exact cosine).
+  * Splitting them keeps the band join narrow — at 100 TB the shuffle
+  * carries (id, table, sig) only, and full vectors attach to the
+  * candidate PAIRS (bounded by bucket occupancy), not to every band
+  * row. Signatures use [[EmbeddingKnn.rademacherPlanes]], so an
+  * external engine can rebuild them and the incremental result is
+  * contractually EQUAL to the one-shot [[EmbeddingKnn.nearDupPairsLsh]]
+  * on the accumulated corpus (same planes, same caps, same rounding).
+  *
+  * Crash semantics match the band-key wing: flat append, torn batches
+  * cost recall on the torn vectors only — a band row whose vector is
+  * missing produces a candidate the verification join drops; a vector
+  * whose band rows are missing is never a candidate. Either way
+  * precision is unharmed, so the retry discipline is "re-append on any
+  * doubt". Cross-batch bucket-occupancy divergence is observable via
+  * [[cappedBucketReport]].
+  */
+object EmbeddingLshIndex {
+
+  private def bandRows(batch: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planesPerTable: Int, dim: Int, seed: Long): DataFrame =
+    batch.select(col(idCol).as("id"),
+      posexplode(array((0 until tables).map(t =>
+        EmbeddingKnn.lshSignature(col(vecCol),
+          EmbeddingKnn.rademacherPlanes(planesPerTable, dim, seed,
+            planeOffset = t * planesPerTable))): _*))
+        .as(Seq("table", "sig")))
+
+  private def bucket: Seq[Column] = Seq(col("table"), col("sig"))
+
+  /** Write the index for an initial batch `(id, vec)`. */
+  def build(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
+      seed: Long = 42L, maxBucketSize: Long = 100000L): Unit = {
+    batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
+    BucketCaps.capBuckets(
+        bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+        bucket, maxBucketSize)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Append a new batch (call AFTER probing it). */
+  def append(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
+      seed: Long = 42L, maxBucketSize: Long = 100000L): Unit = {
+    batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .write.mode("append").parquet(s"$path/vecs")
+    BucketCaps.capBuckets(
+        bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+        bucket, maxBucketSize)
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Buckets whose cross-batch occupancy exceeds the cap — the
+    * condition under which incremental results can diverge from a
+    * single-pass run (same divergence contract as
+    * [[graft.llm.Containment.hotShingles]]).
+    */
+  def cappedBucketReport(spark: SparkSession, path: String,
+      maxBucketSize: Long = 100000L): DataFrame =
+    BucketCaps.overflowBuckets(spark.read.parquet(s"$path/bands"),
+      bucket, maxBucketSize)
+
+  /** Near-dup pairs of a NEW vector batch against indexed history AND
+    * itself: `(id_a, id_b, sim)` with rounded cosine ≥ `threshold`.
+    * Candidates come from the narrow band join; verification joins the
+    * candidate pairs back to the batch's vectors ∪ the index's `vecs/`
+    * table — the source corpus is never re-read. Probe BEFORE
+    * [[append]]ing the batch.
+    */
+  def incrementalNearDupPairs(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
+      seed: Long = 42L, maxBucketSize: Long = 100000L,
+      roundSim: Int = 6): DataFrame = {
+    val newBands = BucketCaps.capBuckets(
+      bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+      bucket, maxBucketSize)
+    val oldBands = spark.read.parquet(s"$path/bands")
+    val newVsOld = newBands.as("n")
+      .join(oldBands.as("o"),
+        col("n.table") === col("o.table") && col("n.sig") === col("o.sig") &&
+          col("n.id") =!= col("o.id"))
+      .select(least(col("n.id"), col("o.id")).as("id_a"),
+        greatest(col("n.id"), col("o.id")).as("id_b"))
+    val newVsNew = newBands.as("l")
+      .join(newBands.as("r"),
+        col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val pairs = newVsOld.union(newVsNew).distinct()
+    // dropDuplicates keeps a retried append (duplicate vec rows) from
+    // fanning out the verification join — the vec-side analogue of the
+    // pair-level distinct that absorbs retried band rows above
+    val lookup = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .union(spark.read.parquet(s"$path/vecs"))
+      .dropDuplicates("id")
+    pairs
+      .join(lookup.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(lookup.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("va"), col("vb")), roundSim))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -865,20 +865,7 @@ object LlmQueries {
         .nearDupPairsLsh(emb(s, d), threshold = 0.4,
           tables = 8, planesPerTable = 8, dim = 64)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH ${radDotsSql(64)},
-              |sigs AS (SELECT vec_id, p // 8 AS t,
-              |    SUM(CASE WHEN dot >= 0.0 THEN 1 << (p % 8) ELSE 0 END) AS sig
-              |  FROM dots GROUP BY vec_id, p // 8),
-              |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-              |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
-              |                         AND a.vec_id < b.vec_id),
-              |sc AS (SELECT id_a, id_b,
-              |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-              |                                 CAST(eb.embedding AS DOUBLE[])), 6) AS sim
-              |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
-              |            JOIN embeddings eb ON eb.vec_id = id_b)
-              |SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.4
-              |ORDER BY id_a, id_b""".stripMargin)),
+      Some(embLshOracle)),
 
     // IVF ANN (inverted-file index): coarse-quantize the corpus into
     // cells (nearest of 16 deterministic centroids — in production a
@@ -3635,7 +3622,94 @@ object LlmQueries {
               |        FROM reach2 GROUP BY u)
               |SELECT d.doc_id, coalesce(f.family_id, d.doc_id) AS family_id
               |FROM documents d LEFT JOIN fam f USING (doc_id)
-              |ORDER BY d.doc_id""".stripMargin)))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Incremental embedding-level dedup through the persisted
+    // hyperplane-LSH band index (llm/EmbeddingLshIndex.scala) — the
+    // vector member of the band-key index wing, completing the
+    // symmetry: every dedup modality (line, shingle, simhash, winnow,
+    // span, perceptual, and now embedding) has one-shot → persisted
+    // incremental → streaming forms. q31's corpus split EVEN/ODD,
+    // batch 1 indexed, batch 2 probed against history + itself;
+    // candidates come from the narrow (id, table, sig) band join and
+    // verification joins the index's own vecs/ table — the source
+    // corpus is never re-read. Union with batch 1's internal pairs
+    // must reproduce q31's one-shot pair set exactly: the oracle IS
+    // q31's SQL.
+    "q210_embed_lsh_incremental" -> Q(
+      (s, d) => {
+        import graft.llm.{EmbeddingKnn, EmbeddingLshIndex}
+        val dir = graft.queries.Scratch.dir("graft-q210-elidx")
+        val e = emb(s, d)
+        val b1 = e.filter(col("vec_id") % 2 === 0)
+        val b2 = e.filter(col("vec_id") % 2 === 1)
+        EmbeddingLshIndex.build(b1, s"$dir/idx")
+        val p1 = EmbeddingKnn.nearDupPairsLsh(b1, threshold = 0.4,
+          tables = 8, planesPerTable = 8, dim = 64)
+        val p2 = EmbeddingLshIndex.incrementalNearDupPairs(
+          s, s"$dir/idx", b2, threshold = 0.4)
+        EmbeddingLshIndex.append(b2, s"$dir/idx")
+        p1.union(p2).orderBy("id_a", "id_b")
+      },
+      Some(embLshOracle)),
+
+    // Streaming embedding-dedup ingest: q210's probe-then-append fold
+    // under the REAL engine (file source, admission-bounded
+    // microbatches, Trigger.AvailableNow, foreachBatch — the
+    // q192/q202/q208 protocol). Each arriving vector batch is
+    // signature-hashed once, probed against indexed history AND
+    // itself, its dedup DECISIONS written, then appended — the
+    // ingest-time embedding-dedup loop. Even/odd ids across the two
+    // batches ⇒ every near-dup pair is an ingest-time cross-history
+    // hit; the accumulated decisions must reproduce q31's one-shot
+    // pair set exactly, and n_batches pins real microbatch delivery.
+    "q211_stream_embed_ingest" -> Q(
+      (s, d) => {
+        import graft.llm.{EmbeddingKnn, EmbeddingLshIndex}
+        val root = graft.queries.Scratch.dir("graft-q211-elstream")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val e = emb(s, d).select("vec_id", "embedding")
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, e.filter(col("vec_id") % 2 === 0))
+        writeBatch("b2.parquet", 2000000L, e.filter(col("vec_id") % 2 === 1))
+        val idx = s"$root/idx"
+        val decisions = s"$root/decisions"
+        var nBatches = 0
+        s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            nBatches += 1
+            val batch = b.localCheckpoint()
+            val found =
+              if (!new java.io.File(idx).exists())
+                EmbeddingKnn.nearDupPairsLsh(batch, threshold = 0.4)
+              else EmbeddingLshIndex.incrementalNearDupPairs(
+                s, idx, batch, threshold = 0.4)
+            found.write.mode("append").parquet(decisions)
+            if (!new java.io.File(idx).exists())
+              EmbeddingLshIndex.build(batch, idx)
+            else EmbeddingLshIndex.append(batch, idx)
+          }
+          .start().awaitTermination()
+        require(nBatches == 2, s"expected two microbatches, saw $nBatches")
+        s.read.parquet(decisions)
+          .withColumn("n_batches", lit(2L))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""SELECT o.*, CAST(2 AS BIGINT) AS n_batches
+              |FROM ($embLshOracle) o ORDER BY o.id_a, o.id_b""".stripMargin)))
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)
     * and q201 (index-backed incremental, which must match it exactly).
@@ -3682,6 +3756,28 @@ object LlmQueries {
               |LEFT JOIN nq ON nq.doc_id = d.doc_id
               |LEFT JOIN ks ON ks.doc_id = d.doc_id
               |ORDER BY d.doc_id""".stripMargin
+
+  /** One-shot banded-hyperplane-LSH embedding near-dup SQL — the
+    * shared oracle for q31 (one-shot) and q210 (index-backed
+    * incremental, which must reproduce it exactly): DuckDB rebuilds
+    * all 64 Rademacher planes, bands identically (8 tables × 8 bits),
+    * and applies the same exact-cosine verification.
+    */
+  private lazy val embLshOracle: String =
+    s"""WITH ${radDotsSql(64)},
+       |sigs AS (SELECT vec_id, p // 8 AS t,
+       |    SUM(CASE WHEN dot >= 0.0 THEN 1 << (p % 8) ELSE 0 END) AS sig
+       |  FROM dots GROUP BY vec_id, p // 8),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+       |                         AND a.vec_id < b.vec_id),
+       |sc AS (SELECT id_a, id_b,
+       |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                 CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+       |            JOIN embeddings eb ON eb.vec_id = id_b)
+       |SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Full perceptual-hash pair-set SQL — shared oracle for q204
     * (one-shot) and q207 (index-backed incremental, which must

@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.TestSpark
+
+class EmbeddingLshIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Twin vectors: ids (2g, 2g+1) share a direction — the odd one is
+    * the even one scaled ×2, so the cosine is exactly 1 and every sign
+    * bit (hence every LSH signature) is identical. Cross-group vectors
+    * are independent Gaussians (cosine concentrates near 0 at dim 64).
+    */
+  private def vecs(ids: Seq[Long]) = ids.map { id =>
+    val r = new scala.util.Random(id / 2)
+    val base = Array.fill(64)(r.nextGaussian().toFloat)
+    (id, if (id % 2 == 1) base.map(_ * 2.0f) else base)
+  }.toDF("vec_id", "embedding")
+
+  test("cross-batch twins found via the index probe, corpus never re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-elidx").toString
+    // batch 1 = even ids, batch 2 = odd ids: EVERY twin is cross-batch
+    EmbeddingLshIndex.build(vecs((0L until 20L).filter(_ % 2 == 0)), s"$dir/idx")
+    val probed = EmbeddingLshIndex.incrementalNearDupPairs(spark, s"$dir/idx",
+        vecs((0L until 20L).filter(_ % 2 == 1)), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(probed.keySet == (0L until 10L).map(g => (g * 2, g * 2 + 1)).toSet)
+    assert(probed.values.forall(_ == 1.0))
+  }
+
+  test("probe union equals the one-shot full-corpus pairs; append extends history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-elidx2").toString
+    val all = vecs(0L until 24L)
+    val b1 = vecs(0L until 12L)                // gids 0-5 complete
+    val b2 = vecs(12L until 24L)               // gids 6-11 complete
+    EmbeddingLshIndex.build(b1, s"$dir/idx")
+    val p1 = EmbeddingKnn.nearDupPairsLsh(b1, threshold = 0.9)
+    val p2 = EmbeddingLshIndex.incrementalNearDupPairs(
+      spark, s"$dir/idx", b2, threshold = 0.9)
+    EmbeddingLshIndex.append(b2, s"$dir/idx")
+    val inc = p1.union(p2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = EmbeddingKnn.nearDupPairsLsh(all, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full && full.size == 12)
+    // a third batch probes against BOTH prior batches through the
+    // appended history: an exact copy of gid 0's vector pairs with 0+1
+    val b3 = vecs(Seq(0L)).select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+    val p3 = EmbeddingLshIndex.incrementalNearDupPairs(
+        spark, s"$dir/idx", b3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 == Set((0L, 100L), (1L, 100L)))
+  }
+
+  test("capped-bucket report is empty below cap, flags cross-batch hot keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-elidx3").toString
+    EmbeddingLshIndex.build(vecs(0L until 8L), s"$dir/idx")
+    assert(EmbeddingLshIndex.cappedBucketReport(spark, s"$dir/idx").count() == 0L)
+    // 30 copies of one vector appended in 3 batches of 10: each batch
+    // under a cap of 25, the cross-batch union over it — exactly the
+    // divergence the report must surface, in all 8 LSH tables
+    val g0 = vecs(Seq(0L)).select(col("embedding")).as[Array[Float]].head()
+    val flat = (1000L until 1030L).map(i => (i, g0)).toDF("vec_id", "embedding")
+    (0 until 3).foreach { b =>
+      EmbeddingLshIndex.append(flat.filter(col("vec_id") % 3 === b),
+        s"$dir/idx", maxBucketSize = 25L)
+    }
+    val report = EmbeddingLshIndex.cappedBucketReport(spark, s"$dir/idx",
+      maxBucketSize = 25L)
+    assert(report.count() == 8L) // one hot bucket per LSH table
+  }
+}
