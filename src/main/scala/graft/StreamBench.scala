@@ -48,10 +48,14 @@ object StreamBench {
     // mode "phash": perceptual-ingest throughput (the q208 path) —
     // encode→decode→dHash→probe→append per microbatch; docs/sec of the
     // full image-dedup ingest loop including the real decode.
+    // mode "embed": embedding-dedup ingest throughput (the q211 path) —
+    // per microbatch: synthesize vectors, LSH-sign, probe the persisted
+    // band index, append; vectors/sec of the full vector-dedup loop.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "events")
     if (mode == "bm25") { bm25Main(sfDir, cpus, batches); return }
     if (mode == "span") { spanMain(sfDir, cpus, batches); return }
     if (mode == "phash") { phashMain(sfDir, cpus, batches); return }
+    if (mode == "embed") { embedMain(sfDir, cpus, batches); return }
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -234,6 +238,93 @@ object StreamBench {
       s""""pairs_found":$decisions,""" +
       s""""batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
     println(s"""{"metric":"phash_ingest_throughput","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** Embedding-dedup ingest throughput (the q211 fold at scale):
+    * replicated vector ids stream through admission-bounded
+    * microbatches; each batch synthesizes its vectors (fixture
+    * stand-in for an arriving embedding feed), probes the persisted
+    * LSH band index for ingest-time dedup decisions, then appends its
+    * band rows + vectors. Twins (2g, 2g+1 — the odd one scaled ×2, so
+    * cosine is exactly 1 and every signature bit matches) land in the
+    * stream interleaved, so cross-batch probing does real work.
+    * Geometry follows the decade law (planesPerTable ∝ log₂ n):
+    * 16-bit signatures keep expected bucket occupancy ≈ n/2¹⁶ (≈1.5
+    * at the 100k default, ≈8 at the 500k headline run) — bounded
+    * verify joins and flat per-batch rates. This mode is what caught
+    * the correlated-plane bug (decaying batch rates at tiny data =
+    * collapsed signature entropy; see rademacherPlanes).
+    */
+  private def embedMain(sfDir: String, cpus: String, batches: Int): Unit = {
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toLong
+    val planes = sys.env.getOrElse("SPARK_GRAFT_STREAM_EMBED_PLANES", "16").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = graft.queries.Scratch.dir("graft-streambench-embed")
+    val nFiles = batches * 2
+    spark.range(targetDocs).select(col("id").as("vec_id"))
+      .repartition(nFiles).write.mode("overwrite").parquet(s"$work/in")
+    val idx = s"$work/idx"
+    var decisions = 0L
+
+    val t0 = System.nanoTime()
+    val q = spark.readStream
+      .schema("vec_id LONG")
+      .option("maxFilesPerTrigger", math.max(1, nFiles / batches))
+      .parquet(s"$work/in")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        import graft.llm.{EmbeddingKnn, EmbeddingLshIndex}
+        // deterministic per-group uniform[-1,1] components; the odd
+        // twin is the even vector scaled ×2 (sign bits unchanged)
+        val vecs = b.select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (((pmod(xxhash64(shiftright(col("vec_id"), 1), j), lit(2001))
+              - 1000L) / 1000.0) *
+              when(col("vec_id") % 2 === 1, 2.0).otherwise(1.0))
+              .cast("float")).as("embedding")).localCheckpoint()
+        val tp0 = System.nanoTime()
+        decisions +=
+          (if (!new java.io.File(idx).exists())
+            EmbeddingKnn.nearDupPairsLsh(vecs, threshold = 0.9,
+              planesPerTable = planes).count()
+          else EmbeddingLshIndex.incrementalNearDupPairs(spark, idx, vecs,
+            threshold = 0.9, planesPerTable = planes).count())
+        val tp1 = System.nanoTime()
+        if (!new java.io.File(idx).exists())
+          EmbeddingLshIndex.build(vecs, idx, planesPerTable = planes)
+        else EmbeddingLshIndex.append(vecs, idx, planesPerTable = planes)
+        val tp2 = System.nanoTime()
+        System.err.println(f"[embed] probe=${(tp1 - tp0) / 1e9}%.1fs " +
+          f"append=${(tp2 - tp1) / 1e9}%.1fs")
+      }
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val inputRows = progress.map(_.numInputRows).sum
+    require(decisions > 0, "ingest-time dedup found no pairs")
+    val perBatch = progress.filter(_.numInputRows > 0)
+      .map(_.processedRowsPerSecond)
+    val throughput = inputRows / wall
+    val detail = perBatch.map(r => num(r, 0)).mkString("[", ",", "]")
+    println(s"""{"metric":"embed_ingest_throughput","value":${num(throughput, 0)},""" +
+      s""""unit":"docs_per_sec","docs":$inputRows,"expected":$targetDocs,""" +
+      s""""wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},""" +
+      s""""pairs_found":$decisions,"planes_per_table":$planes,""" +
+      s""""batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"embed_ingest_throughput","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -43,22 +43,38 @@ object EmbeddingKnn {
   }
 
   /** Deterministic ±1 (Rademacher) hyperplanes, reproducible OUTSIDE the
-    * JVM: entry (p, j) is +1 iff the 32-bit Weyl mix
-    * `((p*dim + j + seed) * 2654435761) mod 2^32` has its top bit clear.
-    * Sign projections with ±1 entries are a standard LSH family
-    * (Achlioptas' database-friendly random projections, PODS'01); using
-    * integer mixing instead of a JVM PRNG means an external engine (the
-    * DuckDB oracle) can rebuild the identical planes in plain SQL, so the
-    * WHOLE approximate pipeline is cross-engine checkable. A further
-    * exactness bonus: products flip only the sign bit of float32 inputs,
-    * so bucket dots are exact in double and engine-order-independent.
+    * JVM: entry (p, j) is +1 iff the MurmurHash3 32-bit finalizer
+    * (fmix32: two xorshift-multiply rounds) of `p*dim + j + seed` has
+    * its top bit clear. Sign projections with ±1 entries are a standard
+    * LSH family (Achlioptas' database-friendly random projections,
+    * PODS'01); using integer mixing instead of a JVM PRNG means an
+    * external engine (the DuckDB oracle) can rebuild the identical
+    * planes in plain SQL, so the WHOLE approximate pipeline is
+    * cross-engine checkable. A further exactness bonus: products flip
+    * only the sign bit of float32 inputs, so bucket dots are exact in
+    * double and engine-order-independent.
+    *
+    * The mixer choice is load-bearing for SELECTIVITY, not just
+    * determinism: a plain multiplicative (Weyl) mix over the sequential
+    * index lattice leaves consecutive planes correlated up to |ρ|≈0.97
+    * (golden-ratio sequences are low-discrepancy, i.e. maximally
+    * structured), which collapses a 16-bit signature to ~6 effective
+    * bits and makes every LSH bucket quadratically deep — measured as a
+    * 400× candidate-pair inflation before fmix32 replaced it. Requires
+    * `(p+planeOffset)*dim + j + seed < 2^32` (plane counts are two
+    * digits in practice).
     */
   def rademacherPlanes(
       numPlanes: Int, dim: Int, seed: Long, planeOffset: Int = 0): Array[Array[Double]] =
     Array.tabulate(numPlanes) { p =>
       Array.tabulate(dim) { j =>
-        val mixed = (((p + planeOffset).toLong * dim + j + seed) * 2654435761L) & 0xffffffffL
-        if (mixed < 0x80000000L) 1.0 else -1.0
+        val k = ((p + planeOffset).toLong * dim + j + seed) & 0xffffffffL
+        var h = k ^ (k >>> 16)
+        h = (h * 0x85ebca6bL) & 0xffffffffL
+        h ^= h >>> 13
+        h = (h * 0xc2b2ae35L) & 0xffffffffL
+        h ^= h >>> 16
+        if (h < 0x80000000L) 1.0 else -1.0
       }
     }
 
@@ -154,6 +170,118 @@ object EmbeddingKnn {
       .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), roundSim))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** [[nearDupPairsLsh]] with a CANOPY HANDOFF for dense buckets
+    * instead of a silent drop. Clustered corpora defeat geometry
+    * scaling: a tight semantic cluster shares sign bits at ANY
+    * signature resolution, so its bucket deepens with the corpus and
+    * its pairwise join goes quadratic in cluster size. (An early
+    * 100× decade leg spilled >77 GB in the band self-join; the
+    * dominant cause there turned out to be the correlated-plane bug
+    * fixed in [[rademacherPlanes]], but the mechanism is real — any
+    * corpus with genuinely dense semantic mass reproduces it with
+    * perfect planes, which is why the cap valve exists.) Production
+    * stacks route that dense mass through a linear cluster pass;
+    * this operator does it in one plan:
+    *
+    *   - buckets at or under `maxBucketSize`: the normal pairwise
+    *     candidate join (identical to [[nearDupPairsLsh]]);
+    *   - buckets OVER the cap: each member is verified against the
+    *     bucket's min-id REPRESENTATIVE only — O(c) cosines per
+    *     bucket instead of O(c²) pairs (a canopy in the
+    *     McCallum/Nigam/Ungar KDD'00 sense, with the deterministic
+    *     min-id as the canopy center) — so dense near-dup families
+    *     surface as star edges around the representative, which is
+    *     exactly what a downstream connected-components survivor
+    *     pass consumes.
+    *
+    * Everything stays cross-engine replayable: deterministic planes,
+    * deterministic representative, one shared exact-cosine verify
+    * over the distinct candidate-pair union.
+    */
+  def nearDupPairsLshCanopy(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      tables: Int = 8,
+      planesPerTable: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L,
+      roundSim: Int = 6): DataFrame = {
+    validateDim(corpus, vecCol, dim)
+    val keyed = corpus.select(
+      col(idCol).as("id"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col(vecCol),
+          rademacherPlanes(planesPerTable, dim, seed, planeOffset = t * planesPerTable))): _*))
+        .as(Seq("table", "sig")))
+    val sized = keyed.withColumn("csize",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("table"), col("sig"))))
+    val cold = sized.filter(col("csize") <= maxBucketSize)
+    val coldCand = cold.as("l")
+      .join(cold.as("r"),
+        col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val hot = sized.filter(col("csize") > maxBucketSize)
+    val hotCand = hot
+      .withColumn("rep",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("table"), col("sig"))))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val cand = coldCand.union(hotCand).distinct()
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), roundSim))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Semantic (embedding-tier) DECONTAMINATION: the corpus rows whose
+    * vector has NO near-duplicate (banded-LSH candidate with rounded
+    * cosine ≥ `threshold`) in `reference` — the embedding member of the
+    * cleanse family (word-shingle: Decontaminate for q196, exact-span:
+    * SpanDedup.cleanseAgainst for q203). The reference set is an eval /
+    * benchmark suite: SMALL by construction, so both its band rows and
+    * the final contaminated-id set ride as broadcasts — the corpus is
+    * never shuffled (its band join and the anti-join are both
+    * broadcast-hash, map-side), and the only exchange in the plan is
+    * the distinct over contaminated ids, which is bounded by the
+    * collision count. Recall is the LSH family's (same planes and banding
+    * contract as [[nearDupPairsLsh]], so the oracle can replay the
+    * approximation exactly); raise `tables` for stricter cleansing.
+    */
+  def cleanseAgainst(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      tables: Int = 8,
+      planesPerTable: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      roundSim: Int = 6): DataFrame = {
+    validateDim(corpus, vecCol, dim)
+    def bands(df: DataFrame, id: String, vec: String) = df.select(
+      col(idCol).as(id), col(vecCol).as(vec),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col(vecCol),
+          rademacherPlanes(planesPerTable, dim, seed, planeOffset = t * planesPerTable))): _*))
+        .as(Seq("table", "sig")))
+    val contaminated = bands(corpus, "cid", "cv")
+      .join(broadcast(bands(reference, "rid", "rv")), Seq("table", "sig"))
+      .filter(round(VectorFunctions.cosine(col("cv"), col("rv")), roundSim)
+        >= threshold)
+      .select(col("cid").as(idCol)).distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
   /** IVF-style approximate top-k (inverted-file ANN): the corpus is

@@ -84,6 +84,23 @@ object EmbeddingLshIndex {
     BucketCaps.overflowBuckets(spark.read.parquet(s"$path/bands"),
       bucket, maxBucketSize)
 
+  /** Pre-flight divergence report: buckets of `batch` that exceed the
+    * cap and will be dropped at write — the embedding analogue of
+    * [[Containment.hotShingles]]. Dense semantic clusters share sign
+    * bits at ANY signature resolution, so their buckets deepen with
+    * the corpus and their pair sets grow quadratically; this report
+    * names the mass the pairwise path will NOT cover, so callers can
+    * route it to the clustering path (k-means cell pruning, q90's
+    * protocol) instead of silently losing it.
+    */
+  def hotInputBuckets(batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
+      seed: Long = 42L, maxBucketSize: Long = 100000L): DataFrame =
+    BucketCaps.overflowBuckets(
+      bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+      bucket, maxBucketSize)
+
   /** Near-dup pairs of a NEW vector batch against indexed history AND
     * itself: `(id_a, id_b, sim)` with rounded cosine ≥ `threshold`.
     * Candidates come from the narrow band join; verification joins the

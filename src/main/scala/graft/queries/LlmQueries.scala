@@ -54,21 +54,35 @@ object LlmQueries {
       array(concat(lit("(c) "), col("source"), lit(" media group"))))
   }
 
-  /** DuckDB CTE rebuilding the PORTABLE Rademacher hyperplane dots of
-    * [[EmbeddingKnn.rademacherPlanes]] (Weyl mix, seed 42, dim 64): one
-    * row per (vec_id, plane p) with the signed-sum dot. Plane entries are
-    * ±1, so each product only flips the float32 input's sign bit and the
-    * 64-term double sum is exact — bucket bits agree across engines
-    * bit-for-bit, which is what makes the WHOLE approximate LSH pipeline
-    * (not just its exact rerank) oracle-checkable.
+  /** DuckDB CTEs rebuilding the PORTABLE Rademacher hyperplane dots of
+    * [[EmbeddingKnn.rademacherPlanes]] (MurmurHash3 fmix32 of
+    * `p*64 + j + 42`, top bit → sign): one `dots` row per (vec_id,
+    * plane p) with the signed-sum dot. Plane entries are ±1, so each
+    * product only flips the float32 input's sign bit and the 64-term
+    * double sum is exact — bucket bits agree across engines
+    * bit-for-bit, which is what makes the WHOLE approximate LSH
+    * pipeline (not just its exact rerank) oracle-checkable. The sum
+    * stays a list_sum over the j-ordered list (not a GROUP BY SUM), so
+    * summation order is pinned too.
     */
   private def radDotsSql(nPlanes: Int): String =
-    s"""dots AS (SELECT vec_id, r.p AS p,
+    s"""prows AS (SELECT p, j,
+       |    CASE WHEN xor(h2, h2 // 65536) < 2147483648
+       |         THEN 1.0 ELSE -1.0 END AS s
+       |  FROM (SELECT p, j,
+       |      CAST(CAST(xor(h1, h1 // 8192) AS HUGEINT) * 3266489909
+       |           % 4294967296 AS BIGINT) AS h2
+       |    FROM (SELECT p, j,
+       |        CAST(CAST(xor(k, k // 65536) AS HUGEINT) * 2246822507
+       |             % 4294967296 AS BIGINT) AS h1
+       |      FROM (SELECT r.p AS p, u.j AS j, r.p * 64 + u.j + 42 AS k
+       |            FROM range(0, $nPlanes) r(p), range(0, 64) u(j)) t0
+       |    ) t1) t2),
+       |planes AS (SELECT p, list(s ORDER BY j) AS sv FROM prows GROUP BY p),
+       |dots AS (SELECT vec_id, p,
        |    list_sum(list_transform(range(0, 64), j ->
-       |      CAST(embedding[j+1] AS DOUBLE) *
-       |      (CASE WHEN ((r.p*64 + j + 42) * 2654435761) % 4294967296 < 2147483648
-       |            THEN 1.0 ELSE -1.0 END))) AS dot
-       |  FROM embeddings, range(0, $nPlanes) r(p))""".stripMargin
+       |      CAST(embedding[j+1] AS DOUBLE) * sv[j+1])) AS dot
+       |  FROM embeddings, planes)""".stripMargin
 
   /** Exact word-3-gram Jaccard pair set at threshold 0.5 — the ground
     * truth for BOTH q23 (exact inverted-index join) and q27 (MinHash
@@ -3709,7 +3723,90 @@ object LlmQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""SELECT o.*, CAST(2 AS BIGINT) AS n_batches
-              |FROM ($embLshOracle) o ORDER BY o.id_a, o.id_b""".stripMargin)))
+              |FROM ($embLshOracle) o ORDER BY o.id_a, o.id_b""".stripMargin)),
+
+    // Dense-bucket canopy handoff: the answer to what a bucket cap
+    // silently loses. Clustered corpora defeat LSH geometry scaling —
+    // a tight semantic cluster shares sign bits at any resolution, so
+    // its bucket deepens with the corpus and its pairwise join goes
+    // quadratic. Here buckets over the cap are NOT dropped: each
+    // member verifies against the bucket's min-id REPRESENTATIVE only
+    // (O(c) per bucket — a canopy pass), while under-cap buckets take
+    // the normal pairwise join; one shared exact-cosine verify runs
+    // over the distinct candidate union. 5-bit signatures + cap=20
+    // make 51 of this corpus's buckets hot (1230 of 4000 band rows)
+    // while 2770 band rows take the cold path, so BOTH generators do
+    // real work in the gate. The oracle replays planes, signatures,
+    // bucket census, both candidate generators, and the verify.
+    "q212_embed_canopy_neardup" -> Q(
+      (s, d) => graft.llm.EmbeddingKnn
+        .nearDupPairsLshCanopy(emb(s, d), threshold = 0.4,
+          tables = 8, planesPerTable = 5, dim = 64, maxBucketSize = 20L)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH ${radDotsSql(40)},
+              |sigs AS (SELECT vec_id, p // 5 AS t,
+              |    SUM(CASE WHEN dot >= 0.0 THEN 1 << (p % 5) ELSE 0 END) AS sig
+              |  FROM dots GROUP BY vec_id, p // 5),
+              |bsz AS (SELECT t, sig, count(*) AS c FROM sigs GROUP BY t, sig),
+              |k AS (SELECT s.vec_id, s.t, s.sig, bsz.c
+              |      FROM sigs s JOIN bsz USING (t, sig)),
+              |coldc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM k a JOIN k b ON a.t = b.t AND a.sig = b.sig
+              |                   AND a.vec_id < b.vec_id
+              |  WHERE a.c <= 20),
+              |hotrep AS (SELECT t, sig, min(vec_id) AS rep
+              |           FROM k WHERE c > 20 GROUP BY t, sig),
+              |hotc AS (SELECT h.rep AS id_a, m.vec_id AS id_b
+              |  FROM hotrep h JOIN k m ON m.t = h.t AND m.sig = h.sig
+              |                        AND m.vec_id != h.rep),
+              |cand AS (SELECT DISTINCT id_a, id_b FROM
+              |  (SELECT * FROM coldc UNION ALL SELECT * FROM hotc)),
+              |sc AS (SELECT id_a, id_b,
+              |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+              |                                 CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+              |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+              |            JOIN embeddings eb ON eb.vec_id = id_b)
+              |SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Semantic (embedding-tier) decontamination — the cleanse family's
+    // vector member (word-shingle: q196, exact-span: q203): training
+    // vectors with ANY banded-LSH + cosine≥t near-dup in the held-out
+    // eval slice are dropped; the cleansed corpus survives. The eval
+    // slice (vec_id % 10 = 8) is pinned where the gate corpus has real
+    // cross-split semantic mass: 17 of 450 train vectors are
+    // contaminated at t=0.35 under q31's 8×8-bit geometry, so both the
+    // drop branch and the survivor branch fire. Eval bands and the
+    // contaminated-id set ride as broadcasts — the training corpus is
+    // never shuffled. The oracle replays planes, banding, the verify,
+    // and the anti-join.
+    "q213_embed_decontaminate" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        graft.llm.EmbeddingKnn.cleanseAgainst(
+            e.filter(col("vec_id") % 10 =!= 8),
+            e.filter(col("vec_id") % 10 === 8),
+            threshold = 0.35)
+          .select(col("vec_id"), col("label"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${radDotsSql(64)},
+              |sigs AS (SELECT vec_id, p // 8 AS t,
+              |    SUM(CASE WHEN dot >= 0.0 THEN 1 << (p % 8) ELSE 0 END) AS sig
+              |  FROM dots GROUP BY vec_id, p // 8),
+              |ev AS (SELECT * FROM sigs WHERE vec_id % 10 = 8),
+              |tr AS (SELECT * FROM sigs WHERE vec_id % 10 != 8),
+              |bad AS (SELECT DISTINCT tr.vec_id AS vec_id
+              |  FROM tr JOIN ev ON tr.t = ev.t AND tr.sig = ev.sig
+              |  JOIN embeddings ea ON ea.vec_id = tr.vec_id
+              |  JOIN embeddings eb ON eb.vec_id = ev.vec_id
+              |  WHERE round(list_cosine_similarity(
+              |      CAST(ea.embedding AS DOUBLE[]),
+              |      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35)
+              |SELECT e.vec_id, e.label FROM embeddings e
+              |WHERE e.vec_id % 10 != 8
+              |  AND e.vec_id NOT IN (SELECT vec_id FROM bad)
+              |ORDER BY e.vec_id""".stripMargin)))
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)
     * and q201 (index-backed incremental, which must match it exactly).

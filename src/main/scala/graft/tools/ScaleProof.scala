@@ -108,6 +108,33 @@ object ScaleProof {
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
 
+  /** Replicated embeddings with per-copy sign-flip mutation: copy 0 is
+    * verbatim; copy k>0 flips the sign of ~1/5 of the dimensions
+    * (xxhash64-selected per copy), which decorrelates every LSH
+    * signature bit while preserving vector norms — so cross-copy rows
+    * land in fresh buckets and per-bucket occupancy tracks corpus
+    * density, exactly like the mutated-text replicas for the shingle
+    * operators (an unmutated copy would put all `copies` replicas of a
+    * vector in ONE bucket in every table and measure a pair blowup the
+    * mutation-free corpus invented, not the operator).
+    */
+  def synthesizeEmbeddings(spark: SparkSession, srcDir: String,
+      outDir: String, copies: Int = 10): Long = {
+    val e = graft.Tables.embeddings(spark, srcDir)
+    val replicated = spark.range(copies).crossJoin(e)
+      .select(
+        (col("vec_id") + col("id") * 10000000L).as("vec_id"),
+        when(col("id") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (v, j) => when(pmod(xxhash64(col("id"), j), lit(5)) === 0, -v)
+              .otherwise(v))).as("embedding"),
+        col("label"))
+    replicated.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    spark.read.parquet(s"$outDir/embeddings.parquet").count()
+  }
+
   /** 10x orders + lineitem with per-copy key offsets — disjoint copies
     * of the customer→supplier bipartite graph, so q170's HITS workload
     * (join+agg per half-round over the distinct edge set) scales 10x in
@@ -158,7 +185,8 @@ object ScaleProof {
     // graph-table gating below)
     val onlyPre = sys.env.get("SPARK_GRAFT_SCALEPROOF_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val replicaNeeded = onlyPre.forall(_.exists(!_.startsWith("q191")))
+    val replicaNeeded = onlyPre.forall(_.exists(n =>
+      !n.startsWith("q191") && !n.startsWith("q210")))
     val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
       .filter(_ => replicaNeeded)
       .filter(_._2 <= copyCapEarly)
@@ -275,6 +303,85 @@ object ScaleProof {
         ("q191_tfidf_cosine_pairs", tag, sec, w, r, sumAll, sumCapped, nHot)
       }
     }
+    // q210 embedding-LSH index fold: the replica corpus is usable, but
+    // the contract-pinned 8-bit geometry is NOT — sig space is 256
+    // buckets/table, so 100x vectors would pack ~2k per bucket and the
+    // candidate join would go quadratic in occupancy (the q28 lesson,
+    // measured before it crashes this time). TWO valves are mandatory
+    // at scale, and this protocol exercises both:
+    //   1. planesPerTable ∝ log2(n) (8 bits at 2k, 12 at 20k, 16 at
+    //      200k) keeps EXPECTED occupancy ~n/2^planes constant — but
+    //      only for dispersed mass;
+    //   2. maxBucketSize (500 here) bounds SEMANTICALLY hot buckets
+    //      that geometry cannot disperse: a tight cluster's vectors
+    //      share sign bits at any resolution, so its bucket depth
+    //      grows WITH the corpus and its pair set quadratically.
+    //      Capped-away clusters are exactly the dense mass the
+    //      clustering path (q90's k-means cell pruning) owns; the
+    //      hot_buckets count records the handoff (0 on this corpus —
+    //      its label clusters are loose enough that geometry alone
+    //      disperses them once the planes are independent).
+    // This protocol is also what CAUGHT the correlated-plane bug: the
+    // pre-fmix32 Weyl planes collapsed 16-bit signatures to ~6
+    // effective bits, and this leg measured the resulting blowup as a
+    // >77 GB band-join spill + max_bucket=979 at sf10. With fmix32
+    // planes the same leg runs cap-idle with max_bucket~131.
+    // Bucket occupancy of the final index is recorded as evidence.
+    val embDec = if (!only.forall(_.exists(_.startsWith("q210")))) Seq.empty
+    else {
+      val embCap = 500L
+      for ((tag, copies, planes) <- Seq(("sf0.1", 1, 8),
+          ("emb-sf1.0", 10, 12), ("emb-sf10", 100, 16))
+          if copies <= copyCap) yield {
+        val dir =
+          if (copies == 1) sfDir
+          else {
+            val d = s"$work/$tag"
+            val n = synthesizeEmbeddings(spark, sfDir, d, copies)
+            System.err.println(s"[scaleproof] synthesized $n vectors at $d")
+            d
+          }
+        val e = graft.Tables.embeddings(spark, dir)
+        var lastIdx = ""
+        val passes = (1 to 2).map { p =>
+          System.gc()
+          val idx = s"$work/$tag-idx-p$p"
+          lastIdx = idx
+          val t0 = System.nanoTime()
+          val (_, w, r) = meter.measure {
+            val b1 = e.filter(col("vec_id") % 2 === 0)
+            val b2 = e.filter(col("vec_id") % 2 === 1)
+            graft.llm.EmbeddingLshIndex.build(b1, idx,
+              planesPerTable = planes, maxBucketSize = embCap)
+            graft.llm.EmbeddingLshIndex.incrementalNearDupPairs(spark,
+                idx, b2, threshold = 0.4, planesPerTable = planes,
+                maxBucketSize = embCap)
+              .write.format("noop").mode("overwrite").save()
+            graft.llm.EmbeddingLshIndex.append(b2, idx,
+              planesPerTable = planes, maxBucketSize = embCap)
+          }
+          ((System.nanoTime() - t0) / 1e9, w, r)
+        }
+        val (sec, w, r) = passes.minBy(_._1)
+        val occ = spark.read.parquet(s"$lastIdx/bands")
+          .groupBy("table", "sig").count()
+          .agg(avg(col("count")), max(col("count"))).collect().head
+        val (avgOcc, maxOcc) = (occ.getDouble(0), occ.getLong(1))
+        // pre-flight report on the FULL corpus: the dense-cluster
+        // buckets the cap dropped at write (cappedBucketReport sees
+        // only what was written; this names what was not)
+        val hotBuckets = graft.llm.EmbeddingLshIndex
+          .hotInputBuckets(e, planesPerTable = planes,
+            maxBucketSize = embCap)
+          .count()
+        System.err.println(
+          f"[scaleproof] q210_embed_lsh_incremental $tag ${sec}%.2fs " +
+            f"write=${w >> 20}MiB read=${r >> 20}MiB planes=$planes " +
+            f"avg_bucket=$avgOcc%.1f max_bucket=$maxOcc " +
+            f"hot_buckets=$hotBuckets")
+        (tag, sec, w, r, planes, avgOcc, maxOcc, hotBuckets)
+      }
+    }
     val json = (out.map { case (n, t, s, w, r) =>
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
@@ -282,6 +389,11 @@ object ScaleProof {
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +
         s""""sum_df2_uncapped":$sa,"sum_df2_capped":$sc,"hot_terms":$nh}"""
+    } ++ embDec.map { case (t, s, w, r, pl, ao, mo, hb) =>
+      s"""{"query":"q210_embed_lsh_incremental","scale":"$t","sec":${num(s, 2)},""" +
+        s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +
+        s""""planes_per_table":$pl,"avg_bucket":${num(ao, 1)},"max_bucket":$mo,""" +
+        s""""hot_buckets":$hb}"""
     }).mkString("[", ",", "]")
     println(s"""{"metric":"scale_proof","decades":"sf0.1->sf1.0->sf10","runs":$json}""")
     spark.stop()

@@ -71,5 +71,10 @@ class EmbeddingLshIndexSpec extends AnyFunSuite {
     val report = EmbeddingLshIndex.cappedBucketReport(spark, s"$dir/idx",
       maxBucketSize = 25L)
     assert(report.count() == 8L) // one hot bucket per LSH table
+    // pre-flight form: the same 8 hot buckets named BEFORE any write
+    // (what a capped build would drop), none at the default cap
+    assert(EmbeddingLshIndex.hotInputBuckets(flat,
+      maxBucketSize = 25L).count() == 8L)
+    assert(EmbeddingLshIndex.hotInputBuckets(flat).count() == 0L)
   }
 }

@@ -72,6 +72,52 @@ class KnnSpec extends AnyFunSuite {
       planesPerTable = 4, dim = 3, maxBucketSize = 0L).count() == 30L * 29 / 2)
   }
 
+  test("nearDupPairsLshCanopy: dense buckets become linear star edges, not silent drops") {
+    val flood = (1L to 30L).map(i => (i, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // the plain capped join drops the flooded bucket entirely (test
+    // above); the canopy verifies each member against the min-id
+    // representative — 29 star edges, every member CC-reachable
+    val star = EmbeddingKnn.nearDupPairsLshCanopy(flood, threshold = 0.9,
+        tables = 2, planesPerTable = 4, dim = 3, maxBucketSize = 5L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(star == (2L to 30L).map(i => (1L, i)).toSet)
+    // with nothing over the cap the canopy is EXACTLY the plain join
+    val loose = EmbeddingKnn.nearDupPairsLshCanopy(corpus, threshold = 0.9,
+        tables = 16, planesPerTable = 4, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val plain = EmbeddingKnn.nearDupPairsLsh(corpus, threshold = 0.9,
+        tables = 16, planesPerTable = 4, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose == plain)
+  }
+
+  test("cleanseAgainst: drops banded near-dups of the reference, keeps the rest") {
+    // reference contains an exact copy of vec 0's direction and an
+    // orthogonal probe; vecs 0/1/4 cluster around (1,0,0) -> all
+    // contaminated at 0.9; vec 2 matches the orthogonal reference
+    // exactly; only vec 3 survives
+    val reference = Seq(
+      (100L, Seq(2.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val survivors = EmbeddingKnn.cleanseAgainst(corpus, reference,
+        threshold = 0.9, tables = 16, planesPerTable = 4, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(3L))
+    // empty reference cleanses nothing
+    val all = EmbeddingKnn.cleanseAgainst(corpus, reference.limit(0),
+        threshold = 0.9, tables = 16, planesPerTable = 4, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == Set(0L, 1L, 2L, 3L, 4L))
+    // brute-force parity on the banded contract: a survivor has no
+    // reference partner that BOTH collides in some table AND clears
+    // the cosine cut (here geometry is saturated, so survivors are
+    // exactly the exact-cosine survivors)
+    val exactBad = corpus.as("c").crossJoin(reference.as("r"))
+      .filter(round(VectorFunctions.cosine(col("c.embedding"), col("r.embedding")), 6) >= 0.9)
+      .select(col("c.vec_id")).as[Long].collect().toSet
+    assert(survivors == Set(0L, 1L, 2L, 3L, 4L) -- exactBad)
+  }
+
   test("ivfTopK with nProbe >= nCells equals brute force exactly") {
     val queries = corpus.filter(col("vec_id") < 2)
     val ivf = EmbeddingKnn.ivfTopK(corpus, queries, centroids = corpus,
