@@ -101,6 +101,40 @@ object EmbeddingLshIndex {
       bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
       bucket, maxBucketSize)
 
+  /** Admission-time semantic decontamination against a PERSISTED
+    * reference index: the rows of `batch` whose vector has NO banded
+    * near-dup (candidate in some LSH table with rounded cosine ≥
+    * `threshold`) among the INDEXED vectors — the streaming-ingest
+    * member of the cleanse family, mirroring
+    * [[SpanDedupIndex.cleanseWith]]. Unlike [[incrementalNearDupPairs]]
+    * this probes the index ONLY (no batch-internal pairs: a reference
+    * suite is a fixed contamination source, batch cohesion is dedup's
+    * job), and the index is read as ONE broadcast (bands ⋈ vecs — an
+    * eval/benchmark set is small by construction), so the batch never
+    * shuffles: band rows carry the batch vector map-side into the
+    * verify, and the only exchange is the distinct over contaminated
+    * ids. Geometry must match what the index was built with.
+    */
+  def cleanseWith(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9, tables: Int = 8, planesPerTable: Int = 8,
+      dim: Int = 64, seed: Long = 42L, roundSim: Int = 6): DataFrame = {
+    val ref = broadcast(spark.read.parquet(s"$path/bands").as("b")
+      .join(spark.read.parquet(s"$path/vecs").as("v"), col("b.id") === col("v.id"))
+      .select(col("b.table"), col("b.sig"), col("v.v").as("rv")))
+    val contaminated = batch.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        posexplode(array((0 until tables).map(t =>
+          EmbeddingKnn.lshSignature(col(vecCol),
+            EmbeddingKnn.rademacherPlanes(planesPerTable, dim, seed,
+              planeOffset = t * planesPerTable))): _*))
+          .as(Seq("table", "sig")))
+      .join(ref, Seq("table", "sig"))
+      .filter(round(VectorFunctions.cosine(col("cv"), col("rv")), roundSim)
+        >= threshold)
+      .select(col("cid").as(idCol)).distinct()
+    batch.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs of a NEW vector batch against indexed history AND
     * itself: `(id_a, id_b, sim)` with rounded cosine ≥ `threshold`.
     * Candidates come from the narrow band join; verification joins the

@@ -3790,23 +3790,132 @@ object LlmQueries {
           .select(col("vec_id"), col("label"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH ${radDotsSql(64)},
+      Some(embCleanseOracle)),
+
+    // Streaming admission-time semantic decontamination: the eval
+    // slice is built ONCE into a persisted embedding-LSH index, then
+    // training vectors arrive through REAL microbatches and each batch
+    // is cleansed against the index BEFORE admission (probe-only —
+    // no batch-internal pairs; the reference is a fixed contamination
+    // source). Admitted rows accumulate; their union must equal
+    // q213's one-shot cleansed corpus exactly, and n_batches pins
+    // real microbatch delivery. This completes the cleanse family's
+    // one-shot → index-backed-streaming symmetry at the vector tier
+    // (exact-span: q200 → q202/q203).
+    "q214_stream_embed_decontaminate" -> Q(
+      (s, d) => {
+        import graft.llm.EmbeddingLshIndex
+        val root = graft.queries.Scratch.dir("graft-q214-cleanse")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val e = emb(s, d).select("vec_id", "embedding", "label")
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        val train = e.filter(col("vec_id") % 10 =!= 8)
+        writeBatch("b1.parquet", 1000000L, train.filter(col("vec_id") % 2 === 0))
+        writeBatch("b2.parquet", 2000000L, train.filter(col("vec_id") % 2 === 1))
+        val idx = s"$root/idx"
+        EmbeddingLshIndex.build(e.filter(col("vec_id") % 10 === 8), idx)
+        val admitted = s"$root/admitted"
+        var nBatches = 0
+        s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            nBatches += 1
+            EmbeddingLshIndex.cleanseWith(s, idx, b.localCheckpoint(),
+                threshold = 0.35)
+              .select("vec_id", "label")
+              .write.mode("append").parquet(admitted)
+          }
+          .start().awaitTermination()
+        require(nBatches == 2, s"expected two microbatches, saw $nBatches")
+        s.read.parquet(admitted)
+          .withColumn("n_batches", lit(2L))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT o.*, CAST(2 AS BIGINT) AS n_batches
+              |FROM ($embCleanseOracle) o ORDER BY o.vec_id""".stripMargin)),
+
+    // Embedding dedup FAMILIES with survivor selection — the vector
+    // tier's full pairs → connected-components → survivor pipeline
+    // (text: q42/q43, multimodal union: q209). LSH near-dup pairs at
+    // t=0.35 feed the large-star/small-star closure; each family keeps
+    // its min-id member as the survivor (deterministic, so the dedup
+    // DECISION — not just the pair set — is cross-engine checkable).
+    // The oracle replays planes → banding → verify → transitive
+    // closure (recursive CTE) → survivor pick.
+    "q215_embed_dedup_survivors" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val pairs = graft.llm.EmbeddingKnn
+          .nearDupPairsLsh(e, threshold = 0.35,
+            tables = 8, planesPerTable = 8, dim = 64)
+          .select("id_a", "id_b")
+        val cc = graft.operators.ConnectedComponents
+          .run(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "vec_id")
+        e.select("vec_id").join(cc, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("family_id"))
+          .withColumn("survivor", col("vec_id") === col("family_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${radDotsSql(64)},
               |sigs AS (SELECT vec_id, p // 8 AS t,
               |    SUM(CASE WHEN dot >= 0.0 THEN 1 << (p % 8) ELSE 0 END) AS sig
               |  FROM dots GROUP BY vec_id, p // 8),
-              |ev AS (SELECT * FROM sigs WHERE vec_id % 10 = 8),
-              |tr AS (SELECT * FROM sigs WHERE vec_id % 10 != 8),
-              |bad AS (SELECT DISTINCT tr.vec_id AS vec_id
-              |  FROM tr JOIN ev ON tr.t = ev.t AND tr.sig = ev.sig
-              |  JOIN embeddings ea ON ea.vec_id = tr.vec_id
-              |  JOIN embeddings eb ON eb.vec_id = ev.vec_id
+              |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+              |                         AND a.vec_id < b.vec_id),
+              |pr AS (SELECT id_a, id_b FROM cand
+              |  JOIN embeddings ea ON ea.vec_id = id_a
+              |  JOIN embeddings eb ON eb.vec_id = id_b
               |  WHERE round(list_cosine_similarity(
               |      CAST(ea.embedding AS DOUBLE[]),
-              |      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35)
-              |SELECT e.vec_id, e.label FROM embeddings e
-              |WHERE e.vec_id % 10 != 8
-              |  AND e.vec_id NOT IN (SELECT vec_id FROM bad)
+              |      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35),
+              |uedges AS (SELECT id_a AS u, id_b AS v FROM pr
+              |           UNION SELECT id_b, id_a FROM pr),
+              |reach(u, v) AS (SELECT u, v FROM uedges
+              |  UNION SELECT r.u, e.v FROM reach r JOIN uedges e ON r.v = e.u),
+              |fam AS (SELECT u AS vec_id, least(u, min(v)) AS family_id
+              |        FROM reach GROUP BY u)
+              |SELECT e.vec_id, coalesce(f.family_id, e.vec_id) AS family_id,
+              |  (e.vec_id = coalesce(f.family_id, e.vec_id)) AS survivor
+              |FROM embeddings e LEFT JOIN fam f USING (vec_id)
               |ORDER BY e.vec_id""".stripMargin)))
+
+  /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
+    * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214
+    * (index-backed streaming admission, which must match it exactly).
+    */
+  private lazy val embCleanseOracle: String =
+    s"""WITH ${radDotsSql(64)},
+       |sigs AS (SELECT vec_id, p // 8 AS t,
+       |    SUM(CASE WHEN dot >= 0.0 THEN 1 << (p % 8) ELSE 0 END) AS sig
+       |  FROM dots GROUP BY vec_id, p // 8),
+       |ev AS (SELECT * FROM sigs WHERE vec_id % 10 = 8),
+       |tr AS (SELECT * FROM sigs WHERE vec_id % 10 != 8),
+       |bad AS (SELECT DISTINCT tr.vec_id AS vec_id
+       |  FROM tr JOIN ev ON tr.t = ev.t AND tr.sig = ev.sig
+       |  JOIN embeddings ea ON ea.vec_id = tr.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = ev.vec_id
+       |  WHERE round(list_cosine_similarity(
+       |      CAST(ea.embedding AS DOUBLE[]),
+       |      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |WHERE e.vec_id % 10 != 8
+       |  AND e.vec_id NOT IN (SELECT vec_id FROM bad)
+       |ORDER BY e.vec_id""".stripMargin
 
   /** One-shot ExactSubstr SQL — the shared oracle for q200 (one-shot)
     * and q201 (index-backed incremental, which must match it exactly).

@@ -186,7 +186,9 @@ object ScaleProof {
     val onlyPre = sys.env.get("SPARK_GRAFT_SCALEPROOF_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val replicaNeeded = onlyPre.forall(_.exists(n =>
-      !n.startsWith("q191") && !n.startsWith("q210")))
+      !n.startsWith("q191") && !n.startsWith("q210") &&
+        !n.startsWith("q213") && !n.startsWith("q214") &&
+        !n.startsWith("q215")))
     val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
       .filter(_ => replicaNeeded)
       .filter(_._2 <= copyCapEarly)
@@ -327,20 +329,25 @@ object ScaleProof {
     // >77 GB band-join spill + max_bucket=979 at sf10. With fmix32
     // planes the same leg runs cap-idle with max_bucket~131.
     // Bucket occupancy of the final index is recorded as evidence.
+    // replica corpora shared by every embedding fold below; memoized so
+    // an unscoped run synthesizes each decade once
+    val embDirCache = scala.collection.mutable.Map[String, String]()
+    def embReplica(tag: String, copies: Int): String =
+      if (copies == 1) sfDir
+      else embDirCache.getOrElseUpdate(tag, {
+        val d = s"$work/$tag"
+        val n = synthesizeEmbeddings(spark, sfDir, d, copies)
+        System.err.println(s"[scaleproof] synthesized $n vectors at $d")
+        d
+      })
+    val embDecades = Seq(("sf0.1", 1, 8), ("emb-sf1.0", 10, 12),
+      ("emb-sf10", 100, 16))
     val embDec = if (!only.forall(_.exists(_.startsWith("q210")))) Seq.empty
     else {
       val embCap = 500L
-      for ((tag, copies, planes) <- Seq(("sf0.1", 1, 8),
-          ("emb-sf1.0", 10, 12), ("emb-sf10", 100, 16))
+      for ((tag, copies, planes) <- embDecades
           if copies <= copyCap) yield {
-        val dir =
-          if (copies == 1) sfDir
-          else {
-            val d = s"$work/$tag"
-            val n = synthesizeEmbeddings(spark, sfDir, d, copies)
-            System.err.println(s"[scaleproof] synthesized $n vectors at $d")
-            d
-          }
+        val dir = embReplica(tag, copies)
         val e = graft.Tables.embeddings(spark, dir)
         var lastIdx = ""
         val passes = (1 to 2).map { p =>
@@ -382,6 +389,63 @@ object ScaleProof {
         (tag, sec, w, r, planes, avgOcc, maxOcc, hotBuckets)
       }
     }
+    // q213 (one-shot cleanse), q214 (index-backed admission probe) and
+    // q215 (pairs → CC → min-id survivor) at the same decades. The
+    // cleanse REFERENCE stays fixed (the base corpus's eval slice)
+    // while training grows 100× — decontamination's real shape: the
+    // eval suite rides as a broadcast at every scale, the corpus is
+    // never shuffled, and the wall must track the corpus ~linearly.
+    // q215 adds the closure on top of the decade-law banding.
+    val clnDec = if (!only.forall(_.exists(n => n.startsWith("q213") ||
+        n.startsWith("q214") || n.startsWith("q215")))) Seq.empty
+    else {
+      val evalRef = graft.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 10 === 8).localCheckpoint()
+      def timed(f: => Unit): (Double, Long, Long) =
+        (1 to 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val (_, w, r) = meter.measure(f)
+          ((System.nanoTime() - t0) / 1e9, w, r)
+        }.minBy(_._1)
+      embDecades.filter(_._2 <= copyCap).flatMap { case (tag, copies, planes) =>
+        val e = graft.Tables.embeddings(spark, embReplica(tag, copies))
+        val idx = s"$work/$tag-cleanse-idx"
+        graft.llm.EmbeddingLshIndex.build(evalRef, idx,
+          planesPerTable = planes)
+        val a = timed {
+          graft.llm.EmbeddingKnn.cleanseAgainst(e, evalRef,
+              threshold = 0.35, tables = 8, planesPerTable = planes)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val b = timed {
+          graft.llm.EmbeddingLshIndex.cleanseWith(spark, idx, e,
+              threshold = 0.35, planesPerTable = planes)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val c = timed {
+          val pairs = graft.llm.EmbeddingKnn
+            .nearDupPairsLsh(e, threshold = 0.35,
+              tables = 8, planesPerTable = planes)
+            .select("id_a", "id_b")
+          val cc = graft.operators.ConnectedComponents
+            .run(pairs, "id_a", "id_b")
+            .withColumnRenamed("id", "vec_id")
+          e.select("vec_id").join(cc, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              coalesce(col("component"), col("vec_id")).as("family_id"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val rows = Seq(("q213_embed_decontaminate", a),
+          ("q214_stream_embed_decontaminate", b),
+          ("q215_embed_dedup_survivors", c))
+        rows.foreach { case (n, (sec, w, r)) =>
+          System.err.println(f"[scaleproof] $n $tag ${sec}%.2fs " +
+            f"write=${w >> 20}MiB read=${r >> 20}MiB planes=$planes")
+        }
+        rows.map { case (n, (sec, w, r)) => (n, tag, sec, w, r, planes) }
+      }
+    }
     val json = (out.map { case (n, t, s, w, r) =>
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
@@ -394,6 +458,10 @@ object ScaleProof {
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +
         s""""planes_per_table":$pl,"avg_bucket":${num(ao, 1)},"max_bucket":$mo,""" +
         s""""hot_buckets":$hb}"""
+    } ++ clnDec.map { case (n, t, s, w, r, pl) =>
+      s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
+        s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +
+        s""""planes_per_table":$pl}"""
     }).mkString("[", ",", "]")
     println(s"""{"metric":"scale_proof","decades":"sf0.1->sf1.0->sf10","runs":$json}""")
     spark.stop()

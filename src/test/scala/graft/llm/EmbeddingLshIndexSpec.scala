@@ -77,4 +77,30 @@ class EmbeddingLshIndexSpec extends AnyFunSuite {
       maxBucketSize = 25L).count() == 8L)
     assert(EmbeddingLshIndex.hotInputBuckets(flat).count() == 0L)
   }
+
+  test("cleanseWith: probe-only admission filter matches one-shot cleanseAgainst") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-elidx4").toString
+    // reference = gids 0-2 complete (their twins included); batch has
+    // gid 0's exact copy (contaminated), gid 1's twin (contaminated),
+    // and fresh gids 50-52 (admitted)
+    val reference = vecs(0L until 6L)
+    EmbeddingLshIndex.build(reference, s"$dir/idx")
+    val copy0 = vecs(Seq(0L)).select((col("vec_id") + 200L).as("vec_id"),
+      col("embedding"))
+    val twin1 = vecs(Seq(3L)).select((col("vec_id") + 300L).as("vec_id"),
+      col("embedding"))
+    val batch = vecs(100L until 106L).union(copy0).union(twin1)
+    val admitted = EmbeddingLshIndex.cleanseWith(spark, s"$dir/idx", batch,
+        threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == (100L until 106L).toSet)
+    // parity with the one-shot operator on the same reference
+    val oneShot = EmbeddingKnn.cleanseAgainst(batch, reference,
+        threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == oneShot)
+    // batch-internal twins are NOT the cleanse's business: a twin pair
+    // inside the batch with no reference partner is fully admitted
+    assert(admitted.intersect(Set(100L, 101L)) == Set(100L, 101L))
+  }
 }
