@@ -49,4 +49,39 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Per REFERENCE doc contamination telemetry against a training
+    * corpus — the reverse direction of [[overlap]], and the eval-side
+    * report LM training runs publish (GPT-3 appendix C's methodology:
+    * for each benchmark document, the fraction of its distinct word
+    * n-grams that appear anywhere in training data). [[overlap]] asks
+    * "which training docs must go"; this asks "how burned is each eval
+    * doc if nothing goes" — the number an eval-integrity dashboard
+    * tracks per benchmark release. Clean reference docs ARE emitted
+    * (overlap 0): a telemetry table with absent rows invites
+    * survivorship mistakes downstream. Same exactness stance as
+    * [[overlap]]: the join key is the shingle STRING, never a hash.
+    * Scale: the training side reduces to its distinct-gram set before
+    * the join (semi-join, gram-keyed shuffle ∝ corpus); the reference
+    * side is benchmark-sized.
+    */
+  def report(
+      train: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val trainG = train.select(explode(array_distinct(
+      TextFunctions.wordShingles(col(textCol), n))).as("g")).distinct()
+    val refSets = reference.select(col(idCol).as("ref_id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    val hits = refSets.select(col("ref_id"), explode(col("sh")).as("g"))
+      .join(trainG, Seq("g"), "left_semi")
+      .groupBy("ref_id").agg(count(lit(1)).as("n_contaminated"))
+    refSets.select(col("ref_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(hits, Seq("ref_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("overlap_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
 }

@@ -93,14 +93,19 @@ object LlmQueries {
     * shared prefix of the Jaccard pair chain, also used standalone by
     * the decontamination oracle (q196).
     */
-  private[queries] def shingleSetsCtes(source: String): String =
+  private[queries] def shingleSetsCtesN(source: String, n: Int): String = {
+    val gram = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
     s"""nrm AS (SELECT doc_id, $normSql AS nm FROM $source),
        |tok AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM nrm),
        |sets AS (SELECT doc_id, list_distinct(
-       |    CASE WHEN len(t) < 3 THEN [nm]
-       |         ELSE list_transform(range(1, len(t) - 1),
-       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+       |    CASE WHEN len(t) < $n THEN [nm]
+       |         ELSE list_transform(range(1, len(t) - ${n - 2}),
+       |                i -> $gram) END) AS sh
        |  FROM tok)""".stripMargin
+  }
+
+  private[queries] def shingleSetsCtes(source: String): String =
+    shingleSetsCtesN(source, 3)
 
   private[queries] def jaccardPairsCtesFrom(source: String): String =
     s"""${shingleSetsCtes(source)},
@@ -3892,7 +3897,116 @@ object LlmQueries {
               |SELECT e.vec_id, coalesce(f.family_id, e.vec_id) AS family_id,
               |  (e.vec_id = coalesce(f.family_id, e.vec_id)) AS survivor
               |FROM embeddings e LEFT JOIN fam f USING (vec_id)
-              |ORDER BY e.vec_id""".stripMargin)))
+              |ORDER BY e.vec_id""".stripMargin)),
+
+    // Eval-side contamination telemetry (GPT-3 appendix C methodology):
+    // for each held-out doc, the fraction of its distinct word 8-grams
+    // that appear ANYWHERE in the training split — the number an
+    // eval-integrity dashboard tracks per benchmark release. q196 asks
+    // "which training docs must go"; this asks "how burned is each
+    // eval doc if nothing goes", and clean docs are emitted with
+    // overlap 0 (absent rows invite survivorship mistakes). The
+    // held-out residue is q203's pinned slice (doc_id % 97 = 1), whose
+    // members 98/389/486 have verbatim-run near-dup partners in train
+    // — so the report shows real contamination next to real zeros.
+    // Join key is the shingle STRING (never a hash: a collision here
+    // is a silent false positive with no verifier behind it).
+    "q216_ngram_overlap_report" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        graft.llm.Decontaminate.report(
+            dd.filter(col("doc_id") % 97 =!= 1),
+            dd.filter(col("doc_id") % 97 === 1),
+            "doc_id", "text", n = 8)
+          .orderBy("ref_id")
+      },
+      Some(s"""WITH ${shingleSetsCtesN("documents", 8)},
+              |tg AS (SELECT DISTINCT unnest(sh) AS g FROM sets
+              |       WHERE doc_id % 97 != 1),
+              |rg AS (SELECT doc_id AS ref_id, unnest(sh) AS g FROM sets
+              |       WHERE doc_id % 97 = 1),
+              |hit AS (SELECT ref_id, CAST(count(*) AS BIGINT) AS n_contaminated
+              |        FROM rg WHERE g IN (SELECT g FROM tg) GROUP BY ref_id)
+              |SELECT s.doc_id AS ref_id,
+              |  CAST(len(s.sh) AS BIGINT) AS n_grams,
+              |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+              |  round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+              |        / len(s.sh), 6) AS overlap_frac
+              |FROM sets s LEFT JOIN hit h ON h.ref_id = s.doc_id
+              |WHERE s.doc_id % 97 = 1
+              |ORDER BY ref_id""".stripMargin)),
+
+    // Deterministic quality-proportional resampling (the importance-
+    // resampling shape: keep probability ∝ a per-doc quality weight,
+    // realized with a content-independent doc-id hash so the SAMPLE IS
+    // A FIXED OBJECT — reproducible run-to-run, join-stable across
+    // pipeline stages, and replayable by any engine; no RNG state).
+    // Weight = alpha_ratio ∈ [0,1] (exact-int→double, bit-stable), so
+    // a doc survives iff md5-bucket(doc_id) < ⌊1e6·alpha_ratio⌋ —
+    // high-alpha prose keeps ~its ratio, symbol soup is mostly culled.
+    // Same md5-bucket idiom as q199's mixture rebalance.
+    "q217_quality_resample" -> Q(
+      (s, d) => {
+        val len = length(col("text")).cast("long")
+        val ar = coalesce(
+          when(len === 0, lit(null).cast("double"))
+            .otherwise(graft.functions.TextFunctions.alphaChars(col("text"))
+              .cast("double") / len),
+          lit(0.0))
+        docs(s, d)
+          .select(col("doc_id"), ar.as("alpha_ratio"))
+          .withColumn("bucket",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 1000000L)
+          .filter(col("bucket") < floor(col("alpha_ratio") * 1000000L))
+          .select(col("doc_id"), round(col("alpha_ratio"), 6).as("alpha_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |        AS DOUBLE) / length(text), 6) AS alpha_ratio
+             |FROM documents
+             |WHERE length(text) > 0
+             |  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |        AS BIGINT) % 1000000
+             |      < floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |              AS DOUBLE) / length(text) * 1000000)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget corpus selection: fill a fixed training-token budget
+    // with the best documents first (rank by alpha_ratio desc, tie
+    // doc_id; strict prefix of the rank order whose cumulative
+    // whitespace-token weight stays within budget). 12,000 of the
+    // corpus's 27,165 tokens, so the cut bites mid-corpus. The engine
+    // runs the two-phase bucketed cumsum (no single-task global
+    // window); the oracle runs the LITERAL global window — the hash
+    // match IS the proof the two-phase decomposition is exact.
+    "q218_token_budget_fill" -> Q(
+      (s, d) => {
+        val len = length(col("text")).cast("long")
+        val ar = when(len === 0, lit(null).cast("double"))
+          .otherwise(graft.functions.TextFunctions.alphaChars(col("text"))
+            .cast("double") / len)
+        graft.llm.TokenBudget.fill(docs(s, d), "doc_id",
+            graft.functions.TextFunctions.tokenCount(col("text")),
+            ar, budget = 12000L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+             |    1.0 - coalesce(
+             |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |           AS DOUBLE) / nullif(length(text), 0), 0.0) AS key
+             |  FROM documents),
+             |c AS (SELECT doc_id, w,
+             |    sum(w) OVER (ORDER BY key, doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM c WHERE cum_tokens <= 12000
+             |ORDER BY doc_id""".stripMargin)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
     * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214

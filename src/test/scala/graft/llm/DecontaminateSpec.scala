@@ -46,4 +46,32 @@ class DecontaminateSpec extends AnyFunSuite {
     val corpus = Seq((100L, "the quick brown fox jumps"))
     assert(run(corpus, bench).contains(100L))
   }
+
+  test("report: per-eval-doc overlap fraction, clean docs emitted as zero") {
+    val train = Seq(
+      (100L, "one two three four five six unrelated tail here"),
+      (101L, "completely different training content with no shared runs")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      // 8 tokens -> 3 distinct 6-grams, 2 of which ("one..six" window)
+      // appear verbatim in train doc 100
+      (1L, "one two three four five six seven eight"),
+      (2L, "zero grams of this appear anywhere in the training side")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.report(train, ref, "doc_id", "text", n = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // ref 1: 6-grams = {1..6, 2..7, 3..8}; train 100 contains 1..6 only
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    // clean doc present with zero overlap, not absent
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
+  }
+
+  test("report: short reference text falls back to the whole-text shingle") {
+    val train = Seq((100L, "tiny doc")).toDF("doc_id", "text")
+    val ref = Seq((1L, "tiny doc"), (2L, "other snippet")).toDF("doc_id", "text")
+    val got = Decontaminate.report(train, ref, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 1L)), 2L -> ((1L, 0L))))
+  }
 }
