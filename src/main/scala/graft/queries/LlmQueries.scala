@@ -4006,7 +4006,64 @@ object LlmQueries {
              |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
              |  CAST(cum_tokens AS BIGINT) AS cum_tokens
              |FROM c WHERE cum_tokens <= 12000
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // End-to-end curation pipeline — the capstone composition of the
+    // selection tier, in the order a production corpus build runs it:
+    //   raw docs → near-dup FAMILIES, keep min-id survivor (q43's
+    //   MinHash pairs + CC closure) → quality-proportional resample
+    //   (q217's md5-bucket rule) → token-budget fill (q218's strict
+    //   prefix, budget 10k of the 20,857 surviving tokens — the cut
+    //   bites mid-pool). Every stage is a deterministic object, so the
+    //   FINAL training set is one too: the oracle replays dedup
+    //   closure → resample → literal-window budget in a single SQL
+    //   chain, and the hash match pins the whole pipeline, not just
+    //   its stages.
+    "q219_curation_pipeline" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = MinHashDedup
+          .nearDupPairs(dd, "doc_id", "text", threshold = 0.5)
+        val survivors = Dedup.byNearDupPairs(dd, "doc_id", pairs)
+        val len = length(col("text")).cast("long")
+        val ar = coalesce(
+          when(len === 0, lit(null).cast("double"))
+            .otherwise(graft.functions.TextFunctions.alphaChars(col("text"))
+              .cast("double") / len),
+          lit(0.0))
+        val resampled = survivors
+          .withColumn("__ar", ar)
+          .withColumn("__bucket",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 1000000L)
+          .filter(col("__bucket") < floor(col("__ar") * 1000000L))
+        graft.llm.TokenBudget.fill(resampled, "doc_id",
+            graft.functions.TextFunctions.tokenCount(col("text")),
+            col("__ar"), budget = 10000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes,
+              |surv AS (SELECT doc_id, text FROM documents
+              |  WHERE doc_id NOT IN
+              |    (SELECT doc_id FROM comp WHERE group_id <> doc_id)),
+              |res AS (SELECT doc_id,
+              |    CASE WHEN length(trim(text)) = 0 THEN 0
+              |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              |         AS DOUBLE) / length(text) AS ar
+              |  FROM surv WHERE length(text) > 0
+              |    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              |          AS BIGINT) % 1000000
+              |        < floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              |                AS DOUBLE) / length(text) * 1000000)),
+              |c AS (SELECT doc_id, w,
+              |    sum(w) OVER (ORDER BY (1.0 - ar), doc_id
+              |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              |  FROM res)
+              |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+              |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+              |FROM c WHERE cum_tokens <= 10000
+              |ORDER BY doc_id""".stripMargin)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
     * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214
