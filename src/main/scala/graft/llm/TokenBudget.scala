@@ -35,26 +35,46 @@ object TokenBudget {
       idCol: String,
       weightCol: Column,
       qualityCol: Column,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    fillPerGroup(docs, idCol, weightCol, qualityCol, budget, Seq.empty)
+
+  /** [[fill]] with an INDEPENDENT budget per group (mixture allocation
+    * in TOKENS, the unit trainers actually budget in — q198's
+    * per-source quotas count docs, which over-serves sources of long
+    * documents): each `groupCols` combination fills its own strict
+    * quality-ranked prefix up to `budget`. Same two-phase cumsum, with
+    * every window additionally keyed by the group — the offsets table
+    * is ≤ 256·groups rows, still a broadcast.
+    */
+  def fillPerGroup(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      qualityCol: Column,
+      budget: Long,
+      groupCols: Seq[String]): DataFrame = {
     require(budget >= 1)
+    val g = groupCols.map(col)
     val base = docs
-      .select(col(idCol), weightCol.cast("long").as("w"),
-        (lit(1.0) - coalesce(qualityCol, lit(0.0))).as("key"))
+      .select(g :+ col(idCol) :+ weightCol.cast("long").as("w") :+
+        (lit(1.0) - coalesce(qualityCol, lit(0.0))).as("key"): _*)
       .withColumn("bucket",
         least(floor(col("key") * 256).cast("long"), lit(255L)))
     val offsets = base
-      .groupBy("bucket")
+      .groupBy(g :+ col("bucket"): _*)
       .agg(sum("w").as("bw"))
       .withColumn("off", coalesce(
-        sum("bw").over(Window.orderBy("bucket")
+        sum("bw").over(Window.partitionBy(g: _*).orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "off")
+      .select(g :+ col("bucket") :+ col("off"): _*)
     val cumIn = sum("w").over(
-      Window.partitionBy("bucket").orderBy(col("key"), col(idCol)))
+      Window.partitionBy(g :+ col("bucket"): _*)
+        .orderBy(col("key"), col(idCol)))
     base
-      .join(broadcast(offsets), Seq("bucket"))
+      .join(broadcast(offsets), groupCols :+ "bucket")
       .withColumn("cum_tokens", col("off") + cumIn)
       .filter(col("cum_tokens") <= budget)
-      .select(col(idCol), col("w").as("n_tokens"), col("cum_tokens"))
+      .select(g :+ col(idCol) :+ col("w").as("n_tokens") :+
+        col("cum_tokens"): _*)
   }
 }

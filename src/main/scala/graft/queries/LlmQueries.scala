@@ -4063,7 +4063,42 @@ object LlmQueries {
               |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
               |  CAST(cum_tokens AS BIGINT) AS cum_tokens
               |FROM c WHERE cum_tokens <= 10000
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Per-source token budgets — mixture allocation in TOKENS, the
+    // unit trainers budget in (q198's per-source quotas count DOCS,
+    // which over-serves sources of long documents): every source
+    // independently fills its quality-ranked strict prefix up to 800
+    // tokens (each source holds 1.1-1.5k, so the cut bites in all 20).
+    // Engine: the grouped two-phase cumsum (windows keyed by source,
+    // ≤256·sources offset rows broadcast); oracle: the literal
+    // PARTITION BY window.
+    "q220_source_token_budgets" -> Q(
+      (s, d) => {
+        val len = length(col("text")).cast("long")
+        val ar = when(len === 0, lit(null).cast("double"))
+          .otherwise(graft.functions.TextFunctions.alphaChars(col("text"))
+            .cast("double") / len)
+        graft.llm.TokenBudget.fillPerGroup(docs(s, d), "doc_id",
+            graft.functions.TextFunctions.tokenCount(col("text")),
+            ar, budget = 800L, groupCols = Seq("source"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH q AS (SELECT source, doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+             |    1.0 - coalesce(
+             |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |           AS DOUBLE) / nullif(length(text), 0), 0.0) AS key
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, w,
+             |    sum(w) OVER (PARTITION BY source ORDER BY key, doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM q)
+             |SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM c WHERE cum_tokens <= 800
+             |ORDER BY source, doc_id""".stripMargin)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
     * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214
