@@ -4098,6 +4098,67 @@ object LlmQueries {
              |SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
              |  CAST(cum_tokens AS BIGINT) AS cum_tokens
              |FROM c WHERE cum_tokens <= 800
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // Streaming token-quota ADMISSION — the selection tier under the
+    // real engine with ARBITRARY STATE (flatMapGroupsWithState): each
+    // source admits documents in ARRIVAL order until its 800-token
+    // quota closes, state = (consumed, closed) carried across
+    // microbatches. The contrast with q220 is the point: a batch
+    // budget re-ranks by quality; an ingest gate cannot re-rank the
+    // future, so admission order is arrival order, and the strict
+    // prefix (first overflow closes the source for good) makes the
+    // accumulated admissions equal the batch window cut over
+    // (batch, doc_id) — which is exactly what the oracle replays.
+    "q221_stream_quota_admission" -> Q(
+      (s, d) => {
+        val root = graft.queries.Scratch.dir("graft-q221-quota")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val dd = docs(s, d).select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("w"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, dd.filter(col("doc_id") % 2 === 0))
+        writeBatch("b2.parquet", 2000000L, dd.filter(col("doc_id") % 2 === 1))
+        val admitted = s"$root/admitted"
+        val q = graft.streaming.StreamOps.tokenQuotaAdmission(
+            s.readStream
+              .schema("source STRING, doc_id LONG, w LONG")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(s"$src/*.parquet"),
+            quota = 800L)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .option("path", admitted)
+          .outputMode("append")
+          .format("parquet")
+          .start()
+        q.awaitTermination()
+        val nBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(nBatches == 2, s"expected two microbatches, saw $nBatches")
+        s.read.parquet(admitted)
+          .withColumn("n_batches", lit(2L))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH q AS (SELECT source, doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, w,
+             |    sum(w) OVER (PARTITION BY source ORDER BY doc_id % 2, doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM q)
+             |SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST(2 AS BIGINT) AS n_batches
+             |FROM c WHERE cum_tokens <= 800
              |ORDER BY source, doc_id""".stripMargin)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,

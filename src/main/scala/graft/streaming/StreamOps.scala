@@ -30,6 +30,17 @@ case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: 
 /** Emitted row of [[StreamOps.userRunningStats]]. */
 case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double)
 
+/** Per-source admission state for [[StreamOps.tokenQuotaAdmission]]:
+  * tokens consumed so far, and whether the source's strict prefix has
+  * closed (first overflow shuts the source for good — matching
+  * [[graft.llm.TokenBudget]]'s strict-prefix contract, so the
+  * streaming admission equals the batch window cut on the same order).
+  */
+case class QuotaState(consumed: Long, closed: Boolean)
+
+case class AdmittedDoc(source: String, doc_id: Long, n_tokens: Long,
+  cum_tokens: Long)
+
 /** `StatefulProcessor` behind [[StreamOps.userRunningStatsTws]]: the
   * Spark 4 `transformWithState` form of the running-stats state machine.
   * State lives in a named, typed `ValueState` slot obtained from the
@@ -391,6 +402,53 @@ object StreamOps {
           }
           state.update(UserState(n, total))
           UserRunningStats(uid, n, total.toDouble)
+      }
+      .toDF()
+  }
+
+  /** Streaming token-quota ADMISSION (`flatMapGroupsWithState`): each
+    * source admits documents in arrival order until its token quota
+    * closes — the selection-tier state machine an ingest gate runs,
+    * where (unlike [[graft.llm.TokenBudget]]'s batch form) the future
+    * cannot be re-ranked: admission order IS arrival order. Strict
+    * prefix per source: the first document that would overflow the
+    * quota closes the source permanently (state = consumed + closed),
+    * so the accumulated admissions across all microbatches equal the
+    * batch window cut `cum ≤ quota` over (arrival order) per source —
+    * the parity the oracle pins. Within one microbatch a group's
+    * iterator order is engine-chosen, so rows are ranked by `doc_id`
+    * inside the group before admission (per-source-per-batch volumes
+    * are admission-bounded; the sort is in-memory by design).
+    *
+    * Input: `(source STRING, doc_id LONG, w LONG)`. Output: admitted
+    * `(source, doc_id, n_tokens, cum_tokens)`.
+    */
+  def tokenQuotaAdmission(docs: DataFrame, quota: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(quota >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source").cast("string"), col("doc_id").cast("long"),
+        col("w").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src, rows, state) =>
+          val prev = state.getOption.getOrElse(QuotaState(0L, closed = false))
+          var consumed = prev.consumed
+          var closed = prev.closed
+          val out = Seq.newBuilder[AdmittedDoc]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, w) =>
+            if (!closed) {
+              if (consumed + w <= quota) {
+                consumed += w
+                out += AdmittedDoc(src, id, w, consumed)
+              } else closed = true
+            }
+          }
+          state.update(QuotaState(consumed, closed))
+          out.result().iterator
       }
       .toDF()
   }

@@ -235,7 +235,8 @@ object ScaleProof {
       "q207_phash_incremental" -> 100,
       "q208_stream_phash_ingest" -> 100,
       "q209_multimodal_dup_families" -> 100,
-      "q219_curation_pipeline" -> 100)
+      "q219_curation_pipeline" -> 100,
+      "q221_stream_quota_admission" -> 100)
     val meter = new ShuffleMeter(spark)
     val out = for {
       (name, maxCopies) <- queries

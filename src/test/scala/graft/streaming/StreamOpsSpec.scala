@@ -52,6 +52,45 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toMap == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 
+  test("tokenQuotaAdmission: cross-batch state, strict-prefix close, arrival order") {
+    val root = java.nio.file.Files.createTempDirectory("graft-quota").toString
+    val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+    def runOnce(): Unit = {
+      val q = StreamOps.tokenQuotaAdmission(
+          spark.readStream.schema("source STRING, doc_id LONG, w LONG")
+            .parquet(src),
+          quota = 100L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // batch 1: source a consumes 90 of 100; source b consumes 100 exactly
+    Seq(("a", 1L, 50L), ("a", 2L, 40L), ("b", 3L, 100L))
+      .toDF("source", "doc_id", "w")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    // batch 2: a's doc 4 (20) overflows -> a CLOSES; doc 5 (5) would
+    // fit the residue but the strict prefix rejects it; b already full
+    Seq(("a", 4L, 20L), ("a", 5L, 5L), ("b", 6L, 1L))
+      .toDF("source", "doc_id", "w")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 50L), ("a", 2L, 90L), ("b", 3L, 100L)))
+    // parity with the batch window cut over the same arrival order
+    val all = Seq(("a", 1L, 50L), ("a", 2L, 40L), ("b", 3L, 100L),
+      ("a", 4L, 20L), ("a", 5L, 5L), ("b", 6L, 1L))
+    val windowCut = all.groupBy(_._1).flatMap { case (s0, grp) =>
+      val cums = grp.scanLeft(0L)(_ + _._3).tail
+      grp.zip(cums).collect { case ((_, id, _), c) if c <= 100L => (s0, id, c) }
+    }.toSet
+    assert(got == windowCut)
+  }
+
   test("windowedEventStats: streaming result equals batch result") {
     val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
       .transform(Tables.normalizeTs(_))
