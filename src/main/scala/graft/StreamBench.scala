@@ -51,11 +51,15 @@ object StreamBench {
     // mode "embed": embedding-dedup ingest throughput (the q211 path) —
     // per microbatch: synthesize vectors, LSH-sign, probe the persisted
     // band index, append; vectors/sec of the full vector-dedup loop.
+    // mode "quota": stateful-admission throughput (the q221 path) —
+    // per-source (consumed, closed) state via flatMapGroupsWithState;
+    // docs/sec through the arrival-order token-quota gate.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "events")
     if (mode == "bm25") { bm25Main(sfDir, cpus, batches); return }
     if (mode == "span") { spanMain(sfDir, cpus, batches); return }
     if (mode == "phash") { phashMain(sfDir, cpus, batches); return }
     if (mode == "embed") { embedMain(sfDir, cpus, batches); return }
+    if (mode == "quota") { quotaMain(sfDir, cpus, batches); return }
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -325,6 +329,71 @@ object StreamBench {
       s""""pairs_found":$decisions,"planes_per_table":$planes,""" +
       s""""batch_rows_per_sec":$detail,"sf":"$sfDir"}""")
     println(s"""{"metric":"embed_ingest_throughput","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** Stateful-admission throughput (the q221 state machine at scale):
+    * synthesized (source, doc_id, w) rows stream through
+    * admission-bounded microbatches into
+    * [[graft.streaming.StreamOps.tokenQuotaAdmission]] — per-source
+    * (consumed, closed) state via flatMapGroupsWithState, 1,000
+    * sources wide so the state shuffle is real, quota sized so
+    * sources close mid-run (both the admit and the closed fast-path
+    * do work). Weights are deterministic (xxhash64 mod 100 + 1), so
+    * the admitted count is a fixed object run-to-run.
+    */
+  private def quotaMain(sfDir: String, cpus: String, batches: Int): Unit = {
+    val targetDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "500000").toLong
+    val nSources = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCES", "1000").toInt
+    val quota = sys.env.getOrElse("SPARK_GRAFT_STREAM_QUOTA", "12500").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = graft.queries.Scratch.dir("graft-streambench-quota")
+    val nFiles = batches * 2
+    spark.range(targetDocs).select(
+        concat(lit("src"), pmod(col("id"), lit(nSources.toLong))).as("source"),
+        col("id").as("doc_id"),
+        (pmod(xxhash64(col("id")), lit(100)) + 1L).as("w"))
+      .repartition(nFiles).write.mode("overwrite").parquet(s"$work/in")
+
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamOps.tokenQuotaAdmission(
+        spark.readStream
+          .schema("source STRING, doc_id LONG, w LONG")
+          .option("maxFilesPerTrigger", math.max(1, nFiles / batches))
+          .parquet(s"$work/in"),
+        quota = quota)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/admitted")
+      .outputMode("append")
+      .format("parquet")
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val inputRows = progress.map(_.numInputRows).sum
+    val admitted = spark.read.parquet(s"$work/admitted").count()
+    require(admitted > 0 && admitted < inputRows,
+      s"quota gate did no work: admitted=$admitted of $inputRows")
+    val throughput = inputRows / wall
+    val perBatch = progress.filter(_.numInputRows > 0)
+      .map(r => num(r.processedRowsPerSecond, 0)).mkString("[", ",", "]")
+    println(s"""{"metric":"quota_ingest_throughput","value":${num(throughput, 0)},""" +
+      s""""unit":"docs_per_sec","docs":$inputRows,"admitted":$admitted,""" +
+      s""""wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},""" +
+      s""""sources":$nSources,"quota":$quota,""" +
+      s""""batch_rows_per_sec":$perBatch,"sf":"$sfDir"}""")
+    println(s"""{"metric":"quota_ingest_throughput","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
     spark.stop()
   }
 
