@@ -101,6 +101,29 @@ object EmbeddingLshIndex {
       bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
       bucket, maxBucketSize)
 
+  /** Compact a flat-append index into a SUCCESSOR directory: after
+    * many small appends (each streamed microbatch leaves
+    * shuffle-partition-count band files), rewrite both tables into
+    * `targetFiles` files each at `outPath`, contents identical —
+    * probes against the successor must hash-match probes against the
+    * original (pinned in the spec and by q222's oracle). Compaction
+    * deliberately writes a NEW directory instead of swapping in place:
+    * the band-wing crash contract ("re-append on any doubt") survives
+    * torn appends, but a torn in-place swap could lose a whole table.
+    * An immutable successor keeps recovery trivial — a crash mid-write
+    * leaves the original untouched; retry overwrites the successor;
+    * callers flip their index pointer only after this returns (the
+    * lakehouse snapshot philosophy applied to index maintenance).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      targetFiles: Int = 8): Unit = {
+    require(targetFiles >= 1)
+    spark.read.parquet(s"$path/vecs").coalesce(targetFiles)
+      .write.mode("overwrite").parquet(s"$outPath/vecs")
+    spark.read.parquet(s"$path/bands").coalesce(targetFiles)
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+  }
+
   /** Admission-time semantic decontamination against a PERSISTED
     * reference index: the rows of `batch` whose vector has NO banded
     * near-dup (candidate in some LSH table with rounded cosine ≥

@@ -4159,7 +4159,40 @@ object LlmQueries {
              |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
              |  CAST(2 AS BIGINT) AS n_batches
              |FROM c WHERE cum_tokens <= 800
-             |ORDER BY source, doc_id""".stripMargin)))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // Index COMPACTION parity: flat-append band indexes accumulate a
+    // shuffle-partition-count of small files per streamed microbatch;
+    // compaction rewrites the tables into a few files — in a NEW
+    // successor directory (a torn in-place swap could lose a table;
+    // an immutable successor keeps recovery trivial, the lakehouse
+    // snapshot philosophy applied to index maintenance). The query is
+    // the parity proof: thirds of the corpus fold through build →
+    // probe+append → COMPACT → probe-the-successor, and the union of
+    // probe decisions must still reproduce q31's one-shot oracle
+    // verbatim — compaction changed the file layout, not one bit of
+    // the probe contract.
+    "q222_embed_index_compaction" -> Q(
+      (s, d) => {
+        import graft.llm.{EmbeddingKnn, EmbeddingLshIndex}
+        val dir = graft.queries.Scratch.dir("graft-q222-compact")
+        val e = emb(s, d)
+        val b0 = e.filter(col("vec_id") % 3 === 0)
+        val b1 = e.filter(col("vec_id") % 3 === 1)
+        val b2 = e.filter(col("vec_id") % 3 === 2)
+        EmbeddingLshIndex.build(b0, s"$dir/idx")
+        val p0 = EmbeddingKnn.nearDupPairsLsh(b0, threshold = 0.4,
+          tables = 8, planesPerTable = 8, dim = 64)
+        val p1 = EmbeddingLshIndex.incrementalNearDupPairs(
+          s, s"$dir/idx", b1, threshold = 0.4)
+        EmbeddingLshIndex.append(b1, s"$dir/idx")
+        EmbeddingLshIndex.compact(s, s"$dir/idx", s"$dir/idx2",
+          targetFiles = 2)
+        val p2 = EmbeddingLshIndex.incrementalNearDupPairs(
+          s, s"$dir/idx2", b2, threshold = 0.4)
+        p0.union(p1).union(p2).orderBy("id_a", "id_b")
+      },
+      Some(embLshOracle)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
     * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214

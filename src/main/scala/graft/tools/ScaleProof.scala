@@ -388,7 +388,25 @@ object ScaleProof {
             f"write=${w >> 20}MiB read=${r >> 20}MiB planes=$planes " +
             f"avg_bucket=$avgOcc%.1f max_bucket=$maxOcc " +
             f"hot_buckets=$hotBuckets")
-        (tag, sec, w, r, planes, avgOcc, maxOcc, hotBuckets)
+        // q222's maintenance leg: compact the final index into a
+        // successor and re-probe it — compaction cost is a linear
+        // coalesce rewrite, and the probe against the successor is the
+        // parity the q222 oracle pins at gate scale
+        val tC0 = System.nanoTime()
+        val (_, wc, rc) = meter.measure {
+          graft.llm.EmbeddingLshIndex.compact(spark, lastIdx,
+            s"$lastIdx-compact", targetFiles = 8)
+          graft.llm.EmbeddingLshIndex.incrementalNearDupPairs(spark,
+              s"$lastIdx-compact", e.filter(col("vec_id") % 2 === 1),
+              threshold = 0.4, planesPerTable = planes,
+              maxBucketSize = embCap)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val secC = (System.nanoTime() - tC0) / 1e9
+        System.err.println(
+          f"[scaleproof] q222_embed_index_compaction $tag ${secC}%.2fs " +
+            f"write=${wc >> 20}MiB read=${rc >> 20}MiB")
+        (tag, sec, w, r, planes, avgOcc, maxOcc, hotBuckets, secC, wc, rc)
       }
     }
     // q213 (one-shot cleanse), q214 (index-backed admission probe) and
@@ -455,11 +473,14 @@ object ScaleProof {
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +
         s""""sum_df2_uncapped":$sa,"sum_df2_capped":$sc,"hot_terms":$nh}"""
-    } ++ embDec.map { case (t, s, w, r, pl, ao, mo, hb) =>
-      s"""{"query":"q210_embed_lsh_incremental","scale":"$t","sec":${num(s, 2)},""" +
-        s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +
-        s""""planes_per_table":$pl,"avg_bucket":${num(ao, 1)},"max_bucket":$mo,""" +
-        s""""hot_buckets":$hb}"""
+    } ++ embDec.flatMap { case (t, s, w, r, pl, ao, mo, hb, sc, wc, rc) =>
+      Seq(
+        s"""{"query":"q210_embed_lsh_incremental","scale":"$t","sec":${num(s, 2)},""" +
+          s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +
+          s""""planes_per_table":$pl,"avg_bucket":${num(ao, 1)},"max_bucket":$mo,""" +
+          s""""hot_buckets":$hb}""",
+        s"""{"query":"q222_embed_index_compaction","scale":"$t","sec":${num(sc, 2)},""" +
+          s""""shuffle_write_mb":${wc >> 20},"shuffle_read_mb":${rc >> 20}}""")
     } ++ clnDec.map { case (n, t, s, w, r, pl) =>
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +

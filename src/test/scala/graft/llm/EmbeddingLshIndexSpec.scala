@@ -78,6 +78,28 @@ class EmbeddingLshIndexSpec extends AnyFunSuite {
     assert(EmbeddingLshIndex.hotInputBuckets(flat).count() == 0L)
   }
 
+  test("compact: successor shrinks files, probe results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-elidx5").toString
+    EmbeddingLshIndex.build(vecs((0L until 8L)), s"$dir/idx")
+    // several small appends -> many small band files
+    (8L until 20L).grouped(3).foreach { g =>
+      EmbeddingLshIndex.append(vecs(g.toSeq), s"$dir/idx")
+    }
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    EmbeddingLshIndex.compact(spark, s"$dir/idx", s"$dir/idx2", targetFiles = 1)
+    assert(parquetFiles(s"$dir/idx2/bands") == 1)
+    assert(parquetFiles(s"$dir/idx2/bands") < parquetFiles(s"$dir/idx/bands"))
+    // identical probe decisions through the successor, original untouched
+    val probe = vecs(Seq(0L)).select((col("vec_id") + 500L).as("vec_id"),
+      col("embedding"))
+    def pairs(p: String) = EmbeddingLshIndex
+      .incrementalNearDupPairs(spark, p, probe, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(s"$dir/idx2") == pairs(s"$dir/idx"))
+    assert(pairs(s"$dir/idx2") == Set((0L, 500L, 1.0), (1L, 500L, 1.0)))
+  }
+
   test("cleanseWith: probe-only admission filter matches one-shot cleanseAgainst") {
     val dir = java.nio.file.Files.createTempDirectory("graft-elidx4").toString
     // reference = gids 0-2 complete (their twins included); batch has
