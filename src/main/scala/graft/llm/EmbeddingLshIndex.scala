@@ -117,11 +117,10 @@ object EmbeddingLshIndex {
     */
   def compact(spark: SparkSession, path: String, outPath: String,
       targetFiles: Int = 8): Unit = {
-    require(targetFiles >= 1)
-    spark.read.parquet(s"$path/vecs").coalesce(targetFiles)
-      .write.mode("overwrite").parquet(s"$outPath/vecs")
-    spark.read.parquet(s"$path/bands").coalesce(targetFiles)
-      .write.mode("overwrite").parquet(s"$outPath/bands")
+    IndexMaintenance.compactTable(spark, s"$path/vecs", s"$outPath/vecs",
+      targetFiles)
+    IndexMaintenance.compactTable(spark, s"$path/bands", s"$outPath/bands",
+      targetFiles)
   }
 
   /** Admission-time semantic decontamination against a PERSISTED

@@ -85,6 +85,14 @@ object MinHashIndex {
         Seq(col("band"), col("bkey")), maxBucketSize)
       .write.mode("append").parquet(path)
 
+  /** Compact the band-key table into a SUCCESSOR directory — see
+    * [[IndexMaintenance]] for why never in place. Probes through the
+    * successor are bit-identical (pinned in MinHashIndexSpec).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      targetFiles: Int = 8): Unit =
+    IndexMaintenance.compactTable(spark, path, outPath, targetFiles)
+
   /** Near-dup pairs INVOLVING the new batch: new-vs-indexed plus
     * new-vs-new, LSH candidates jaccard-verified at `threshold`
     * against `allDocs` (which must cover both the batch's and the

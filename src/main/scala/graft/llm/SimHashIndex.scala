@@ -99,6 +99,18 @@ object SimHashIndex {
       .write.mode("append").parquet(path)
   }
 
+  /** Compact the band-key table into a SUCCESSOR directory (the
+    * `_params` sidecar rides along) — see [[IndexMaintenance]] for why
+    * never in place. Probes through the successor are bit-identical
+    * (pinned in SimHashIndexSpec).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      targetFiles: Int = 8): Unit = {
+    IndexMaintenance.compactTable(spark, path, outPath, targetFiles)
+    spark.read.parquet(s"$path/_params").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outPath/_params")
+  }
+
   /** Candidate pairs INVOLVING the new batch, with exact Hamming
     * distances: new-vs-indexed plus new-vs-new. Returns
     * `(id_a, id_b, hamming)` with `id_a < id_b`.

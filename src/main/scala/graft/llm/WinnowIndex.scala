@@ -62,6 +62,14 @@ object WinnowIndex {
       .write.mode("append").parquet(path)
   }
 
+  /** Compact the postings table into a SUCCESSOR directory — see
+    * [[IndexMaintenance]] for why never in place. Probes through the
+    * successor are bit-identical (pinned in WinnowIndexSpec).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String, targetFiles: Int = 8): Unit =
+    IndexMaintenance.compactTable(spark, path, outPath, targetFiles)
+
   /** Fingerprint-sharing pairs INVOLVING the new batch: new-vs-indexed
     * plus new-vs-new, with the df cutoff evaluated over index ∪ batch.
     * Returns `(id_a, id_b, shared_fps)` with `id_a < id_b`.

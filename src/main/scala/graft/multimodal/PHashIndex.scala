@@ -56,6 +56,14 @@ object PHashIndex {
         Seq(col("band"), col("key")), maxBucketSize)
       .write.mode("append").parquet(path)
 
+  /** Compact the band table into a SUCCESSOR directory — see
+    * [[graft.llm.IndexMaintenance]] for why never in place. Probes
+    * through the successor are bit-identical (pinned in PHashIndexSpec).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String, targetFiles: Int = 8): Unit =
+    graft.llm.IndexMaintenance.compactTable(spark, path, outPath, targetFiles)
+
   /** Buckets whose cross-batch occupancy exceeds the cap — the
     * condition under which incremental results can diverge from a
     * single-pass run (see [[graft.llm.MinHashIndex.cappedBucketReport]]).

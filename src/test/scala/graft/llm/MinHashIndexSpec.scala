@@ -65,4 +65,16 @@ class MinHashIndexSpec extends AnyFunSuite {
       threshold = 0.5)
     assert(inc.count() == 0)
   }
+
+  test("compact: successor holds identical band keys in fewer files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx4").toString
+    MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    MinHashIndex.append(newDocs, s"$dir/idx", "doc_id", "text")
+    MinHashIndex.compact(spark, s"$dir/idx", s"$dir/idx2", targetFiles = 1)
+    def nf(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nf(s"$dir/idx2") == 1 && nf(s"$dir/idx2") < nf(s"$dir/idx"))
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rows(s"$dir/idx2") == rows(s"$dir/idx"))
+  }
 }

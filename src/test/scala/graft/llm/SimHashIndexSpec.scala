@@ -58,4 +58,16 @@ class SimHashIndexSpec extends AnyFunSuite {
     // nothing overflows the default cap here: incremental == full holds
     assert(SimHashIndex.cappedBucketReport(spark, s"$dir/idx").isEmpty)
   }
+
+  test("compact: successor holds identical band keys and the params sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shidx4").toString
+    SimHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    SimHashIndex.append(newDocs, s"$dir/idx", "doc_id", "text")
+    SimHashIndex.compact(spark, s"$dir/idx", s"$dir/idx2", targetFiles = 1)
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rows(s"$dir/idx2") == rows(s"$dir/idx"))
+    // the params sidecar rides along, so append-after-compact validates
+    assert(SimHashIndex.storedParams(spark, s"$dir/idx2") ==
+      SimHashIndex.storedParams(spark, s"$dir/idx"))
+  }
 }

@@ -93,4 +93,16 @@ class WinnowIndexSpec extends AnyFunSuite {
     val inc = WinnowIndex.incrementalPairs(spark, s"$dir/idx", alien, "doc_id", "text")
     assert(inc.filter(col("id_a") < 9000L || col("id_b") < 9000L).isEmpty)
   }
+
+  test("compact: successor holds identical postings in fewer files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wnidx4").toString
+    WinnowIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    WinnowIndex.append(newDocs, s"$dir/idx", "doc_id", "text")
+    WinnowIndex.compact(spark, s"$dir/idx", s"$dir/idx2", targetFiles = 1)
+    def nf(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nf(s"$dir/idx2") == 1 && nf(s"$dir/idx2") < nf(s"$dir/idx"))
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rows(s"$dir/idx2") == rows(s"$dir/idx"))
+  }
 }

@@ -71,4 +71,23 @@ class PHashIndexSpec extends AnyFunSuite {
   }
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("compact: successor holds identical band rows in fewer files") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phidx4").toString
+    val h = (0L until 40L).map(i => (i, i * 0x0101010101010101L, ~i))
+      .toDF("id", "h1", "h2")
+    PHashIndex.build(h.filter(col("id") < 20L), s"$dir/idx")
+    (0 until 4).foreach { b =>
+      PHashIndex.append(h.filter(col("id") >= 20L && col("id") % 4 === b),
+        s"$dir/idx")
+    }
+    PHashIndex.compact(spark, s"$dir/idx", s"$dir/idx2", targetFiles = 1)
+    def nf(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nf(s"$dir/idx2") == 1 && nf(s"$dir/idx2") < nf(s"$dir/idx"))
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rows(s"$dir/idx2") == rows(s"$dir/idx"))
+  }
 }
