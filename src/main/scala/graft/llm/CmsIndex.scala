@@ -93,4 +93,11 @@ object CmsIndex {
       .groupBy("w")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+  /** Delete superseded versions in place (reads touch only the latest
+    * committed version, so `v < latest` is dead weight — see
+    * [[IndexMaintenance.vacuumChain]] for the full safety contract).
+    * Returns the number of directories removed.
+    */
+  def vacuum(spark: SparkSession, path: String): Int =
+    IndexMaintenance.vacuumChain(spark, path)
 }

@@ -74,6 +74,36 @@ object EmbeddingLshIndex {
       .write.mode("append").parquet(s"$path/bands")
   }
 
+  /** TOMBSTONE-forget indexed vectors — the takedown path for the
+    * band-key wing, mirroring [[Bm25Index.deleteDocs]] in the exact
+    * tier. The big tables (`bands/`, `vecs/`) are flat-append and at
+    * 100 TB a physical delete would rewrite them, so forgetting is an
+    * APPEND of the ids to a third flat table `dels/`, and every probe
+    * anti-joins its history side against it (broadcast — the tombstone
+    * set is small by construction). [[compact]] materializes the
+    * tombstones: the successor's tables are physically filtered and
+    * carry no `dels/`.
+    *
+    * Crash semantics extend the wing's "re-append on any doubt": a
+    * torn dels append = a partially applied delete; retry re-appends,
+    * and duplicate tombstone rows are absorbed by the anti-join. A
+    * forgotten id must not be re-ingested while its tombstone is live
+    * (the anti-join would hide the new rows); after a compact the id
+    * is free again. `ids`' first column is taken as the vector id.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/dels")
+
+  /** `t` minus tombstoned ids (no-op when nothing was ever forgotten). */
+  private def minusDels(spark: SparkSession, path: String,
+      t: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/dels")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) t
+    else t.join(broadcast(spark.read.parquet(s"$path/dels")),
+      Seq("id"), "left_anti")
+  }
+
   /** Buckets whose cross-batch occupancy exceeds the cap — the
     * condition under which incremental results can diverge from a
     * single-pass run (same divergence contract as
@@ -117,10 +147,12 @@ object EmbeddingLshIndex {
     */
   def compact(spark: SparkSession, path: String, outPath: String,
       targetFiles: Int = 8): Unit = {
-    IndexMaintenance.compactTable(spark, s"$path/vecs", s"$outPath/vecs",
-      targetFiles)
-    IndexMaintenance.compactTable(spark, s"$path/bands", s"$outPath/bands",
-      targetFiles)
+    // materialize tombstones during the rewrite: the successor's
+    // tables physically exclude forgotten ids and carry no dels/
+    minusDels(spark, path, spark.read.parquet(s"$path/vecs"))
+      .coalesce(targetFiles).write.mode("overwrite").parquet(s"$outPath/vecs")
+    minusDels(spark, path, spark.read.parquet(s"$path/bands"))
+      .coalesce(targetFiles).write.mode("overwrite").parquet(s"$outPath/bands")
   }
 
   /** Admission-time semantic decontamination against a PERSISTED
@@ -141,9 +173,11 @@ object EmbeddingLshIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9, tables: Int = 8, planesPerTable: Int = 8,
       dim: Int = 64, seed: Long = 42L, roundSim: Int = 6): DataFrame = {
-    val ref = broadcast(spark.read.parquet(s"$path/bands").as("b")
-      .join(spark.read.parquet(s"$path/vecs").as("v"), col("b.id") === col("v.id"))
-      .select(col("b.table"), col("b.sig"), col("v.v").as("rv")))
+    val ref = broadcast(
+      minusDels(spark, path, spark.read.parquet(s"$path/bands")).as("b")
+        .join(spark.read.parquet(s"$path/vecs").as("v"),
+          col("b.id") === col("v.id"))
+        .select(col("b.table"), col("b.sig"), col("v.v").as("rv")))
     val contaminated = batch.select(col(idCol).as("cid"), col(vecCol).as("cv"),
         posexplode(array((0 until tables).map(t =>
           EmbeddingKnn.lshSignature(col(vecCol),
@@ -176,7 +210,10 @@ object EmbeddingLshIndex {
     val newBands = BucketCaps.capBuckets(
       bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
       bucket, maxBucketSize)
-    val oldBands = spark.read.parquet(s"$path/bands")
+    // tombstoned ids leave the candidate space here: pairs only ever
+    // form through a band join, so filtering the history bands is
+    // sufficient (a forgotten id's stale vecs row can never be probed)
+    val oldBands = minusDels(spark, path, spark.read.parquet(s"$path/bands"))
     val newVsOld = newBands.as("n")
       .join(oldBands.as("o"),
         col("n.table") === col("o.table") && col("n.sig") === col("o.sig") &&

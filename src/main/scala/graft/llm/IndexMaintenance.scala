@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Shared maintenance for the band-key index wing (minhash, simhash,
   * winnow, perceptual, embedding): flat-append indexes accumulate a
@@ -20,12 +21,90 @@ import org.apache.spark.sql.SparkSession
 object IndexMaintenance {
 
   /** Rewrite one flat parquet table into `targetFiles` files at
-    * `outPath`, contents identical.
+    * `outPath`, contents identical — except that tombstones (see
+    * [[appendTombstones]]) are MATERIALIZED: forgotten ids are
+    * physically filtered out of the rewrite and the successor carries
+    * no `_dels` sidecar (underscore-prefixed dirs are invisible to the
+    * table read, so nothing copies it).
     */
   def compactTable(spark: SparkSession, inPath: String, outPath: String,
       targetFiles: Int): Unit = {
     require(targetFiles >= 1)
-    spark.read.parquet(inPath).coalesce(targetFiles)
+    minusTombstones(spark, inPath, spark.read.parquet(inPath))
+      .coalesce(targetFiles)
       .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** TOMBSTONE-forget ids from a flat-append index table — the
+    * takedown path for the band-key wing, mirroring
+    * [[Bm25Index.deleteDocs]] in the versioned exact tier. The table
+    * is append-only and at 100 TB a physical delete would rewrite it,
+    * so forgetting APPENDS the ids to a `_dels` sidecar INSIDE the
+    * table directory (the underscore prefix makes it invisible to the
+    * table's own parquet reads — the same convention as SimHashIndex's
+    * `_params`), and every probe anti-joins its history side against
+    * it via [[minusTombstones]] (broadcast — the tombstone set is
+    * small by construction). [[compactTable]] materializes tombstones.
+    *
+    * Crash semantics extend the wing's "re-append on any doubt": a
+    * torn `_dels` append is a partially applied delete; retry
+    * re-appends, and duplicate tombstone rows are absorbed by the
+    * anti-join. A forgotten id must not be re-ingested while its
+    * tombstone is live (the anti-join would hide the new rows); after
+    * a compact the id is free again. `ids`' first column is taken as
+    * the id, type preserved (all wing tables key on a long `id`).
+    */
+  def appendTombstones(tablePath: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$tablePath/_dels")
+
+  /** The `_dels` sidecar of a table, or None when nothing was ever
+    * forgotten.
+    */
+  def tombstones(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tablePath/_dels")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
+    else Some(spark.read.parquet(p.toString))
+  }
+
+  /** `t` (rows of the table at `tablePath`, or any frame carrying its
+    * `id` column) minus tombstoned ids; no-op without a `_dels` sidecar.
+    */
+  def minusTombstones(spark: SparkSession, tablePath: String,
+      t: DataFrame): DataFrame =
+    tombstones(spark, tablePath)
+      .map(dd => t.join(broadcast(dd), Seq("id"), "left_anti"))
+      .getOrElse(t)
+
+  /** Vacuum a COPY-ON-WRITE version chain (`path/v=N` dirs where every
+    * read touches only the latest committed version — [[LineDedupIndex]],
+    * [[CmsIndex]], [[SpanDedupIndex]]): delete every `v=i` directory,
+    * committed or torn, with `i` strictly below the latest committed
+    * version. Returns the number of directories removed.
+    *
+    * Those chains rewrite the FULL cumulative table each add, so the
+    * superseded versions are pure dead weight — after a thousand
+    * streamed microbatches the index holds a thousand copies of a
+    * growing table, and at 100 TB the disk bill is the difference
+    * between O(table) and O(table × batches). Safety comes from the
+    * read/write protocol, not from locking: readers resolve
+    * `latestVersion` and read ONLY that directory; writers target
+    * `latest + 1`; vacuum touches only `< latest`. Torn old dirs are
+    * equally dead (a retry targets `latest + 1`, never an old number).
+    * A crash mid-vacuum leaves some dead dirs for the next vacuum —
+    * removal is idempotent. The one chain this must NOT run on is
+    * [[Bm25Index]]'s: its post/dlen versions are append-shaped (all
+    * live) and its df dirs double as their commit markers — there,
+    * vacuum = `Bm25Index.compact` to a successor + drop the
+    * predecessor directory.
+    */
+  def vacuumChain(spark: SparkSession, path: String): Int = {
+    val latest = IndexVersions.latest(path).getOrElse(return 0)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(_.getPath.getName.stripPrefix("v=").toInt < latest)
+      .count(s => fs.delete(s.getPath, true))
   }
 }

@@ -98,4 +98,11 @@ object LineDedupIndex {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+  /** Delete superseded versions in place (reads touch only the latest
+    * committed version, so `v < latest` is dead weight — see
+    * [[IndexMaintenance.vacuumChain]] for the full safety contract).
+    * Returns the number of directories removed.
+    */
+  def vacuum(spark: SparkSession, path: String): Int =
+    IndexMaintenance.vacuumChain(spark, path)
 }

@@ -87,11 +87,20 @@ object MinHashIndex {
 
   /** Compact the band-key table into a SUCCESSOR directory — see
     * [[IndexMaintenance]] for why never in place. Probes through the
-    * successor are bit-identical (pinned in MinHashIndexSpec).
+    * successor are bit-identical (pinned in MinHashIndexSpec); any
+    * tombstones ([[forget]]) are materialized by the rewrite.
     */
   def compact(spark: SparkSession, path: String, outPath: String,
       targetFiles: Int = 8): Unit =
     IndexMaintenance.compactTable(spark, path, outPath, targetFiles)
+
+  /** Tombstone-forget indexed docs — the takedown path; see
+    * [[IndexMaintenance.appendTombstones]] for the full contract
+    * (probes anti-join history against `_dels`; compact materializes;
+    * no re-ingest while the tombstone is live).
+    */
+  def forget(path: String, ids: DataFrame): Unit =
+    IndexMaintenance.appendTombstones(path, ids)
 
   /** Near-dup pairs INVOLVING the new batch: new-vs-indexed plus
     * new-vs-new, LSH candidates jaccard-verified at `threshold`
@@ -115,7 +124,8 @@ object MinHashIndex {
     val newKeys = graft.operators.BucketCaps.capBuckets(
       MinHashDedup.bandKeys(newDocs, idCol, textCol, numHashes, bands, shingleWords),
       Seq(col("band"), col("bkey")), maxBucketSize)
-    val oldKeys = spark.read.parquet(path)
+    val oldKeys = IndexMaintenance.minusTombstones(spark, path,
+      spark.read.parquet(path))
     val newVsOld = newKeys.as("n")
       .join(oldKeys.as("o"),
         col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&

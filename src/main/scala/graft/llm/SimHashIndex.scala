@@ -128,7 +128,8 @@ object SimHashIndex {
     val newKeys = graft.operators.BucketCaps.capBuckets(
       SimHashDedup.bandKeys(newDocs, idCol, textCol, radius, blocks),
       Seq(col("combo"), col("bkey")), maxBucketSize)
-    val oldKeys = spark.read.parquet(path)
+    val oldKeys = IndexMaintenance.minusTombstones(spark, path,
+      spark.read.parquet(path))
     val newVsOld = newKeys.as("n")
       .join(oldKeys.as("o"),
         col("n.combo") === col("o.combo") && col("n.bkey") === col("o.bkey") &&
@@ -201,4 +202,11 @@ object SimHashIndex {
       maxBucketSize: Long = 100000L): DataFrame =
     graft.operators.BucketCaps.overflowBuckets(
       spark.read.parquet(path), Seq(col("combo"), col("bkey")), maxBucketSize)
+  /** Tombstone-forget indexed docs — the takedown path; see
+    * [[graft.llm.IndexMaintenance.appendTombstones]] for the full
+    * contract (probes anti-join history against `_dels`; compact
+    * materializes; no re-ingest while the tombstone is live).
+    */
+  def forget(path: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    graft.llm.IndexMaintenance.appendTombstones(path, ids)
 }

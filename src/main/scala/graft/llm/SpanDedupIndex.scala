@@ -83,4 +83,11 @@ object SpanDedupIndex {
       SpanDedup.spansFromRuns(runs, docs, idCol, textCol, k, minSpanTokens),
       docs, idCol, textCol)
   }
+  /** Delete superseded versions in place (reads touch only the latest
+    * committed version, so `v < latest` is dead weight — see
+    * [[IndexMaintenance.vacuumChain]] for the full safety contract).
+    * Returns the number of directories removed.
+    */
+  def vacuum(spark: SparkSession, path: String): Int =
+    IndexMaintenance.vacuumChain(spark, path)
 }

@@ -82,7 +82,11 @@ object WinnowIndex {
       textCol: String,
       minShared: Long = 2L,
       maxDf: Long = 50L): DataFrame = {
-    val oldPosts = spark.read.parquet(path)
+    // tombstoned docs leave BOTH the candidate space and the df count
+    // here — a from-scratch run over the surviving corpus would never
+    // see their postings, and df feeds the maxDf threshold
+    val oldPosts = IndexMaintenance.minusTombstones(spark, path,
+      spark.read.parquet(path))
     // Re-delivered docs (id already indexed) are dropped, making re-
     // delivery idempotent rather than a silent recall hole: their
     // postings are already in oldPosts, so counting them again from the
@@ -108,4 +112,11 @@ object WinnowIndex {
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
+  /** Tombstone-forget indexed docs — the takedown path; see
+    * [[graft.llm.IndexMaintenance.appendTombstones]] for the full
+    * contract (probes anti-join history against `_dels`; compact
+    * materializes; no re-ingest while the tombstone is live).
+    */
+  def forget(path: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    graft.llm.IndexMaintenance.appendTombstones(path, ids)
 }

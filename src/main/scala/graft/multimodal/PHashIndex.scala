@@ -86,7 +86,8 @@ object PHashIndex {
       maxBucketSize: Long = 10000L): DataFrame = {
     val newKeys = BucketCaps.capBuckets(explodeBands(newHashes, idCol),
       Seq(col("band"), col("key")), maxBucketSize)
-    val oldKeys = spark.read.parquet(path)
+    val oldKeys = graft.llm.IndexMaintenance.minusTombstones(spark, path,
+      spark.read.parquet(path))
     val newVsOld = newKeys.as("n")
       .join(oldKeys.as("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
@@ -116,4 +117,11 @@ object PHashIndex {
       .filter(col("hamming") <= radius)
       .select("id_a", "id_b", "hamming")
   }
+  /** Tombstone-forget indexed docs — the takedown path; see
+    * [[graft.llm.IndexMaintenance.appendTombstones]] for the full
+    * contract (probes anti-join history against `_dels`; compact
+    * materializes; no re-ingest while the tombstone is live).
+    */
+  def forget(path: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    graft.llm.IndexMaintenance.appendTombstones(path, ids)
 }

@@ -250,11 +250,16 @@ object LlmQueries {
 
   /** The q173 BM25 scoring pipeline as a reusable CTE chain (through
     * `rk`: per-query ranked (qid, did, score_x1000, rank)) — shared by
-    * the plain retrieval oracle (q173) and the RRF fusion oracle (q176).
+    * the plain retrieval oracle (q173), the RRF fusion oracle (q176),
+    * and — with a corpus predicate — the tombstone-delete oracle
+    * (q226, which must score exactly the SURVIVING corpus). The query
+    * set (q CTE) always draws from the full table: queries are inputs,
+    * not corpus members.
     */
-  private val bm25Ctes: String =
-    """tok AS (SELECT doc_id AS did,
-      |    unnest(string_split(text, ' ')) AS t FROM documents),
+  private def bm25CtesWhere(where: String): String =
+    s"""tok AS (SELECT doc_id AS did,
+      |    unnest(string_split(text, ' ')) AS t
+      |  FROM documents WHERE $where),
       |tf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS tf
       |  FROM tok GROUP BY did, t),
       |ln AS (SELECT did, CAST(count(*) AS BIGINT) AS len
@@ -286,6 +291,8 @@ object LlmQueries {
       |    row_number() OVER (PARTITION BY qid
       |      ORDER BY score_x1000 DESC, did) AS rank
       |  FROM agg)""".stripMargin
+
+  private val bm25Ctes: String = bm25CtesWhere("TRUE")
 
   val queries: Map[String, Q] = Map(
 
@@ -4192,7 +4199,257 @@ object LlmQueries {
           s, s"$dir/idx2", b2, threshold = 0.4)
         p0.union(p1).union(p2).orderBy("id_a", "id_b")
       },
-      Some(embLshOracle)))
+      Some(embLshOracle)),
+
+    // APPEND-shaped index compaction (llm/Bm25Index.compact): the BM25
+    // postings chain is the one member of the persisted-index family
+    // whose EVERY committed version stays live — search unions them
+    // all — so a streamed ingest accumulates a shuffle-partition-count
+    // of small files per microbatch AND an O(versions) listing per
+    // search, and the in-place vacuum the copy-on-write chains get
+    // (q224) can't run here (df dirs double as the postings' commit
+    // markers). Compact folds the whole chain into a one-version
+    // successor directory; superseded df/stats versions simply don't
+    // carry over, and dropping the predecessor directory afterwards IS
+    // this index's vacuum. The query is the parity proof: build → add
+    // → COMPACT → search-the-successor still hash-matches q173's
+    // one-shot oracle; n_versions = 1 pins that the search really ran
+    // against the compacted chain, not the original.
+    "q223_bm25_index_compaction" -> Q(
+      (s, d) => {
+        import graft.llm.Bm25Index
+        val root = graft.queries.Scratch.dir("graft-q223-bmcompact")
+        val idx = s"$root/idx"
+        val all = docs(s, d)
+        Bm25Index.build(all.filter(col("doc_id") < 250), idx,
+          "doc_id", "text")
+        Bm25Index.addBatch(s, idx, all.filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        val succ = s"$root/idx2"
+        Bm25Index.compact(s, idx, succ, targetFiles = 2)
+        val queries = all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        Bm25Index.search(s, succ, queries, k = 5)
+          .withColumn("n_versions",
+            lit(Bm25Index.latestVersion(succ).get.toLong))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH $bm25Ctes
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000,
+             |  CAST(1 AS BIGINT) AS n_versions
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // COPY-ON-WRITE index vacuum (IndexMaintenance.vacuumChain): the
+    // line-df chain rewrites its FULL cumulative table every addBatch,
+    // so after three folded batches versions 1-2 are pure dead weight —
+    // at streaming cadence the disk bill is O(table × batches) until
+    // something deletes them. Vacuum removes every version strictly
+    // below the latest committed one IN PLACE — safe without locks
+    // because reads resolve only the latest version and writers target
+    // latest+1 (torn in-flight dirs above latest survive; see
+    // LineDedupIndexSpec). The query pins both halves: n_removed = 2
+    // and live_version = 3 prove the history really was deleted, and
+    // cleanWith over the vacuumed index still hash-matches the
+    // one-shot q160 boilerplate-removal oracle byte for byte.
+    "q224_index_vacuum" -> Q(
+      (s, d) => {
+        import graft.llm.LineDedupIndex
+        val idx = graft.queries.Scratch.dir("graft-q224-vacuum") + "/idx"
+        val all = docs(s, d).select(col("doc_id"), docLines.as("lines"))
+        LineDedupIndex.build(all.filter(col("doc_id") < 150), idx,
+          "doc_id", col("lines"))
+        LineDedupIndex.addBatch(s, idx,
+          all.filter(col("doc_id") >= 150 && col("doc_id") < 350),
+          "doc_id", col("lines"))
+        LineDedupIndex.addBatch(s, idx,
+          all.filter(col("doc_id") >= 350), "doc_id", col("lines"))
+        val removed = LineDedupIndex.vacuum(s, idx)
+        val live = LineDedupIndex.latestVersion(idx).get
+        LineDedupIndex.cleanWith(s, idx, all, "doc_id", col("lines"),
+            maxDf = 5L)
+          .select(
+            col("doc_id"),
+            col("n_lines"),
+            col("n_kept"),
+            length(col("clean_text")).cast("long").as("clean_len"),
+            md5(col("clean_text")).as("clean_md5"),
+            lit(removed.toLong).as("n_removed"),
+            lit(live.toLong).as("live_version"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+             |  FROM documents),
+             |l AS (SELECT doc_id,
+             |    (['== ' || source || ' portal ==', 'home | about | contact']
+             |     || list_transform(range((len(w) + 7) // 8),
+             |          i -> array_to_string(w[(i*8+1):(i*8+8)], ' '))
+             |     || ['(c) ' || source || ' media group']) AS lines
+             |  FROM w),
+             |ex AS (SELECT doc_id, unnest(range(len(lines))) AS pos,
+             |    unnest(lines) AS line FROM l),
+             |d AS (SELECT line, count(DISTINCT doc_id) AS df
+             |  FROM ex GROUP BY line),
+             |kept AS (SELECT ex.doc_id, ex.pos, ex.line
+             |  FROM ex JOIN d ON ex.line = d.line WHERE d.df <= 5),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+             |  COALESCE(a.n_kept, 0) AS n_kept,
+             |  CAST(length(COALESCE(a.clean_text, '')) AS BIGINT) AS clean_len,
+             |  md5(COALESCE(a.clean_text, '')) AS clean_md5,
+             |  CAST(2 AS BIGINT) AS n_removed,
+             |  CAST(3 AS BIGINT) AS live_version
+             |FROM l LEFT JOIN agg a ON l.doc_id = a.doc_id
+             |ORDER BY l.doc_id""".stripMargin)),
+
+    // Stream-stream OUTER interval join: q103's attribution join with
+    // the clicks that attracted NO purchase retained at zero — the
+    // half of the semantics only the streaming ENGINE makes hard,
+    // because a null-padded row for an unmatched click may be emitted
+    // only once the watermark PROVES no in-window purchase can still
+    // arrive. The delivery protocol makes that proof deterministic:
+    // the corpus arrives first, then two far-future watermark-carrier
+    // files (user_id = -1, filtered from the result AFTER the join —
+    // filtering before the withWatermark nodes would stall the global
+    // watermark and suppress the outer rows). Carrier #1 advances the
+    // watermark past every real click's window; carrier #2 is a real
+    // data batch in whose execution the engine evicts and emits the
+    // closed outer state (the final no-data flush batch races
+    // processAllAvailable — a data batch does not; same timing class
+    // the sessionization specs pin). Oracle: the same LEFT JOIN run
+    // relationally in DuckDB.
+    "q225_stream_outer_interval_join" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import s.implicits._
+        val root = graft.queries.Scratch.dir("graft-q225-outer")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        def carrier(ts: String) = Seq(
+          (-1L, -1L, "click", java.sql.Timestamp.valueOf(ts), 0.0),
+          (-2L, -1L, "purchase", java.sql.Timestamp.valueOf(ts), 0.0))
+          .toDF("event_id", "user_id", "event_type", "ts", "value")
+        writeBatch("b1.parquet", 1000000L, ev)
+        writeBatch("b2.parquet", 2000000L, carrier("2030-01-01 00:00:00"))
+        writeBatch("b3.parquet", 3000000L, carrier("2030-02-01 00:00:00"))
+        val raw = s.readStream
+          .schema("event_id LONG, user_id LONG, event_type STRING, " +
+            "ts TIMESTAMP, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+        val clicks = raw.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = raw.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "2 hours")
+        val joined = graft.streaming.StreamOps.intervalJoin(
+          clicks, purchases, "user_id", "p_user", "click_ts", "p_ts",
+          "1 hour", joinType = "leftOuter")
+        graft.streaming.StreamOps.runToBatch(s, joined, "append")
+          .filter(col("user_id") >= 0)
+          .groupBy("click_id")
+          .agg(count(col("p_user")).as("n_purchases"),
+            coalesce(Stats.decimalSum(col("p_value")), lit(0.0))
+              .as("attributed_value"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |           FROM events
+             |           WHERE event_type = 'click' AND user_id >= 0),
+             |p AS (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT click_id, count(p_user) AS n_purchases,
+             |  CAST(COALESCE(SUM(CAST(p_value AS DECIMAL(38,4))), 0)
+             |    AS DOUBLE) AS attributed_value
+             |FROM c LEFT JOIN p ON p_user = user_id
+             |  AND p_ts >= click_ts AND p_ts <= click_ts + INTERVAL 1 HOUR
+             |GROUP BY click_id ORDER BY click_id""".stripMargin)),
+
+    // Tombstone DELETE in the persisted inverted index — the
+    // takedown/GDPR path (llm/Bm25Index.deleteDocs). At 100 TB the
+    // postings are the big table and a physical delete would rewrite
+    // the corpus, so a delete is a new version carrying the tombstoned
+    // ids (broadcast-anti-joined at search) plus cumulative df/stats
+    // with the deleted docs' contributions SUBTRACTED — computed from
+    // the index's own postings, the raw corpus is never rescanned.
+    // The oracle proves exactness the strong way: it scores a one-shot
+    // build over ONLY the surviving corpus (every seventh doc deleted),
+    // and the tombstoned index must hash-match it — ranks, scores, df
+    // arithmetic and all. n_versions = 3 pins build → add → delete
+    // really happened as three committed versions.
+    "q226_bm25_tombstone_delete" -> Q(
+      (s, d) => {
+        import graft.llm.Bm25Index
+        val idx = graft.queries.Scratch.dir("graft-q226-bmdel") + "/idx"
+        val all = docs(s, d)
+        Bm25Index.build(all.filter(col("doc_id") < 250), idx,
+          "doc_id", "text")
+        Bm25Index.addBatch(s, idx, all.filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        Bm25Index.deleteDocs(s, idx,
+          all.filter(col("doc_id") % 7 === 3).select("doc_id"))
+        val queries = all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        Bm25Index.search(s, idx, queries, k = 5)
+          .withColumn("n_versions",
+            lit(Bm25Index.latestVersion(idx).get.toLong))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH ${bm25CtesWhere("doc_id % 7 <> 3")}
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000,
+             |  CAST(3 AS BIGINT) AS n_versions
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Tombstone FORGET in the band-key index wing — q226's takedown
+    // path for the flat-append family (llm/EmbeddingLshIndex.forget).
+    // The bands/vecs tables are append-only and a physical delete
+    // would rewrite them, so forgetting APPENDS the ids to a dels/
+    // table that every probe broadcast-anti-joins on its history side;
+    // compaction (q222) materializes it. The oracle is the one-shot
+    // q31 pair set with every pair touching a forgotten id removed —
+    // the probe of batch 3 against the forgotten index, unioned with a
+    // one-shot over the surviving history, must reproduce it exactly:
+    // forgotten vectors are gone from the candidate space, survivors'
+    // signatures and cosines are untouched.
+    "q227_embed_index_forget" -> Q(
+      (s, d) => {
+        import graft.llm.{EmbeddingKnn, EmbeddingLshIndex}
+        val dir = graft.queries.Scratch.dir("graft-q227-forget")
+        val e = emb(s, d)
+        val b2 = e.filter(col("vec_id") % 3 === 2)
+        EmbeddingLshIndex.build(e.filter(col("vec_id") % 3 === 0),
+          s"$dir/idx")
+        EmbeddingLshIndex.append(e.filter(col("vec_id") % 3 === 1),
+          s"$dir/idx")
+        // forget ids ≡ 7 (mod 30) — a slice of batch 1's history
+        EmbeddingLshIndex.forget(s, s"$dir/idx",
+          e.filter(col("vec_id") % 30 === 7).select("vec_id"))
+        val p01 = EmbeddingKnn.nearDupPairsLsh(
+          e.filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 30 =!= 7),
+          threshold = 0.4, tables = 8, planesPerTable = 8, dim = 64)
+        val p2 = EmbeddingLshIndex.incrementalNearDupPairs(
+          s, s"$dir/idx", b2, threshold = 0.4)
+        p01.union(p2).orderBy("id_a", "id_b")
+      },
+      Some(s"""SELECT o.id_a, o.id_b, o.sim
+             |FROM ($embLshOracle) o
+             |WHERE o.id_a % 30 <> 7 AND o.id_b % 30 <> 7
+             |ORDER BY o.id_a, o.id_b""".stripMargin)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
     * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214

@@ -78,6 +78,95 @@ class Bm25IndexSpec extends AnyFunSuite {
       rows(Bm25.search(corpus, "doc_id", "text", queries, k = 3)))
   }
 
+  test("compact: successor search identical, one file per table, chain continues") {
+    val path = graft.queries.Scratch.dir("bm25idx-compact")
+    Bm25Index.build(corpus.filter(col("doc_id") === 1), path, "doc_id", "text")
+    Bm25Index.addBatch(spark, path,
+      corpus.filter(col("doc_id").isin(2L, 3L)), "doc_id", "text")
+    Bm25Index.addBatch(spark, path,
+      corpus.filter(col("doc_id") === 4), "doc_id", "text")
+    val before = rows(Bm25Index.search(spark, path, queries, k = 3))
+    val succ = graft.queries.Scratch.dir("bm25idx-compact2")
+    Bm25Index.compact(spark, path, succ, targetFiles = 1)
+    assert(Bm25Index.latestVersion(succ).contains(1))
+    assert(rows(Bm25Index.search(spark, succ, queries, k = 3)) == before)
+    def partFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles(s"$succ/post/v=1") == 1 && partFiles(s"$succ/dlen/v=1") == 1)
+    // the successor is a full member of the chain: addBatch continues
+    // at v=2 and still matches the one-shot over the whole corpus
+    Bm25Index.addBatch(spark, succ,
+      corpus.filter(col("doc_id") === 5), "doc_id", "text")
+    assert(Bm25Index.latestVersion(succ).contains(2))
+    assert(rows(Bm25Index.search(spark, succ, queries, k = 3)) ==
+      rows(Bm25.search(corpus, "doc_id", "text", queries, k = 3)))
+  }
+
+  test("search asOf reads the committed snapshot, not later batches") {
+    val path = graft.queries.Scratch.dir("bm25idx-asof")
+    val batch1 = corpus.filter(col("doc_id") <= 2)
+    Bm25Index.build(batch1, path, "doc_id", "text")
+    Bm25Index.addBatch(spark, path, corpus.filter(col("doc_id") > 2),
+      "doc_id", "text")
+    assert(rows(Bm25Index.search(spark, path, queries, k = 3, asOf = Some(1))) ==
+      rows(Bm25.search(batch1, "doc_id", "text", queries, k = 3)))
+    assert(rows(Bm25Index.search(spark, path, queries, k = 3, asOf = Some(2))) ==
+      rows(Bm25Index.search(spark, path, queries, k = 3)))
+    intercept[IllegalArgumentException](
+      Bm25Index.search(spark, path, queries, k = 3, asOf = Some(7)))
+  }
+
+  test("tombstone delete: search equals a one-shot over the surviving corpus") {
+    val path = graft.queries.Scratch.dir("bm25idx-del")
+    Bm25Index.build(corpus.filter(col("doc_id") <= 2), path, "doc_id", "text")
+    Bm25Index.addBatch(spark, path, corpus.filter(col("doc_id") > 2),
+      "doc_id", "text")
+    Bm25Index.deleteDocs(spark, path, Seq(4L).toDF("doc_id"))
+    assert(Bm25Index.latestVersion(path).contains(3))
+    val survivors = corpus.filter(col("doc_id") =!= 4)
+    assert(rows(Bm25Index.search(spark, path, queries, k = 3)) ==
+      rows(Bm25.search(survivors, "doc_id", "text", queries, k = 3)))
+    // doc 4 held the only "xylophone": the deleted doc is really gone
+    assert(Bm25Index.search(spark, path,
+      Seq((200L, "xylophone")).toDF("qid", "qtext"), k = 3).isEmpty)
+    // df/stats were decremented exactly
+    val stats = spark.read.parquet(s"$path/stats/v=3").collect().head
+    assert(stats.getLong(0) == 4L)
+    // pre-delete snapshot still sees the doc (deletion is versioned)
+    assert(rows(Bm25Index.search(spark, path, queries, k = 3, asOf = Some(2))) ==
+      rows(Bm25.search(corpus, "doc_id", "text", queries, k = 3)))
+  }
+
+  test("tombstone delete is idempotent; unknown ids are no-ops") {
+    val path = graft.queries.Scratch.dir("bm25idx-del2")
+    Bm25Index.build(corpus, path, "doc_id", "text")
+    Bm25Index.deleteDocs(spark, path, Seq(4L, 999L).toDF("doc_id"))
+    val after = rows(Bm25Index.search(spark, path, queries, k = 3))
+    val dfAfter = spark.read.parquet(s"$path/df/v=2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // re-delivered delete: df must NOT be subtracted twice
+    Bm25Index.deleteDocs(spark, path, Seq(4L).toDF("doc_id"))
+    assert(rows(Bm25Index.search(spark, path, queries, k = 3)) == after)
+    assert(spark.read.parquet(s"$path/df/v=3")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == dfAfter)
+  }
+
+  test("compact materializes tombstones: successor has no del dirs, search unchanged") {
+    val path = graft.queries.Scratch.dir("bm25idx-del3")
+    Bm25Index.build(corpus.filter(col("doc_id") <= 3), path, "doc_id", "text")
+    Bm25Index.addBatch(spark, path, corpus.filter(col("doc_id") > 3),
+      "doc_id", "text")
+    Bm25Index.deleteDocs(spark, path, Seq(2L).toDF("doc_id"))
+    val before = rows(Bm25Index.search(spark, path, queries, k = 3))
+    val succ = graft.queries.Scratch.dir("bm25idx-del3-succ")
+    Bm25Index.compact(spark, path, succ, targetFiles = 1)
+    assert(rows(Bm25Index.search(spark, succ, queries, k = 3)) == before)
+    assert(!new java.io.File(s"$succ/del").exists())
+    // the tombstoned postings are physically gone from the successor
+    assert(spark.read.parquet(s"$succ/post/v=1")
+      .filter(col("did") === 2L).isEmpty)
+  }
+
   test("search on a missing index fails loudly") {
     intercept[IllegalStateException](
       Bm25Index.search(spark, "/tmp/definitely-missing-bm25idx", queries))

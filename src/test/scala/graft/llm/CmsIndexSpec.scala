@@ -69,4 +69,21 @@ class CmsIndexSpec extends AnyFunSuite {
     // assert the guarantee, not the lucky zero
     assert(est("k999999") >= 0L)
   }
+  test("vacuum drops superseded versions; estimates unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cms-idx-vacuum").toString
+    val b1 = Seq.tabulate(200)(i => (i % 11).toLong)
+    val b2 = Seq.tabulate(200)(i => (i % 17).toLong * 3)
+    CmsIndex.build(toks(b1), s"$dir/idx")
+    CmsIndex.addBatch(spark, s"$dir/idx", toks(b2))
+    val probes = toks((0L until 20L).toSeq)
+      .select(col("h").as("w"), col("h"))
+    val before = CmsIndex.estimates(spark, s"$dir/idx", probes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(CmsIndex.vacuum(spark, s"$dir/idx") == 1)
+    assert(new java.io.File(s"$dir/idx").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet == Set("v=2"))
+    assert(CmsIndex.estimates(spark, s"$dir/idx", probes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == before)
+  }
 }

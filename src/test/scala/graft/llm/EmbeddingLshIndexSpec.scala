@@ -100,6 +100,39 @@ class EmbeddingLshIndexSpec extends AnyFunSuite {
     assert(pairs(s"$dir/idx2") == Set((0L, 500L, 1.0), (1L, 500L, 1.0)))
   }
 
+  test("forget: tombstoned ids vanish from probes; compact materializes the delete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-elidx6").toString
+    EmbeddingLshIndex.build(vecs(0L until 12L), s"$dir/idx")
+    // a copy of gid 0's direction pairs with BOTH twins 0 and 1...
+    val probe = vecs(Seq(0L)).select((col("vec_id") + 500L).as("vec_id"),
+      col("embedding"))
+    def pairs(p: String) = EmbeddingLshIndex
+      .incrementalNearDupPairs(spark, p, probe, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(s"$dir/idx") == Set((0L, 500L), (1L, 500L)))
+    // ...until twin 1 is forgotten
+    EmbeddingLshIndex.forget(spark, s"$dir/idx", Seq(1L).toDF("vec_id"))
+    assert(pairs(s"$dir/idx") == Set((0L, 500L)))
+    // re-delivered forget (crash-retry) is absorbed by the anti-join
+    EmbeddingLshIndex.forget(spark, s"$dir/idx", Seq(1L).toDF("vec_id"))
+    assert(pairs(s"$dir/idx") == Set((0L, 500L)))
+    // cleanseWith honors tombstones too: a twin of forgotten id 1 only
+    // matches via surviving twin 0 (same direction) — so forget gid 1
+    // entirely and check a gid-1 copy is admitted
+    EmbeddingLshIndex.forget(spark, s"$dir/idx", Seq(2L, 3L).toDF("vec_id"))
+    val gid1copy = vecs(Seq(2L)).select((col("vec_id") + 600L).as("vec_id"),
+      col("embedding"))
+    assert(EmbeddingLshIndex.cleanseWith(spark, s"$dir/idx", gid1copy,
+      threshold = 0.9).count() == 1L)
+    // compact materializes: successor has no dels/, filtered tables,
+    // identical probe decisions
+    EmbeddingLshIndex.compact(spark, s"$dir/idx", s"$dir/idx2", targetFiles = 1)
+    assert(!new java.io.File(s"$dir/idx2/dels").exists())
+    assert(spark.read.parquet(s"$dir/idx2/vecs")
+      .filter(col("id").isin(1L, 2L, 3L)).isEmpty)
+    assert(pairs(s"$dir/idx2") == Set((0L, 500L)))
+  }
+
   test("cleanseWith: probe-only admission filter matches one-shot cleanseAgainst") {
     val dir = java.nio.file.Files.createTempDirectory("graft-elidx4").toString
     // reference = gids 0-2 complete (their twins included); batch has

@@ -60,6 +60,34 @@ class LineDedupIndexSpec extends AnyFunSuite {
     assert(viaIndex(0L)._3 == "body 0\nalso 0")
   }
 
+  test("vacuum deletes exactly the superseded versions; reads unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldvac").toString
+    val all = corpus(30L)
+    LineDedupIndex.build(all.filter(col("id") < 10), s"$dir/idx", "id", col("lines"))
+    LineDedupIndex.addBatch(spark, s"$dir/idx",
+      all.filter(col("id") >= 10 && col("id") < 20), "id", col("lines"))
+    LineDedupIndex.addBatch(spark, s"$dir/idx",
+      all.filter(col("id") >= 20), "id", col("lines"))
+    // an in-flight writer's torn target (latest+1, no _SUCCESS) must
+    // survive vacuum — only strictly-older versions are dead
+    val torn = new java.io.File(s"$dir/idx/v=4")
+    Seq(("in flight", 1L)).toDF("line", "df").write.parquet(torn.toString)
+    assert(new java.io.File(torn, "_SUCCESS").delete())
+    val before = LineDedupIndex.boilerplate(spark, s"$dir/idx", maxDf = 5L)
+      .collect().map(_.getString(0)).toSet
+    assert(LineDedupIndex.vacuum(spark, s"$dir/idx") == 2)
+    val dirs = new java.io.File(s"$dir/idx").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet
+    assert(dirs == Set("v=3", "v=4"))
+    assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(3))
+    assert(LineDedupIndex.boilerplate(spark, s"$dir/idx", maxDf = 5L)
+      .collect().map(_.getString(0)).toSet == before)
+    // idempotent: nothing older than latest remains
+    assert(LineDedupIndex.vacuum(spark, s"$dir/idx") == 0)
+    // vacuum of a missing index is a no-op, not an error
+    assert(LineDedupIndex.vacuum(spark, s"$dir/nothere") == 0)
+  }
+
   test("boilerplate slice is exactly the df > maxDf lines") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ldidx3").toString
     LineDedupIndex.build(corpus(12L), s"$dir/idx", "id", col("lines"))

@@ -66,6 +66,37 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(inc.count() == 0)
   }
 
+  test("forget: tombstoned docs vanish from probes; compact materializes the delete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx5").toString
+    MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    val before = pairSet(MinHashIndex.incrementalNearDupPairs(
+      spark, s"$dir/idx", newDocs, docs, "doc_id", "text", threshold = 0.5))
+    assert(before.exists { case (a, b) => a < 400 }) // some old-side pairs
+    // forget every old doc that paired with the batch -> those pairs
+    // must vanish, and the result equals a from-scratch build over the
+    // surviving history
+    val forgotten = before.collect { case (a, _) if a < 400 => a }.toSet
+    val spark2 = spark
+    import spark2.implicits._
+    MinHashIndex.forget(s"$dir/idx", forgotten.toSeq.toDF("doc_id"))
+    val after = pairSet(MinHashIndex.incrementalNearDupPairs(
+      spark, s"$dir/idx", newDocs, docs, "doc_id", "text", threshold = 0.5))
+    assert(after == before.filter { case (a, _) => !forgotten.contains(a) })
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-mhidx5b").toString
+    MinHashIndex.build(oldDocs.filter(!col("doc_id").isin(forgotten.toSeq: _*)),
+      s"$rebuilt/idx", "doc_id", "text")
+    assert(after == pairSet(MinHashIndex.incrementalNearDupPairs(
+      spark, s"$rebuilt/idx", newDocs, docs, "doc_id", "text", threshold = 0.5)))
+    // compact materializes: successor has no _dels sidecar, filtered
+    // rows, identical probes
+    MinHashIndex.compact(spark, s"$dir/idx", s"$dir/idx2", targetFiles = 1)
+    assert(!new java.io.File(s"$dir/idx2/_dels").exists())
+    assert(spark.read.parquet(s"$dir/idx2")
+      .filter(col("id").isin(forgotten.toSeq: _*)).isEmpty)
+    assert(after == pairSet(MinHashIndex.incrementalNearDupPairs(
+      spark, s"$dir/idx2", newDocs, docs, "doc_id", "text", threshold = 0.5)))
+  }
+
   test("compact: successor holds identical band keys in fewer files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mhidx4").toString
     MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")

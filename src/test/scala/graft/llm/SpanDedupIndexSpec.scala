@@ -92,4 +92,16 @@ class SpanDedupIndexSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!inc.contains("deadbeef"))
   }
+  test("vacuum drops superseded versions; cleanseWith unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdvac").toString
+    val (b1, b2) = split(corpus)
+    SpanDedupIndex.build(b1, s"$dir/idx", "doc_id", "text")
+    SpanDedupIndex.addBatch(spark, s"$dir/idx", b2, "doc_id", "text")
+    val before = toMap(SpanDedupIndex.cleanseWith(
+      spark, s"$dir/idx", corpus, "doc_id", "text"))
+    assert(SpanDedupIndex.vacuum(spark, s"$dir/idx") == 1)
+    assert(SpanDedupIndex.latestVersion(s"$dir/idx").contains(2))
+    assert(toMap(SpanDedupIndex.cleanseWith(
+      spark, s"$dir/idx", corpus, "doc_id", "text")) == before)
+  }
 }

@@ -105,4 +105,25 @@ class WinnowIndexSpec extends AnyFunSuite {
     def rows(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
     assert(rows(s"$dir/idx2") == rows(s"$dir/idx"))
   }
+  test("forget: df cutoff and pairs match a from-scratch run over survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wnidx6").toString
+    WinnowIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
+    val before = tripleSet(WinnowIndex.incrementalPairs(
+      spark, s"$dir/idx", newDocs, "doc_id", "text"))
+    val forgotten = before.collect { case (a, _, _) if a < 400 => a }.toSet
+    assert(forgotten.nonEmpty)
+    val spark2 = spark
+    import spark2.implicits._
+    WinnowIndex.forget(s"$dir/idx", forgotten.toSeq.toDF("doc_id"))
+    val after = tripleSet(WinnowIndex.incrementalPairs(
+      spark, s"$dir/idx", newDocs, "doc_id", "text"))
+    // parity-EXACT including shared_fps: the df cutoff saw the same
+    // surviving corpus a rebuild would (forgotten postings excluded)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-wnidx6b").toString
+    WinnowIndex.build(oldDocs.filter(!col("doc_id").isin(forgotten.toSeq: _*)),
+      s"$rebuilt/idx", "doc_id", "text")
+    assert(after == tripleSet(WinnowIndex.incrementalPairs(
+      spark, s"$rebuilt/idx", newDocs, "doc_id", "text")))
+    assert(after.forall { case (a, _, _) => !forgotten.contains(a) })
+  }
 }

@@ -194,6 +194,69 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("stream-stream interval join leftOuter: unmatched rows emit null-padded once the watermark closes their window") {
+    // user 1's click matches; user 2's purchase is outside the 1h
+    // window; user 3 never purchases — both must emit exactly one
+    // null-padded row, which the engine may do only after the
+    // watermark passes click_ts + 1h. Two far-future carrier files
+    // make that deterministic: the first advances the watermark, the
+    // second is a data batch in whose execution the closed outer
+    // state is evicted and emitted (the final no-data flush batch
+    // races processAllAvailable; a data batch does not).
+    val dir = java.nio.file.Files.createTempDirectory("graft-outer-ij").toString
+    def ev(rows: Seq[(Long, Long, String, String, Double)], f: String): Unit = {
+      val p = s"$dir/$f"
+      rows.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.parquet(p)
+      val mtime = f.stripSuffix(".parquet").last.asDigit * 1000000L
+      new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+      new java.io.File(p).setLastModified(mtime)
+    }
+    ev(Seq(
+      (1L, 1L, "click", "2024-01-01 00:00:00", 0.0),
+      (2L, 1L, "purchase", "2024-01-01 00:30:00", 5.0),
+      (3L, 2L, "click", "2024-01-01 00:00:00", 0.0),
+      (4L, 2L, "purchase", "2024-01-01 02:00:00", 7.0),
+      (5L, 3L, "click", "2024-01-01 00:00:00", 0.0)), "a1.parquet")
+    ev(Seq((-1L, -1L, "click", "2030-01-01 00:00:00", 0.0),
+      (-2L, -1L, "purchase", "2030-01-01 00:00:00", 0.0)), "a2.parquet")
+    ev(Seq((-1L, -1L, "click", "2030-02-01 00:00:00", 0.0),
+      (-2L, -1L, "purchase", "2030-02-01 00:00:00", 0.0)), "a3.parquet")
+    def split(raw: org.apache.spark.sql.DataFrame) = (
+      raw.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts")),
+      raw.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts")))
+    val raw = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*.parquet")
+    val (c, p) = split(raw)
+    val streamed = StreamOps.runToBatch(spark,
+      StreamOps.intervalJoin(
+        c.withWatermark("click_ts", "30 minutes"),
+        p.withWatermark("p_ts", "30 minutes"),
+        "user_id", "p_user", "click_ts", "p_ts", "1 hour", "leftOuter"),
+      "append")
+      .filter(col("user_id") >= 0)
+      .select("click_id", "p_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(streamed == Set((1L, Some(2L)), (3L, None), (5L, None)))
+    // and the same operator call over batch inputs is the plain SQL
+    // left join (parity with the relational semantics the oracle runs)
+    val rawB = spark.read.parquet(s"$dir/*.parquet")
+    val (cb, pb) = split(rawB)
+    val batch = StreamOps.intervalJoin(cb, pb,
+        "user_id", "p_user", "click_ts", "p_ts", "1 hour", "leftOuter")
+      .filter(col("user_id") >= 0)
+      .select("click_id", "p_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(batch == streamed)
+  }
+
   test("stream-stream interval join: streaming equals batch (inner)") {
     def clicks(df: org.apache.spark.sql.DataFrame) =
       df.filter(col("event_type") === "click")
