@@ -4449,7 +4449,119 @@ object LlmQueries {
       Some(s"""SELECT o.id_a, o.id_b, o.sim
              |FROM ($embLshOracle) o
              |WHERE o.id_a % 30 <> 7 AND o.id_b % 30 <> 7
-             |ORDER BY o.id_a, o.id_b""".stripMargin)))
+             |ORDER BY o.id_a, o.id_b""".stripMargin)),
+
+    // STREAMING takedown — q226's tombstone delete driven by the REAL
+    // streaming engine (the q192 delivery protocol): the corpus folds
+    // into the BM25 index over two ingest microbatches, then a THIRD
+    // microbatch carries delete REQUESTS (the takedown queue is just
+    // another stream at 100 TB) foreachBatch-folded via deleteDocs.
+    // One checkpointed query, one source, the batch branches on a
+    // column — op='add' buckets become addBatch, op='del' become
+    // deleteDocs — which is how a CDC-shaped maintenance feed actually
+    // arrives. Search after the stream drains must hash-match the
+    // one-shot oracle over the SURVIVING corpus; n_versions = 3 pins
+    // build → add → delete as three committed versions.
+    "q228_stream_takedown" -> Q(
+      (s, d) => {
+        import graft.llm.Bm25Index
+        val root = graft.queries.Scratch.dir("graft-q228-takedown")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val all = docs(s, d)
+        val feed = all.select(lit("add").as("op"), col("doc_id"),
+          col("text"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L,
+          feed.filter(col("doc_id") < 250))
+        writeBatch("b2.parquet", 2000000L,
+          feed.filter(col("doc_id") >= 250))
+        writeBatch("b3.parquet", 3000000L,
+          all.filter(col("doc_id") % 7 === 3)
+            .select(lit("del").as("op"), col("doc_id"),
+              lit(null).cast("string").as("text")))
+        val idx = s"$root/idx"
+        s.readStream
+          .schema("op STRING, doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val adds = b.filter(col("op") === "add")
+              .select("doc_id", "text")
+            val dels = b.filter(col("op") === "del").select("doc_id")
+            if (!adds.isEmpty) {
+              if (Bm25Index.latestVersion(idx).isEmpty)
+                Bm25Index.build(adds, idx, "doc_id", "text")
+              else Bm25Index.addBatch(s, idx, adds, "doc_id", "text")
+            }
+            if (!dels.isEmpty) Bm25Index.deleteDocs(s, idx, dels)
+          }
+          .start().awaitTermination()
+        require(Bm25Index.latestVersion(idx).contains(3),
+          "expected add, add, delete as three committed versions")
+        val queries = all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+        Bm25Index.search(s, idx, queries, k = 5)
+          .withColumn("n_versions",
+            lit(Bm25Index.latestVersion(idx).get.toLong))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH ${bm25CtesWhere("doc_id % 7 <> 3")}
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, did, score_x1000,
+             |  CAST(3 AS BIGINT) AS n_versions
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Incremental duplicate FAMILIES (llm/FamilyIndex.scala): q42's
+    // pairs → connected-components closure as a maintained index
+    // instead of a per-batch global recompute. Batch 1's pairs seed the
+    // assignment; batch 2's pairs (generated incrementally by the
+    // MinHash band index — q87's protocol) fold in by CONTRACTION: old
+    // endpoints collapse to their family representative, CC runs only
+    // on the batch-bounded contracted graph, and a broadcast remap
+    // reassigns merged families — the corpus's full edge set is never
+    // revisited. Because min-closure is associative under contraction,
+    // the folded assignment hash-matches the one-shot recursive-CTE
+    // closure over ALL pairs (q42's oracle); n_versions = 2 pins that
+    // real batch-by-batch delivery happened.
+    "q229_family_index" -> Q(
+      (s, d) => {
+        import graft.llm.{FamilyIndex, MinHashIndex}
+        val dd = docs(s, d)
+        val b1 = dd.filter(col("doc_id") < 250)
+        val b2 = dd.filter(col("doc_id") >= 250)
+        val root = graft.queries.Scratch.dir("graft-q229-family")
+        MinHashIndex.build(b1, s"$root/mh", "doc_id", "text")
+        FamilyIndex.build(
+          MinHashDedup.nearDupPairs(b1, "doc_id", "text", threshold = 0.5),
+          s"$root/fam")
+        val p2 = MinHashIndex.incrementalNearDupPairs(
+          s, s"$root/mh", b2, dd, "doc_id", "text", threshold = 0.5)
+        FamilyIndex.addBatch(s, s"$root/fam", p2)
+        MinHashIndex.append(b2, s"$root/mh", "doc_id", "text")
+        val fam = FamilyIndex.assignment(s, s"$root/fam")
+          .select(col("id").as("doc_id"), col("family").as("group_id"))
+        dd.select("doc_id").join(fam, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("group_id"), col("doc_id")).as("group_id"))
+          .withColumn("n_versions",
+            lit(FamilyIndex.latestVersion(s"$root/fam").get.toLong))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes
+              |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+              |  CAST(2 AS BIGINT) AS n_versions
+              |FROM documents d LEFT JOIN comp c USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
     * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214

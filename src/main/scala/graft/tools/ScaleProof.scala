@@ -188,7 +188,7 @@ object ScaleProof {
     val replicaNeeded = onlyPre.forall(_.exists(n =>
       !n.startsWith("q191") && !n.startsWith("q210") &&
         !n.startsWith("q213") && !n.startsWith("q214") &&
-        !n.startsWith("q215")))
+        !n.startsWith("q215") && !n.startsWith("q227")))
     val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
       .filter(_ => replicaNeeded)
       .filter(_._2 <= copyCapEarly)
@@ -236,7 +236,14 @@ object ScaleProof {
       "q208_stream_phash_ingest" -> 100,
       "q209_multimodal_dup_families" -> 100,
       "q219_curation_pipeline" -> 100,
-      "q221_stream_quota_admission" -> 100)
+      "q221_stream_quota_admission" -> 100,
+      // the index-lifecycle tier: compaction rewrites the whole
+      // postings chain (linear in corpus), vacuum + cleanWith walks
+      // the full line-df history, tombstone delete subtracts df from
+      // the index's own postings — each must track the corpus ~linearly
+      "q223_bm25_index_compaction" -> 100,
+      "q224_index_vacuum" -> 100,
+      "q226_bm25_tombstone_delete" -> 100)
     val meter = new ShuffleMeter(spark)
     val out = for {
       (name, maxCopies) <- queries
@@ -344,7 +351,8 @@ object ScaleProof {
       })
     val embDecades = Seq(("sf0.1", 1, 8), ("emb-sf1.0", 10, 12),
       ("emb-sf10", 100, 16))
-    val embDec = if (!only.forall(_.exists(_.startsWith("q210")))) Seq.empty
+    val embDec = if (!only.forall(_.exists(n =>
+        n.startsWith("q210") || n.startsWith("q227")))) Seq.empty
     else {
       val embCap = 500L
       for ((tag, copies, planes) <- embDecades
@@ -406,6 +414,25 @@ object ScaleProof {
         System.err.println(
           f"[scaleproof] q222_embed_index_compaction $tag ${secC}%.2fs " +
             f"write=${wc >> 20}MiB read=${rc >> 20}MiB")
+        // q227's maintenance leg: tombstone-forget a 1/30 slice of the
+        // compacted index and re-probe — forget itself is a constant
+        // tombstone append; the probe pays one broadcast anti-join on
+        // its history side, so the wall must stay ~the probe's
+        val tF0 = System.nanoTime()
+        val (_, wf, rf) = meter.measure {
+          graft.llm.EmbeddingLshIndex.forget(spark, s"$lastIdx-compact",
+            e.filter(col("vec_id") % 30 === 7).select("vec_id"))
+          graft.llm.EmbeddingLshIndex.incrementalNearDupPairs(spark,
+              s"$lastIdx-compact",
+              e.filter(col("vec_id") % 2 === 1 && col("vec_id") % 30 =!= 7),
+              threshold = 0.4, planesPerTable = planes,
+              maxBucketSize = embCap)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val secF = (System.nanoTime() - tF0) / 1e9
+        System.err.println(
+          f"[scaleproof] q227_embed_index_forget $tag ${secF}%.2fs " +
+            f"write=${wf >> 20}MiB read=${rf >> 20}MiB")
         (tag, sec, w, r, planes, avgOcc, maxOcc, hotBuckets, secC, wc, rc)
       }
     }
