@@ -4359,7 +4359,11 @@ object LlmQueries {
         val joined = graft.streaming.StreamOps.intervalJoin(
           clicks, purchases, "user_id", "p_user", "click_ts", "p_ts",
           "1 hour", joinType = "leftOuter")
-        graft.streaming.StreamOps.runToBatch(s, joined, "append")
+        // 8 state partitions: the join state is ~100k rows at sf0.1,
+        // and the dominant cost is per-microbatch per-partition state
+        // store overhead × 3 microbatches, not data volume
+        graft.streaming.StreamOps.runToBatch(s, joined, "append",
+            statePartitions = Some(8))
           .filter(col("user_id") >= 0)
           .groupBy("click_id")
           .agg(count(col("p_user")).as("n_purchases"),
@@ -4561,7 +4565,122 @@ object LlmQueries {
               |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
               |  CAST(2 AS BIGINT) AS n_versions
               |FROM documents d LEFT JOIN comp c USING (doc_id)
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // STREAMING family maintenance — q229's fold driven by the REAL
+    // streaming engine (the q192 delivery protocol): each microbatch
+    // probes the MinHash band index for its near-dup pairs (new-vs-
+    // history + batch-internal), folds them into the persisted family
+    // assignment by contraction, then appends its band keys — the
+    // full incremental-dedup ingest loop (candidate index AND family
+    // closure both maintained) in one checkpointed foreachBatch. The
+    // folded assignment still hash-matches the one-shot recursive-CTE
+    // closure over all pairs; n_versions = 2 pins real batch-by-batch
+    // delivery.
+    "q230_stream_family_ingest" -> Q(
+      (s, d) => {
+        import graft.llm.{FamilyIndex, MinHashDedup, MinHashIndex}
+        val root = graft.queries.Scratch.dir("graft-q230-famstream")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val all = docs(s, d).select(col("doc_id"), col("text"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, all.filter(col("doc_id") < 250))
+        writeBatch("b2.parquet", 2000000L, all.filter(col("doc_id") >= 250))
+        val (mh, fam) = (s"$root/mh", s"$root/fam")
+        s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (FamilyIndex.latestVersion(fam).isEmpty) {
+              MinHashIndex.build(b, mh, "doc_id", "text")
+              FamilyIndex.build(MinHashDedup.nearDupPairs(
+                b, "doc_id", "text", threshold = 0.5), fam)
+            } else {
+              // history text is not re-read: verification joins the
+              // batch ∪ already-delivered docs, which at ingest time is
+              // exactly the corpus prefix the band keys cover
+              val delivered = s.read.parquet(s"$src/*.parquet")
+              FamilyIndex.addBatch(s, fam,
+                MinHashIndex.incrementalNearDupPairs(s, mh, b, delivered,
+                  "doc_id", "text", threshold = 0.5))
+              MinHashIndex.append(b, mh, "doc_id", "text")
+            }
+          }
+          .start().awaitTermination()
+        require(FamilyIndex.latestVersion(fam).contains(2),
+          "expected two delivered microbatches")
+        val a = FamilyIndex.assignment(s, fam)
+          .select(col("id").as("doc_id"), col("family").as("group_id"))
+        docs(s, d).select("doc_id").join(a, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("group_id"), col("doc_id")).as("group_id"))
+          .withColumn("n_versions",
+            lit(FamilyIndex.latestVersion(fam).get.toLong))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes
+              |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+              |  CAST(2 AS BIGINT) AS n_versions
+              |FROM documents d LEFT JOIN comp c USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Duplication-mass telemetry — the report a curation run actually
+    // logs before committing a dedup pass: the family-size histogram
+    // with, per size, how many families exist, how many documents they
+    // hold, and how many documents min-id survivor selection would
+    // remove. Size 1 = documents untouched by any near-dup pair. The
+    // sum of n_removed over all rows is the corpus's total duplicate
+    // mass — the number that decides whether the pass is worth its
+    // shuffle. One CC closure + two count aggregations; the oracle
+    // replays the closure relationally.
+    "q231_dup_mass_report" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = MinHashDedup
+          .nearDupPairs(dd, "doc_id", "text", threshold = 0.5)
+        val cc = graft.operators.ConnectedComponents
+          .run(pairs, "id_a", "id_b")
+        val hist = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_families"))
+          .select(col("sz").as("fam_size"), col("n_families"),
+            (col("sz") * col("n_families")).as("n_docs"),
+            ((col("sz") - 1) * col("n_families")).as("n_removed"))
+        val singles = dd.select("doc_id")
+          .join(cc.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("fam_size"), col("n").as("n_families"),
+            col("n").as("n_docs"), lit(0L).as("n_removed"))
+        hist.unionByName(singles).orderBy("fam_size")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes,
+              |fs AS (SELECT group_id, count(*) AS sz FROM comp
+              |       GROUP BY group_id),
+              |hist AS (SELECT sz, count(*) AS n_families FROM fs
+              |         GROUP BY sz)
+              |SELECT CAST(sz AS BIGINT) AS fam_size,
+              |  CAST(n_families AS BIGINT) AS n_families,
+              |  CAST(sz * n_families AS BIGINT) AS n_docs,
+              |  CAST((sz - 1) * n_families AS BIGINT) AS n_removed
+              |FROM hist
+              |UNION ALL
+              |SELECT 1,
+              |  (SELECT count(*) FROM documents)
+              |    - (SELECT count(*) FROM comp),
+              |  (SELECT count(*) FROM documents)
+              |    - (SELECT count(*) FROM comp),
+              |  0
+              |ORDER BY fam_size""".stripMargin)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
     * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214
