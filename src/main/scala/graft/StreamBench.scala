@@ -54,7 +54,12 @@ object StreamBench {
     // mode "quota": stateful-admission throughput (the q221 path) —
     // per-source (consumed, closed) state via flatMapGroupsWithState;
     // docs/sec through the arrival-order token-quota gate.
+    // mode "family": dedup-family maintenance throughput — the q230
+    // loop (band probe → FamilyIndex contraction fold → band append)
+    // per microbatch; docs/sec of the FULL incremental-dedup path, the
+    // most state-coupled member of the ingest tier.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "events")
+    if (mode == "family") { familyMain(sfDir, cpus, batches); return }
     if (mode == "bm25") { bm25Main(sfDir, cpus, batches); return }
     if (mode == "span") { spanMain(sfDir, cpus, batches); return }
     if (mode == "phash") { phashMain(sfDir, cpus, batches); return }
@@ -125,6 +130,48 @@ object StreamBench {
     }
     spark.stop()
   }
+
+  /** Dedup-family maintenance throughput (the q230 loop at scale):
+    * each microbatch probes the MinHash band index for its near-dup
+    * pairs (verbatim cross-copy duplicates make every batch pair-heavy
+    * — the last batch probes ~200k pairs against 7 batches of
+    * history), folds them into the persisted family assignment by
+    * contraction, then appends its band keys. The post-drain proof
+    * counts non-representative members — every replicated doc must
+    * have joined its copy family.
+    */
+  private def familyMain(sfDir: String, cpus: String, batches: Int): Unit =
+    indexIngest("family_ingest_throughput", "graft-streambench-family",
+      sfDir, cpus, batches)(
+      (b0, idx) => {
+        // cache: the fold has several consumers (band keys twice, the
+        // append, the pair generator) and each would re-execute the
+        // microbatch source scan — the q181 lesson, measured as
+        // numInputRows ≈ 2.4x the admitted rows before the cache
+        val b = b0.persist()
+        try {
+          graft.llm.MinHashIndex.build(b, s"$idx/mh", "doc_id", "text")
+          graft.llm.FamilyIndex.build(
+            graft.llm.MinHashDedup.nearDupPairs(b, "doc_id", "text",
+              threshold = 0.5), s"$idx/fam")
+        } finally { b.unpersist(); () }
+      },
+      (s, b0, idx) => {
+        val b = b0.persist() // see build fold — several consumers
+        try {
+          // verification needs candidate text; the staged corpus is a
+          // superset of delivered history, which is all the verify joins
+          val allDocs = s.read.parquet(
+            new java.io.File(idx).getParent + "/in")
+          graft.llm.FamilyIndex.addBatch(s, s"$idx/fam",
+            graft.llm.MinHashIndex.incrementalNearDupPairs(s, s"$idx/mh",
+              b, allDocs, "doc_id", "text", threshold = 0.5))
+          graft.llm.MinHashIndex.append(b, s"$idx/mh", "doc_id", "text")
+        } finally { b.unpersist(); () }
+      },
+      (s, idx, _) => graft.llm.FamilyIndex.assignment(s, s"$idx/fam")
+        .filter(col("id") =!= col("family")).count(),
+      idx => graft.llm.FamilyIndex.latestVersion(s"$idx/fam").getOrElse(0))
 
   /** BM25 index-maintenance throughput: stream a replicated documents
     * corpus (doc-id offsets keep batches doc-disjoint, the index's
@@ -441,8 +488,13 @@ object StreamBench {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (versionsOf(idx) == 0) build(b, idx) else add(spark, b, idx)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        // exactly-once: a replayed batch must not double-fold (see
+        // IndexMaintenance.foldOnce — version == batchId + 1 invariant)
+        graft.llm.IndexMaintenance.foldOnce(bid,
+            Some(versionsOf(idx)).filter(_ > 0)) {
+          if (versionsOf(idx) == 0) build(b, idx) else add(spark, b, idx)
+        }
       }
       .start()
     q.awaitTermination()

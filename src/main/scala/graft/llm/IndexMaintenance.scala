@@ -58,6 +58,26 @@ object IndexMaintenance {
     ids.select(col(ids.columns.head).as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$tablePath/_dels")
 
+  /** Exactly-once guard for checkpointed foreachBatch folds into the
+    * VERSIONED exact-index tier (Bm25Index, LineDedupIndex, CmsIndex,
+    * SpanDedupIndex, FamilyIndex). foreachBatch is at-least-once: a
+    * crash after the index committed version N+1 but before the
+    * streaming checkpoint committed batch N re-delivers batch N on
+    * restart, and a second fold would DOUBLE the batch's counts — the
+    * exact tier's torn-write healing (overwrite an uncommitted
+    * version) cannot see this case, because the replayed fold targets
+    * a fresh version number. The guard exploits that every fold bumps
+    * the version by exactly one, so with a fresh checkpoint the
+    * invariant is `version == batchId + 1` after folding batch
+    * `batchId`: a replayed batch finds `latest >= batchId + 1` already
+    * committed and skips. (The band-key wing doesn't need this —
+    * re-appending band keys only adds candidate-join work, its
+    * documented "re-append on any doubt" contract.)
+    */
+  def foldOnce(batchId: Long, latestVersion: Option[Int])(
+      fold: => Unit): Unit =
+    if (!latestVersion.exists(_ >= batchId + 1)) fold
+
   /** The `_dels` sidecar of a table, or None when nothing was ever
     * forgotten.
     */

@@ -106,7 +106,13 @@ object IvfIndex {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(slice(array_sort(cellArr), 1, nprobe)).as("probe"))
       .select(col("query_id"), col("qv"), col("probe.c").as("cell"))
-    val index = spark.read.parquet(path)
+    val index0 = spark.read.parquet(path)
+    // tombstoned vectors leave the candidate space (see [[forget]]);
+    // the sidecar keys on "id", the index on the caller's idCol
+    val index = IndexMaintenance.tombstones(spark, path)
+      .map(dd => index0.join(
+        broadcast(dd.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(index0)
     val cand = index.join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", VectorFunctions.cosine(col("qv"), col(vecCol)))
@@ -116,5 +122,32 @@ object IvfIndex {
         k = k, rankCol = "knn_rank")
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("knn_rank"), col("sim"))
+  }
+
+  /** Tombstone-forget indexed vectors — the takedown path, completing
+    * the wing-wide contract ([[IndexMaintenance.appendTombstones]]):
+    * the cell layout is append-only, so forgetting appends ids to the
+    * `_dels` sidecar (invisible to partition discovery, like `_model`)
+    * and [[search]] anti-joins candidates against it. [[compact]]
+    * materializes. No re-ingest of a forgotten id while its tombstone
+    * is live.
+    */
+  def forget(path: String, ids: DataFrame): Unit =
+    IndexMaintenance.appendTombstones(path, ids)
+
+  /** Rewrite the cell layout into a SUCCESSOR directory (the `_model`
+    * sidecar rides along), materializing any tombstones — fewer files
+    * per cell after many appended batches, identical probe results.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      idCol: String = "vec_id"): Unit = {
+    val t = spark.read.parquet(path)
+    val live = IndexMaintenance.tombstones(spark, path)
+      .map(dd => t.join(
+        broadcast(dd.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(t)
+    PartitionedSink.writePartitioned(live, outPath, Seq("cell"))
+    spark.read.parquet(s"$path/_model").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outPath/_model")
   }
 }

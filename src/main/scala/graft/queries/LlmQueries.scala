@@ -2352,11 +2352,16 @@ object LlmQueries {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ck")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            if (!new java.io.File(idx).exists())
-              LineDedupIndex.build(b, idx, "doc_id", docLines)
-            else
-              LineDedupIndex.addBatch(s, idx, b, "doc_id", docLines)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // exactly-once: a replayed batch (crash between index
+            // commit and checkpoint commit) must not double df counts
+            graft.llm.IndexMaintenance.foldOnce(bid,
+                LineDedupIndex.latestVersion(idx)) {
+              if (LineDedupIndex.latestVersion(idx).isEmpty)
+                LineDedupIndex.build(b, idx, "doc_id", docLines)
+              else
+                LineDedupIndex.addBatch(s, idx, b, "doc_id", docLines)
+            }
           }
           .start().awaitTermination()
         require(LineDedupIndex.latestVersion(idx).contains(2),
@@ -2888,11 +2893,16 @@ object LlmQueries {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ck")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            if (Bm25Index.latestVersion(idx).isEmpty)
-              Bm25Index.build(b, idx, "doc_id", "text")
-            else
-              Bm25Index.addBatch(s, idx, b, "doc_id", "text")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // exactly-once: a replayed batch (crash between index
+            // commit and checkpoint commit) must not double postings
+            graft.llm.IndexMaintenance.foldOnce(bid,
+                Bm25Index.latestVersion(idx)) {
+              if (Bm25Index.latestVersion(idx).isEmpty)
+                Bm25Index.build(b, idx, "doc_id", "text")
+              else
+                Bm25Index.addBatch(s, idx, b, "doc_id", "text")
+            }
           }
           .start().awaitTermination()
         require(Bm25Index.latestVersion(idx).contains(2),
@@ -3252,11 +3262,15 @@ object LlmQueries {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ck")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            if (SpanDedupIndex.latestVersion(idx).isEmpty)
-              SpanDedupIndex.build(b, idx, "doc_id", "text")
-            else
-              SpanDedupIndex.addBatch(s, idx, b, "doc_id", "text")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // exactly-once: a replayed batch must not double gram counts
+            graft.llm.IndexMaintenance.foldOnce(bid,
+                SpanDedupIndex.latestVersion(idx)) {
+              if (SpanDedupIndex.latestVersion(idx).isEmpty)
+                SpanDedupIndex.build(b, idx, "doc_id", "text")
+              else
+                SpanDedupIndex.addBatch(s, idx, b, "doc_id", "text")
+            }
           }
           .start().awaitTermination()
         require(SpanDedupIndex.latestVersion(idx).contains(2),
@@ -4498,16 +4512,23 @@ object LlmQueries {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ck")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            val adds = b.filter(col("op") === "add")
-              .select("doc_id", "text")
-            val dels = b.filter(col("op") === "del").select("doc_id")
-            if (!adds.isEmpty) {
-              if (Bm25Index.latestVersion(idx).isEmpty)
-                Bm25Index.build(adds, idx, "doc_id", "text")
-              else Bm25Index.addBatch(s, idx, adds, "doc_id", "text")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // exactly-once: a replayed add must not double postings,
+            // and a replayed delete must not burn an extra version —
+            // every batch bumps the version once, so the foldOnce
+            // invariant (version == batchId + 1) covers both branches
+            graft.llm.IndexMaintenance.foldOnce(bid,
+                Bm25Index.latestVersion(idx)) {
+              val adds = b.filter(col("op") === "add")
+                .select("doc_id", "text")
+              val dels = b.filter(col("op") === "del").select("doc_id")
+              if (!adds.isEmpty) {
+                if (Bm25Index.latestVersion(idx).isEmpty)
+                  Bm25Index.build(adds, idx, "doc_id", "text")
+                else Bm25Index.addBatch(s, idx, adds, "doc_id", "text")
+              }
+              if (!dels.isEmpty) Bm25Index.deleteDocs(s, idx, dels)
             }
-            if (!dels.isEmpty) Bm25Index.deleteDocs(s, idx, dels)
           }
           .start().awaitTermination()
         require(Bm25Index.latestVersion(idx).contains(3),
@@ -4601,7 +4622,11 @@ object LlmQueries {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ck")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // exactly-once on the family chain (a replayed band append
+            // is recall-harmless, but the version pin must hold)
+            graft.llm.IndexMaintenance.foldOnce(bid,
+                FamilyIndex.latestVersion(fam)) {
             if (FamilyIndex.latestVersion(fam).isEmpty) {
               MinHashIndex.build(b, mh, "doc_id", "text")
               FamilyIndex.build(MinHashDedup.nearDupPairs(
@@ -4615,6 +4640,7 @@ object LlmQueries {
                 MinHashIndex.incrementalNearDupPairs(s, mh, b, delivered,
                   "doc_id", "text", threshold = 0.5))
               MinHashIndex.append(b, mh, "doc_id", "text")
+            }
             }
           }
           .start().awaitTermination()

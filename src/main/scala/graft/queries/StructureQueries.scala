@@ -955,10 +955,14 @@ object StructureQueries {
         stream.writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ck")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            if (CmsIndex.latestVersion(s"$root/idx").isEmpty)
-              CmsIndex.build(b, s"$root/idx")
-            else CmsIndex.addBatch(s, s"$root/idx", b)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // exactly-once: a replayed batch must not double CMS cells
+            graft.llm.IndexMaintenance.foldOnce(bid,
+                CmsIndex.latestVersion(s"$root/idx")) {
+              if (CmsIndex.latestVersion(s"$root/idx").isEmpty)
+                CmsIndex.build(b, s"$root/idx")
+              else CmsIndex.addBatch(s, s"$root/idx", b)
+            }
           }
           .start().awaitTermination()
         val nv = CmsIndex.latestVersion(s"$root/idx").getOrElse(0).toLong

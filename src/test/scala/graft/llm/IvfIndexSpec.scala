@@ -75,4 +75,30 @@ class IvfIndexSpec extends AnyFunSuite {
     val perQuery = a.groupBy(_.head).map(_._2.size)
     assert(perQuery.forall(_ <= 3) && perQuery.nonEmpty)
   }
+  test("forget: tombstoned vectors vanish from search; compact materializes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    IvfIndex.build(emb, dir, k = 8, iters = 1)
+    val before = IvfIndex.search(spark, dir, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // forget every current neighbor of query 0 -> none may reappear,
+    // and the result must equal brute force over the survivors
+    val gone = before.collect { case (0L, n) => n }.toSet
+    val spark2 = spark
+    import spark2.implicits._
+    IvfIndex.forget(dir, gone.toSeq.toDF("vec_id"))
+    val after = IvfIndex.search(spark, dir, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.intersect(gone.map((0L, _))).isEmpty)
+    val exact = EmbeddingKnn.bruteForce(
+        emb.filter(!col("vec_id").isin(gone.toSeq: _*)), queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == exact)
+    // compact: successor has no _dels, filtered cells, same results
+    IvfIndex.compact(spark, dir, s"$dir-compact")
+    assert(!new java.io.File(s"$dir-compact/_dels").exists)
+    assert(spark.read.parquet(s"$dir-compact")
+      .filter(col("vec_id").isin(gone.toSeq: _*)).isEmpty)
+    assert(IvfIndex.search(spark, s"$dir-compact", queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == after)
+  }
 }
