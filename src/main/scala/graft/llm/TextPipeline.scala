@@ -53,17 +53,26 @@ object TextPipeline {
   /** One-pass quality gate: annotate + filter. Null signals (empty text)
     * never pass — every predicate must affirmatively hold.
     */
+  /** The gate predicate over an ALREADY-annotated frame (the
+    * [[withQualitySignals]] columns) — callers that need the signals
+    * anyway (q233's feature construction) apply this directly instead
+    * of re-annotating through [[qualityFilter]]. NULL signals (empty
+    * text) evaluate to null ⇒ filtered/labeled as not-kept, matching
+    * the filter's semantics.
+    */
+  def qualityPredicate(t: QualityThresholds = QualityThresholds()): Column = {
+    val langOk: Column =
+      if (t.dropUndeterminedLang) col("lang_id") =!= "und" else lit(true)
+    col("n_tokens").between(t.minTokens, t.maxTokens) &&
+      col("alpha_ratio") >= t.minAlphaRatio &&
+      col("distinct_word_ratio") >= t.minDistinctWordRatio &&
+      col("top_bigram_frac") <= t.maxTopBigramFrac &&
+      langOk
+  }
+
   def qualityFilter(
       docs: DataFrame,
       textCol: String,
-      t: QualityThresholds = QualityThresholds()): DataFrame = {
-    val langOk: Column =
-      if (t.dropUndeterminedLang) col("lang_id") =!= "und" else lit(true)
-    withQualitySignals(docs, textCol).filter(
-      col("n_tokens").between(t.minTokens, t.maxTokens) &&
-        col("alpha_ratio") >= t.minAlphaRatio &&
-        col("distinct_word_ratio") >= t.minDistinctWordRatio &&
-        col("top_bigram_frac") <= t.maxTopBigramFrac &&
-        langOk)
-  }
+      t: QualityThresholds = QualityThresholds()): DataFrame =
+    withQualitySignals(docs, textCol).filter(qualityPredicate(t))
 }

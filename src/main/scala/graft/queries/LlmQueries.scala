@@ -4706,7 +4706,210 @@ object LlmQueries {
               |  (SELECT count(*) FROM documents)
               |    - (SELECT count(*) FROM comp),
               |  0
-              |ORDER BY fam_size""".stripMargin)))
+              |ORDER BY fam_size""".stripMargin)),
+
+    // Exact-integer Naive Bayes classifier (llm/NaiveBayes.scala) —
+    // the supervised-scoring capability class (GPT-3's curated-vs-
+    // crawl filter, CCNet's fastText gate are this shape): train on
+    // 80% of the corpus, predict the held-out 20%. The corpus's lang
+    // labels are deliberately uncorrelated with its word-soup text
+    // (majority class 43.6% — nothing can learn that), so the fixture
+    // makes the channel NOISY but learnable, q160-style: ~71% of docs
+    // (doc_id % 7 < 5 — deliberately coprime with the 1-in-5 test
+    // split so the test set is genuinely mixed) carry an explicit
+    // marker for their lang — the classifier must learn the markers
+    // from counts and fall back to prior-plus-noise on unmarked docs
+    // (expected accuracy ≈ 5/7 + 2/7·chance). Per-(class, token)
+    // surprisal is whole-bit floor-log2 Laplace ((N_c + V) div
+    // (n_ct + 1), the q161 bitlength trick), OOV tokens fall back to
+    // the class's add-one default, prediction = min total bits with
+    // label-asc ties — every score an integer, so the oracle replays
+    // training AND inference bit for bit: counts, vocabulary, priors,
+    // the per-token left join, the argmin. Scale: two count shuffles
+    // to train; inference crosses tokens with the broadcast CLASS LIST
+    // only and left-joins the (class, token) table — linear in
+    // tokens × |classes|.
+    "q232_nb_classifier" -> Q(
+      (s, d) => {
+        import graft.llm.NaiveBayes
+        // marker repeated 3x: one marker's ~6-bit margin is within the
+        // whole-bit quantization noise of ~60 soup tokens; three put
+        // the margin (~20 bits) decisively past it
+        val dd = docs(s, d).withColumn("mtext",
+          when(col("doc_id") % 7 < 5,
+            concat(col("text"),
+              lit(" m_"), col("lang"), lit(" m_"), col("lang"),
+              lit(" m_"), col("lang")))
+            .otherwise(col("text")))
+        val (classes, tokenBits) = NaiveBayes.train(
+          dd.filter(col("doc_id") % 5 =!= 0), "doc_id", "lang",
+          col("mtext"))
+        NaiveBayes.classify(dd.filter(col("doc_id") % 5 === 0),
+            "doc_id", col("mtext"), classes, tokenBits)
+          .join(dd.select(col("doc_id"), col("lang").as("actual")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("actual"), col("predicted"),
+            col("score_bits"),
+            (col("predicted") === col("actual")).cast("long").as("correct"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, lang,
+             |    CASE WHEN doc_id % 7 < 5 THEN text
+             |      || ' m_' || lang || ' m_' || lang || ' m_' || lang
+             |         ELSE text END AS text
+             |  FROM documents),
+             |tt AS (SELECT doc_id, lang AS label,
+             |    unnest(string_split(text, ' ')) AS t
+             |  FROM m WHERE doc_id % 5 <> 0),
+             |v AS (SELECT count(DISTINCT t) AS v FROM tt),
+             |ct AS (SELECT label, t, count(*) AS n_ct FROM tt
+             |       GROUP BY label, t),
+             |ctot AS (SELECT label, sum(n_ct) AS n_tokens FROM ct
+             |         GROUP BY label),
+             |cdocs AS (SELECT lang AS label, count(*) AS n_docs
+             |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang),
+             |dtot AS (SELECT count(*) AS d FROM documents
+             |         WHERE doc_id % 5 <> 0),
+             |cls AS (SELECT c.label,
+             |    CAST(length(bin(d // n_docs)) - 1 AS BIGINT)
+             |      AS prior_bits,
+             |    CAST(length(bin(n_tokens + v)) - 1 AS BIGINT)
+             |      AS oov_bits
+             |  FROM cdocs c JOIN ctot USING (label)
+             |  CROSS JOIN dtot CROSS JOIN v),
+             |tb AS (SELECT ct.label, ct.t,
+             |    CAST(length(bin((n_tokens + v) // (n_ct + 1))) - 1
+             |      AS BIGINT) AS bits
+             |  FROM ct JOIN ctot USING (label) CROSS JOIN v),
+             |te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM m WHERE doc_id % 5 = 0),
+             |st AS (SELECT te.doc_id, cls.label,
+             |    COALESCE(tb.bits, cls.oov_bits) AS bits
+             |  FROM te CROSS JOIN cls
+             |  LEFT JOIN tb ON tb.label = cls.label AND tb.t = te.t),
+             |pc AS (SELECT doc_id, label, sum(bits) AS tok_bits
+             |  FROM st GROUP BY doc_id, label),
+             |sc AS (SELECT pc.doc_id, pc.label,
+             |    tok_bits + prior_bits AS score_bits
+             |  FROM pc JOIN cls USING (label)),
+             |pred AS (SELECT doc_id, label AS predicted, score_bits,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score_bits, label) AS rn
+             |  FROM sc)
+             |SELECT p.doc_id, d.lang AS actual, p.predicted,
+             |  CAST(p.score_bits AS BIGINT) AS score_bits,
+             |  CAST(p.predicted = d.lang AS BIGINT) AS correct
+             |FROM pred p JOIN documents d USING (doc_id)
+             |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin)),
+
+    // Classifier-based quality scoring on PSEUDO-LABELS — the exact
+    // pipeline shape GPT-3/CCNet used (train a cheap linear classifier
+    // on "curated vs crawl", score everything, keep by margin), with
+    // the q48 heuristic gate standing in as the curation signal: its
+    // kept/cut verdicts label the corpus, Naive Bayes learns the
+    // FEATURE-TOKEN distributions behind them, and every doc gets an
+    // integer quality MARGIN (bits(cut) − bits(keep): positive ⇒
+    // keep-like). Features are the fastText-style engineered tokens a
+    // production filter hashes — here the five gate signals bucketed
+    // to strings (log2 length, 1/20-quantized ratios, lang), because a
+    // raw bag-of-words over this corpus's shared word-soup vocabulary
+    // is provably uninformative (first attempt measured: margin never
+    // positive, classifier degenerates to the 80% prior). The oracle
+    // replays the gate (gateCtes), the feature construction, the
+    // labeling join, training, scoring, and the margin arithmetic in
+    // one SQL chain.
+    "q233_quality_classifier" -> Q(
+      (s, d) => {
+        import graft.llm.NaiveBayes
+        val dd = docs(s, d)
+        // one signals pass feeds BOTH the feature tokens and the
+        // pseudo-label (qualityPredicate on the same annotated frame —
+        // re-annotating through qualityFilter measured 2x the cost)
+        val sig = graft.llm.TextPipeline.withQualitySignals(dd, "text")
+        val labeled = sig.select(col("doc_id"), concat_ws(" ",
+          concat(lit("f_len_"), length(bin(col("n_tokens")))),
+          concat(lit("f_alpha_"),
+            floor(coalesce(col("alpha_ratio"), lit(-1.0)) * 20)),
+          concat(lit("f_dwr_"),
+            floor(coalesce(col("distinct_word_ratio"), lit(-1.0)) * 20)),
+          concat(lit("f_rep_"),
+            floor(coalesce(col("top_bigram_frac"), lit(-1.0)) * 50)),
+          concat(lit("f_lang_"), col("lang_id"))).as("ftext"),
+          when(graft.llm.TextPipeline.qualityPredicate(), lit("keep"))
+            .otherwise(lit("cut")).as("label"))
+          .localCheckpoint() // two consumers (train, score) — one pass
+        val (classes, tokenBits) = NaiveBayes.train(
+          labeled, "doc_id", "label", col("ftext"))
+        val sc = NaiveBayes.scores(labeled, "doc_id", col("ftext"),
+          classes, tokenBits)
+        sc.filter(col("label") === "cut")
+          .select(col("doc_id"), col("score_bits").as("cut_bits"))
+          .join(sc.filter(col("label") === "keep")
+            .select(col("doc_id"), col("score_bits").as("keep_bits")),
+            Seq("doc_id"))
+          .join(labeled.select(col("doc_id"),
+            col("label").as("pseudo_label")), Seq("doc_id"))
+          .select(col("doc_id"), col("pseudo_label"),
+            (col("cut_bits") - col("keep_bits")).as("margin_bits"),
+            (col("cut_bits") > col("keep_bits")).cast("long")
+              .as("classifier_keeps"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $gateCtes,
+             |feat AS (SELECT s.doc_id,
+             |    'f_len_' || length(bin(s.n_tokens)) || ' ' ||
+             |    'f_alpha_' || CAST(floor(COALESCE(s.alpha_ratio, -1)
+             |      * 20) AS BIGINT) || ' ' ||
+             |    'f_dwr_' || CAST(floor(COALESCE(s.distinct_word_ratio,
+             |      -1) * 20) AS BIGINT) || ' ' ||
+             |    'f_rep_' || CAST(floor(COALESCE(s.top_bigram_frac, -1)
+             |      * 50) AS BIGINT) || ' ' ||
+             |    'f_lang_' || l.lang_id AS text
+             |  FROM sig s JOIN lang l USING (doc_id)),
+             |lab AS (SELECT f.doc_id,
+             |    CASE WHEN k.doc_id IS NOT NULL THEN 'keep'
+             |         ELSE 'cut' END AS label, f.text
+             |  FROM feat f LEFT JOIN kept k USING (doc_id)),
+             |tt AS (SELECT doc_id, label,
+             |    unnest(string_split(text, ' ')) AS t FROM lab),
+             |v AS (SELECT count(DISTINCT t) AS v FROM tt),
+             |ct AS (SELECT label, t, count(*) AS n_ct FROM tt
+             |       GROUP BY label, t),
+             |ctot AS (SELECT label, sum(n_ct) AS n_tokens FROM ct
+             |         GROUP BY label),
+             |cdocs AS (SELECT label, count(*) AS n_docs FROM lab
+             |          GROUP BY label),
+             |dtot AS (SELECT count(*) AS d FROM lab),
+             |cls AS (SELECT c.label,
+             |    CAST(length(bin(d // n_docs)) - 1 AS BIGINT)
+             |      AS prior_bits,
+             |    CAST(length(bin(n_tokens + v)) - 1 AS BIGINT)
+             |      AS oov_bits
+             |  FROM cdocs c JOIN ctot USING (label)
+             |  CROSS JOIN dtot CROSS JOIN v),
+             |tb AS (SELECT ct.label, ct.t,
+             |    CAST(length(bin((n_tokens + v) // (n_ct + 1))) - 1
+             |      AS BIGINT) AS bits
+             |  FROM ct JOIN ctot USING (label) CROSS JOIN v),
+             |te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM feat),
+             |st AS (SELECT te.doc_id, cls.label,
+             |    COALESCE(tb.bits, cls.oov_bits) AS bits
+             |  FROM te CROSS JOIN cls
+             |  LEFT JOIN tb ON tb.label = cls.label AND tb.t = te.t),
+             |sc AS (SELECT st.doc_id, st.label,
+             |    sum(st.bits) + any_value(cls.prior_bits) AS score_bits
+             |  FROM st JOIN cls USING (label)
+             |  GROUP BY st.doc_id, st.label)
+             |SELECT c.doc_id, lab.label AS pseudo_label,
+             |  CAST(c.score_bits - k.score_bits AS BIGINT) AS margin_bits,
+             |  CAST(c.score_bits > k.score_bits AS BIGINT)
+             |    AS classifier_keeps
+             |FROM (SELECT * FROM sc WHERE label = 'cut') c
+             |JOIN (SELECT * FROM sc WHERE label = 'keep') k
+             |  USING (doc_id)
+             |JOIN lab USING (doc_id)
+             |ORDER BY c.doc_id""".stripMargin)))
 
   /** Semantic-decontamination SQL (q31 geometry, eval = vec_id%10=8,
     * t=0.35) — the shared oracle for q213 (one-shot cleanse) and q214

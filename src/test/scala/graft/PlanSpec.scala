@@ -125,7 +125,12 @@ class PlanSpec extends AnyFunSuite {
       "q191_tfidf_cosine_pairs", // 1-row n_docs broadcast scalar (x4 plan reuse)
       "q192_stream_bm25_ingest", // q181's 1-row stats broadcast via the index
       "q195_proximity_multiterm", // q190's 1-row stats broadcast (x4 plan reuse)
-      "q199_mixture_rebalance")  // 1-row min-source-count broadcast scalar
+      "q199_mixture_rebalance",  // 1-row min-source-count broadcast scalar
+      "q223_bm25_index_compaction", // q181's 1-row stats broadcast, post-compact
+      "q226_bm25_tombstone_delete", // q181's 1-row stats broadcast + delete
+      "q228_stream_takedown",    // same, via the streamed fold
+      "q232_nb_classifier",      // tokens x broadcast CLASS LIST (|classes|~5)
+      "q233_quality_classifier") // same, 2-class quality margin
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
