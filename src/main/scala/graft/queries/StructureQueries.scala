@@ -1217,7 +1217,116 @@ object StructureQueries {
              |  WHERE d.doc_id >= 10)
              |SELECT root, depth, CAST(count(*) AS BIGINT) AS n_nodes,
              |  min(node) AS min_node
-             |FROM r GROUP BY root, depth ORDER BY root, depth""".stripMargin)))
+             |FROM r GROUP BY root, depth ORDER BY root, depth""".stripMargin)),
+
+    // STREAMING windowed quantiles — the ops-telemetry shape (per-hour
+    // latency percentiles) through the REAL engine: the q157 sketch's
+    // bucket transform IS a streaming-aggregable group-by, so per-
+    // (event-hour, bucket) counts accumulate across two delivered
+    // microbatches in complete mode (sketch merge = count addition —
+    // batching CANNOT change the result, the mergeability contract at
+    // ingest), and the quantile walk runs post-drain over the bounded
+    // bucket table, partitioned per window. Each (window, p) envelope
+    // must contain the exact nearest-rank percentile; the oracle
+    // replays bucketing, cumulative walk, envelope arithmetic, AND the
+    // exact rank check relationally.
+    "q234_stream_windowed_quantiles" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import s.implicits._
+        val root = graft.queries.Scratch.dir("graft-q234-swq")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .filter(col("v") >= 0)
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, ev.filter(col("event_id") % 2 === 0))
+        writeBatch("b2.parquet", 2000000L, ev.filter(col("event_id") % 2 =!= 0))
+        val counts = s.readStream
+          .schema("event_id LONG, ts TIMESTAMP, v LONG")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .select(window(col("ts"), "1 day").getField("start")
+            .cast("long").as("ws"), col("v"))
+          .withColumn("bucket", expr(
+            """CASE WHEN v < 32L THEN v
+              |     ELSE (CAST(length(bin(v)) AS BIGINT) - 6) * 32L
+              |          + shiftright(v, CAST(length(bin(v)) AS INT) - 6)
+              |END""".stripMargin))
+          .groupBy("ws", "bucket").agg(count(lit(1)).as("cnt"))
+        // localCheckpoint: the sketch is bounded (windows × ≤64·32
+        // buckets) and the quantile walk self-joins it — materializing
+        // also detaches the plan from the memory-sink view, whose
+        // attribute reuse breaks the self-join's reference dedup
+        val sketch = graft.streaming.StreamOps
+          .runToBatch(s, counts, "complete", statePartitions = Some(8))
+          .localCheckpoint()
+        val est = graft.operators.QuantileSketch
+          .quantilesBy(sketch, Seq("ws"), Seq(50, 95, 99))
+        // exactness envelope: per-(window, p) nearest-rank percentile,
+        // computed in batch over the same values
+        val base = ev.select(
+          window(col("ts"), "1 day").getField("start")
+            .cast("long").as("ws"), col("v"))
+        val n = base.groupBy("ws").agg(count(lit(1)).as("n"))
+        val tgt = n.crossJoin(broadcast(Seq(50, 95, 99).toDF("p")))
+          .select(col("ws").as("tws"), col("p").cast("long").as("p"),
+            expr("(n * p + 99) div 100").as("target"))
+        val ranked = base.withColumn("rn", row_number().over(
+          Window.partitionBy("ws").orderBy("v")).cast("long"))
+        val exact = ranked.join(tgt,
+            col("rn") === col("target") && col("ws") === col("tws"))
+          .select(col("ws"), col("p"), col("v").as("exact_val"))
+        est.join(exact, Seq("ws", "p"))
+          .select("ws", "p", "est_lb", "est_ub", "exact_val")
+          .orderBy("ws", "p")
+      },
+      Some("""WITH v0 AS (SELECT
+             |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,
+             |    CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE round(value * 100) >= 0),
+             |b AS (SELECT ws, CASE WHEN v < 32 THEN v
+             |        ELSE (CAST(length(bin(v)) AS BIGINT) - 6) * 32
+             |             + (v >> (CAST(length(bin(v)) AS INT) - 6))
+             |      END AS bucket FROM v0),
+             |sk AS (SELECT ws, bucket, count(*) AS cnt FROM b
+             |       GROUP BY ws, bucket),
+             |c AS (SELECT ws, bucket,
+             |        sum(cnt) OVER (PARTITION BY ws ORDER BY bucket)
+             |          AS cum FROM sk),
+             |n AS (SELECT ws, count(*) AS n FROM v0 GROUP BY ws),
+             |q AS (SELECT unnest([50, 95, 99]) AS p),
+             |t AS (SELECT ws, CAST(p AS BIGINT) AS p,
+             |        CAST((n.n * p + 99) // 100 AS BIGINT) AS target
+             |      FROM q, n),
+             |sel AS (SELECT t.ws, t.p, min(bucket) AS bucket
+             |        FROM t JOIN c ON c.ws = t.ws AND c.cum >= t.target
+             |        GROUP BY t.ws, t.p),
+             |est AS (SELECT ws, p,
+             |    CASE WHEN bucket < 32 THEN bucket
+             |      ELSE (bucket - ((bucket >> 5) - 1) * 32)
+             |           << CAST((bucket >> 5) - 1 AS INT) END AS est_lb,
+             |    CASE WHEN bucket < 32 THEN bucket
+             |      ELSE ((bucket - ((bucket >> 5) - 1) * 32 + 1)
+             |            << CAST((bucket >> 5) - 1 AS INT)) - 1 END AS est_ub
+             |  FROM sel),
+             |r AS (SELECT ws, v, row_number() OVER (PARTITION BY ws
+             |        ORDER BY v) AS rn FROM v0),
+             |ex AS (SELECT t.ws, t.p, r.v AS exact_val
+             |       FROM t JOIN r ON r.ws = t.ws AND r.rn = t.target)
+             |SELECT est.ws, est.p AS p, CAST(est_lb AS BIGINT) AS est_lb,
+             |  CAST(est_ub AS BIGINT) AS est_ub,
+             |  CAST(exact_val AS BIGINT) AS exact_val
+             |FROM est JOIN ex ON est.ws = ex.ws AND est.p = ex.p
+             |ORDER BY est.ws, est.p""".stripMargin)))
 
   /** DuckDB-side text normalization, shared with [[LlmQueries]]. */
   private def normSql: String = LlmQueries.normSql

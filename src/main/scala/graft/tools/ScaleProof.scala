@@ -159,6 +159,22 @@ object ScaleProof {
       .parquet(s"$outDir/lineitem.parquet")
   }
 
+  /** 10x/100x events corpus for the streaming legs: event_id offsets
+    * keep ids unique; ts/user_id identical per copy, so watermark span
+    * stays fixed while join-state volume scales with the data — the
+    * honest shape for a state-bounded-by-watermark claim.
+    */
+  def synthesizeEvents(spark: SparkSession, srcDir: String,
+      outDir: String, copies: Int): Long = {
+    val ev = graft.Tables.events(spark, srcDir)
+    spark.range(copies).crossJoin(ev)
+      .select((col("event_id") + col("id") * 100000000L).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+    spark.read.parquet(s"$outDir/events.parquet").count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse(
@@ -188,7 +204,8 @@ object ScaleProof {
     val replicaNeeded = onlyPre.forall(_.exists(n =>
       !n.startsWith("q191") && !n.startsWith("q210") &&
         !n.startsWith("q213") && !n.startsWith("q214") &&
-        !n.startsWith("q215") && !n.startsWith("q227")))
+        !n.startsWith("q215") && !n.startsWith("q225") &&
+        !n.startsWith("q227")))
     val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
       .filter(_ => replicaNeeded)
       .filter(_._2 <= copyCapEarly)
@@ -243,7 +260,14 @@ object ScaleProof {
       // the index's own postings — each must track the corpus ~linearly
       "q223_bm25_index_compaction" -> 100,
       "q224_index_vacuum" -> 100,
-      "q226_bm25_tombstone_delete" -> 100)
+      "q226_bm25_tombstone_delete" -> 100,
+      // streaming takedown + the family closure (one-shot and streamed)
+      // and the classifier tier — all documents-replica compositions
+      "q228_stream_takedown" -> 100,
+      "q229_family_index" -> 100,
+      "q230_stream_family_ingest" -> 100,
+      "q232_nb_classifier" -> 100,
+      "q233_quality_classifier" -> 100)
     val meter = new ShuffleMeter(spark)
     val out = for {
       (name, maxCopies) <- queries
@@ -338,6 +362,37 @@ object ScaleProof {
     // >77 GB band-join spill + max_bucket=979 at sf10. With fmix32
     // planes the same leg runs cap-idle with max_bucket~131.
     // Bucket occupancy of the final index is recorded as evidence.
+    // q225 stream-stream OUTER interval join at event decades: the
+    // watermark span is fixed per copy while join-state volume scales
+    // with the data, so the claim under test is "state bounded by
+    // watermark, wall ~linear in events" — the property outer joins
+    // must hold at a real feed's volume (null emission waits on the
+    // watermark, so state IS the cost).
+    val outerDec = if (!only.forall(_.exists(_.startsWith("q225"))))
+      Seq.empty
+    else {
+      for ((tag, copies) <- Seq("ev-sf1.0" -> 10, "ev-sf10" -> 100)
+          if copies <= copyCap) yield {
+        val dir = s"$work/$tag"
+        val n = synthesizeEvents(spark, sfDir, dir, copies)
+        System.err.println(s"[scaleproof] synthesized $n events at $dir")
+        val passes = (1 to 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val (_, w, r) = meter.measure {
+            graft.SparkEntry
+              .queries("q225_stream_outer_interval_join")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          ((System.nanoTime() - t0) / 1e9, w, r)
+        }
+        val (sec, w, r) = passes.minBy(_._1)
+        System.err.println(
+          f"[scaleproof] q225_stream_outer_interval_join $tag ${sec}%.2fs " +
+            f"write=${w >> 20}MiB read=${r >> 20}MiB")
+        (tag, sec, w, r)
+      }
+    }
     // replica corpora shared by every embedding fold below; memoized so
     // an unscoped run synthesizes each decade once
     val embDirCache = scala.collection.mutable.Map[String, String]()
@@ -496,6 +551,10 @@ object ScaleProof {
     val json = (out.map { case (n, t, s, w, r) =>
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
+    } ++ outerDec.map { case (t, s, w, r) =>
+      s"""{"query":"q225_stream_outer_interval_join","scale":"$t",""" +
+        s""""sec":${num(s, 2)},"shuffle_write_mb":${w >> 20},""" +
+        s""""shuffle_read_mb":${r >> 20}}"""
     } ++ zipf.map { case (n, t, s, w, r, sa, sc, nh) =>
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20},""" +

@@ -130,7 +130,8 @@ class PlanSpec extends AnyFunSuite {
       "q226_bm25_tombstone_delete", // q181's 1-row stats broadcast + delete
       "q228_stream_takedown",    // same, via the streamed fold
       "q232_nb_classifier",      // tokens x broadcast CLASS LIST (|classes|~5)
-      "q233_quality_classifier") // same, 2-class quality margin
+      "q233_quality_classifier", // same, 2-class quality margin
+      "q234_stream_windowed_quantiles") // 3-row percentile spec (q157's class)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
