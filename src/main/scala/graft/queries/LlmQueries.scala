@@ -4373,11 +4373,15 @@ object LlmQueries {
         val joined = graft.streaming.StreamOps.intervalJoin(
           clicks, purchases, "user_id", "p_user", "click_ts", "p_ts",
           "1 hour", joinType = "leftOuter")
-        // 8 state partitions: the join state is ~100k rows at sf0.1,
-        // and the dominant cost is per-microbatch per-partition state
-        // store overhead × 3 microbatches, not data volume
+        // State partitions follow the decade law (the q210 planes
+        // story, for state): at gate scale the join state is ~100k
+        // rows and per-microbatch per-partition state-store overhead
+        // dominates — 8 partitions measured 2.2x faster than 32. At
+        // 10M events the state is the cost and must SPREAD — the
+        // ScaleProof leg raises the knob (and runs RocksDB).
         graft.streaming.StreamOps.runToBatch(s, joined, "append",
-            statePartitions = Some(8))
+            statePartitions = Some(
+              s.conf.get("graft.statePartitions", "8").toInt))
           .filter(col("user_id") >= 0)
           .groupBy("click_id")
           .agg(count(col("p_user")).as("n_purchases"),
