@@ -4379,6 +4379,16 @@ object LlmQueries {
         // dominates — 8 partitions measured 2.2x faster than 32. At
         // 10M events the state is the cost and must SPREAD — the
         // ScaleProof leg raises the knob (and runs RocksDB).
+        //
+        // The carrier filter runs on the LANDED batch, NOT inside the
+        // stream: an in-stream filter(user_id >= 0) gets pushed through
+        // the join AND the watermark nodes into both scans (constraint
+        // propagation infers p_user >= 0 from the equi-join), so the
+        // carrier rows would die before the EventTimeWatermark operator
+        // ever saw their timestamps — the watermark never advances and
+        // the tail's null rows never emit. Pushdown cannot cross the
+        // sink; a handful of carrier rows in the memory table is the
+        // price of a deterministic flush.
         graft.streaming.StreamOps.runToBatch(s, joined, "append",
             statePartitions = Some(
               s.conf.get("graft.statePartitions", "8").toInt))
@@ -4711,6 +4721,113 @@ object LlmQueries {
               |    - (SELECT count(*) FROM comp),
               |  0
               |ORDER BY fam_size""".stripMargin)),
+
+    // CHAINED stateful operators — the production shape the q225
+    // decade analysis names: a stream-stream interval join feeding an
+    // event-time windowed aggregation INSIDE the same streaming query
+    // (Spark's multiple-stateful-operator pipeline), so the driver-
+    // side memory sink receives only the per-day aggregate, never the
+    // joined rows. Append mode end to end; the carrier protocol
+    // flushes both state stores (one data batch per stateful stage).
+    // The join is the INNER form deliberately: inner matches emit the
+    // moment they join and are never late downstream, while an OUTER
+    // join's null rows emit at watermark EVICTION — and replay-
+    // compressing a month of backlog into one batch makes that
+    // eviction lag exceed the propagated-watermark allowance, so the
+    // downstream aggregation would drop them as late (measured: 29/30
+    // windows, every unmatched contribution lost; in a live stream the
+    // watermark advances with the data and the lag stays inside the
+    // join-delay allowance). Outer-join telemetry under replay belongs
+    // in q225's shape — aggregate AFTER the drain. Per attribution
+    // day: joined rows, matched purchases, exact decimal value.
+    "q235_stream_join_agg" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import s.implicits._
+        val root = graft.queries.Scratch.dir("graft-q235-oja")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        def carrier(ts: String) = Seq(
+          (-1L, -1L, "click", java.sql.Timestamp.valueOf(ts), 0.0),
+          (-2L, -1L, "purchase", java.sql.Timestamp.valueOf(ts), 0.0))
+          .toDF("event_id", "user_id", "event_type", "ts", "value")
+        // THREE carriers: #1 advances the watermark past every real
+        // window, #2 is the data batch in which the JOIN evicts its
+        // closed outer state (those null rows reach the aggregation
+        // one operator later, under the join-delayed propagated
+        // watermark), #3 is the data batch in which the AGGREGATION
+        // emits its closed windows — each stateful stage needs one
+        // data batch after its input is complete, and the final
+        // no-data flush batch races processAllAvailable
+        writeBatch("b1.parquet", 1000000L, ev)
+        writeBatch("b2.parquet", 2000000L, carrier("2030-01-01 00:00:00"))
+        writeBatch("b3.parquet", 3000000L, carrier("2030-02-01 00:00:00"))
+        writeBatch("b4.parquet", 4000000L, carrier("2030-03-01 00:00:00"))
+        val raw = s.readStream
+          .schema("event_id LONG, user_id LONG, event_type STRING, " +
+            "ts TIMESTAMP, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+        val clicks = raw.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = raw.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "2 hours")
+        // NO in-stream carrier filter: filter(user_id >= 0) between
+        // the join and the agg gets pushed through the join and the
+        // watermark nodes into both scans (constraint propagation
+        // infers p_user >= 0 from the equi-join), killing the carrier
+        // rows before EventTimeWatermark ever sees their timestamps —
+        // the watermark freezes and the last day never emits (measured:
+        // 20/21 windows). Carriers aggregate into their own 2030
+        // windows instead and are dropped AFTER the drain by day.
+        val agg = graft.streaming.StreamOps.intervalJoin(
+            clicks, purchases, "user_id", "p_user", "click_ts", "p_ts",
+            "1 hour")
+          // group by the WINDOW struct itself — projecting .start
+          // before the agg would strip the event-time attribute append
+          // mode needs
+          .groupBy(window(col("click_ts"), "1 day"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("p_user")).as("n_purchases"),
+            Stats.decimalSum(col("p_value")).as("attributed_value"))
+        graft.streaming.StreamOps.runToBatch(s, agg, "append",
+            statePartitions = Some(8))
+          .select(col("window").getField("start").cast("long").as("day"),
+            col("n_rows"), col("n_purchases"),
+            coalesce(col("attributed_value"), lit(0.0))
+              .as("attributed_value"))
+          .filter(col("day") < 1800000000L) // drop the carriers' 2030 windows
+          .orderBy("day")
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |           FROM events
+             |           WHERE event_type = 'click' AND user_id >= 0),
+             |p AS (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+             |      FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT c.click_id, c.click_ts, p.p_user, p.p_value
+             |      FROM c JOIN p ON p_user = user_id
+             |        AND p_ts >= click_ts
+             |        AND p_ts <= click_ts + INTERVAL 1 HOUR)
+             |SELECT CAST(epoch(date_trunc('day', click_ts)) AS BIGINT)
+             |    AS day,
+             |  count(*) AS n_rows,
+             |  count(p_user) AS n_purchases,
+             |  CAST(COALESCE(SUM(CAST(p_value AS DECIMAL(38,4))), 0)
+             |    AS DOUBLE) AS attributed_value
+             |FROM j GROUP BY 1 ORDER BY day""".stripMargin)),
 
     // Exact-integer Naive Bayes classifier (llm/NaiveBayes.scala) —
     // the supervised-scoring capability class (GPT-3's curated-vs-
