@@ -73,10 +73,18 @@ object IndexMaintenance {
     * committed and skips. (The band-key wing doesn't need this —
     * re-appending band keys only adds candidate-join work, its
     * documented "re-append on any doubt" contract.)
+    *
+    * The invariant requires the CHECKPOINT and the INDEX to share a
+    * lifetime. A FRESH checkpoint over a PRE-EXISTING index restarts
+    * batchIds at 0 while the chain sits at some v=B — the naive guard
+    * would silently skip every legitimate fold. Such callers must pass
+    * that starting version as `base` (read `latestVersion` once before
+    * starting the stream); the invariant becomes
+    * `version == base + batchId + 1`.
     */
-  def foldOnce(batchId: Long, latestVersion: Option[Int])(
-      fold: => Unit): Unit =
-    if (!latestVersion.exists(_ >= batchId + 1)) fold
+  def foldOnce(batchId: Long, latestVersion: Option[Int],
+      base: Int = 0)(fold: => Unit): Unit =
+    if (!latestVersion.exists(_ >= base + batchId + 1)) fold
 
   /** The `_dels` sidecar of a table, or None when nothing was ever
     * forgotten.

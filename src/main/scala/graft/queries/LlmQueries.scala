@@ -4722,6 +4722,54 @@ object LlmQueries {
               |  0
               |ORDER BY fam_size""".stripMargin)),
 
+    // Leakage-safe split FROM THE MAINTAINED FAMILY INDEX — q183's
+    // split (every near-dup family lands wholly in train or wholly in
+    // val, keyed by a hash of the family id) computed from q229's
+    // incrementally-folded assignment instead of a global CC recompute.
+    // The split is a pure function of the family table, so it needs no
+    // re-derivation pass of its own — and when a later batch MERGES two
+    // families, their members move TOGETHER to the merged family's
+    // bucket (the only correct behavior: a split that pinned the old
+    // buckets would put provable near-dups on both sides). Hash-matches
+    // q183's one-shot oracle; n_versions = 2 pins batch delivery.
+    "q236_incremental_split" -> Q(
+      (s, d) => {
+        import graft.llm.{FamilyIndex, MinHashIndex}
+        val dd = docs(s, d)
+        val b1 = dd.filter(col("doc_id") < 250)
+        val b2 = dd.filter(col("doc_id") >= 250)
+        val root = graft.queries.Scratch.dir("graft-q236-split")
+        MinHashIndex.build(b1, s"$root/mh", "doc_id", "text")
+        FamilyIndex.build(
+          MinHashDedup.nearDupPairs(b1, "doc_id", "text", threshold = 0.5),
+          s"$root/fam")
+        FamilyIndex.addBatch(s, s"$root/fam",
+          MinHashIndex.incrementalNearDupPairs(s, s"$root/mh", b2, dd,
+            "doc_id", "text", threshold = 0.5))
+        val fam = FamilyIndex.assignment(s, s"$root/fam")
+          .select(col("id").as("doc_id"), col("family"))
+        dd.select("doc_id").join(fam, Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("family"), col("doc_id")))
+          .withColumn("split",
+            when(conv(substring(md5(col("group_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 10 < 8, lit("train"))
+              .otherwise(lit("val")))
+          .withColumn("n_versions",
+            lit(FamilyIndex.latestVersion(s"$root/fam").get.toLong))
+          .select("doc_id", "group_id", "split", "n_versions")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes,
+              |grp AS (SELECT d.doc_id,
+              |    coalesce(c.group_id, d.doc_id) AS group_id
+              |  FROM documents d LEFT JOIN comp c USING (doc_id))
+              |SELECT doc_id, group_id,
+              |  CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)),
+              |    1, 8)) AS BIGINT) % 10 < 8 THEN 'train' ELSE 'val' END
+              |    AS split,
+              |  CAST(2 AS BIGINT) AS n_versions
+              |FROM grp ORDER BY doc_id""".stripMargin)),
+
     // CHAINED stateful operators — the production shape the q225
     // decade analysis names: a stream-stream interval join feeding an
     // event-time windowed aggregation INSIDE the same streaming query

@@ -31,6 +31,20 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(folds == 3)
   }
 
+  test("foldOnce with base: a fresh checkpoint over a pre-existing index folds") {
+    var folds = 0
+    // index already at v=5 from a previous ingest session; a NEW
+    // checkpoint restarts batchIds at 0 — without base the guard would
+    // silently skip every legitimate fold
+    IndexMaintenance.foldOnce(0L, Some(5), base = 5) { folds += 1 }
+    assert(folds == 1)
+    // replay of that batch after its v=6 committed: skipped
+    IndexMaintenance.foldOnce(0L, Some(6), base = 5) { folds += 1 }
+    assert(folds == 1)
+    IndexMaintenance.foldOnce(1L, Some(6), base = 5) { folds += 1 }
+    assert(folds == 2)
+  }
+
   test("foldOnce end-to-end: a replayed Bm25 fold cannot double postings") {
     val path = graft.queries.Scratch.dir("foldonce-bm25")
     val b0 = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
