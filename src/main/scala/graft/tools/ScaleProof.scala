@@ -267,7 +267,8 @@ object ScaleProof {
       "q229_family_index" -> 100,
       "q230_stream_family_ingest" -> 100,
       "q232_nb_classifier" -> 100,
-      "q233_quality_classifier" -> 100)
+      "q233_quality_classifier" -> 100,
+      "q236_incremental_split" -> 100)
     val meter = new ShuffleMeter(spark)
     val out = for {
       (name, maxCopies) <- queries
