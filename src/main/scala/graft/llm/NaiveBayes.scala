@@ -82,6 +82,23 @@ object NaiveBayes {
     (classes, tokenBits)
   }
 
+  /** Persist a trained model (the two tables) at `path` — the model
+    * ships like a codebook: train offline once, load at ingest time,
+    * score every arriving batch with no access to the training corpus.
+    * Overwrite semantics; `classes` is tiny, `tokenBits` is the
+    * |classes| × vocabulary table.
+    */
+  def save(path: String, classes: DataFrame, tokenBits: DataFrame): Unit = {
+    classes.coalesce(1).write.mode("overwrite").parquet(s"$path/classes")
+    tokenBits.coalesce(8).write.mode("overwrite").parquet(s"$path/tokens")
+  }
+
+  /** Load a persisted model. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/classes"),
+      spark.read.parquet(s"$path/tokens"))
+
   /** Per-(doc, class) total surprisal: (idCol, label, score_bits) —
     * the raw scoring surface. Two-class callers turn this into a
     * quality MARGIN (bits(reject) − bits(keep): positive ⇒ keep-like),

@@ -294,6 +294,28 @@ object LlmQueries {
 
   private val bm25Ctes: String = bm25CtesWhere("TRUE")
 
+  /** Bucketed gate-signal FEATURE TOKENS plus the gate pseudo-label in
+    * one signals pass — the fastText-style feature engineering shared
+    * by q233 (offline training + scoring) and q237 (streaming
+    * admission against the persisted model). Returns
+    * (doc_id, ftext, label).
+    */
+  private def qualityFeatures(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = graft.llm.TextPipeline.withQualitySignals(df, "text")
+    sig.select(col("doc_id"), concat_ws(" ",
+      concat(lit("f_len_"), length(bin(col("n_tokens")))),
+      concat(lit("f_alpha_"),
+        floor(coalesce(col("alpha_ratio"), lit(-1.0)) * 20)),
+      concat(lit("f_dwr_"),
+        floor(coalesce(col("distinct_word_ratio"), lit(-1.0)) * 20)),
+      concat(lit("f_rep_"),
+        floor(coalesce(col("top_bigram_frac"), lit(-1.0)) * 50)),
+      concat(lit("f_lang_"), col("lang_id"))).as("ftext"),
+      when(graft.llm.TextPipeline.qualityPredicate(), lit("keep"))
+        .otherwise(lit("cut")).as("label"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact content dedup: one survivor (min doc_id) per distinct text.
@@ -4770,6 +4792,124 @@ object LlmQueries {
               |  CAST(2 AS BIGINT) AS n_versions
               |FROM grp ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING classifier admission against a PERSISTED model — the
+    // deployment shape of q233: the quality classifier trains OFFLINE
+    // on the full corpus's gate pseudo-labels and ships as a saved
+    // model artifact (NaiveBayes.save — two parquet tables, like a
+    // codebook); at ingest, each REAL microbatch builds its feature
+    // tokens, scores against the LOADED model, and only margin-positive
+    // docs are admitted — the training corpus is never touched at
+    // ingest time. Scoring is per-doc and batch-local (no cross-batch
+    // state), so admission decisions are independent of batching and
+    // the accumulated admissions hash-match the one-shot margin filter;
+    // n_batches = 2 pins real delivery.
+    "q237_stream_classifier_admission" -> Q(
+      (s, d) => {
+        import graft.llm.NaiveBayes
+        val dd = docs(s, d)
+        val root = graft.queries.Scratch.dir("graft-q237-admission")
+        // offline: train on the full corpus's pseudo-labels, persist
+        val (c0, t0) = NaiveBayes.train(
+          qualityFeatures(dd).localCheckpoint(), "doc_id", "label",
+          col("ftext"))
+        NaiveBayes.save(s"$root/model", c0, t0)
+        // ingest: two microbatches scored against the loaded model
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        val feed = dd.select("doc_id", "text", "lang")
+        writeBatch("b1.parquet", 1000000L, feed.filter(col("doc_id") < 250))
+        writeBatch("b2.parquet", 2000000L, feed.filter(col("doc_id") >= 250))
+        val (cl, tb) = NaiveBayes.load(s, s"$root/model")
+        var batches = 0
+        s.readStream
+          .schema("doc_id LONG, text STRING, lang STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            batches += 1
+            val sc = NaiveBayes.scores(qualityFeatures(b), "doc_id",
+              col("ftext"), cl, tb)
+            sc.filter(col("label") === "cut")
+              .select(col("doc_id"), col("score_bits").as("cut_bits"))
+              .join(sc.filter(col("label") === "keep")
+                .select(col("doc_id"), col("score_bits").as("keep_bits")),
+                Seq("doc_id"))
+              .filter(col("cut_bits") > col("keep_bits"))
+              .select(col("doc_id"),
+                (col("cut_bits") - col("keep_bits")).as("margin_bits"))
+              .write.mode("append").parquet(s"$root/admitted")
+          }
+          .start().awaitTermination()
+        require(batches == 2, "expected two delivered microbatches")
+        s.read.parquet(s"$root/admitted")
+          .withColumn("n_batches", lit(2L))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $gateCtes,
+             |feat AS (SELECT s.doc_id,
+             |    'f_len_' || length(bin(s.n_tokens)) || ' ' ||
+             |    'f_alpha_' || CAST(floor(COALESCE(s.alpha_ratio, -1)
+             |      * 20) AS BIGINT) || ' ' ||
+             |    'f_dwr_' || CAST(floor(COALESCE(s.distinct_word_ratio,
+             |      -1) * 20) AS BIGINT) || ' ' ||
+             |    'f_rep_' || CAST(floor(COALESCE(s.top_bigram_frac, -1)
+             |      * 50) AS BIGINT) || ' ' ||
+             |    'f_lang_' || l.lang_id AS text
+             |  FROM sig s JOIN lang l USING (doc_id)),
+             |lab AS (SELECT f.doc_id,
+             |    CASE WHEN k.doc_id IS NOT NULL THEN 'keep'
+             |         ELSE 'cut' END AS label, f.text
+             |  FROM feat f LEFT JOIN kept k USING (doc_id)),
+             |tt AS (SELECT doc_id, label,
+             |    unnest(string_split(text, ' ')) AS t FROM lab),
+             |v AS (SELECT count(DISTINCT t) AS v FROM tt),
+             |ct AS (SELECT label, t, count(*) AS n_ct FROM tt
+             |       GROUP BY label, t),
+             |ctot AS (SELECT label, sum(n_ct) AS n_tokens FROM ct
+             |         GROUP BY label),
+             |cdocs AS (SELECT label, count(*) AS n_docs FROM lab
+             |          GROUP BY label),
+             |dtot AS (SELECT count(*) AS d FROM lab),
+             |cls AS (SELECT c.label,
+             |    CAST(length(bin(d // n_docs)) - 1 AS BIGINT)
+             |      AS prior_bits,
+             |    CAST(length(bin(n_tokens + v)) - 1 AS BIGINT)
+             |      AS oov_bits
+             |  FROM cdocs c JOIN ctot USING (label)
+             |  CROSS JOIN dtot CROSS JOIN v),
+             |tb AS (SELECT ct.label, ct.t,
+             |    CAST(length(bin((n_tokens + v) // (n_ct + 1))) - 1
+             |      AS BIGINT) AS bits
+             |  FROM ct JOIN ctot USING (label) CROSS JOIN v),
+             |te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM feat),
+             |st AS (SELECT te.doc_id, cls.label,
+             |    COALESCE(tb.bits, cls.oov_bits) AS bits
+             |  FROM te CROSS JOIN cls
+             |  LEFT JOIN tb ON tb.label = cls.label AND tb.t = te.t),
+             |sc AS (SELECT st.doc_id, st.label,
+             |    sum(st.bits) + any_value(cls.prior_bits) AS score_bits
+             |  FROM st JOIN cls USING (label)
+             |  GROUP BY st.doc_id, st.label)
+             |SELECT c.doc_id,
+             |  CAST(c.score_bits - k.score_bits AS BIGINT) AS margin_bits,
+             |  CAST(2 AS BIGINT) AS n_batches
+             |FROM (SELECT * FROM sc WHERE label = 'cut') c
+             |JOIN (SELECT * FROM sc WHERE label = 'keep') k
+             |  USING (doc_id)
+             |WHERE c.score_bits > k.score_bits
+             |ORDER BY c.doc_id""".stripMargin)),
+
     // CHAINED stateful operators — the production shape the q225
     // decade analysis names: a stream-stream interval join feeding an
     // event-time windowed aggregation INSIDE the same streaming query
@@ -4991,21 +5131,7 @@ object LlmQueries {
       (s, d) => {
         import graft.llm.NaiveBayes
         val dd = docs(s, d)
-        // one signals pass feeds BOTH the feature tokens and the
-        // pseudo-label (qualityPredicate on the same annotated frame —
-        // re-annotating through qualityFilter measured 2x the cost)
-        val sig = graft.llm.TextPipeline.withQualitySignals(dd, "text")
-        val labeled = sig.select(col("doc_id"), concat_ws(" ",
-          concat(lit("f_len_"), length(bin(col("n_tokens")))),
-          concat(lit("f_alpha_"),
-            floor(coalesce(col("alpha_ratio"), lit(-1.0)) * 20)),
-          concat(lit("f_dwr_"),
-            floor(coalesce(col("distinct_word_ratio"), lit(-1.0)) * 20)),
-          concat(lit("f_rep_"),
-            floor(coalesce(col("top_bigram_frac"), lit(-1.0)) * 50)),
-          concat(lit("f_lang_"), col("lang_id"))).as("ftext"),
-          when(graft.llm.TextPipeline.qualityPredicate(), lit("keep"))
-            .otherwise(lit("cut")).as("label"))
+        val labeled = qualityFeatures(dd)
           .localCheckpoint() // two consumers (train, score) — one pass
         val (classes, tokenBits) = NaiveBayes.train(
           labeled, "doc_id", "label", col("ftext"))

@@ -131,7 +131,8 @@ class PlanSpec extends AnyFunSuite {
       "q228_stream_takedown",    // same, via the streamed fold
       "q232_nb_classifier",      // tokens x broadcast CLASS LIST (|classes|~5)
       "q233_quality_classifier", // same, 2-class quality margin
-      "q234_stream_windowed_quantiles") // 3-row percentile spec (q157's class)
+      "q234_stream_windowed_quantiles", // 3-row percentile spec (q157's class)
+      "q237_stream_classifier_admission") // q233's class-list broadcast at ingest
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       if (broadcastByDesign(name)) {
