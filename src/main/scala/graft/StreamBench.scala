@@ -144,13 +144,12 @@ object StreamBench {
     indexIngest("family_ingest_throughput", "graft-streambench-family",
       sfDir, cpus, batches)(
       (b0, idx) => {
-        // cache: the fold has several consumers (band keys twice, the
-        // append, the pair generator) and each would re-execute the
-        // microbatch source scan — the q181 lesson, measured as
-        // numInputRows ≈ 2.4x the admitted rows before the cache
+        // cache: the fold has several consumers (band keys, the pair
+        // generator's verify) and each would re-execute the microbatch
+        // source scan — the q181 lesson, measured as numInputRows ≈
+        // 2.4x the admitted rows before the cache
         val b = b0.persist()
         try {
-          graft.llm.MinHashIndex.build(b, s"$idx/mh", "doc_id", "text")
           graft.llm.FamilyIndex.build(
             graft.llm.MinHashDedup.nearDupPairs(b, "doc_id", "text",
               threshold = 0.5), s"$idx/fam")
@@ -166,12 +165,18 @@ object StreamBench {
           graft.llm.FamilyIndex.addBatch(s, s"$idx/fam",
             graft.llm.MinHashIndex.incrementalNearDupPairs(s, s"$idx/mh",
               b, allDocs, "doc_id", "text", threshold = 0.5))
-          graft.llm.MinHashIndex.append(b, s"$idx/mh", "doc_id", "text")
         } finally { b.unpersist(); () }
       },
       (s, idx, _) => graft.llm.FamilyIndex.assignment(s, s"$idx/fam")
         .filter(col("id") =!= col("family")).count(),
-      idx => graft.llm.FamilyIndex.latestVersion(s"$idx/fam").getOrElse(0))
+      idx => graft.llm.FamilyIndex.latestVersion(s"$idx/fam").getOrElse(0),
+      // band writes OUTSIDE the foldOnce guard (see indexIngest): the
+      // probe inside the fold reads the pre-batch index state, and a
+      // replay after a committed fold must still land the batch's keys
+      after = (s, b, idx) =>
+        if (!new java.io.File(s"$idx/mh").exists())
+          graft.llm.MinHashIndex.build(b, s"$idx/mh", "doc_id", "text")
+        else graft.llm.MinHashIndex.append(b, s"$idx/mh", "doc_id", "text"))
 
   /** BM25 index-maintenance throughput: stream a replicated documents
     * corpus (doc-id offsets keep batches doc-disjoint, the index's
@@ -455,7 +460,14 @@ object StreamBench {
       build: (org.apache.spark.sql.DataFrame, String) => Unit,
       add: (SparkSession, org.apache.spark.sql.DataFrame, String) => Unit,
       prove: (SparkSession, String, org.apache.spark.sql.DataFrame) => Long,
-      versionsOf: String => Int): Unit = {
+      versionsOf: String => Int,
+      // band-wing writes that must run OUTSIDE the foldOnce guard: a
+      // crash between the versioned fold's commit and this hook replays
+      // the batch with the fold skipped, and the hook must still run
+      // (re-appending band keys is recall-harmless per the wing
+      // contract; skipping them loses the batch's keys forever)
+      after: (SparkSession, org.apache.spark.sql.DataFrame, String) => Unit =
+        (_, _, _) => ()): Unit = {
     val targetDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -495,6 +507,7 @@ object StreamBench {
             Some(versionsOf(idx)).filter(_ > 0)) {
           if (versionsOf(idx) == 0) build(b, idx) else add(spark, b, idx)
         }
+        after(spark, b, idx)
       }
       .start()
     q.awaitTermination()

@@ -88,6 +88,22 @@ object Bm25Index {
       throw new IllegalStateException(s"no Bm25Index at $path"))
     val cached = docs.persist() // see build() — four consumers, one scan
     try {
+      // enforce (not just document) the no-re-add-while-tombstoned
+      // contract: a violating re-add would both hide the new postings
+      // (the search anti-join filters them) and inflate df/stats with
+      // contributions scoring never sees — a silent parity break. The
+      // check costs nothing on the common no-deletes path (tombstones
+      // is None) and one small broadcast semi-join count otherwise.
+      tombstones(spark, path,
+          IndexVersions.committed(s"$path/df").sorted.filter(_ <= v))
+        .foreach { dd =>
+          val n = cached.select(col(idCol).cast("long").as("did")).distinct()
+            .join(broadcast(dd), Seq("did"), "left_semi").count()
+          require(n == 0L, s"addBatch: $n batch doc ids are live-" +
+            s"tombstoned at $path — re-adding while the tombstone is " +
+            "live silently breaks scoring parity (compact first to " +
+            "materialize the deletes and free the ids)")
+        }
       val (tf, len) = Bm25.postings(cached, idCol, textCol)
       val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
         .unionByName(spark.read.parquet(s"$path/df/v=$v"))
@@ -178,8 +194,9 @@ object Bm25Index {
     * column is taken as the document id. One extra contract beside
     * addBatch's doc-disjointness: a tombstoned id must not be re-added
     * while its tombstone is live — the anti-join would silently hide
-    * the new postings. After a [[compact]] the tombstone is gone and
-    * the id is free again.
+    * the new postings ([[addBatch]] enforces this with a runtime
+    * guard). After a [[compact]] the tombstone is gone and the id is
+    * free again.
     */
   def deleteDocs(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val v = latestVersion(path).getOrElse(

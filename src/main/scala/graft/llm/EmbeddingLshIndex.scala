@@ -78,14 +78,14 @@ object EmbeddingLshIndex {
     * band-key wing, mirroring [[Bm25Index.deleteDocs]] in the exact
     * tier. The big tables (`bands/`, `vecs/`) are flat-append and at
     * 100 TB a physical delete would rewrite them, so forgetting is an
-    * APPEND of the ids to a third flat table `dels/`, and every probe
+    * APPEND of the ids to a third flat table `_dels/`, and every probe
     * anti-joins its history side against it (broadcast — the tombstone
     * set is small by construction). [[compact]] materializes the
     * tombstones: the successor's tables are physically filtered and
-    * carry no `dels/`.
+    * carry no `_dels/`.
     *
     * Crash semantics extend the wing's "re-append on any doubt": a
-    * torn dels append = a partially applied delete; retry re-appends,
+    * torn _dels append = a partially applied delete; retry re-appends,
     * and duplicate tombstone rows are absorbed by the anti-join. A
     * forgotten id must not be re-ingested while its tombstone is live
     * (the anti-join would hide the new rows); after a compact the id
@@ -93,14 +93,14 @@ object EmbeddingLshIndex {
     */
   def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
     ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
-      .coalesce(1).write.mode("append").parquet(s"$path/dels")
+      .coalesce(1).write.mode("append").parquet(s"$path/_dels")
 
   /** `t` minus tombstoned ids (no-op when nothing was ever forgotten). */
   private def minusDels(spark: SparkSession, path: String,
       t: DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/dels")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_dels")
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) t
-    else t.join(broadcast(spark.read.parquet(s"$path/dels")),
+    else t.join(broadcast(spark.read.parquet(s"$path/_dels")),
       Seq("id"), "left_anti")
   }
 
@@ -148,7 +148,7 @@ object EmbeddingLshIndex {
   def compact(spark: SparkSession, path: String, outPath: String,
       targetFiles: Int = 8): Unit = {
     // materialize tombstones during the rewrite: the successor's
-    // tables physically exclude forgotten ids and carry no dels/
+    // tables physically exclude forgotten ids and carry no _dels/
     minusDels(spark, path, spark.read.parquet(s"$path/vecs"))
       .coalesce(targetFiles).write.mode("overwrite").parquet(s"$outPath/vecs")
     minusDels(spark, path, spark.read.parquet(s"$path/bands"))

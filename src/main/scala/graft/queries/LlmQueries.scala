@@ -4659,24 +4659,35 @@ object LlmQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ck")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
-            // exactly-once on the family chain (a replayed band append
-            // is recall-harmless, but the version pin must hold)
-            graft.llm.IndexMaintenance.foldOnce(bid,
-                FamilyIndex.latestVersion(fam)) {
-            if (FamilyIndex.latestVersion(fam).isEmpty) {
+            // foldOnce guards ONLY the version-bumping family fold; the
+            // band-wing writes sit OUTSIDE it. A crash between the
+            // family commit and the band append replays the batch with
+            // the fold skipped — the append must still run, or the
+            // batch's band keys are lost forever and every later
+            // incremental probe silently misses pairs against it. A
+            // replayed append only duplicates band keys (recall-
+            // harmless per the wing's "re-append on any doubt"
+            // contract); a replayed build is an idempotent overwrite.
+            if (bid == 0L) {
               MinHashIndex.build(b, mh, "doc_id", "text")
-              FamilyIndex.build(MinHashDedup.nearDupPairs(
-                b, "doc_id", "text", threshold = 0.5), fam)
+              graft.llm.IndexMaintenance.foldOnce(bid,
+                  FamilyIndex.latestVersion(fam)) {
+                FamilyIndex.build(MinHashDedup.nearDupPairs(
+                  b, "doc_id", "text", threshold = 0.5), fam)
+              }
             } else {
               // history text is not re-read: verification joins the
               // batch ∪ already-delivered docs, which at ingest time is
-              // exactly the corpus prefix the band keys cover
+              // exactly the corpus prefix the band keys cover. Lazy —
+              // a skipped fold never evaluates it.
               val delivered = s.read.parquet(s"$src/*.parquet")
-              FamilyIndex.addBatch(s, fam,
-                MinHashIndex.incrementalNearDupPairs(s, mh, b, delivered,
-                  "doc_id", "text", threshold = 0.5))
+              val pairs = MinHashIndex.incrementalNearDupPairs(s, mh, b,
+                delivered, "doc_id", "text", threshold = 0.5)
+              graft.llm.IndexMaintenance.foldOnce(bid,
+                  FamilyIndex.latestVersion(fam)) {
+                FamilyIndex.addBatch(s, fam, pairs)
+              }
               MinHashIndex.append(b, mh, "doc_id", "text")
-            }
             }
           }
           .start().awaitTermination()
@@ -4827,7 +4838,6 @@ object LlmQueries {
         writeBatch("b1.parquet", 1000000L, feed.filter(col("doc_id") < 250))
         writeBatch("b2.parquet", 2000000L, feed.filter(col("doc_id") >= 250))
         val (cl, tb) = NaiveBayes.load(s, s"$root/model")
-        var batches = 0
         s.readStream
           .schema("doc_id LONG, text STRING, lang STRING")
           .option("maxFilesPerTrigger", 1)
@@ -4835,8 +4845,13 @@ object LlmQueries {
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$root/ck")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            batches += 1
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // idempotent per batch: foreachBatch is at-least-once, and
+            // a plain append would duplicate a replayed batch's rows.
+            // Scoring is batch-local and deterministic, so OVERWRITING
+            // the batch's own partition dir makes replay a no-op — and
+            // the committed dirs, not a driver counter (which would
+            // count replays), are what the n_batches pin reads.
             val sc = NaiveBayes.scores(qualityFeatures(b), "doc_id",
               col("ftext"), cl, tb)
             sc.filter(col("label") === "cut")
@@ -4847,11 +4862,14 @@ object LlmQueries {
               .filter(col("cut_bits") > col("keep_bits"))
               .select(col("doc_id"),
                 (col("cut_bits") - col("keep_bits")).as("margin_bits"))
-              .write.mode("append").parquet(s"$root/admitted")
+              .write.mode("overwrite").parquet(s"$root/admitted/batch=$bid")
           }
           .start().awaitTermination()
-        require(batches == 2, "expected two delivered microbatches")
-        s.read.parquet(s"$root/admitted")
+        val committedBatches = Option(new java.io.File(s"$root/admitted")
+            .listFiles()).map(_.count(f =>
+          f.isDirectory && f.getName.startsWith("batch="))).getOrElse(0)
+        require(committedBatches == 2, "expected two delivered microbatches")
+        s.read.parquet(s"$root/admitted").drop("batch")
           .withColumn("n_batches", lit(2L))
           .orderBy("doc_id")
       },

@@ -124,10 +124,10 @@ class EmbeddingLshIndexSpec extends AnyFunSuite {
       col("embedding"))
     assert(EmbeddingLshIndex.cleanseWith(spark, s"$dir/idx", gid1copy,
       threshold = 0.9).count() == 1L)
-    // compact materializes: successor has no dels/, filtered tables,
+    // compact materializes: successor has no _dels/, filtered tables,
     // identical probe decisions
     EmbeddingLshIndex.compact(spark, s"$dir/idx", s"$dir/idx2", targetFiles = 1)
-    assert(!new java.io.File(s"$dir/idx2/dels").exists())
+    assert(!new java.io.File(s"$dir/idx2/_dels").exists())
     assert(spark.read.parquet(s"$dir/idx2/vecs")
       .filter(col("id").isin(1L, 2L, 3L)).isEmpty)
     assert(pairs(s"$dir/idx2") == Set((0L, 500L)))
