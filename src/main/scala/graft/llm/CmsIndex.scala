@@ -20,10 +20,14 @@ import graft.operators.CountMin
   * vocabulary-sized aggregation over the NEW batch plus a union with the
   * ≤1024-row current cells; history is never rescanned.
   *
-  * Writes are versioned (`v=N` subdirs, monotonically increasing) so an
-  * add never overwrites the directory it is reading — the same
-  * copy-on-write posture as the streaming MERGE sink, minus its vacuum
-  * machinery (a 1024-row table per version costs nothing to keep).
+  * DELTA-COMPOSED ([[DeltaChain]], the family-wide posture): each add
+  * writes only the batch's cell aggregate as `delta/v=N`; reads
+  * compose by elementwise addition over the last snapshot and
+  * [[compact]] folds the deltas back. For THIS member the win is
+  * uniformity more than scale — the cell table is ≤1024 rows at any
+  * corpus size, so its copy-on-write form cost nothing — but one
+  * layout across the exact wing means one crash contract and one
+  * vacuum to reason about.
   *
   * Estimates never undercount (CMS guarantee); probes hashing to cells
   * the corpus never touched estimate 0 via the left join.
@@ -51,40 +55,41 @@ object CmsIndex {
         cellExpr(col("j"), col("h")).as("cell"), col("n"))
       .groupBy("j", "cell").agg(sum(col("n")).as("cnt"))
 
-  /** Latest COMMITTED version (see [[IndexVersions]]: a crashed write
-    * leaves a `v=N` dir without `_SUCCESS`, which is invisible here and
-    * healed by the next add's overwrite).
+  /** Latest COMMITTED version (build = 1, +1 per fold; compaction does
+    * not advance it — see [[DeltaChain.latest]]).
     */
-  def latestVersion(path: String): Option[Int] = IndexVersions.latest(path)
+  def latestVersion(path: String): Option[Int] = DeltaChain.latest(path)
 
   /** Build the index from an initial batch of poly-hashed tokens
     * (column `h`); starts the version chain at v=1. Overwrite mode
     * heals a torn `v=1` left by a crashed earlier attempt.
     */
   def build(toks: DataFrame, path: String): Unit =
-    cells(toks).write.mode("overwrite").parquet(s"$path/v=1")
+    DeltaChain.writeBase(cells(toks), path, 1)
 
-  /** Fold a new batch into the index: new cells ⊕ current cells →
-    * next version. Exact — see the scaladoc. The target version is
-    * `latest committed + 1`, so a retry after a crash overwrites only
-    * the torn, never-readable directory.
+  /** Fold a new batch into the index: the batch's cells alone become
+    * the next delta. Exact — see the scaladoc. A retry after a crash
+    * overwrites only the torn, never-readable directory.
     */
   def addBatch(spark: SparkSession, path: String, toks: DataFrame): Unit = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalStateException(s"no CmsIndex at $path"))
-    val cur = spark.read.parquet(s"$path/v=$v")
-    cells(toks).unionByName(cur)
-      .groupBy("j", "cell").agg(sum(col("cnt")).as("cnt"))
-      .write.mode("overwrite").parquet(s"$path/v=${v + 1}")
+    DeltaChain.writeDelta(cells(toks), path, v + 1)
   }
+
+  /** The composed cell table (snapshot ⊕ live deltas, elementwise). */
+  def cellTable(spark: SparkSession, path: String): DataFrame =
+    DeltaChain.composedSum(spark, path, Seq("j", "cell"), "cnt")
+
+  /** Fold the live deltas into a new snapshot. Returns its version. */
+  def compact(spark: SparkSession, path: String): Int =
+    DeltaChain.compactSum(spark, path, Seq("j", "cell"), "cnt")
 
   /** Frequency estimates for a probe frame carrying key column `w` and
     * its poly-hash `h`: min over the depth rows, 0 for untouched cells.
     */
   def estimates(spark: SparkSession, path: String, probes: DataFrame): DataFrame = {
-    val v = latestVersion(path).getOrElse(
-      throw new IllegalStateException(s"no CmsIndex at $path"))
-    val cur = spark.read.parquet(s"$path/v=$v")
+    val cur = cellTable(spark, path)
     probes
       .withColumn("j", explode(sequence(lit(0), lit(Depth - 1))))
       .withColumn("j", col("j").cast("int"))
@@ -93,11 +98,7 @@ object CmsIndex {
       .groupBy("w")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
-  /** Delete superseded versions in place (reads touch only the latest
-    * committed version, so `v < latest` is dead weight — see
-    * [[IndexMaintenance.vacuumChain]] for the full safety contract).
-    * Returns the number of directories removed.
-    */
+  /** Reclaim superseded directories (see [[DeltaChain.vacuum]]). */
   def vacuum(spark: SparkSession, path: String): Int =
-    IndexMaintenance.vacuumChain(spark, path)
+    DeltaChain.vacuum(spark, path)
 }

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * family assignment without ever re-running connected components
   * over the corpus's full edge set.
   *
-  * The index is the assignment table `(id, family)`, `family` = the
-  * minimum id reachable in the pair graph — exactly
+  * The logical index is the assignment table `(id, family)`, `family`
+  * = the minimum id reachable in the pair graph — exactly
   * [[graft.operators.ConnectedComponents.run]]'s contract, so
   * survivor selection ([[graft.operators.Dedup.byNearDupPairs]]'
   * min-id rule) and leakage-safe splitting (q183) read it directly.
@@ -23,54 +23,65 @@ import org.apache.spark.sql.functions._
   * family representative, and CC then runs on the CONTRACTED edge
   * list — (family(a), family(b)) for old endpoints, raw ids for new
   * ones — whose size is bounded by the BATCH's pairs, never the
-  * corpus. A batch edge that links two old families triggers a
-  * REASSIGNMENT of both families' members to the merged minimum,
-  * implemented as a broadcast remap join over the assignment table.
-  * Representatives are min-ids, so the contracted minimum IS the
-  * global minimum of the merged component: parity with a one-shot CC
-  * over the union of all folded pairs is EXACT, id for id (pinned in
-  * FamilyIndexSpec against random graphs, and by q229's oracle).
+  * corpus. Representatives are min-ids, so the contracted minimum IS
+  * the global minimum of the merged component: parity with a one-shot
+  * CC over the union of all folded pairs is EXACT, id for id (pinned
+  * in FamilyIndexSpec against random graphs, and by q229's oracle).
   *
-  * Scale shape per batch: one broadcast semi-join to pull the touched
-  * assignment rows (batch-bounded), CC on the contracted graph
-  * (batch-bounded), one scan-plus-broadcast-remap rewrite of the
-  * assignment table. Nothing shuffles at corpus size — the rewrite is
-  * a map-side job — but it IS a corpus-sized WRITE per batch
-  * (copy-on-write, the [[LineDedupIndex]] posture). At extreme batch
-  * cadence, persist the remaps as deltas instead and compose them at
-  * read time; the copy-on-write form is the parity-obvious one.
+  * DELTA-COMPOSED ([[DeltaChain]] layout): a fold writes ONLY the
+  * batch's outcome as `delta/v=N` — rows `(id, family, kind)` where
+  * `kind='new'` assigns a first-seen id and `kind='remap'` records a
+  * family-representative merge `(old rep → new rep)`. [[assignment]]
+  * composes at read time: remap tables are CHAINED in version order
+  * (substitution composition — rep chains fully resolved), then one
+  * broadcast join maps every base/new row's family through the
+  * composed remap. This is sound because a min-id representative,
+  * once merged away, can never become a representative again (its
+  * component forever contains a smaller id), so remap domains across
+  * batches are disjoint after in-order resolution; applying the fully
+  * composed remap to ALL rows is therefore exact. The copy-on-write
+  * form this replaces rewrote the corpus-sized assignment every fold
+  * (measured: the family ingest mode ran at a tenth of the
+  * append-shaped wings' rate, flat but 10× the constant); per-batch
+  * write is now ∝ batch, and [[compact]] folds the composed view back
+  * into a snapshot on the operator's cadence, not the stream's.
   *
-  * Versioned `v=N` writes with `_SUCCESS` commit markers
-  * ([[IndexVersions]]); [[vacuum]] reclaims superseded versions
-  * ([[IndexMaintenance.vacuumChain]] — reads touch only the latest).
+  * Remap tables are broadcast-sized by construction (≤ families
+  * merged per batch ≤ batch pairs) — the same envelope the
+  * copy-on-write fold's broadcast remap join already assumed.
   */
 object FamilyIndex {
 
-  /** Latest COMMITTED version (see [[IndexVersions]]). */
-  def latestVersion(path: String): Option[Int] = IndexVersions.latest(path)
+  /** Latest COMMITTED version (build = 1, +1 per fold; compaction does
+    * not advance it — see [[DeltaChain.latest]]).
+    */
+  def latestVersion(path: String): Option[Int] = DeltaChain.latest(path)
 
-  /** Start the index (v=1) from an initial pair batch `(id_a, id_b)`.
-    * Ids in no pair don't appear — read-side callers left-join and
-    * `coalesce(family, id)`, same universe contract as CC itself.
+  /** Start the index (v=1 snapshot) from an initial pair batch
+    * `(id_a, id_b)`. Ids in no pair don't appear — read-side callers
+    * left-join and `coalesce(family, id)`, same universe contract as
+    * CC itself.
     */
   def build(pairs: DataFrame, path: String): Unit =
-    graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
-      .withColumnRenamed("component", "family")
-      .write.mode("overwrite").parquet(s"$path/v=1")
+    DeltaChain.writeBase(
+      graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .withColumnRenamed("component", "family"), path, 1)
 
   /** Fold a new pair batch into the index. Pairs may touch old ids,
     * new ids, or bridge the two; old families linked by a batch edge
-    * are merged to their common minimum.
+    * are merged to their common minimum. Writes only the batch-bounded
+    * delta (new-id assignments + rep remaps).
     */
   def addBatch(spark: SparkSession, path: String, pairs: DataFrame): Unit = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalStateException(s"no FamilyIndex at $path"))
-    val cur = spark.read.parquet(s"$path/v=$v")
+    val cur = assignment(spark, path)
     val p = pairs.select("id_a", "id_b").localCheckpoint()
     val ids = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
     // assignment rows of batch-touched OLD ids: batch-bounded, pulled
-    // with a broadcast semi-join (the corpus table only streams past)
+    // with a broadcast semi-join (the corpus table only streams past —
+    // a READ; nothing corpus-sized is ever written here)
     val touched = cur.join(broadcast(ids), Seq("id"), "left_semi")
       .localCheckpoint()
     // contract old endpoints to their family representative
@@ -87,33 +98,69 @@ object FamilyIndex {
       .run(contracted, "id_a", "id_b")
       .withColumnRenamed("component", "family")
       .localCheckpoint()
-    // old members follow their rep through the merge (broadcast remap;
-    // families untouched by the batch keep their family unchanged)
-    val remap = merged.select(col("id").as("family"),
-      col("family").as("new_family"))
-    val updatedOld = cur.join(broadcast(remap), Seq("family"), "left")
-      .select(col("id"),
-        coalesce(col("new_family"), col("family")).as("family"))
-    // contracted nodes that are NOT old family reps are the new ids
-    val newIdRows = merged.join(
-      broadcast(touched.select(col("family").as("id")).distinct()),
-      Seq("id"), "left_anti")
-    updatedOld.unionByName(newIdRows)
-      .write.mode("overwrite").parquet(s"$path/v=${v + 1}")
+    val oldReps = touched.select(col("family").as("id")).distinct()
+    // contracted nodes that ARE old reps and moved → remap rows; the
+    // rest are first-seen ids → new rows. Old member rows are NOT
+    // rewritten — the read path routes them through the remap chain.
+    val remapRows = merged.join(broadcast(oldReps), Seq("id"), "left_semi")
+      .filter(col("id") =!= col("family"))
+      .select(col("id"), col("family"), lit("remap").as("kind"))
+    val newRows = merged.join(broadcast(oldReps), Seq("id"), "left_anti")
+      .select(col("id"), col("family"), lit("new").as("kind"))
+    DeltaChain.writeDelta(remapRows.unionByName(newRows), path, v + 1)
+  }
+
+  /** Compose two rep-remap tables `(from, to)` in version order:
+    * `(r1 ⨾ r2)(x) = r2(r1(x))` where defined, with r2's fresh
+    * domain entries carried over — substitution that fully resolves
+    * rep chains (5→3 then 3→1 composes to 5→1 AND 3→1).
+    */
+  private def composeRemaps(r1: DataFrame, r2: DataFrame): DataFrame = {
+    val r2r = r2.select(col("from").as("_f2"), col("to").as("_t2"))
+    val chained = r1.join(r2r, r1("to") === col("_f2"), "left")
+      .select(r1("from").as("from"),
+        coalesce(col("_t2"), r1("to")).as("to"))
+    val fresh = r2.join(r1.select(col("from")), Seq("from"), "left_anti")
+    chained.unionByName(fresh)
   }
 
   /** The current assignment `(id, family)` — every id that ever
-    * appeared in a folded pair.
+    * appeared in a folded pair, read through the composed delta chain:
+    * base ∪ new-rows, families routed through the chained remaps.
     */
   def assignment(spark: SparkSession, path: String): DataFrame = {
-    val v = latestVersion(path).getOrElse(
+    val b = DeltaChain.latestBase(path).getOrElse(
       throw new IllegalStateException(s"no FamilyIndex at $path"))
-    spark.read.parquet(s"$path/v=$v")
+    val base = spark.read.parquet(s"$path/base/v=$b")
+    val dvs = DeltaChain.liveDeltaVersions(path)
+    if (dvs.isEmpty) base
+    else {
+      val deltas = dvs.map(dv => spark.read.parquet(s"$path/delta/v=$dv"))
+      val rows = (base +: deltas.map(_.filter(col("kind") === "new")
+        .select("id", "family"))).reduce(_ unionByName _)
+      val remaps = deltas.map(_.filter(col("kind") === "remap")
+        .select(col("id").as("from"), col("family").as("to")))
+      // tiny tables (broadcast-sized by construction) — checkpoint the
+      // composed chain so repeated reads don't re-run the fold lineage
+      val composed = remaps.reduce(composeRemaps).localCheckpoint()
+      rows.join(broadcast(composed), rows("family") === composed("from"),
+          "left")
+        .select(rows("id"), coalesce(col("to"), rows("family")).as("family"))
+    }
   }
 
-  /** Delete superseded versions in place (reads touch only the latest
-    * committed version — see [[IndexMaintenance.vacuumChain]]).
+  /** Fold the live deltas into a new snapshot carrying the latest
+    * version ("composed through N"). Returns the snapshot version.
     */
+  def compact(spark: SparkSession, path: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no FamilyIndex at $path"))
+    if (!DeltaChain.latestBase(path).contains(v))
+      DeltaChain.writeBase(assignment(spark, path), path, v)
+    v
+  }
+
+  /** Reclaim superseded directories (see [[DeltaChain.vacuum]]). */
   def vacuum(spark: SparkSession, path: String): Int =
-    IndexMaintenance.vacuumChain(spark, path)
+    DeltaChain.vacuum(spark, path)
 }

@@ -14,61 +14,68 @@ import org.apache.spark.sql.functions._
   * so build(b₁) ⊕ add(b₂) equals a from-scratch count over b₁ ∪ b₂
   * line-for-line, PROVIDED batches are disjoint in documents (the same
   * precondition WinnowIndex enforces with an id anti-join; here a
-  * re-delivered doc would double its lines' df). Each add aggregates
-  * only the NEW batch and unions with the current table; the corpus is
-  * never rescanned.
+  * re-delivered doc would double its lines' df).
   *
-  * Unlike CmsIndex's ≤1024-row cells, the df table is vocabulary-sized
-  * (one row per distinct line). At 100 TB that is still the right shape:
-  * it is the SAME table LineDedup's one-shot pass shuffles to build, and
-  * only the `df > maxDf` slice — small by construction — ever leaves the
-  * index for the broadcast anti-join in `cleanWith`.
-  *
-  * Versioned `v=N` writes, copy-on-write, Hadoop-FS listing — the shared
-  * posture of the index family.
+  * DELTA-COMPOSED ([[DeltaChain]]): each add writes only the BATCH's
+  * own df aggregate as `delta/v=N`; reads compose (union + re-sum) the
+  * live deltas over the last full snapshot, and [[compact]] folds them
+  * back into one. Per-batch write ∝ batch — the copy-on-write form
+  * this replaces rewrote the vocabulary-sized cumulative table every
+  * fold, the one upkeep term that scaled with the corpus instead of
+  * the batch. The df table is vocabulary-sized (one row per distinct
+  * line); at 100 TB that is still the right shape — it is the SAME
+  * table LineDedup's one-shot pass shuffles to build, and only the
+  * `df > maxDf` slice — small by construction — ever leaves the index
+  * for the broadcast anti-join in `cleanWith`.
   */
 object LineDedupIndex {
 
-  /** Latest COMMITTED version (see [[IndexVersions]]: a crashed write
-    * leaves a `v=N` dir without `_SUCCESS`, which is invisible here and
-    * healed by the next add's overwrite).
+  /** Latest COMMITTED version (build = 1, +1 per fold; compaction does
+    * not advance it — see [[DeltaChain.latest]]).
     */
-  def latestVersion(path: String): Option[Int] = IndexVersions.latest(path)
+  def latestVersion(path: String): Option[Int] = DeltaChain.latest(path)
 
-  private def dfTable(docs: DataFrame, idCol: String, linesCol: Column) =
+  private def batchDf(docs: DataFrame, idCol: String, linesCol: Column) =
     LineDedup.lineDf(docs, idCol, linesCol)
 
-  /** Start the index (v=1) from an initial document batch. Overwrite
-    * mode heals a torn `v=1` left by a crashed earlier attempt.
+  /** Start the index (v=1 snapshot) from an initial document batch.
+    * Overwrite mode heals a torn `v=1` left by a crashed attempt.
     */
   def build(docs: DataFrame, path: String, idCol: String,
       linesCol: Column): Unit =
-    dfTable(docs, idCol, linesCol)
-      .write.mode("overwrite").parquet(s"$path/v=1")
+    DeltaChain.writeBase(batchDf(docs, idCol, linesCol), path, 1)
 
   /** Fold a new DISJOINT document batch into the index (caller
     * guarantees no doc id was indexed before — re-delivery would
     * double-count df, same contract as WinnowIndex's precondition).
-    * The target version is `latest committed + 1`, so a crash-retry
-    * overwrites only the torn, never-readable directory.
+    * Writes ONLY the batch's own aggregate as the next delta; the
+    * cumulative table is never rewritten. A crash-retry overwrites
+    * only the torn, never-readable delta directory.
     */
   def addBatch(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, linesCol: Column): Unit = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalStateException(s"no LineDedupIndex at $path"))
-    val cur = spark.read.parquet(s"$path/v=$v")
-    dfTable(docs, idCol, linesCol).unionByName(cur)
-      .groupBy("line").agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(s"$path/v=${v + 1}")
+    DeltaChain.writeDelta(batchDf(docs, idCol, linesCol), path, v + 1)
   }
 
-  /** The current boilerplate set: lines with indexed df > maxDf. */
-  def boilerplate(spark: SparkSession, path: String, maxDf: Long): DataFrame = {
-    val v = latestVersion(path).getOrElse(
-      throw new IllegalStateException(s"no LineDedupIndex at $path"))
-    spark.read.parquet(s"$path/v=$v")
-      .filter(col("df") > maxDf).select("line")
-  }
+  /** The composed cumulative df table (snapshot + live deltas). */
+  def dfTable(spark: SparkSession, path: String): DataFrame =
+    DeltaChain.composedSum(spark, path, Seq("line"), "df")
+
+  /** Fold the live deltas into a new snapshot (read-amplification
+    * valve; reads after this touch one directory until the next add).
+    * Returns the snapshot version.
+    */
+  def compact(spark: SparkSession, path: String): Int =
+    DeltaChain.compactSum(spark, path, Seq("line"), "df")
+
+  /** The current boilerplate set: lines with indexed df > maxDf. The
+    * filter runs AFTER composition — a line may cross maxDf only when
+    * its per-batch counts are summed.
+    */
+  def boilerplate(spark: SparkSession, path: String, maxDf: Long): DataFrame =
+    dfTable(spark, path).filter(col("df") > maxDf).select("line")
 
   /** Clean a document batch against the INDEXED df (not the batch's
     * own): the streaming-ingest form of [[LineDedup.clean]], where the
@@ -98,11 +105,11 @@ object LineDedupIndex {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
-  /** Delete superseded versions in place (reads touch only the latest
-    * committed version, so `v < latest` is dead weight — see
-    * [[IndexMaintenance.vacuumChain]] for the full safety contract).
-    * Returns the number of directories removed.
+
+  /** Reclaim superseded directories (bases below the latest base,
+    * deltas the latest base already composed — see
+    * [[DeltaChain.vacuum]]). Returns the number removed.
     */
   def vacuum(spark: SparkSession, path: String): Int =
-    IndexMaintenance.vacuumChain(spark, path)
+    DeltaChain.vacuum(spark, path)
 }

@@ -21,51 +21,63 @@ import org.apache.spark.sql.functions._
   * [[SpanDedup.cleanse]] bit-for-bit (pinned in the spec and in
   * q201's oracle, which replays the one-shot SQL).
   *
-  * Scale posture shared with [[LineDedupIndex]]: the table is
-  * vocabulary-sized (one row per distinct gram — the same table the
-  * one-shot pass shuffles to build), each add aggregates only the new
-  * batch and merges copy-on-write into `v=N+1`, and reads see only
-  * `_SUCCESS`-committed versions ([[IndexVersions]]), so a torn write
-  * is invisible and healed by the retry's overwrite.
+  * DELTA-COMPOSED ([[DeltaChain]]): each add writes only the BATCH's
+  * gram aggregate as `delta/v=N`; reads compose the live deltas over
+  * the last snapshot and [[compact]] folds them back. This replaced
+  * the copy-on-write fold whose per-batch write was the full
+  * gram-vocabulary table — measured as the streamed ingest's
+  * 4.5×-per-decade growth, the one upkeep term scaling with the
+  * corpus instead of the batch. The table stays vocabulary-sized (one
+  * row per distinct gram — the same table the one-shot pass shuffles
+  * to build); reads see only `_SUCCESS`-committed directories
+  * ([[IndexVersions]]), so a torn write is invisible and healed by
+  * the retry's overwrite.
   */
 object SpanDedupIndex {
 
-  /** Latest COMMITTED version (crash-consistent: see [[IndexVersions]]). */
-  def latestVersion(path: String): Option[Int] = IndexVersions.latest(path)
+  /** Latest COMMITTED version (build = 1, +1 per fold; compaction does
+    * not advance it — see [[DeltaChain.latest]]).
+    */
+  def latestVersion(path: String): Option[Int] = DeltaChain.latest(path)
 
   private def gramCounts(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     SpanDedup.gramPositions(docs, idCol, textCol, k)
       .groupBy("f").agg(count(lit(1)).as("n_occ"))
 
-  /** Start the index (v=1) from an initial document batch. Overwrite
-    * mode heals a torn `v=1` left by a crashed earlier attempt.
+  /** Start the index (v=1 snapshot) from an initial document batch.
+    * Overwrite mode heals a torn `v=1` left by a crashed attempt.
     */
   def build(docs: DataFrame, path: String, idCol: String, textCol: String,
       k: Int = 8): Unit =
-    gramCounts(docs, idCol, textCol, k)
-      .write.mode("overwrite").parquet(s"$path/v=1")
+    DeltaChain.writeBase(gramCounts(docs, idCol, textCol, k), path, 1)
 
   /** Fold a new DISJOINT document batch into the index: aggregate the
-    * batch alone, merge by addition into `v = latest committed + 1`.
+    * batch alone, write it as the next delta — the cumulative table is
+    * never rewritten.
     */
   def addBatch(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String, k: Int = 8): Unit = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalStateException(s"no SpanDedupIndex at $path"))
-    val cur = spark.read.parquet(s"$path/v=$v")
-    gramCounts(docs, idCol, textCol, k).unionByName(cur)
-      .groupBy("f").agg(sum(col("n_occ")).as("n_occ"))
-      .write.mode("overwrite").parquet(s"$path/v=${v + 1}")
+    DeltaChain.writeDelta(gramCounts(docs, idCol, textCol, k), path, v + 1)
   }
 
-  /** The duplicated-fingerprint set per the INDEXED global counts. */
-  def duplicatedFingerprints(spark: SparkSession, path: String): DataFrame = {
-    val v = latestVersion(path).getOrElse(
-      throw new IllegalStateException(s"no SpanDedupIndex at $path"))
-    spark.read.parquet(s"$path/v=$v")
-      .filter(col("n_occ") >= 2).select("f")
-  }
+  /** The composed cumulative gram-count table (snapshot + deltas). */
+  def gramTable(spark: SparkSession, path: String): DataFrame =
+    DeltaChain.composedSum(spark, path, Seq("f"), "n_occ")
+
+  /** Fold the live deltas into a new snapshot. Returns its version. */
+  def compact(spark: SparkSession, path: String): Int =
+    DeltaChain.compactSum(spark, path, Seq("f"), "n_occ")
+
+  /** The duplicated-fingerprint set per the INDEXED global counts. The
+    * ≥2 filter runs AFTER composition — a gram may cross the threshold
+    * only when its per-batch counts are summed (one occurrence last
+    * month, one today IS a cross-batch duplicate).
+    */
+  def duplicatedFingerprints(spark: SparkSession, path: String): DataFrame =
+    gramTable(spark, path).filter(col("n_occ") >= 2).select("f")
 
   /** Cut duplicated spans out of `docs` using the indexed occurrence
     * counts — the batch form of [[SpanDedup.cleanse]] where "appears
@@ -83,11 +95,8 @@ object SpanDedupIndex {
       SpanDedup.spansFromRuns(runs, docs, idCol, textCol, k, minSpanTokens),
       docs, idCol, textCol)
   }
-  /** Delete superseded versions in place (reads touch only the latest
-    * committed version, so `v < latest` is dead weight — see
-    * [[IndexMaintenance.vacuumChain]] for the full safety contract).
-    * Returns the number of directories removed.
-    */
+
+  /** Reclaim superseded directories (see [[DeltaChain.vacuum]]). */
   def vacuum(spark: SparkSession, path: String): Int =
-    IndexMaintenance.vacuumChain(spark, path)
+    DeltaChain.vacuum(spark, path)
 }

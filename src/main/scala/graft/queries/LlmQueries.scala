@@ -4276,18 +4276,22 @@ object LlmQueries {
              |  CAST(1 AS BIGINT) AS n_versions
              |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
-    // COPY-ON-WRITE index vacuum (IndexMaintenance.vacuumChain): the
-    // line-df chain rewrites its FULL cumulative table every addBatch,
-    // so after three folded batches versions 1-2 are pure dead weight —
-    // at streaming cadence the disk bill is O(table × batches) until
-    // something deletes them. Vacuum removes every version strictly
-    // below the latest committed one IN PLACE — safe without locks
-    // because reads resolve only the latest version and writers target
-    // latest+1 (torn in-flight dirs above latest survive; see
-    // LineDedupIndexSpec). The query pins both halves: n_removed = 2
-    // and live_version = 3 prove the history really was deleted, and
-    // cleanWith over the vacuumed index still hash-matches the
-    // one-shot q160 boilerplate-removal oracle byte for byte.
+    // DELTA-CHAIN compaction + vacuum (llm/DeltaChain.scala): the
+    // line-df chain writes only each BATCH's aggregate per addBatch
+    // (reads compose deltas over the last snapshot), so per-batch
+    // upkeep is ∝ batch — but at streaming cadence the delta tail
+    // grows and reads pay O(live deltas). Compaction folds the
+    // composed table back into one snapshot WITHOUT advancing the
+    // version (crash-safe: a torn snapshot has no _SUCCESS and
+    // supersedes nothing), and vacuum then reclaims the composed
+    // deltas plus older snapshots IN PLACE — safe without locks
+    // because reads resolve through the latest committed snapshot and
+    // writers target latest+1 (torn in-flight deltas above it survive;
+    // see LineDedupIndexSpec). The query pins all the moving parts:
+    // n_removed = 3 (base/v=1 + deltas v=2,v=3) and live_version = 3
+    // prove the fold really happened, and cleanWith over the
+    // compacted+vacuumed index still hash-matches the one-shot q160
+    // boilerplate-removal oracle byte for byte.
     "q224_index_vacuum" -> Q(
       (s, d) => {
         import graft.llm.LineDedupIndex
@@ -4300,8 +4304,8 @@ object LlmQueries {
           "doc_id", col("lines"))
         LineDedupIndex.addBatch(s, idx,
           all.filter(col("doc_id") >= 350), "doc_id", col("lines"))
+        val live = LineDedupIndex.compact(s, idx)
         val removed = LineDedupIndex.vacuum(s, idx)
-        val live = LineDedupIndex.latestVersion(idx).get
         LineDedupIndex.cleanWith(s, idx, all, "doc_id", col("lines"),
             maxDf = 5L)
           .select(
@@ -4335,7 +4339,7 @@ object LlmQueries {
              |  COALESCE(a.n_kept, 0) AS n_kept,
              |  CAST(length(COALESCE(a.clean_text, '')) AS BIGINT) AS clean_len,
              |  md5(COALESCE(a.clean_text, '')) AS clean_md5,
-             |  CAST(2 AS BIGINT) AS n_removed,
+             |  CAST(3 AS BIGINT) AS n_removed,
              |  CAST(3 AS BIGINT) AS live_version
              |FROM l LEFT JOIN agg a ON l.doc_id = a.doc_id
              |ORDER BY l.doc_id""".stripMargin)),

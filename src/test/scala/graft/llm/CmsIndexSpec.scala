@@ -21,9 +21,9 @@ class CmsIndexSpec extends AnyFunSuite {
     CmsIndex.build(toks(b1), s"$dir/inc")
     CmsIndex.addBatch(spark, s"$dir/inc", toks(b2))
     CmsIndex.build(toks(b1 ++ b2), s"$dir/full")
-    val inc = spark.read.parquet(s"$dir/inc/v=2")
+    val inc = CmsIndex.cellTable(spark, s"$dir/inc")
       .as[(Int, Int, Long)].collect().toSet
-    val full = spark.read.parquet(s"$dir/full/v=1")
+    val full = CmsIndex.cellTable(spark, s"$dir/full")
       .as[(Int, Int, Long)].collect().toSet
     assert(inc == full)
     assert(CmsIndex.latestVersion(s"$dir/inc").contains(2))
@@ -35,9 +35,9 @@ class CmsIndexSpec extends AnyFunSuite {
     val b1 = Seq.tabulate(100)(i => (i % 7).toLong)
     val b2 = Seq.tabulate(100)(i => (i % 13).toLong)
     CmsIndex.build(toks(b1), s"$dir/idx")
-    // simulate a crash mid-addBatch: v=2 dir exists with data but the
-    // _SUCCESS job marker never landed
-    val torn = new java.io.File(s"$dir/idx/v=2")
+    // simulate a crash mid-addBatch: delta/v=2 exists with data but
+    // the _SUCCESS job marker never landed
+    val torn = new java.io.File(s"$dir/idx/delta/v=2")
     toks(b2).write.parquet(torn.toString)
     assert(new java.io.File(torn, "_SUCCESS").delete())
     assert(CmsIndex.latestVersion(s"$dir/idx").contains(1))
@@ -45,9 +45,9 @@ class CmsIndexSpec extends AnyFunSuite {
     CmsIndex.addBatch(spark, s"$dir/idx", toks(b2))
     assert(CmsIndex.latestVersion(s"$dir/idx").contains(2))
     CmsIndex.build(toks(b1 ++ b2), s"$dir/full")
-    assert(spark.read.parquet(s"$dir/idx/v=2")
+    assert(CmsIndex.cellTable(spark, s"$dir/idx")
       .as[(Int, Int, Long)].collect().toSet ==
-      spark.read.parquet(s"$dir/full/v=1")
+      CmsIndex.cellTable(spark, s"$dir/full")
         .as[(Int, Int, Long)].collect().toSet)
   }
 
@@ -69,7 +69,7 @@ class CmsIndexSpec extends AnyFunSuite {
     // assert the guarantee, not the lucky zero
     assert(est("k999999") >= 0L)
   }
-  test("vacuum drops superseded versions; estimates unchanged") {
+  test("compact + vacuum drop composed deltas; estimates unchanged") {
     val dir = java.nio.file.Files
       .createTempDirectory("cms-idx-vacuum").toString
     val b1 = Seq.tabulate(200)(i => (i % 11).toLong)
@@ -80,8 +80,10 @@ class CmsIndexSpec extends AnyFunSuite {
       .select(col("h").as("w"), col("h"))
     val before = CmsIndex.estimates(spark, s"$dir/idx", probes)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(CmsIndex.vacuum(spark, s"$dir/idx") == 1)
-    assert(new java.io.File(s"$dir/idx").listFiles()
+    assert(CmsIndex.vacuum(spark, s"$dir/idx") == 0) // deltas live until compacted
+    assert(CmsIndex.compact(spark, s"$dir/idx") == 2)
+    assert(CmsIndex.vacuum(spark, s"$dir/idx") == 2)
+    assert(new java.io.File(s"$dir/idx/base").listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName).toSet == Set("v=2"))
     assert(CmsIndex.estimates(spark, s"$dir/idx", probes)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == before)

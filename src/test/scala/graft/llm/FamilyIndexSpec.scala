@@ -75,12 +75,40 @@ class FamilyIndexSpec extends AnyFunSuite {
     assert(asMap(FamilyIndex.assignment(spark, s"$dir/idx")) == before)
   }
 
-  test("vacuum reclaims superseded assignment versions; reads unchanged") {
+  test("compact + vacuum reclaim composed deltas; reads unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-famidx4").toString
     FamilyIndex.build(Seq((1L, 2L)).toDF("id_a", "id_b"), s"$dir/idx")
     FamilyIndex.addBatch(spark, s"$dir/idx", Seq((2L, 3L)).toDF("id_a", "id_b"))
     val before = asMap(FamilyIndex.assignment(spark, s"$dir/idx"))
-    assert(FamilyIndex.vacuum(spark, s"$dir/idx") == 1)
+    // live deltas are not superseded until compaction folds them
+    assert(FamilyIndex.vacuum(spark, s"$dir/idx") == 0)
+    assert(FamilyIndex.compact(spark, s"$dir/idx") == 2)
+    assert(FamilyIndex.vacuum(spark, s"$dir/idx") == 2)
     assert(asMap(FamilyIndex.assignment(spark, s"$dir/idx")) == before)
+    // the chain continues past the snapshot
+    FamilyIndex.addBatch(spark, s"$dir/idx", Seq((3L, 4L)).toDF("id_a", "id_b"))
+    assert(FamilyIndex.latestVersion(s"$dir/idx").contains(3))
+    assert(asMap(FamilyIndex.assignment(spark, s"$dir/idx")) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("per-batch delta is batch-bounded: no corpus-sized rewrite on fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-famidx5").toString
+    // a 200-member base family; the fold adds ONE edge touching it
+    val big = (1L until 200L).map(i => (i, i + 1))
+    FamilyIndex.build(big.toDF("id_a", "id_b"), s"$dir/idx")
+    FamilyIndex.addBatch(spark, s"$dir/idx", Seq((200L, 500L)).toDF("id_a", "id_b"))
+    // the delta holds only the batch outcome (one new id), never the
+    // 200 old member rows the copy-on-write fold used to rewrite
+    val delta = spark.read.parquet(s"$dir/idx/delta/v=2")
+    assert(delta.count() <= 2)
+    assert(asMap(FamilyIndex.assignment(spark, s"$dir/idx")) ==
+      oneShot(big :+ (200L, 500L)))
+    // a rep-merge delta routes OLD members through the remap chain
+    FamilyIndex.addBatch(spark, s"$dir/idx", Seq((0L, 100L)).toDF("id_a", "id_b"))
+    val d3 = spark.read.parquet(s"$dir/idx/delta/v=3")
+    assert(d3.count() <= 2) // one remap row (1 -> 0), one new row (0)
+    assert(asMap(FamilyIndex.assignment(spark, s"$dir/idx")) ==
+      oneShot(big ++ Seq((200L, 500L), (0L, 100L))))
   }
 }

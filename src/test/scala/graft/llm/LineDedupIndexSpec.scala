@@ -19,7 +19,7 @@ class LineDedupIndexSpec extends AnyFunSuite {
     LineDedupIndex.addBatch(spark, s"$dir/idx",
       all.filter(col("id") >= 25), "id", col("lines"))
     assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(2))
-    val inc = spark.read.parquet(s"$dir/idx/v=2")
+    val inc = LineDedupIndex.dfTable(spark, s"$dir/idx")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val full = LineDedup.lineDf(all, "id", col("lines"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -38,7 +38,7 @@ class LineDedupIndexSpec extends AnyFunSuite {
     LineDedupIndex.addBatch(spark, s"$dir/idx",
       all.filter(col("id") >= 10), "id", col("lines"))
     assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(2))
-    val inc = spark.read.parquet(s"$dir/idx/v=2")
+    val inc = LineDedupIndex.dfTable(spark, s"$dir/idx")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!inc.contains("garbage line") && inc("SHARED HEADER") == 20L)
   }
@@ -60,7 +60,7 @@ class LineDedupIndexSpec extends AnyFunSuite {
     assert(viaIndex(0L)._3 == "body 0\nalso 0")
   }
 
-  test("vacuum deletes exactly the superseded versions; reads unchanged") {
+  test("compact + vacuum reclaim composed deltas; reads unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ldvac").toString
     val all = corpus(30L)
     LineDedupIndex.build(all.filter(col("id") < 10), s"$dir/idx", "id", col("lines"))
@@ -68,22 +68,35 @@ class LineDedupIndexSpec extends AnyFunSuite {
       all.filter(col("id") >= 10 && col("id") < 20), "id", col("lines"))
     LineDedupIndex.addBatch(spark, s"$dir/idx",
       all.filter(col("id") >= 20), "id", col("lines"))
-    // an in-flight writer's torn target (latest+1, no _SUCCESS) must
-    // survive vacuum — only strictly-older versions are dead
-    val torn = new java.io.File(s"$dir/idx/v=4")
+    // an in-flight writer's torn delta (latest+1, no _SUCCESS) must
+    // survive vacuum — only composed-or-superseded dirs are dead
+    val torn = new java.io.File(s"$dir/idx/delta/v=4")
     Seq(("in flight", 1L)).toDF("line", "df").write.parquet(torn.toString)
     assert(new java.io.File(torn, "_SUCCESS").delete())
     val before = LineDedupIndex.boilerplate(spark, s"$dir/idx", maxDf = 5L)
       .collect().map(_.getString(0)).toSet
-    assert(LineDedupIndex.vacuum(spark, s"$dir/idx") == 2)
-    val dirs = new java.io.File(s"$dir/idx").listFiles()
-      .filter(_.getName.startsWith("v=")).map(_.getName).toSet
-    assert(dirs == Set("v=3", "v=4"))
+    // before compaction nothing is superseded — every delta is live
+    assert(LineDedupIndex.vacuum(spark, s"$dir/idx") == 0)
+    // compact folds deltas 2..3 into base/v=3; version does not advance
+    assert(LineDedupIndex.compact(spark, s"$dir/idx") == 3)
+    assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(3))
+    // vacuum now reclaims base/v=1 and deltas v=2, v=3 (torn v=4 survives)
+    assert(LineDedupIndex.vacuum(spark, s"$dir/idx") == 3)
+    assert(new java.io.File(s"$dir/idx/base").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet == Set("v=3"))
+    assert(new java.io.File(s"$dir/idx/delta").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet == Set("v=4"))
     assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(3))
     assert(LineDedupIndex.boilerplate(spark, s"$dir/idx", maxDf = 5L)
       .collect().map(_.getString(0)).toSet == before)
-    // idempotent: nothing older than latest remains
+    // idempotent: nothing superseded remains
     assert(LineDedupIndex.vacuum(spark, s"$dir/idx") == 0)
+    // a retried addBatch overwrites the torn delta and the chain goes on
+    LineDedupIndex.addBatch(spark, s"$dir/idx",
+      corpus(35L).filter(col("id") >= 30), "id", col("lines"))
+    assert(LineDedupIndex.latestVersion(s"$dir/idx").contains(4))
+    assert(LineDedupIndex.dfTable(spark, s"$dir/idx")
+      .filter(col("line") === "SHARED HEADER").collect().head.getLong(1) == 35L)
     // vacuum of a missing index is a no-op, not an error
     assert(LineDedupIndex.vacuum(spark, s"$dir/nothere") == 0)
   }

@@ -40,7 +40,7 @@ class SpanDedupIndexSpec extends AnyFunSuite {
     SpanDedupIndex.build(b1, s"$dir/idx", "doc_id", "text")
     SpanDedupIndex.addBatch(spark, s"$dir/idx", b2, "doc_id", "text")
     assert(SpanDedupIndex.latestVersion(s"$dir/idx").contains(2))
-    val inc = spark.read.parquet(s"$dir/idx/v=2")
+    val inc = SpanDedupIndex.gramTable(spark, s"$dir/idx")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val full = SpanDedup.gramPositions(corpus, "doc_id", "text", 8)
       .groupBy("f").agg(count(lit(1)).as("n"))
@@ -82,24 +82,27 @@ class SpanDedupIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-sdidx4").toString
     val (b1, b2) = split(corpus)
     SpanDedupIndex.build(b1, s"$dir/idx", "doc_id", "text")
-    val torn = new java.io.File(s"$dir/idx/v=2")
+    val torn = new java.io.File(s"$dir/idx/delta/v=2")
     Seq(("deadbeef", 9L)).toDF("f", "n_occ").write.parquet(torn.toString)
     assert(new java.io.File(torn, "_SUCCESS").delete())
     assert(SpanDedupIndex.latestVersion(s"$dir/idx").contains(1))
     SpanDedupIndex.addBatch(spark, s"$dir/idx", b2, "doc_id", "text")
     assert(SpanDedupIndex.latestVersion(s"$dir/idx").contains(2))
-    val inc = spark.read.parquet(s"$dir/idx/v=2")
+    val inc = SpanDedupIndex.gramTable(spark, s"$dir/idx")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!inc.contains("deadbeef"))
   }
-  test("vacuum drops superseded versions; cleanseWith unchanged") {
+  test("compact + vacuum drop composed deltas; cleanseWith unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sdvac").toString
     val (b1, b2) = split(corpus)
     SpanDedupIndex.build(b1, s"$dir/idx", "doc_id", "text")
     SpanDedupIndex.addBatch(spark, s"$dir/idx", b2, "doc_id", "text")
     val before = toMap(SpanDedupIndex.cleanseWith(
       spark, s"$dir/idx", corpus, "doc_id", "text"))
-    assert(SpanDedupIndex.vacuum(spark, s"$dir/idx") == 1)
+    // live deltas are not superseded until compaction folds them
+    assert(SpanDedupIndex.vacuum(spark, s"$dir/idx") == 0)
+    assert(SpanDedupIndex.compact(spark, s"$dir/idx") == 2)
+    assert(SpanDedupIndex.vacuum(spark, s"$dir/idx") == 2)
     assert(SpanDedupIndex.latestVersion(s"$dir/idx").contains(2))
     assert(toMap(SpanDedupIndex.cleanseWith(
       spark, s"$dir/idx", corpus, "doc_id", "text")) == before)
