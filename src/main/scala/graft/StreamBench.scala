@@ -143,29 +143,25 @@ object StreamBench {
   private def familyMain(sfDir: String, cpus: String, batches: Int): Unit =
     indexIngest("family_ingest_throughput", "graft-streambench-family",
       sfDir, cpus, batches)(
-      (b0, idx) => {
-        // cache: the fold has several consumers (band keys, the pair
-        // generator's verify) and each would re-execute the microbatch
-        // source scan — the q181 lesson, measured as numInputRows ≈
-        // 2.4x the admitted rows before the cache
-        val b = b0.persist()
-        try {
-          graft.llm.FamilyIndex.build(
-            graft.llm.MinHashDedup.nearDupPairs(b, "doc_id", "text",
-              threshold = 0.5), s"$idx/fam")
-        } finally { b.unpersist(); () }
-      },
-      (s, b0, idx) => {
-        val b = b0.persist() // see build fold — several consumers
-        try {
-          // verification needs candidate text; the staged corpus is a
-          // superset of delivered history, which is all the verify joins
-          val allDocs = s.read.parquet(
-            new java.io.File(idx).getParent + "/in")
-          graft.llm.FamilyIndex.addBatch(s, s"$idx/fam",
-            graft.llm.MinHashIndex.incrementalNearDupPairs(s, s"$idx/mh",
-              b, allDocs, "doc_id", "text", threshold = 0.5))
-        } finally { b.unpersist(); () }
+      (b, idx) =>
+        graft.llm.FamilyIndex.build(
+          graft.llm.MinHashDedup.nearDupPairs(b, "doc_id", "text",
+            threshold = 0.5), s"$idx/fam"),
+      (s, b, idx) => {
+        // verification needs candidate text; the staged corpus is a
+        // superset of delivered history, which is all the verify joins
+        val allDocs = s.read.parquet(
+          new java.io.File(idx).getParent + "/in")
+        val t0 = System.nanoTime()
+        val pairs = graft.llm.MinHashIndex.incrementalNearDupPairs(s,
+            s"$idx/mh", b, allDocs, "doc_id", "text", threshold = 0.5)
+          .localCheckpoint()
+        val np = pairs.count() // checkpointed — the count is a scan
+        val t1 = System.nanoTime()
+        graft.llm.FamilyIndex.addBatch(s, s"$idx/fam", pairs)
+        val t2 = System.nanoTime()
+        System.err.println(f"[family] probe=${(t1 - t0) / 1e9}%.1fs " +
+          f"fold=${(t2 - t1) / 1e9}%.1fs pairs=$np")
       },
       (s, idx, _) => graft.llm.FamilyIndex.assignment(s, s"$idx/fam")
         .filter(col("id") =!= col("family")).count(),
@@ -173,10 +169,27 @@ object StreamBench {
       // band writes OUTSIDE the foldOnce guard (see indexIngest): the
       // probe inside the fold reads the pre-batch index state, and a
       // replay after a committed fold must still land the batch's keys
-      after = (s, b, idx) =>
+      after = (s, b, idx) => {
+        val t0 = System.nanoTime()
         if (!new java.io.File(s"$idx/mh").exists())
           graft.llm.MinHashIndex.build(b, s"$idx/mh", "doc_id", "text")
-        else graft.llm.MinHashIndex.append(b, s"$idx/mh", "doc_id", "text"))
+        else graft.llm.MinHashIndex.append(b, s"$idx/mh", "doc_id", "text")
+        System.err.println(f"[family] append=${(System.nanoTime() - t0) / 1e9}%.1fs")
+        // LSM cadence: the fold reads the composed view every batch, so
+        // an unbounded delta tail grows read-time composition linearly.
+        // Folding the tail into a snapshot every 4 batches bounds it —
+        // the corpus-sized write the copy-on-write form paid EVERY
+        // batch is paid once per 4, and the cadence is the operator's
+        // knob, not the stream's. Idempotent on replay (compact rewrites
+        // the same snapshot version; vacuum of already-gone dirs is 0).
+        if (graft.llm.DeltaChain.liveDeltaVersions(s"$idx/fam").size >= 4) {
+          val t1 = System.nanoTime()
+          graft.llm.FamilyIndex.compact(s, s"$idx/fam")
+          graft.llm.FamilyIndex.vacuum(s, s"$idx/fam")
+          System.err.println(
+            f"[family] compact=${(System.nanoTime() - t1) / 1e9}%.1fs")
+        }
+      })
 
   /** BM25 index-maintenance throughput: stream a replicated documents
     * corpus (doc-id offsets keep batches doc-disjoint, the index's
@@ -501,13 +514,20 @@ object StreamBench {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
-        // exactly-once: a replayed batch must not double-fold (see
-        // IndexMaintenance.foldOnce — version == batchId + 1 invariant)
-        graft.llm.IndexMaintenance.foldOnce(bid,
-            Some(versionsOf(idx)).filter(_ > 0)) {
-          if (versionsOf(idx) == 0) build(b, idx) else add(spark, b, idx)
-        }
-        after(spark, b, idx)
+        // one persist for ALL consumers (fold + after hook): without it
+        // each consumer re-executes the microbatch source scan — the
+        // q181 lesson, measured here as numInputRows = 2x admitted rows
+        val cached = b.persist()
+        try {
+          // exactly-once: a replayed batch must not double-fold (see
+          // IndexMaintenance.foldOnce — version == batchId + 1 invariant)
+          graft.llm.IndexMaintenance.foldOnce(bid,
+              Some(versionsOf(idx)).filter(_ > 0)) {
+            if (versionsOf(idx) == 0) build(cached, idx)
+            else add(spark, cached, idx)
+          }
+          after(spark, cached, idx)
+        } finally { cached.unpersist(); () }
       }
       .start()
     q.awaitTermination()

@@ -121,24 +121,38 @@ object MinHashIndex {
       bands: Int = 8,
       shingleWords: Int = 3,
       maxBucketSize: Long = 100000L): DataFrame = {
+    // the batch's keys are admission-bounded; materialize once (two
+    // join consumers) so the shingle+minhash pass runs a single time
     val newKeys = graft.operators.BucketCaps.capBuckets(
-      MinHashDedup.bandKeys(newDocs, idCol, textCol, numHashes, bands, shingleWords),
-      Seq(col("band"), col("bkey")), maxBucketSize)
+        MinHashDedup.bandKeys(newDocs, idCol, textCol, numHashes, bands, shingleWords),
+        Seq(col("band"), col("bkey")), maxBucketSize)
+      .localCheckpoint()
     val oldKeys = IndexMaintenance.minusTombstones(spark, path,
       spark.read.parquet(path))
-    val newVsOld = newKeys.as("n")
+    // broadcast the BATCH side: the persisted index is the corpus-sized
+    // table and must stream map-side past the probe, never shuffle —
+    // without the hint Spark has no size estimate for the computed
+    // newKeys and shuffles BOTH sides, a corpus-sized shuffle per batch
+    val newVsOld = broadcast(newKeys.as("n"))
       .join(oldKeys.as("o"),
         col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey") &&
           col("n.id") =!= col("o.id"))
       .select(least(col("n.id"), col("o.id")).as("id_a"),
         greatest(col("n.id"), col("o.id")).as("id_b"))
-    val newVsNew = newKeys.as("l")
+    val newVsNew = broadcast(newKeys.as("l"))
       .join(newKeys.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    JaccardVerify.verify(
-      newVsOld.union(newVsNew).distinct(),
-      allDocs, idCol, textCol, threshold, shingleWords)
+    val cands = newVsOld.union(newVsNew).distinct().localCheckpoint()
+    // verify only the docs candidates actually touch: `allDocs` may be
+    // the whole corpus (the staged superset), and shingling + shuffling
+    // non-candidate docs was the measured corpus-proportional term of
+    // the streamed family-ingest probe
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    JaccardVerify.verify(cands,
+      allDocs.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, threshold, shingleWords)
   }
 }

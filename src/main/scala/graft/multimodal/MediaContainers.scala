@@ -144,6 +144,48 @@ object MediaContainers {
     else Some(WavMeta(channels, sampleRate, bitsPerSample, dataSize / blockAlign))
   }
 
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** PNG header parse: the 8-byte signature, then the mandatory IHDR
+    * chunk (always first — its 13-byte payload starts at offset 16
+    * with big-endian width/height).
+    */
+  def parsePng(b: Array[Byte]): Option[ImageMeta] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length < 24 || !b.take(8).sameElements(sig)) return None
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0) None else Some(ImageMeta(w, h))
+  }
+
+  /** JPEG header parse: SOI marker, then a marker walk to the first
+    * frame header (SOF0-SOF15 minus the non-frame C4/C8/CC), whose
+    * payload carries big-endian height (offset +5) and width (+7).
+    */
+  def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var pos = 2
+    while (pos + 9 < b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xff) { pos += 1 } // fill byte
+      else if (marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        val h = ((b(pos + 5) & 0xff) << 8) | (b(pos + 6) & 0xff)
+        val w = ((b(pos + 7) & 0xff) << 8) | (b(pos + 8) & 0xff)
+        return if (w > 0 && h > 0) Some(ImageMeta(w, h)) else None
+      } else {
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        if (len < 2) return None
+        pos += 2 + len
+      }
+    }
+    None
+  }
+
   /** Sniff + parse: images report 1 frame; audio reports sample frames
     * and no dimensions; anything else is ("unknown", None, None, None).
     */
@@ -153,9 +195,17 @@ object MediaContainers {
       case Some(m) => MediaMeta("bmp", Some(m.width), Some(m.height), Some(1L))
       case None => parsePpm(b) match {
         case Some(m) => MediaMeta("ppm", Some(m.width), Some(m.height), Some(1L))
-        case None => parseWav(b) match {
-          case Some(w) => MediaMeta("wav", None, None, Some(w.nFrames))
-          case None => MediaMeta("unknown", None, None, None)
+        case None => parsePng(b) match {
+          case Some(m) =>
+            MediaMeta("png", Some(m.width), Some(m.height), Some(1L))
+          case None => parseJpeg(b) match {
+            case Some(m) =>
+              MediaMeta("jpeg", Some(m.width), Some(m.height), Some(1L))
+            case None => parseWav(b) match {
+              case Some(w) => MediaMeta("wav", None, None, Some(w.nFrames))
+              case None => MediaMeta("unknown", None, None, None)
+            }
+          }
         }
       }
     }
@@ -241,10 +291,58 @@ object MediaContainers {
       }
     }
 
-  /** Sniff + pixel decode: the union of the uncompressed image paths. */
+  // -------------------------------------------------------------------
+  // Compressed codecs — PNG (lossless DEFLATE) and JPEG (lossy DCT)
+  // decode through the JDK's own javax.imageio readers: zero new
+  // dependencies, and the PNG path is byte-exact (encode → decode
+  // round-trips the raster bit-for-bit, pinned in MultimodalSpec and
+  // q239's closed-form oracle), while JPEG is lossy by design — its
+  // contract is perceptual-hash stability, not byte equality. The
+  // signature sniff gates the call so arbitrary payloads (WAV,
+  // truncated, garbage) never reach the codec.
+  // -------------------------------------------------------------------
+
+  // in-memory codec streams: without this ImageIO spills every
+  // read/write through a temp FILE per call — disk churn in every
+  // executor task for payloads that are already byte arrays
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG/JPEG → RGB888 via the JDK ImageIO readers. Any decode failure
+    * (truncated stream, exotic subformat) is a quarantine None, never
+    * an exception — the same posture as the uncompressed parsers.
+    */
+  def decodeImageIoPixels(b: Array[Byte]): Option[RawPixels] = {
+    if (b == null || (parsePng(b).isEmpty && parseJpeg(b).isEmpty)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue - 8) return None
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          val t = (y * w + x) * 3
+          out(t) = ((argb >> 16) & 0xff).toByte
+          out(t + 1) = ((argb >> 8) & 0xff).toByte
+          out(t + 2) = (argb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(RawPixels(w, h, out))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Sniff + pixel decode: the uncompressed paths first (pure byte
+    * walks, no codec context), then the ImageIO codecs for PNG/JPEG.
+    */
   def decodePixels(b: Array[Byte]): Option[RawPixels] =
     if (b == null) None
     else decodeBmpPixels(b).orElse(decodePpmPixels(b))
+      .orElse(decodeImageIoPixels(b))
 
   // -------------------------------------------------------------------
   // Synthesis — real, openable files (zeroed raster/samples), used by
@@ -320,6 +418,43 @@ object MediaContainers {
     w32(out, sampleRate * blockAlign); w16(out, blockAlign); w16(out, 16)
     out.write("data".getBytes("US-ASCII")); w32(out, dataSize)
     out.write(new Array[Byte](dataSize))
+    out.toByteArray
+  }
+
+  private def toBufferedImage(w: Int, h: Int,
+      rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    require(rgb.length == w * h * 3, "raster length != w*h*3")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(s) & 0xff) << 16) |
+          ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode an RGB888 raster as PNG (JDK ImageIO; lossless, so
+    * encode → [[decodeImageIoPixels]] round-trips byte-for-byte).
+    */
+  def pngBytesRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(w, h, rgb), "png", out)
+    out.toByteArray
+  }
+
+  /** Encode an RGB888 raster as JPEG (JDK ImageIO, default quality;
+    * lossy — downstream contracts are perceptual, never byte-exact).
+    */
+  def jpegBytesRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(w, h, rgb), "jpg", out)
     out.toByteArray
   }
 }

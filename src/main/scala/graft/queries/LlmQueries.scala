@@ -3309,6 +3309,64 @@ object LlmQueries {
       Some(s"""SELECT o.*, CAST(2 AS BIGINT) AS n_versions
               |FROM ($spanDedupOracle) o ORDER BY o.doc_id""".stripMargin)),
 
+    // DELTA-COMPOSED read path + compaction for the exact-index family
+    // (llm/DeltaChain.scala): four disjoint batches fold into the span
+    // index as a snapshot plus THREE live per-batch deltas — each fold
+    // wrote only its batch's gram aggregate, never the cumulative
+    // table — and the cleanse runs through the composed (union +
+    // re-sum) read, which must replay q200's one-shot SQL bit-for-bit
+    // (addition is associative; composition order cannot matter). The
+    // query then compacts (deltas fold into one snapshot at the same
+    // version), vacuums (snapshot v=1 + three composed deltas
+    // reclaimed, = 4 dirs), and requires the snapshot-only read to
+    // agree with the pre-compact composed read before emitting. Pins:
+    // n_delta_versions = 3 (the composed read really crossed deltas),
+    // live_version = 4, n_removed = 4.
+    "q238_span_delta_chain" -> Q(
+      (s, d) => {
+        import graft.llm.{DeltaChain, SpanDedupIndex}
+        val idx = graft.queries.Scratch.dir("graft-q238-deltachain") + "/idx"
+        val all = docs(s, d)
+        SpanDedupIndex.build(all.filter(col("doc_id") < 150), idx,
+          "doc_id", "text")
+        SpanDedupIndex.addBatch(s, idx,
+          all.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+          "doc_id", "text")
+        SpanDedupIndex.addBatch(s, idx,
+          all.filter(col("doc_id") >= 250 && col("doc_id") < 350),
+          "doc_id", "text")
+        SpanDedupIndex.addBatch(s, idx,
+          all.filter(col("doc_id") >= 350), "doc_id", "text")
+        val nDeltas = DeltaChain.liveDeltaVersions(idx).size
+        // the delta-composed read (3 live deltas), materialized before
+        // vacuum deletes the directories its lazy plan would re-read
+        val cleansed = SpanDedupIndex
+          .cleanseWith(s, idx, all, "doc_id", "text",
+            k = 8, minSpanTokens = 20)
+          .localCheckpoint()
+        val dupsBefore = SpanDedupIndex
+          .duplicatedFingerprints(s, idx).count()
+        val live = SpanDedupIndex.compact(s, idx)
+        val removed = SpanDedupIndex.vacuum(s, idx)
+        val dupsAfter = SpanDedupIndex
+          .duplicatedFingerprints(s, idx).count()
+        require(dupsAfter == dupsBefore,
+          s"compaction changed the composed table " +
+            s"($dupsBefore -> $dupsAfter duplicated fingerprints)")
+        cleansed
+          .select(col("doc_id"), col("ntok"), col("n_spans"),
+            col("dup_tokens"),
+            md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"),
+            lit(nDeltas.toLong).as("n_delta_versions"),
+            lit(live.toLong).as("live_version"),
+            lit(removed.toLong).as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT o.*, CAST(3 AS BIGINT) AS n_delta_versions,
+              |  CAST(4 AS BIGINT) AS live_version,
+              |  CAST(4 AS BIGINT) AS n_removed
+              |FROM ($spanDedupOracle) o ORDER BY o.doc_id""".stripMargin)),
+
     // Span-level decontamination: the surgical complement of q196 — cut
     // only the benchmark-overlapping passage (≥ 20 verbatim tokens),
     // keep the document. Held-out split mirrors q196's shape (doc_id %
@@ -3400,6 +3458,36 @@ object LlmQueries {
               if (id % 2 == 0) MediaContainers.bmpBytesRgb(16, 12, rgb)
               else MediaContainers.ppmBytesRgb(16, 12, rgb)
             MultimodalOps.MediaRecord(id, bytes, "image")
+          }
+        val hashes = PerceptualHash
+          .dHash(MultimodalOps.decodeImages(encoded)).toDF()
+        PerceptualHash.nearDupPairs(hashes, "id", radius = 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(phashOracle)),
+
+    // q204's perceptual pipeline on REAL COMPRESSED payloads: the same
+    // noise rasters arrive as PNG bytes (JDK ImageIO encode at
+    // synthesis, decode through MediaContainers.decodeImageIoPixels
+    // behind the decodeBatched seam — zero new dependencies), so the
+    // chain is what a crawl actually contains: codec bytes → entropy
+    // decode → raster → dHash → banded near-dup. PNG is lossless, so
+    // the decoded raster is bit-identical to the synthesized one and
+    // q204's closed-form oracle replays UNCHANGED — any codec,
+    // color-model, or orientation mistake in the ImageIO path shifts
+    // pixels and breaks the hash match. (JPEG, being lossy, is pinned
+    // in MultimodalSpec as perceptual-hash stability instead — a lossy
+    // codec can never sit in a byte-exact oracle.)
+    "q239_png_phash_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{MediaContainers, MultimodalOps, PerceptualHash}
+        val encoded = docs(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val rgb = MultimodalOps.synthNoiseBitmap(id / 2, 16, 12,
+              perturbR00 = if (id % 2 == 1) 8 else 0)
+            MultimodalOps.MediaRecord(id,
+              MediaContainers.pngBytesRgb(16, 12, rgb), "image")
           }
         val hashes = PerceptualHash
           .dHash(MultimodalOps.decodeImages(encoded)).toDF()

@@ -249,4 +249,67 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(csResized.mean_r == 64.0)
   }
+
+  test("PNG: header parse, byte-exact codec round-trip, decodePixels routing") {
+    import MediaContainers._
+    val rgb = MultimodalOps.synthBitmap(7L, 16, 12)
+    val png = pngBytesRgb(16, 12, rgb)
+    // real PNG container: signature + IHDR dims via the byte-walk parser
+    assert(parsePng(png).contains(ImageMeta(16, 12)))
+    assert(parse(png) == MediaMeta("png", Some(16), Some(12), Some(1L)))
+    // lossless: encode -> ImageIO decode reproduces the raster EXACTLY
+    val back = decodeImageIoPixels(png).get
+    assert(back.width == 16 && back.height == 12)
+    assert(back.rgb.sameElements(rgb))
+    // the sniff-gated union path routes PNG through the codec
+    assert(decodePixels(png).get.rgb.sameElements(rgb))
+    // and non-image payloads never reach the codec
+    assert(decodeImageIoPixels(wavBytes(1, 8000, 10)).isEmpty)
+    assert(decodeImageIoPixels(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // a truncated PNG is a quarantine None, not an exception
+    assert(decodeImageIoPixels(png.take(30)).isEmpty)
+  }
+
+  test("JPEG: header parse and lossy decode with perceptual-hash stability") {
+    import MediaContainers._
+    // a structured image (smooth gradient), not noise: dHash compares
+    // neighboring gray gradients, and DCT quantization preserves
+    // consistent gradients while pure per-pixel noise — which carries
+    // no structure a perceptual hash could hold onto — is the one
+    // input class where "perceptual stability" is undefined
+    val rgb = new Array[Byte](16 * 12 * 3)
+    for (y <- 0 until 12; x <- 0 until 16) {
+      val t = (y * 16 + x) * 3
+      rgb(t) = (x * 14).toByte
+      rgb(t + 1) = (y * 18).toByte
+      rgb(t + 2) = ((x + y) * 7).toByte
+    }
+    val jpg = jpegBytesRgb(16, 12, rgb)
+    // SOF marker walk finds the frame dimensions
+    assert(parseJpeg(jpg).contains(ImageMeta(16, 12)))
+    assert(parse(jpg) == MediaMeta("jpeg", Some(16), Some(12), Some(1L)))
+    val back = decodePixels(jpg).get
+    assert(back.width == 16 && back.height == 12)
+    // lossy: bytes differ, but the perceptual hash must be STABLE —
+    // dHash compares neighboring gray gradients, which DCT quantization
+    // perturbs only slightly on any real image
+    assert(!back.rgb.sameElements(rgb)) // it IS lossy (sanity)
+    val (h1a, h2a) = PerceptualHash.dHashKernel(rgb, 16, 12)
+    val (h1b, h2b) = PerceptualHash.dHashKernel(back.rgb, 16, 12)
+    val hamming = java.lang.Long.bitCount(h1a ^ h1b) +
+      java.lang.Long.bitCount(h2a ^ h2b)
+    assert(hamming <= 8, s"JPEG round-trip moved dHash by $hamming bits")
+  }
+
+  test("decodeImages decodes PNG payloads end to end (the q239 chain)") {
+    val encoded = spark.createDataset((0L until 20L).map { id =>
+      MultimodalOps.MediaRecord(id,
+        MediaContainers.pngBytesRgb(16, 12, MultimodalOps.synthBitmap(id, 16, 12)),
+        "image")
+    }).repartition(4)
+    val raw = MultimodalOps.decodeImages(encoded).collect()
+    assert(raw.length == 20)
+    assert(raw.forall(r => r.pixels.sameElements(
+      MultimodalOps.synthBitmap(r.id, 16, 12))))
+  }
 }
