@@ -86,6 +86,58 @@ object IndexMaintenance {
       base: Int = 0)(fold: => Unit): Unit =
     if (!latestVersion.exists(_ >= base + batchId + 1)) fold
 
+  /** COMMIT the live-directory pointer for the logical index rooted at
+    * `root`: successor-directory compaction ([[compactTable]] and the
+    * per-index `compact`s) deliberately never touches the original, so
+    * some on-disk arbiter must say which directory is live — without
+    * one, a crash between compact-return and the caller's pointer flip
+    * leaves two plausible live dirs and nothing to break the tie. The
+    * pointer is itself a tiny versioned commit under `root/_live`
+    * (underscore ⇒ invisible to any parquet read of `root`): the `ptr`
+    * payload is written FIRST and the `_SUCCESS` marker LAST — the
+    * df-last idiom applied to a pointer — so a torn flip has no marker,
+    * [[livePointer]] skips it, and the PREDECESSOR stays authoritative.
+    * Returns the committed pointer version.
+    */
+  def commitLivePointer(spark: SparkSession, root: String,
+      dir: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(s"$root/_live")
+    val fs = base.getFileSystem(conf)
+    val v = IndexVersions.latest(s"$root/_live").getOrElse(0) + 1
+    val vdir = new org.apache.hadoop.fs.Path(base, s"v=$v")
+    fs.mkdirs(vdir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(vdir, "ptr"), true)
+    try out.write(dir.getBytes("UTF-8")) finally out.close()
+    fs.create(new org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), true).close()
+    v
+  }
+
+  /** The committed live directory for `root`, or None if no flip was
+    * ever committed (torn flips — `ptr` without `_SUCCESS` — are
+    * invisible, see [[commitLivePointer]]).
+    */
+  def livePointer(spark: SparkSession, root: String): Option[String] =
+    IndexVersions.latest(s"$root/_live").map { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/_live/v=$v/ptr")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+
+  /** Probe-side resolution: the committed pointer when one exists,
+    * else `default` (the original pre-compaction directory).
+    */
+  def resolveLive(spark: SparkSession, root: String,
+      default: String): String =
+    livePointer(spark, root).getOrElse(default)
+
   /** The `_dels` sidecar of a table, or None when nothing was ever
     * forgotten.
     */

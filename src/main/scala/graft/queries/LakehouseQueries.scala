@@ -784,22 +784,39 @@ object LakehouseQueries {
         import graft.sources.LogTopic
         val root = graft.queries.Scratch.dir("graft-q152-log") + "/topic"
         LogTopic.create(root, 4)
-        // producer side: deterministic order within each partition
-        val produced = Tables.documents(s, d)
-          .select(col("doc_id"), col("text"))
-          .collect()
-        produced
-          .groupBy(r => (r.getLong(0) % 4).toInt)
-          .foreach { case (p, rows) =>
-            LogTopic.append(root, p, rows.sortBy(_.getLong(0)).toSeq.map(r =>
-              LogTopic.Record(r.getLong(0),
-                r.getLong(0).toString.getBytes("UTF-8"),
-                r.getString(1).getBytes("UTF-8"))))
+        // producer side runs DISTRIBUTED: each task appends the log
+        // partitions it owns (repartition by the topic-partition key
+        // means no two tasks ever write the same partition), streaming
+        // its rows through a bounded buffer — the driver never
+        // materializes the corpus (the old collect() here was the one
+        // driver-memory cliff in the suite). Within a log partition
+        // the order is doc_id (sortWithinPartitions), same as before.
+        Tables.documents(s, d)
+          .select((col("doc_id") % 4).cast("int").as("p"),
+            col("doc_id"), col("text"))
+          .repartition(4, col("p"))
+          .sortWithinPartitions("p", "doc_id")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[LogTopic.Record]
+            var curP = -1
+            def flush(): Unit = if (buf.nonEmpty) {
+              LogTopic.append(root, curP, buf.toSeq); buf.clear()
+            }
+            it.foreach { r =>
+              val p = r.getInt(0)
+              if (p != curP) { flush(); curP = p }
+              buf += LogTopic.Record(r.getLong(1),
+                r.getLong(1).toString.getBytes("UTF-8"),
+                r.getString(2).getBytes("UTF-8"))
+              if (buf.size >= 10000) flush()
+            }
+            flush()
           }
         // ~5 admission-controlled microbatches at ANY corpus size (the
         // point is bounded batches, not a fixed batch count growing
         // linearly with sf)
-        val perTrigger = math.max(100L, produced.length / 5L)
+        val perTrigger = math.max(100L, Tables.documents(s, d).count() / 5L)
         val stream = s.readStream.format("graft.sources.LogTopicSource")
           .option("path", root)
           .option("maxRecordsPerTrigger", perTrigger.toString)

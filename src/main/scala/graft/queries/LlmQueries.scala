@@ -4319,8 +4319,14 @@ object LlmQueries {
         EmbeddingLshIndex.append(b1, s"$dir/idx")
         EmbeddingLshIndex.compact(s, s"$dir/idx", s"$dir/idx2",
           targetFiles = 2)
+        // adoption is a COMMITTED pointer flip, not a caller convention:
+        // a crash between compact-return and this line leaves no
+        // committed pointer, so resolveLive keeps the predecessor
+        // authoritative (torn-flip case pinned in IndexMaintenanceSpec)
+        graft.llm.IndexMaintenance.commitLivePointer(s, dir, s"$dir/idx2")
+        val live = graft.llm.IndexMaintenance.resolveLive(s, dir, s"$dir/idx")
         val p2 = EmbeddingLshIndex.incrementalNearDupPairs(
-          s, s"$dir/idx2", b2, threshold = 0.4)
+          s, live, b2, threshold = 0.4)
         p0.union(p1).union(p2).orderBy("id_a", "id_b")
       },
       Some(embLshOracle)),
