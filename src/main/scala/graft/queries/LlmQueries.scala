@@ -5033,17 +5033,21 @@ object LlmQueries {
     // side memory sink receives only the per-day aggregate, never the
     // joined rows. Append mode end to end; the carrier protocol
     // flushes both state stores (one data batch per stateful stage).
-    // The join is the INNER form deliberately: inner matches emit the
-    // moment they join and are never late downstream, while an OUTER
-    // join's null rows emit at watermark EVICTION — and replay-
-    // compressing a month of backlog into one batch makes that
-    // eviction lag exceed the propagated-watermark allowance, so the
-    // downstream aggregation would drop them as late (measured: 29/30
-    // windows, every unmatched contribution lost; in a live stream the
-    // watermark advances with the data and the lag stays inside the
-    // join-delay allowance). Outer-join telemetry under replay belongs
-    // in q225's shape — aggregate AFTER the drain. Per attribution
-    // day: joined rows, matched purchases, exact decimal value.
+    // The join is the INNER form deliberately — a STATE-SIZE choice,
+    // not a correctness necessity: inner matches emit the moment they
+    // join, while an OUTER join's null rows sit in state until
+    // watermark eviction, so under replay the outer form retains join
+    // state ∝ backlog. (Round 7 attributed missing outer windows to
+    // eviction-lag late-dropping; round 8's StreamOpsSpec measurement
+    // corrects this — with the carrier protocol right, the engine's
+    // per-operator watermark propagation delivers every outer window
+    // even under compressed replay, and the portable sufficient
+    // condition is StreamOps.outerChainReplayAllowanceSec. The
+    // window-losing failures are protocol artifacts: in-stream
+    // carrier filters and missing flush carriers.) Outer telemetry
+    // can also always be aggregated AFTER the drain, q225's shape.
+    // Per attribution day: joined rows, matched purchases, exact
+    // decimal value.
     "q235_stream_join_agg" -> Q(
       (s, d) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -372,6 +372,43 @@ object StreamOps {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
       joinType)
 
+  /** Watermark-delay allowance for chaining a stream-stream OUTER
+    * interval join into an event-time aggregation IN THE SAME query
+    * under COMPRESSED REPLAY — the replay-safety contract a backlog
+    * drain can rely on, made executable.
+    *
+    * The hazard class: an outer join's null-padded rows emit only at
+    * watermark EVICTION, and replaying a backlog of event-time span
+    * `replaySpanSec` in a couple of batches advances the watermark by
+    * ~the whole span between triggers — on an engine whose downstream
+    * late filter does not lag eviction, those rows arrive older than
+    * the aggregation's threshold and vanish. Declaring at least this
+    * allowance as the SOURCE watermark delay on both join inputs makes
+    * the chain safe UNCONDITIONALLY: eviction then cannot begin until
+    * the threshold trails the whole backlog. A live stream advances
+    * the watermark by seconds per trigger and never needs this; a
+    * replay job KNOWS its span (the checkpoint lag it is draining).
+    *
+    * Round-8 measurement (StreamOpsSpec, three replay protocols): on
+    * THIS engine the allowance is conservative — Spark's per-operator
+    * watermark propagation lags the late threshold one trigger behind
+    * eviction, so the chain is drop-free even at ordinary delays. The
+    * round-7 q235 claim that compressed replay drops 20/21 outer
+    * windows did not reproduce; the window-losing failure modes are
+    * protocol artifacts (in-stream carrier filters pushed into the
+    * scans freezing the watermark; fewer than one carrier batch per
+    * stateful stage racing the final flush), each pinned separately.
+    * Cost of the allowance: join state is retained for the whole
+    * replay (state ∝ backlog) — if that is unacceptable, chain the
+    * INNER join and aggregate outer telemetry AFTER the drain (q225's
+    * shape).
+    */
+  def outerChainReplayAllowanceSec(
+      joinWithinSec: Long,
+      replaySpanSec: Long,
+      slackSec: Long = 60L): Long =
+    joinWithinSec + replaySpanSec + slackSec
+
   /** Arbitrary stateful processing (`mapGroupsWithState`): per-user
     * running count and exact decimal sum of `value`. The state machine
     * the built-in aggregations can't express is the point here — state is

@@ -264,6 +264,99 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("outer join → agg chain survives compressed replay: allowance is sufficient, and the engine's propagation holds even below it") {
+    // 11 clicks at 10-minute marks across a 100-minute backlog, NO real
+    // purchases — every click must reach the downstream windowed count
+    // as an outer null row, emitted only at watermark EVICTION. The
+    // backlog replays COMPRESSED (two data files), so the watermark
+    // advances by ~the whole span between triggers — the scenario the
+    // round-7 q235 analysis blamed for dropping 20/21 outer windows.
+    // Round-8 measurement CORRECTS that finding: with the carrier
+    // protocol right (three carriers, no in-stream carrier filter —
+    // the two artifacts that DO lose windows, each pinned elsewhere in
+    // this suite), Spark's per-operator watermark propagation delivers
+    // every outer window even at an ordinary 30-minute delay, in every
+    // protocol probed (1-file and 2-file compression, a carrier
+    // between backlog halves). outerChainReplayAllowanceSec stays the
+    // PORTABLE sufficient condition — join window + replay span — that
+    // holds on any engine whose late filter lags eviction by one
+    // trigger; this test pins both: the allowance run and the
+    // below-allowance run must BOTH land all 11 windows here.
+    val dir = java.nio.file.Files.createTempDirectory("graft-outer-chain").toString
+    def ev(rows: Seq[(Long, Long, String, String, Double)], f: String): Unit = {
+      val p = s"$dir/$f"
+      rows.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.parquet(p)
+      val mtime = f.stripSuffix(".parquet").last.asDigit * 1000000L
+      new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+      new java.io.File(p).setLastModified(mtime)
+    }
+    val clicks = (0 until 11).map { i =>
+      val m = i * 10
+      (i.toLong, 100L + i, "click",
+        f"2024-01-01 0${m / 60}:${m % 60}%02d:00", 0.0)
+    }
+    // 2-batch compressed replay + three carriers (join eviction batch,
+    // agg eviction batch, final flush race cover — the q235 protocol)
+    ev(clicks.take(6), "b1.parquet")
+    ev(clicks.drop(6), "b2.parquet")
+    def carrier(ts: String) = Seq(
+      (-1L, -1L, "click", ts, 0.0), (-2L, -1L, "purchase", ts, 0.0))
+    ev(carrier("2030-01-01 00:00:00"), "b3.parquet")
+    ev(carrier("2030-02-01 00:00:00"), "b4.parquet")
+    ev(carrier("2030-03-01 00:00:00"), "b5.parquet")
+
+    val joinWithinSec = 20L * 60 // 20-minute attribution window
+    val replaySpanSec = 100L * 60 // the backlog's event-time span
+    def run(delaySec: Long): Set[(String, Long)] = {
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-outer-chain-ck").toString
+      val raw = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*.parquet")
+      val c = raw.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", s"$delaySec seconds")
+      val p = raw.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", s"$delaySec seconds")
+      val joined = StreamOps.intervalJoin(c, p, "user_id", "p_user",
+        "click_ts", "p_ts", s"$joinWithinSec seconds", "leftOuter")
+      val agg = joined
+        .groupBy(window(col("click_ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+      StreamOps.runToBatch(spark, agg, "append")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+        .filter(year(col("window.start")) < 2029) // drop carrier windows
+        .as[(String, Long)].collect().toSet
+    }
+
+    val safe = run(StreamOps.outerChainReplayAllowanceSec(
+      joinWithinSec, replaySpanSec))
+    val expected = (0 until 11)
+      .map(i => (f"0${i / 6}:${i % 6}0:00".take(5), 1L)).toSet
+    assert(safe == expected,
+      s"under the allowance every outer window must land; got $safe")
+
+    // below the allowance — an ordinary live-stream delay (30 min, the
+    // q225/q235 shape): rows evicted in trigger N are those the
+    // watermark passed between N-2 and N-1, and the aggregation's late
+    // threshold lags one more trigger, so the threshold can never
+    // overtake an evicted row's own window — the engine is drop-free
+    // here BY CONSTRUCTION, not luck. (The failure modes that DO lose
+    // outer windows are protocol artifacts: an in-stream carrier
+    // filter pushed into the scans freezes the watermark — pinned in
+    // the carrier-pushdown test — and fewer than one carrier per
+    // stateful stage races processAllAvailable.)
+    val ordinary = run(30L * 60)
+    assert(ordinary == expected,
+      s"the engine's propagation must hold below the allowance too; got $ordinary")
+  }
+
   test("stream-stream interval join: streaming equals batch (inner)") {
     def clicks(df: org.apache.spark.sql.DataFrame) =
       df.filter(col("event_type") === "click")
