@@ -411,6 +411,15 @@ object StreamBench {
     val targetDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "500000").toLong
     val nSources = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCES", "1000").toInt
     val quota = sys.env.getOrElse("SPARK_GRAFT_STREAM_QUOTA", "12500").toLong
+    // ZIPF=1: log-uniform rank draw (the synthesizeZipf inverse-CDF) so
+    // src0 receives ~1/ln(N) of the WHOLE feed — the hot-source shape a
+    // real crawl has and the uniform default can't produce. Runs the
+    // telemetry variant of the gate; each batch's foreachBatch side
+    // channel reports the top-K state-key mass, and the run REQUIRES
+    // the hot source to top the report every batch — a closed source
+    // is invisible in the admission stream, which is exactly why the
+    // telemetry must come from inside the state machine.
+    val zipf = sys.env.get("SPARK_GRAFT_STREAM_ZIPF").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -423,40 +432,81 @@ object StreamBench {
 
     val work = graft.queries.Scratch.dir("graft-streambench-quota")
     val nFiles = batches * 2
+    val sourceCol =
+      if (zipf) concat(lit("src"), least(
+        (floor(exp((pmod(xxhash64(col("id")), lit(1000000000L)) / 1e9)
+          * log(lit(nSources + 1.0)))) - 1).cast("long"),
+        lit(nSources - 1L)))
+      else concat(lit("src"), pmod(col("id"), lit(nSources.toLong)))
     spark.range(targetDocs).select(
-        concat(lit("src"), pmod(col("id"), lit(nSources.toLong))).as("source"),
+        sourceCol.as("source"),
         col("id").as("doc_id"),
         (pmod(xxhash64(col("id")), lit(100)) + 1L).as("w"))
       .repartition(nFiles).write.mode("overwrite").parquet(s"$work/in")
 
+    val src = spark.readStream
+      .schema("source STRING, doc_id LONG, w LONG")
+      .option("maxFilesPerTrigger", math.max(1, nFiles / batches))
+      .parquet(s"$work/in")
+    var hotTopped = 0
+    var reports = 0
     val t0 = System.nanoTime()
-    val q = graft.streaming.StreamOps.tokenQuotaAdmission(
-        spark.readStream
-          .schema("source STRING, doc_id LONG, w LONG")
-          .option("maxFilesPerTrigger", math.max(1, nFiles / batches))
-          .parquet(s"$work/in"),
-        quota = quota)
-      .writeStream
+    val writer =
+      if (!zipf)
+        graft.streaming.StreamOps.tokenQuotaAdmission(src, quota = quota)
+          .writeStream
+          .option("path", s"$work/admitted")
+          .outputMode("append")
+          .format("parquet")
+      else
+        graft.streaming.StreamOps
+          .tokenQuotaAdmissionWithTelemetry(src, quota = quota)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val cached = b.persist()
+            try {
+              cached.filter(col("kind") === "admit")
+                .select("source", "doc_id", "n_tokens", "cum_tokens")
+                .write.mode("overwrite").parquet(s"$work/admitted/batch=$bid")
+              // the side channel: top-K state-key mass for THIS batch
+              val top = graft.streaming.StreamOps.topKeyMass(
+                  cached.filter(col("kind") === "state"),
+                  Seq("source"), k = 5, massCol = Some("n_input"))
+                .collect()
+              if (top.nonEmpty) {
+                reports += 1
+                if (top.head.getString(0) == "src0") hotTopped += 1
+                System.err.println(s"[quota] batch=$bid top=" +
+                  top.map(r => s"${r.getString(0)}:${r.getLong(2)}")
+                    .mkString("[", ",", "]"))
+              }
+            } finally { cached.unpersist(); () }
+          }
+    val q = writer
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
-      .option("path", s"$work/admitted")
-      .outputMode("append")
-      .format("parquet")
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress.toSeq
     val inputRows = progress.map(_.numInputRows).sum
-    val admitted = spark.read.parquet(s"$work/admitted").count()
+    val admitted = spark.read.parquet(s"$work/admitted")
+      .drop("batch").count()
     require(admitted > 0 && admitted < inputRows,
       s"quota gate did no work: admitted=$admitted of $inputRows")
+    if (zipf) require(reports > 0 && hotTopped == reports,
+      s"telemetry missed the hot source: topped $hotTopped of $reports batches")
     val throughput = inputRows / wall
     val perBatch = progress.filter(_.numInputRows > 0)
       .map(r => num(r.processedRowsPerSecond, 0)).mkString("[", ",", "]")
+    val extra = if (zipf)
+      s""""zipf":true,"hot_topped_batches":$hotTopped,"reports":$reports,"""
+    else ""
     println(s"""{"metric":"quota_ingest_throughput","value":${num(throughput, 0)},""" +
       s""""unit":"docs_per_sec","docs":$inputRows,"admitted":$admitted,""" +
       s""""wall_sec":${num(wall, 2)},"batches":${progress.count(_.numInputRows > 0)},""" +
-      s""""sources":$nSources,"quota":$quota,""" +
+      s""""sources":$nSources,"quota":$quota,$extra""" +
       s""""batch_rows_per_sec":$perBatch,"sf":"$sfDir"}""")
     println(s"""{"metric":"quota_ingest_throughput","value":${num(throughput, 0)},"unit":"docs_per_sec","sf":"$sfDir"}""")
     spark.stop()

@@ -41,6 +41,16 @@ case class QuotaState(consumed: Long, closed: Boolean)
 case class AdmittedDoc(source: String, doc_id: Long, n_tokens: Long,
   cum_tokens: Long)
 
+/** One output row of [[StreamOps.tokenQuotaAdmissionWithTelemetry]]:
+  * either an admission (`kind="admit"`, doc fields set) or a per-key
+  * per-batch STATE report (`kind="state"`, `n_input` = rows the key
+  * received this batch — pressure the admissions can't show once the
+  * key closes — plus the post-batch state itself).
+  */
+case class QuotaOut(kind: String, source: String, doc_id: Long,
+  n_tokens: Long, cum_tokens: Long, n_input: Long, consumed: Long,
+  closed: Boolean)
+
 /** `StatefulProcessor` behind [[StreamOps.userRunningStatsTws]]: the
   * Spark 4 `transformWithState` form of the running-stats state machine.
   * State lives in a named, typed `ValueState` slot obtained from the
@@ -488,6 +498,70 @@ object StreamOps {
           out.result().iterator
       }
       .toDF()
+  }
+
+  /** [[tokenQuotaAdmission]] with per-key STATE TELEMETRY emitted from
+    * inside the state machine: alongside each admission (`kind="admit"`)
+    * every (source, batch) group invocation emits one `kind="state"`
+    * row carrying the rows the key received this batch (`n_input`) and
+    * the post-batch state (consumed, closed). This is the streaming
+    * gates' skew observability — the batch world has q89's profiler,
+    * but a state store is opaque, and a hot key's pressure VANISHES
+    * from the admission stream the moment its quota closes (it still
+    * hammers the state lookup on every row). A foreachBatch sink
+    * splits the kinds and feeds the state rows to [[topKeyMass]];
+    * StreamBench's quota mode runs it on a Zipf source distribution
+    * and the report names the hot source every batch. Admission rows
+    * are IDENTICAL to [[tokenQuotaAdmission]]'s (same state machine,
+    * pinned in StreamOpsSpec).
+    */
+  def tokenQuotaAdmissionWithTelemetry(docs: DataFrame,
+      quota: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(quota >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source").cast("string"), col("doc_id").cast("long"),
+        col("w").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, QuotaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src, rows, state) =>
+          val prev = state.getOption.getOrElse(QuotaState(0L, closed = false))
+          var consumed = prev.consumed
+          var closed = prev.closed
+          var nIn = 0L
+          val out = Seq.newBuilder[QuotaOut]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, w) =>
+            nIn += 1
+            if (!closed) {
+              if (consumed + w <= quota) {
+                consumed += w
+                out += QuotaOut("admit", src, id, w, consumed, 0L, 0L,
+                  closed = false)
+              } else closed = true
+            }
+          }
+          state.update(QuotaState(consumed, closed))
+          out += QuotaOut("state", src, -1L, 0L, 0L, nIn, consumed, closed)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** Per-batch top-K key mass — call from a foreachBatch side channel
+    * on any keyed batch frame (a gate's telemetry rows, a dedup input)
+    * to make state-key skew observable. Returns the K heaviest keys by
+    * `massCol` (row count when None) with their row counts.
+    */
+  def topKeyMass(batch: DataFrame, keyCols: Seq[String], k: Int,
+      massCol: Option[String] = None): DataFrame = {
+    val mass = massCol.map(m => sum(col(m))).getOrElse(count(lit(1)))
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), mass.cast("long").as("mass"))
+      .orderBy(col("mass").desc +: keyCols.map(col): _*)
+      .limit(k)
   }
 
   /** The same running-stats state machine on Spark 4's

@@ -91,6 +91,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == windowCut)
   }
 
+  test("tokenQuotaAdmissionWithTelemetry: same admissions, state rows expose closed-key pressure") {
+    val root = java.nio.file.Files.createTempDirectory("graft-quota-tel").toString
+    val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+    def runOnce(): Unit = {
+      val q = StreamOps.tokenQuotaAdmissionWithTelemetry(
+          spark.readStream.schema("source STRING, doc_id LONG, w LONG")
+            .parquet(src),
+          quota = 100L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    Seq(("a", 1L, 50L), ("a", 2L, 40L), ("b", 3L, 100L))
+      .toDF("source", "doc_id", "w")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    Seq(("a", 4L, 20L), ("a", 5L, 5L), ("b", 6L, 1L), ("b", 7L, 1L))
+      .toDF("source", "doc_id", "w")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val all = spark.read.parquet(out)
+    // admissions are IDENTICAL to the plain gate's (same state machine)
+    assert(all.filter(col("kind") === "admit")
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 50L), ("a", 2L, 90L), ("b", 3L, 100L)))
+    // state rows: one per (source, batch); batch 2's rows expose the
+    // pressure the admission stream cannot show — b admitted NOTHING
+    // in batch 2 yet received 2 rows, and both keys report closed
+    val st = all.filter(col("kind") === "state")
+      .select("source", "n_input", "consumed", "closed")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(st.length == 4) // 2 sources x 2 batches
+    assert(st.toSet.contains(("a", 2L, 90L, true)))  // batch 2: closed by doc 4
+    assert(st.toSet.contains(("b", 2L, 100L, true))) // batch 2: full, 2 rows seen
+    // and the top-key-mass side channel ranks by the telemetry mass
+    val top = StreamOps.topKeyMass(
+      all.filter(col("kind") === "state"), Seq("source"), k = 1,
+      massCol = Some("n_input")).collect()
+    assert(top.head.getString(0) == "b" || top.head.getString(0) == "a")
+    assert(top.head.getLong(2) >= 3L) // summed over batches
+  }
+
   test("windowedEventStats: streaming result equals batch result") {
     val stream = StreamOps.readStream(spark, Tables.path(sfDir, "events"))
       .transform(Tables.normalizeTs(_))
