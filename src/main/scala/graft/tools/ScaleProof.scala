@@ -108,6 +108,47 @@ object ScaleProof {
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
 
+  /** Zipf-vocabulary corpus WITH planted near-duplicates, full
+    * `documents` schema — the realistic fixture for the SHINGLE dedup
+    * tier (q27/q53/q200 decades). The replica corpus those decades ran
+    * on has a ~31-word vocabulary and verbatim copies, which overstates
+    * BOTH dup density and df concentration; here word ranks draw
+    * log-uniformly from a 50k vocabulary (hot head + genuine rare-term
+    * mass) and the only near-dups are PLANTED: every 10th doc
+    * (id % 10 == 9) re-draws doc id-1's word sequence with ~1-in-20
+    * positions rewritten at per-copy positions. 3-shingle survival
+    * (19/20)³ ≈ 0.86 puts the planted pair's expected Jaccard ≈ 0.75 —
+    * comfortably above the 0.5 threshold — while unplanted pairs share
+    * only Zipf-head tokens, far below it. The planted set doubles as
+    * ground truth for [[RecallCurves]].
+    */
+  def synthesizeZipfDocs(spark: SparkSession, outDir: String, nDocs: Long,
+      vocab: Int = 50000, wordsPerDoc: Int = 80): Long = {
+    val isCopy = pmod(col("id"), lit(10)) === 9
+    val wid = col("id") - when(isCopy, 1L).otherwise(0L)
+    def zipfWord(seed: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
+      concat(lit("w"), least(
+        (floor(exp((pmod(xxhash64(seed, p), lit(1000000000L)) / 1e9)
+          * log(lit(vocab + 1.0)))) - 1).cast("long"),
+        lit(vocab - 1L)))
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(transform(
+        sequence(lit(0), lit(wordsPerDoc - 1)),
+        p => when(isCopy && pmod(xxhash64(col("id"), p, lit(13L)),
+            lit(20)) === 0,
+          concat(lit("m"), pmod(xxhash64(col("id"), p, lit(7L)),
+            lit(vocab.toLong))))
+          .otherwise(zipfWord(wid, p))), " ").as("text"),
+      concat(lit("l"), pmod(col("id"), lit(3))).as("lang"),
+      concat(lit("s"), pmod(col("id"), lit(7))).as("source"))
+    docs.withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
   /** Replicated embeddings with per-copy sign-flip mutation: copy 0 is
     * verbatim; copy k>0 flips the sign of ~1/5 of the dimensions
     * (xxhash64-selected per copy), which decorrelates every LSH
@@ -205,7 +246,7 @@ object ScaleProof {
       !n.startsWith("q191") && !n.startsWith("q210") &&
         !n.startsWith("q213") && !n.startsWith("q214") &&
         !n.startsWith("q215") && !n.startsWith("q225") &&
-        !n.startsWith("q227")))
+        !n.startsWith("q227") && !n.startsWith("zipfdedup")))
     val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
       .filter(_ => replicaNeeded)
       .filter(_._2 <= copyCapEarly)
@@ -249,6 +290,7 @@ object ScaleProof {
       "q195_proximity_multiterm" -> 100,
       "q201_span_dedup_incremental" -> 100,
       "q202_stream_span_dedup" -> 100,
+      "q238_span_delta_chain" -> 100,
       "q207_phash_incremental" -> 100,
       "q208_stream_phash_ingest" -> 100,
       "q209_multimodal_dup_families" -> 100,
@@ -559,7 +601,49 @@ object ScaleProof {
         rows.map { case (n, (sec, w, r)) => (n, tag, sec, w, r, planes) }
       }
     }
-    val json = (out.map { case (n, t, s, w, r) =>
+    // Zipf-realistic decades for the SHINGLE dedup tier: the replica
+    // corpus's 31-word vocabulary and verbatim copies overstate both
+    // dup density and df concentration, so flagship dedup queries get
+    // a second curve on synthesizeZipfDocs (50k-vocab Zipf draw,
+    // planted 1-in-10 near-dup copies at Jaccard ≈ 0.75) — "replica
+    // stress" and "Zipf-realistic" rows land side by side in
+    // BASELINE.md. Enabled via SPARK_GRAFT_SCALEPROOF_ZIPFDEDUP=
+    // q27_...,q53_...,q200_... (a corpus-shape axis orthogonal to the
+    // ONLY knob's query axis).
+    val zipfDedup = sys.env.get("SPARK_GRAFT_SCALEPROOF_ZIPFDEDUP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty) match {
+      case Seq() => Seq.empty
+      case names =>
+        for {
+          (tag, nDocs) <- Seq("zipfdedup-sf1.0" -> 50000L,
+            "zipfdedup-sf10" -> 500000L)
+          if nDocs / 50000 <= copyCap
+          dir = {
+            val d = s"$work/$tag"
+            val rows = synthesizeZipfDocs(spark, d, nDocs)
+            System.err.println(
+              s"[scaleproof] synthesized $rows zipf-dedup docs at $d")
+            d
+          }
+          name <- names
+        } yield {
+          val fn = graft.SparkEntry.queries(name)
+          val passes = (1 to 2).map { _ =>
+            System.gc()
+            val t0 = System.nanoTime()
+            val (_, w, r) = meter.measure {
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+            }
+            ((System.nanoTime() - t0) / 1e9, w, r)
+          }
+          val (sec, w, r) = passes.minBy(_._1)
+          System.err.println(f"[scaleproof] $name $tag ${sec}%.2fs " +
+            f"write=${w >> 20}MiB read=${r >> 20}MiB")
+          (name, tag, sec, w, r)
+        }
+    }
+    val json = ((out ++ zipfDedup).map { case (n, t, s, w, r) =>
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
     } ++ outerDec.map { case (t, s, w, r) =>
