@@ -169,6 +169,7 @@ object StreamBench {
       // band writes OUTSIDE the foldOnce guard (see indexIngest): the
       // probe inside the fold reads the pre-batch index state, and a
       // replay after a committed fold must still land the batch's keys
+      cacheBatch = true,
       after = (s, b, idx) => {
         val t0 = System.nanoTime()
         if (!new java.io.File(s"$idx/mh").exists())
@@ -530,7 +531,12 @@ object StreamBench {
       // (re-appending band keys is recall-harmless per the wing
       // contract; skipping them loses the batch's keys forever)
       after: (SparkSession, org.apache.spark.sql.DataFrame, String) => Unit =
-        (_, _, _) => ()): Unit = {
+        (_, _, _) => (),
+      // persist the microbatch across fold + after — ONLY for modes
+      // with multiple harness-level consumers (family); single-consumer
+      // folds (span) and folds that cache internally (bm25) would pay
+      // a measured ~30% materialization tax for nothing
+      cacheBatch: Boolean = false): Unit = {
     val targetDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -564,10 +570,11 @@ object StreamBench {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
-        // one persist for ALL consumers (fold + after hook): without it
-        // each consumer re-executes the microbatch source scan — the
-        // q181 lesson, measured here as numInputRows = 2x admitted rows
-        val cached = b.persist()
+        // one persist for ALL consumers (fold + after hook) when the
+        // mode asks for it: without it each consumer re-executes the
+        // microbatch source scan — the q181 lesson, measured here as
+        // numInputRows = 2x admitted rows in family mode
+        val cached = if (cacheBatch) b.persist() else b
         try {
           // exactly-once: a replayed batch must not double-fold (see
           // IndexMaintenance.foldOnce — version == batchId + 1 invariant)
@@ -577,7 +584,7 @@ object StreamBench {
             else add(spark, cached, idx)
           }
           after(spark, cached, idx)
-        } finally { cached.unpersist(); () }
+        } finally { if (cacheBatch) { cached.unpersist(); () } }
       }
       .start()
     q.awaitTermination()

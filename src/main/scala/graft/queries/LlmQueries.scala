@@ -3297,6 +3297,12 @@ object LlmQueries {
           .start().awaitTermination()
         require(SpanDedupIndex.latestVersion(idx).contains(2),
           "expected two delivered microbatches")
+        // the cleanse reads the COMPOSED delta chain directly: for a
+        // single post-drain read, the compose shuffle is cheaper than
+        // compacting first (measured: compact-then-cleanse cost +14%
+        // at sf10) — compaction amortizes over REPEATED probes, which
+        // is the family-ingest cadence (StreamBench family mode), not
+        // this one-read protocol
         SpanDedupIndex
           .cleanseWith(s, idx, docs(s, d), "doc_id", "text",
             k = 8, minSpanTokens = 20)
