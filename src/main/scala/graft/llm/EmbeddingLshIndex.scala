@@ -207,30 +207,38 @@ object EmbeddingLshIndex {
       tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
       seed: Long = 42L, maxBucketSize: Long = 100000L,
       roundSim: Int = 6): DataFrame = {
+    // batch band rows broadcast (one materialization, two join
+    // consumers): the persisted band table streams map-side past the
+    // probe instead of shuffling per batch — the wing-wide posture
     val newBands = BucketCaps.capBuckets(
-      bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
-      bucket, maxBucketSize)
+        bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+        bucket, maxBucketSize)
+      .localCheckpoint()
     // tombstoned ids leave the candidate space here: pairs only ever
     // form through a band join, so filtering the history bands is
     // sufficient (a forgotten id's stale vecs row can never be probed)
     val oldBands = minusDels(spark, path, spark.read.parquet(s"$path/bands"))
-    val newVsOld = newBands.as("n")
+    val newVsOld = broadcast(newBands.as("n"))
       .join(oldBands.as("o"),
         col("n.table") === col("o.table") && col("n.sig") === col("o.sig") &&
           col("n.id") =!= col("o.id"))
       .select(least(col("n.id"), col("o.id")).as("id_a"),
         greatest(col("n.id"), col("o.id")).as("id_b"))
-    val newVsNew = newBands.as("l")
+    val newVsNew = broadcast(newBands.as("l"))
       .join(newBands.as("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    val pairs = newVsOld.union(newVsNew).distinct()
-    // dropDuplicates keeps a retried append (duplicate vec rows) from
-    // fanning out the verification join — the vec-side analogue of the
-    // pair-level distinct that absorbs retried band rows above
+    val pairs = newVsOld.union(newVsNew).distinct().localCheckpoint()
+    // verify only the candidate ids' vectors: the history vec table is
+    // corpus-sized and unioning ALL of it through the verification
+    // join was a corpus-proportional probe term. dropDuplicates keeps
+    // a retried append (duplicate vec rows) from fanning out the join.
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
     val lookup = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .union(spark.read.parquet(s"$path/vecs"))
+      .join(candIds, Seq("id"), "left_semi")
       .dropDuplicates("id")
     pairs
       .join(lookup.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))

@@ -125,19 +125,24 @@ object SimHashIndex {
       blocks: Int = 6,
       maxBucketSize: Long = 100000L): DataFrame = {
     requireParamsMatch(spark, path, radius, blocks)
+    // materialize the admission-bounded batch keys once (two join
+    // consumers) and BROADCAST them: the persisted index is the
+    // corpus-sized side and must stream map-side past the probe, never
+    // shuffle per batch (the MinHashIndex probe lesson, measured there)
     val newKeys = graft.operators.BucketCaps.capBuckets(
-      SimHashDedup.bandKeys(newDocs, idCol, textCol, radius, blocks),
-      Seq(col("combo"), col("bkey")), maxBucketSize)
+        SimHashDedup.bandKeys(newDocs, idCol, textCol, radius, blocks),
+        Seq(col("combo"), col("bkey")), maxBucketSize)
+      .localCheckpoint()
     val oldKeys = IndexMaintenance.minusTombstones(spark, path,
       spark.read.parquet(path))
-    val newVsOld = newKeys.as("n")
+    val newVsOld = broadcast(newKeys.as("n"))
       .join(oldKeys.as("o"),
         col("n.combo") === col("o.combo") && col("n.bkey") === col("o.bkey") &&
           col("n.id") =!= col("o.id"))
       .select(least(col("n.id"), col("o.id")).as("id_a"),
         greatest(col("n.id"), col("o.id")).as("id_b"),
         bit_count(col("n.simhash").bitwiseXOR(col("o.simhash"))).as("hamming"))
-    val newVsNew = newKeys.as("l")
+    val newVsNew = broadcast(newKeys.as("l"))
       .join(newKeys.as("r"),
         col("l.combo") === col("r.combo") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
@@ -186,12 +191,20 @@ object SimHashIndex {
       radius: Int = 3,
       blocks: Int = 6,
       shingleWords: Int = 3,
-      maxBucketSize: Long = 100000L): DataFrame =
-    JaccardVerify.verify(
-      incrementalCandidates(spark, path, newDocs, idCol, textCol,
-          radius, blocks, maxBucketSize)
-        .filter(col("hamming") <= radius),
-      allDocs, idCol, textCol, threshold, shingleWords)
+      maxBucketSize: Long = 100000L): DataFrame = {
+    // verify only the docs the candidates touch: `allDocs` may be the
+    // whole corpus, and shingling + shuffling non-candidate docs is a
+    // corpus-proportional probe term (the MinHashIndex measurement)
+    val cands = incrementalCandidates(spark, path, newDocs, idCol,
+        textCol, radius, blocks, maxBucketSize)
+      .filter(col("hamming") <= radius)
+      .localCheckpoint()
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    JaccardVerify.verify(cands,
+      allDocs.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, threshold, shingleWords)
+  }
 
   /** Buckets whose cross-batch occupancy exceeds the per-batch cap —
     * the incremental-vs-full divergence signal (see [[MinHashIndex]]).

@@ -100,7 +100,11 @@ object WinnowIndex {
       .filter(col("df") <= maxDf).select("f")
     val nk = newPosts.join(keep, "f")
     val ok = oldPosts.join(keep, "f")
-    val newVsOld = nk.as("n")
+    // the batch postings broadcast; the corpus-sized index postings
+    // stream map-side past the pair join instead of shuffling per
+    // batch (the df aggregate above still shuffles — maxDf is defined
+    // over the UNION, so that term is semantic, not accidental)
+    val newVsOld = broadcast(nk.as("n"))
       .join(ok.as("o"), col("n.f") === col("o.f") && col("n.id") =!= col("o.id"))
       .select(least(col("n.id"), col("o.id")).as("id_a"),
         greatest(col("n.id"), col("o.id")).as("id_b"))

@@ -84,11 +84,14 @@ object PHashIndex {
       idCol: String = "id",
       radius: Int = 8,
       maxBucketSize: Long = 10000L): DataFrame = {
+    // batch keys broadcast: the persisted index streams map-side past
+    // the probe instead of shuffling per batch (wing-wide posture)
     val newKeys = BucketCaps.capBuckets(explodeBands(newHashes, idCol),
-      Seq(col("band"), col("key")), maxBucketSize)
+        Seq(col("band"), col("key")), maxBucketSize)
+      .localCheckpoint()
     val oldKeys = graft.llm.IndexMaintenance.minusTombstones(spark, path,
       spark.read.parquet(path))
-    val newVsOld = newKeys.as("n")
+    val newVsOld = broadcast(newKeys.as("n"))
       .join(oldKeys.as("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
           col("n.id") =!= col("o.id"))
@@ -103,7 +106,7 @@ object PHashIndex {
           .as("h1b"),
         when(col("n.id") < col("o.id"), col("o.h2")).otherwise(col("n.h2"))
           .as("h2b"))
-    val newVsNew = newKeys.as("l")
+    val newVsNew = broadcast(newKeys.as("l"))
       .join(newKeys.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
