@@ -4728,6 +4728,63 @@ object LlmQueries {
               |FROM documents d LEFT JOIN comp c USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // FAMILY-chain compaction lifecycle through the oracle — the
+    // FamilyIndex member of what q238 pins for the span chain: three
+    // pair batches fold as snapshot + TWO live deltas (new-id rows and
+    // rep-remap rows, composed by in-order substitution at read), the
+    // composed assignment is materialized, then compact folds the tail
+    // into a snapshot at the same version, vacuum reclaims base/v=1 +
+    // both deltas (n_removed = 3), and the snapshot-only read is
+    // REQUIRED to agree row-for-row with the pre-compact composed read
+    // before emitting. The oracle stays the one-shot recursive-CTE
+    // closure — compaction provably cannot change the assignment.
+    "q240_family_delta_compaction" -> Q(
+      (s, d) => {
+        import graft.llm.{DeltaChain, FamilyIndex, MinHashIndex}
+        val dd = docs(s, d)
+        val b1 = dd.filter(col("doc_id") < 170)
+        val b2 = dd.filter(col("doc_id") >= 170 && col("doc_id") < 340)
+        val b3 = dd.filter(col("doc_id") >= 340)
+        val root = graft.queries.Scratch.dir("graft-q240-famcompact")
+        MinHashIndex.build(b1, s"$root/mh", "doc_id", "text")
+        FamilyIndex.build(
+          MinHashDedup.nearDupPairs(b1, "doc_id", "text", threshold = 0.5),
+          s"$root/fam")
+        Seq(b2, b3).foreach { b =>
+          FamilyIndex.addBatch(s, s"$root/fam",
+            MinHashIndex.incrementalNearDupPairs(
+              s, s"$root/mh", b, dd, "doc_id", "text", threshold = 0.5))
+          MinHashIndex.append(b, s"$root/mh", "doc_id", "text")
+        }
+        val nDeltas = DeltaChain.liveDeltaVersions(s"$root/fam").size
+        val composed = FamilyIndex.assignment(s, s"$root/fam")
+          .localCheckpoint() // materialized before vacuum deletes its dirs
+        val live = FamilyIndex.compact(s, s"$root/fam")
+        val removed = FamilyIndex.vacuum(s, s"$root/fam")
+        val snapshot = FamilyIndex.assignment(s, s"$root/fam")
+        require(composed.join(snapshot,
+            composed("id") === snapshot("id") &&
+              composed("family") === snapshot("family")).count()
+            == composed.count() && composed.count() == snapshot.count(),
+          "compaction changed the family assignment")
+        val fam = snapshot
+          .select(col("id").as("doc_id"), col("family").as("group_id"))
+        dd.select("doc_id").join(fam, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("group_id"), col("doc_id")).as("group_id"))
+          .withColumn("n_delta_versions", lit(nDeltas.toLong))
+          .withColumn("live_version", lit(live.toLong))
+          .withColumn("n_removed", lit(removed.toLong))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupGroupsCtes
+              |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+              |  CAST(2 AS BIGINT) AS n_delta_versions,
+              |  CAST(3 AS BIGINT) AS live_version,
+              |  CAST(3 AS BIGINT) AS n_removed
+              |FROM documents d LEFT JOIN comp c USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // STREAMING family maintenance — q229's fold driven by the REAL
     // streaming engine (the q192 delivery protocol): each microbatch
     // probes the MinHash band index for its near-dup pairs (new-vs-

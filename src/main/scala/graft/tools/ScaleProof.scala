@@ -291,6 +291,7 @@ object ScaleProof {
       "q201_span_dedup_incremental" -> 100,
       "q202_stream_span_dedup" -> 100,
       "q238_span_delta_chain" -> 100,
+      "q240_family_delta_compaction" -> 100,
       "q207_phash_incremental" -> 100,
       "q208_stream_phash_ingest" -> 100,
       "q209_multimodal_dup_families" -> 100,

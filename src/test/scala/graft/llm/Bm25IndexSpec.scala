@@ -179,4 +179,28 @@ class Bm25IndexSpec extends AnyFunSuite {
       Seq((9L, "zzz qqq")).toDF("qid", "qtext"), k = 3)
     assert(out.isEmpty)
   }
+
+  test("addBatch REJECTS re-adding a live-tombstoned id (enforced, not comment-only)") {
+    val path = graft.queries.Scratch.dir("bm25idx-guard")
+    Bm25Index.build(corpus, path, "doc_id", "text")
+    Bm25Index.deleteDocs(spark, path, Seq(1L).toDF("doc_id"))
+    // a violating re-add would hide the new postings behind the
+    // search anti-join AND inflate df/stats — the guard fails fast
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.addBatch(spark, path,
+        Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // disjoint new ids still fold fine while the tombstone is live
+    Bm25Index.addBatch(spark, path,
+      Seq((50L, "delta epsilon")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Bm25Index.latestVersion(path).contains(3))
+    // after compact (tombstones materialized) the id is free again
+    val succ = graft.queries.Scratch.dir("bm25idx-guard2")
+    Bm25Index.compact(spark, path, succ)
+    Bm25Index.addBatch(spark, succ,
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Bm25Index.latestVersion(succ).contains(2))
+  }
 }
