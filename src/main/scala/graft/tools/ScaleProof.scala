@@ -123,24 +123,47 @@ object ScaleProof {
     * ground truth for [[RecallCurves]].
     */
   def synthesizeZipfDocs(spark: SparkSession, outDir: String, nDocs: Long,
-      vocab: Int = 50000, wordsPerDoc: Int = 80): Long = {
+      vocab: Int = 50000, wordsPerDoc: Int = 80,
+      gatePassable: Boolean = false): Long = {
     val isCopy = pmod(col("id"), lit(10)) === 9
     val wid = col("id") - when(isCopy, 1L).otherwise(0L)
+    // gatePassable: words encode their rank in LETTERS (digit-heavy
+    // tokens fail the quality gate's alpha-ratio) and every 10th
+    // position carries an English marker word so lang_id resolves
+    // "en" instead of "und" — the shape a REAL gate-fronted pipeline
+    // sees; markers sit at fixed positions, identical in base and
+    // copy, so the planted-pair Jaccard structure is preserved
+    def letters(rank: org.apache.spark.sql.Column) =
+      concat(char(lit(97) + pmod(rank, lit(26))),
+        char(lit(97) + pmod(rank / 26, lit(26))),
+        char(lit(97) + pmod(rank / 676, lit(26))),
+        char(lit(97) + pmod(rank / 17576, lit(26))))
+    def enc(prefix: String, rank: org.apache.spark.sql.Column) =
+      if (gatePassable) concat(lit(prefix), letters(rank))
+      else concat(lit(prefix), rank)
     def zipfWord(seed: org.apache.spark.sql.Column,
         p: org.apache.spark.sql.Column) =
-      concat(lit("w"), least(
+      enc("w", least(
         (floor(exp((pmod(xxhash64(seed, p), lit(1000000000L)) / 1e9)
           * log(lit(vocab + 1.0)))) - 1).cast("long"),
         lit(vocab - 1L)))
+    val markers = array(lit("the"), lit("and"), lit("of"), lit("is"))
     val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
       array_join(transform(
         sequence(lit(0), lit(wordsPerDoc - 1)),
-        p => when(isCopy && pmod(xxhash64(col("id"), p, lit(13L)),
-            lit(20)) === 0,
-          concat(lit("m"), pmod(xxhash64(col("id"), p, lit(7L)),
-            lit(vocab.toLong))))
-          .otherwise(zipfWord(wid, p))), " ").as("text"),
+        p => {
+          val body = when(isCopy && pmod(xxhash64(col("id"), p, lit(13L)),
+              lit(20)) === 0,
+            enc("m", pmod(xxhash64(col("id"), p, lit(7L)),
+              lit(vocab.toLong))))
+            .otherwise(zipfWord(wid, p))
+          if (gatePassable)
+            when(pmod(p, lit(10)) === 5,
+              element_at(markers, (pmod(p / 10, lit(4)) + 1).cast("int")))
+              .otherwise(body)
+          else body
+        }), " ").as("text"),
       concat(lit("l"), pmod(col("id"), lit(3))).as("lang"),
       concat(lit("s"), pmod(col("id"), lit(7))).as("source"))
     docs.withColumn("n_chars", length(col("text")).cast("long"))
@@ -616,19 +639,34 @@ object ScaleProof {
       .getOrElse(Seq.empty) match {
       case Seq() => Seq.empty
       case names =>
+        // gate-fronted pipelines (q53) run on the gate-passable
+        // variant — letter words + lang markers — because the quality
+        // gate correctly rejects bare synthetic word-soup (lang_id =
+        // "und"), and a zipf row that only times the gate scan would
+        // be hollow; the pure dedup queries keep the plain corpus
+        val needsGate = names.exists(_.startsWith("q53"))
         for {
           (tag, nDocs) <- Seq("zipfdedup-sf1.0" -> 50000L,
             "zipfdedup-sf10" -> 500000L)
           if nDocs / 50000 <= copyCap
-          dir = {
+          dirs = {
             val d = s"$work/$tag"
             val rows = synthesizeZipfDocs(spark, d, nDocs)
             System.err.println(
               s"[scaleproof] synthesized $rows zipf-dedup docs at $d")
-            d
+            val g = if (!needsGate) None else {
+              val gd = s"$work/$tag-gate"
+              val r2 = synthesizeZipfDocs(spark, gd, nDocs,
+                gatePassable = true)
+              System.err.println(s"[scaleproof] synthesized $r2 " +
+                s"gate-passable zipf docs at $gd")
+              Some(gd)
+            }
+            (d, g)
           }
           name <- names
         } yield {
+          val dir = if (name.startsWith("q53")) dirs._2.get else dirs._1
           val fn = graft.SparkEntry.queries(name)
           val passes = (1 to 2).map { _ =>
             System.gc()
