@@ -186,6 +186,18 @@ object MediaContainers {
     None
   }
 
+  /** GIF header parse: "GIF87a"/"GIF89a" signature, little-endian
+    * logical-screen width/height at offsets 6/8. Header-only — the
+    * LZW-compressed raster is out of scope (metadata tier).
+    */
+  def parseGif(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 10) return None
+    val sig = new String(b.take(6), "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0) None else Some(ImageMeta(w, h))
+  }
+
   /** Sniff + parse: images report 1 frame; audio reports sample frames
     * and no dimensions; anything else is ("unknown", None, None, None).
     */
@@ -201,9 +213,13 @@ object MediaContainers {
           case None => parseJpeg(b) match {
             case Some(m) =>
               MediaMeta("jpeg", Some(m.width), Some(m.height), Some(1L))
-            case None => parseWav(b) match {
-              case Some(w) => MediaMeta("wav", None, None, Some(w.nFrames))
-              case None => MediaMeta("unknown", None, None, None)
+            case None => parseGif(b) match {
+              case Some(m) =>
+                MediaMeta("gif", Some(m.width), Some(m.height), Some(1L))
+              case None => parseWav(b) match {
+                case Some(w) => MediaMeta("wav", None, None, Some(w.nFrames))
+                case None => MediaMeta("unknown", None, None, None)
+              }
             }
           }
         }

@@ -1097,7 +1097,9 @@ object LlmQueries {
           expr("1 + (doc_id * 11) % 60").as("ph"),
           expr("1 + doc_id % 2").as("ch"),
           expr("8000 + (doc_id % 8) * 500").as("rate"),
-          expr("16 + doc_id % 64").as("frames"))
+          expr("16 + doc_id % 64").as("frames"),
+          expr("1 + (doc_id * 5) % 100").as("gw"),
+          expr("1 + (doc_id * 13) % 70").as("gh"))
           .withColumn("img_size", expr("(bw * 3 + (4 - (bw * 3) % 4) % 4) * bh"))
           .withColumn("data_size", expr("frames * ch * 2"))
         val bmpHex = s"concat('424d', ${le32("(54 + img_size)")}, '00000000', " +
@@ -1112,9 +1114,13 @@ object LlmQueries {
           "repeat('00', CAST(data_size AS INT)))"
         val ppmHex = "concat(hex(concat('P6', chr(10), pw, ' ', ph, chr(10), " +
           "'255', chr(10))), repeat('00', CAST(pw * ph * 3 AS INT)))"
+        // header-only GIF (signature + LE16 logical-screen dims + 3
+        // header bytes): the metadata tier reads exactly this much
+        val gifHex = s"concat('474946383961', ${le16("gw")}, ${le16("gh")}, '000000')"
         val withMedia = staged.withColumn("media", expr(
-          s"unhex(CASE WHEN doc_id % 3 = 0 THEN $bmpHex " +
-            s"WHEN doc_id % 3 = 1 THEN $wavHex ELSE $ppmHex END)"))
+          s"unhex(CASE WHEN doc_id % 4 = 0 THEN $bmpHex " +
+            s"WHEN doc_id % 4 = 1 THEN $wavHex " +
+            s"WHEN doc_id % 4 = 2 THEN $ppmHex ELSE $gifHex END)"))
         val meta = MultimodalOps.decodeMetaColumns(col("media"))
         withMedia.select(col("doc_id"), meta(0), meta(1), meta(2), meta(3),
             meta(4), md5(hex(col("media"))).as("checksum"))
@@ -1125,7 +1131,8 @@ object LlmQueries {
              |         1 + doc_id % 64 AS bw, 1 + (doc_id * 7) % 48 AS bh,
              |         1 + (doc_id * 3) % 80 AS pw, 1 + (doc_id * 11) % 60 AS ph,
              |         1 + doc_id % 2 AS ch, 8000 + (doc_id % 8) * 500 AS rate,
-             |         16 + doc_id % 64 AS frames
+             |         16 + doc_id % 64 AS frames,
+             |         1 + (doc_id * 5) % 100 AS gw, 1 + (doc_id * 13) % 70 AS gh
              |  FROM documents),
              |sized AS (
              |  SELECT *, (bw * 3 + (4 - (bw * 3) % 4) % 4) * bh AS img_size,
@@ -1133,7 +1140,7 @@ object LlmQueries {
              |  FROM params),
              |blobs AS (
              |  SELECT doc_id, unhex(CASE
-             |    WHEN doc_id % 3 = 0 THEN
+             |    WHEN doc_id % 4 = 0 THEN
              |      '424d' ||
              |      printf('%02x%02x%02x%02x', (54 + img_size) & 255, ((54 + img_size) >> 8) & 255,
              |        ((54 + img_size) >> 16) & 255, ((54 + img_size) >> 24) & 255) ||
@@ -1144,7 +1151,7 @@ object LlmQueries {
              |      printf('%02x%02x%02x%02x', img_size & 255, (img_size >> 8) & 255, (img_size >> 16) & 255, (img_size >> 24) & 255) ||
              |      '130b0000' || '130b0000' || '00000000' || '00000000' ||
              |      repeat('00', CAST(img_size AS INT))
-             |    WHEN doc_id % 3 = 1 THEN
+             |    WHEN doc_id % 4 = 1 THEN
              |      '52494646' ||
              |      printf('%02x%02x%02x%02x', (36 + data_size) & 255, ((36 + data_size) >> 8) & 255,
              |        ((36 + data_size) >> 16) & 255, ((36 + data_size) >> 24) & 255) ||
@@ -1157,15 +1164,21 @@ object LlmQueries {
              |      '1000' || '64617461' ||
              |      printf('%02x%02x%02x%02x', data_size & 255, (data_size >> 8) & 255, (data_size >> 16) & 255, (data_size >> 24) & 255) ||
              |      repeat('00', CAST(data_size AS INT))
-             |    ELSE
+             |    WHEN doc_id % 4 = 2 THEN
              |      hex('P6' || chr(10) || pw || ' ' || ph || chr(10) || '255' || chr(10)) ||
              |      repeat('00', CAST(pw * ph * 3 AS INT))
+             |    ELSE
+             |      '474946383961' ||
+             |      printf('%02x%02x', gw & 255, (gw >> 8) & 255) ||
+             |      printf('%02x%02x', gh & 255, (gh >> 8) & 255) ||
+             |      '000000'
              |    END) AS media
              |  FROM sized),
              |hexed AS (
              |  SELECT doc_id, media, hex(media) AS hs,
              |    CASE WHEN substr(hex(media), 1, 4) = '424D' THEN 'bmp'
              |         WHEN substr(hex(media), 1, 4) = '5036' THEN 'ppm'
+             |         WHEN substr(hex(media), 1, 8) = '47494638' THEN 'gif'
              |         WHEN substr(hex(media), 1, 8) = '52494646'
              |              AND substr(hex(media), 17, 8) = '57415645' THEN 'wav'
              |         ELSE 'unknown' END AS format
@@ -1191,13 +1204,19 @@ object LlmQueries {
              |      'P6\n(\d+) (\d+)\n255\n', 1) AS BIGINT) END AS ppm_w,
              |    CASE WHEN format = 'ppm' THEN CAST(regexp_extract(decode(media),
              |      'P6\n(\d+) (\d+)\n255\n', 2) AS BIGINT) END AS ppm_h,
+             |    TRY_CAST('0x' || substr(hs, 2*7-1, 2) AS BIGINT)
+             |      + 256 * TRY_CAST('0x' || substr(hs, 2*8-1, 2) AS BIGINT) AS gif_w,
+             |    TRY_CAST('0x' || substr(hs, 2*9-1, 2) AS BIGINT)
+             |      + 256 * TRY_CAST('0x' || substr(hs, 2*10-1, 2) AS BIGINT) AS gif_h,
              |    md5(hs) AS checksum
              |  FROM hexed)
              |SELECT doc_id, byte_len, format,
              |  CAST(CASE WHEN format = 'bmp' THEN bmp_w
-             |            WHEN format = 'ppm' THEN ppm_w END AS INT) AS width,
+             |            WHEN format = 'ppm' THEN ppm_w
+             |            WHEN format = 'gif' THEN gif_w END AS INT) AS width,
              |  CAST(CASE WHEN format = 'bmp' THEN bmp_h
-             |            WHEN format = 'ppm' THEN ppm_h END AS INT) AS height,
+             |            WHEN format = 'ppm' THEN ppm_h
+             |            WHEN format = 'gif' THEN gif_h END AS INT) AS height,
              |  CAST(CASE WHEN format = 'wav' THEN wav_data // wav_block
              |            ELSE 1 END AS BIGINT) AS n_frames,
              |  checksum

@@ -301,6 +301,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamming <= 8, s"JPEG round-trip moved dHash by $hamming bits")
   }
 
+  test("GIF: header parse (both signatures), bad input quarantined") {
+    import MediaContainers._
+    def gif(sig: String, w: Int, h: Int): Array[Byte] =
+      sig.getBytes("US-ASCII") ++ Array[Byte](
+        (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, 0, 0, 0)
+    assert(parseGif(gif("GIF89a", 300, 70)).contains(ImageMeta(300, 70)))
+    assert(parseGif(gif("GIF87a", 2, 1)).contains(ImageMeta(2, 1)))
+    assert(parse(gif("GIF89a", 300, 70)) ==
+      MediaMeta("gif", Some(300), Some(70), Some(1L)))
+    assert(parseGif(gif("GIF99a", 3, 3)).isEmpty) // bad version
+    assert(parseGif(gif("GIF89a", 0, 5)).isEmpty) // zero dim
+    assert(parseGif("GIF89a".getBytes("US-ASCII")).isEmpty) // truncated
+  }
+
   test("decodeImages decodes PNG payloads end to end (the q239 chain)") {
     val encoded = spark.createDataset((0L until 20L).map { id =>
       MultimodalOps.MediaRecord(id,
