@@ -126,8 +126,14 @@ object RecallCurves {
     System.err.println(s"[recall] embed corpus=$nVecs vecs, " +
       s"planted=${nVecs / 2}, true twins (cos>=0.9)=$nVTruth")
 
-    val embRows = for ((tables, planes) <- Seq((4, 12), (8, 8), (8, 12),
-        (8, 16))) yield {
+    // the decade law gates the sweep: 8-plane signatures at >100k vecs
+    // pack thousands per bucket and the candidate join goes quadratic
+    // in occupancy (the q210 lesson) — the large-corpus sweep starts
+    // at 12 planes, which is exactly what the law prescribes there
+    val embConfigs =
+      if (nVecs > 100000L) Seq((4, 16), (8, 12), (8, 16), (8, 20))
+      else Seq((4, 12), (8, 8), (8, 12), (8, 16))
+    val embRows = for ((tables, planes) <- embConfigs) yield {
       System.gc()
       val t0 = System.nanoTime()
       // threshold -1 keeps every candidate with its exact cosine: one
