@@ -4317,6 +4317,82 @@ object LlmQueries {
              |FROM c WHERE cum_tokens <= 800
              |ORDER BY source, doc_id""".stripMargin)),
 
+    // STATE TELEMETRY under the oracle gate — the q221 admission gate's
+    // kind=state side channel (per (source, batch): rows received,
+    // cumulative consumed tokens, closed flag, emitted from INSIDE the
+    // state machine where a closed source's pressure is still visible)
+    // replayed relationally: n_input is a per-(source, batch) count,
+    // consumed is the admitted-token cumsum capped by the strict-prefix
+    // quota cut, closed is the running any-overflow flag — all three
+    // expressible as window aggregates over the same arrival order the
+    // oracle already pins for q221. Idempotent per-batch sink (q237's
+    // batch=N overwrite protocol); batch attribution comes from the
+    // committed dirs.
+    "q241_stream_quota_telemetry" -> Q(
+      (s, d) => {
+        val root = graft.queries.Scratch.dir("graft-q241-quotatel")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val dd = docs(s, d).select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("w"))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, dd.filter(col("doc_id") % 2 === 0))
+        writeBatch("b2.parquet", 2000000L, dd.filter(col("doc_id") % 2 === 1))
+        graft.streaming.StreamOps.tokenQuotaAdmissionWithTelemetry(
+            s.readStream
+              .schema("source STRING, doc_id LONG, w LONG")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(s"$src/*.parquet"),
+            quota = 800L)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            b.filter(col("kind") === "state")
+              .select(col("source"), col("n_input"), col("consumed"),
+                col("closed").cast("long").as("closed"))
+              .write.mode("overwrite").parquet(s"$root/state/batch=$bid")
+          }
+          .start().awaitTermination()
+        val batchDirs = Option(new java.io.File(s"$root/state").listFiles())
+          .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))
+          .getOrElse(0)
+        require(batchDirs == 2, s"expected two delivered microbatches")
+        s.read.parquet(s"$root/state")
+          .select(col("source"), col("batch").cast("long").as("batch"),
+            col("n_input"), col("consumed"), col("closed"))
+          .orderBy("source", "batch")
+      },
+      Some("""WITH q AS (SELECT source, doc_id, doc_id % 2 AS b,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+             |  FROM documents),
+             |c AS (SELECT source, b, w,
+             |    sum(w) OVER (PARTITION BY source ORDER BY b, doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM q),
+             |agg AS (SELECT source, b, count(*) AS n_input,
+             |    sum(CASE WHEN cum <= 800 THEN w ELSE 0 END) AS adm_w,
+             |    max(CASE WHEN cum > 800 THEN 1 ELSE 0 END) AS ovf
+             |  FROM c GROUP BY source, b),
+             |run AS (SELECT source, b, n_input,
+             |    sum(adm_w) OVER (PARTITION BY source ORDER BY b
+             |                     ROWS UNBOUNDED PRECEDING) AS consumed,
+             |    max(ovf) OVER (PARTITION BY source ORDER BY b
+             |                   ROWS UNBOUNDED PRECEDING) AS closed
+             |  FROM agg)
+             |SELECT source, CAST(b AS BIGINT) AS batch,
+             |  CAST(n_input AS BIGINT) AS n_input,
+             |  CAST(consumed AS BIGINT) AS consumed,
+             |  CAST(closed AS BIGINT) AS closed
+             |FROM run ORDER BY source, batch""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW
