@@ -328,7 +328,8 @@ object MediaContainers {
     * an exception — the same posture as the uncompressed parsers.
     */
   def decodeImageIoPixels(b: Array[Byte]): Option[RawPixels] = {
-    if (b == null || (parsePng(b).isEmpty && parseJpeg(b).isEmpty)) return None
+    if (b == null || (parsePng(b).isEmpty && parseJpeg(b).isEmpty &&
+      parseGif(b).isEmpty)) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null) return None
@@ -471,6 +472,16 @@ object MediaContainers {
   def jpegBytesRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(toBufferedImage(w, h, rgb), "jpg", out)
+    out.toByteArray
+  }
+
+  /** Encode an RGB888 raster as GIF (JDK ImageIO; palette-indexed —
+    * byte-exact round trip only for rasters with ≤256 distinct colors,
+    * quantization-lossy otherwise; downstream contracts are perceptual).
+    */
+  def gifBytesRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(w, h, rgb), "gif", out)
     out.toByteArray
   }
 }

@@ -314,6 +314,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parseGif(gif("GIF99a", 3, 3)).isEmpty) // bad version
     assert(parseGif(gif("GIF89a", 0, 5)).isEmpty) // zero dim
     assert(parseGif("GIF89a".getBytes("US-ASCII")).isEmpty) // truncated
+    // real GIF codec round trip through ImageIO: a grayscale gradient
+    // has ≤256 distinct colors, so the palette quantization is exact
+    val gray = new Array[Byte](16 * 12 * 3)
+    for (i <- 0 until 16 * 12) {
+      val g = ((i * 255) / (16 * 12 - 1)).toByte
+      gray(i * 3) = g; gray(i * 3 + 1) = g; gray(i * 3 + 2) = g
+    }
+    val enc = gifBytesRgb(16, 12, gray)
+    assert(parseGif(enc).contains(ImageMeta(16, 12)))
+    val back = decodePixels(enc).get
+    assert(back.width == 16 && back.height == 12)
+    assert(back.rgb.sameElements(gray))
   }
 
   test("decodeImages decodes PNG payloads end to end (the q239 chain)") {
