@@ -549,16 +549,39 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val work = graft.queries.Scratch.dir(scratch)
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val baseCount = docs.count()
-    val copies = math.max(1, (targetDocs / math.max(1L, baseCount)).toInt)
-    val replicated = spark.range(copies).crossJoin(docs)
-      .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
-        col("text"))
     val nFiles = batches * 2
-    replicated.repartition(nFiles).write.mode("overwrite")
-      .parquet(s"$work/in")
-    val total = copies * baseCount
+    // SPARK_GRAFT_STREAM_CORPUS=zipf stages the realistic-density
+    // corpus (ScaleProof.synthesizeZipfDocs: 50k-word Zipf vocabulary,
+    // planted 1-in-10 near-dups at J≈0.75) instead of the verbatim
+    // 10×-replica STRESS corpus where every doc carries 7-9 cross-
+    // batch twins. The replica numbers measure saturated-dup
+    // throughput (the probe's verify volume is the workload); the
+    // zipf numbers measure the loop at a real crawl's dup density.
+    val corpusMode = sys.env.getOrElse("SPARK_GRAFT_STREAM_CORPUS", "replica")
+    val baseDocs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val total = if (corpusMode == "zipf") {
+      graft.tools.ScaleProof.synthesizeZipfDocs(
+        spark, s"$work/zipfsrc", targetDocs)
+      spark.read.parquet(s"$work/zipfsrc/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$work/in")
+      targetDocs
+    } else {
+      val baseCount = baseDocs.count()
+      val copies = math.max(1, (targetDocs / math.max(1L, baseCount)).toInt)
+      spark.range(copies).crossJoin(baseDocs)
+        .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
+          col("text"))
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$work/in")
+      copies * baseCount
+    }
+    // the prove step's doc frame: the zipf corpus IS the delivered
+    // corpus (family mode's prove only reads the assignment anyway);
+    // replica mode keeps the base table (span's cleanse contract)
+    val proveDocs = if (corpusMode == "zipf")
+      spark.read.parquet(s"$work/zipfsrc/documents.parquet")
+        .select("doc_id", "text")
+    else baseDocs
     val idx = s"$work/idx"
 
     val t0 = System.nanoTime()
@@ -594,7 +617,7 @@ object StreamBench {
     val perBatch = progress.filter(_.numInputRows > 0)
       .map(_.processedRowsPerSecond)
     val versions = versionsOf(idx)
-    val hits = prove(spark, idx, docs)
+    val hits = prove(spark, idx, proveDocs)
     require(hits > 0, "post-ingest proof query returned no rows")
     val throughput = inputRows / wall
     val detail = perBatch.map(r => num(r, 0)).mkString("[", ",", "]")
