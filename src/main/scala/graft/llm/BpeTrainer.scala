@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Distributed byte-pair-encoding merge learning (Sennrich et al.,
   * ACL'16) — the tokenizer-training step of an LLM data pipeline, over
@@ -53,7 +54,7 @@ object BpeTrainer {
   def train(words: DataFrame, rounds: Int): Seq[Merge] = {
     var cur = words
       .select(col("word"), col("freq"), wrap(col("word")).as("s"))
-      .localCheckpoint()
+      .materialized
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var done = false
@@ -84,7 +85,7 @@ object BpeTrainer {
           .withColumn("s",
             replace(col("s"), lit(L + a + R + L + b + R),
               lit(L + a + b + R)))
-          .localCheckpoint()
+          .materialized
         r += 1
       }
     }

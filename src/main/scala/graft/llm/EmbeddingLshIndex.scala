@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.operators.BucketCaps
+import graft.operators.Iterate.MaterializeOps
 
 /** Persisted hyperplane-LSH band index — embedding-level near-dup
   * detection as an INCREMENTAL operation, the vector member of the
@@ -213,7 +214,7 @@ object EmbeddingLshIndex {
     val newBands = BucketCaps.capBuckets(
         bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
         bucket, maxBucketSize)
-      .localCheckpoint()
+      .materialized
     // tombstoned ids leave the candidate space here: pairs only ever
     // form through a band join, so filtering the history bands is
     // sufficient (a forgotten id's stale vecs row can never be probed)
@@ -229,7 +230,7 @@ object EmbeddingLshIndex {
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    val pairs = newVsOld.union(newVsNew).distinct().localCheckpoint()
+    val pairs = newVsOld.union(newVsNew).distinct().materialized
     // verify only the candidate ids' vectors: the history vec table is
     // corpus-sized and unioning ALL of it through the verification
     // join was a corpus-proportional probe term. dropDuplicates keeps

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Persisted incremental duplicate-FAMILY index — the connected-
   * components closure (q42/q43's pairs → families → survivor) as an
@@ -76,14 +77,14 @@ object FamilyIndex {
     val v = latestVersion(path).getOrElse(
       throw new IllegalStateException(s"no FamilyIndex at $path"))
     val cur = assignment(spark, path)
-    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val p = pairs.select("id_a", "id_b").materialized
     val ids = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
     // assignment rows of batch-touched OLD ids: batch-bounded, pulled
     // with a broadcast semi-join (the corpus table only streams past —
     // a READ; nothing corpus-sized is ever written here)
     val touched = cur.join(broadcast(ids), Seq("id"), "left_semi")
-      .localCheckpoint()
+      .materialized
     // contract old endpoints to their family representative
     val contracted = p
       .join(broadcast(touched.select(col("id").as("id_a"),
@@ -97,7 +98,7 @@ object FamilyIndex {
     val merged = graft.operators.ConnectedComponents
       .run(contracted, "id_a", "id_b")
       .withColumnRenamed("component", "family")
-      .localCheckpoint()
+      .materialized
     val oldReps = touched.select(col("family").as("id")).distinct()
     // contracted nodes that ARE old reps and moved → remap rows; the
     // rest are first-seen ids → new rows. Old member rows are NOT
@@ -142,7 +143,7 @@ object FamilyIndex {
         .select(col("id").as("from"), col("family").as("to")))
       // tiny tables (broadcast-sized by construction) — checkpoint the
       // composed chain so repeated reads don't re-run the fold lineage
-      val composed = remaps.reduce(composeRemaps).localCheckpoint()
+      val composed = remaps.reduce(composeRemaps).materialized
       rows.join(broadcast(composed), rows("family") === composed("from"),
           "left")
         .select(rows("id"), coalesce(col("to"), rows("family")).as("family"))

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Persisted MinHash band-key index — near-dup detection as an
   * INCREMENTAL operation: dedup each arriving batch against the
@@ -126,7 +127,7 @@ object MinHashIndex {
     val newKeys = graft.operators.BucketCaps.capBuckets(
         MinHashDedup.bandKeys(newDocs, idCol, textCol, numHashes, bands, shingleWords),
         Seq(col("band"), col("bkey")), maxBucketSize)
-      .localCheckpoint()
+      .materialized
     val oldKeys = IndexMaintenance.minusTombstones(spark, path,
       spark.read.parquet(path))
     // broadcast the BATCH side: the persisted index is the corpus-sized
@@ -144,7 +145,7 @@ object MinHashIndex {
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    val cands = newVsOld.union(newVsNew).distinct().localCheckpoint()
+    val cands = newVsOld.union(newVsNew).distinct().materialized
     // verify only the docs candidates actually touch: `allDocs` may be
     // the whole corpus (the staged superset), and shingling + shuffling
     // non-candidate docs was the measured corpus-proportional term of

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Exact-integer multinomial Naive Bayes over whitespace tokens — the
   * supervised-scoring member of the text tier. This is the shape of
@@ -72,13 +73,13 @@ object NaiveBayes {
           .as("prior_bits"),
         expr("CAST(length(bin(n_tokens + __v)) - 1 AS BIGINT)")
           .as("oov_bits"))
-      .localCheckpoint()
+      .materialized
     val tokenBits = classTok.join(classTotals, Seq("label"))
       .withColumn("__v", lit(vocab))
       .select(col("label"), col("t"),
         expr("CAST(length(bin((n_tokens + __v) div (n_ct + 1))) - 1 AS BIGINT)")
           .as("bits"))
-      .localCheckpoint()
+      .materialized
     (classes, tokenBits)
   }
 

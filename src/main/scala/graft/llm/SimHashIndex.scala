@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Persisted SimHash multi-index — Hamming-radius near-dup detection as
   * an INCREMENTAL operation, completing the persisted-index tier
@@ -132,7 +133,7 @@ object SimHashIndex {
     val newKeys = graft.operators.BucketCaps.capBuckets(
         SimHashDedup.bandKeys(newDocs, idCol, textCol, radius, blocks),
         Seq(col("combo"), col("bkey")), maxBucketSize)
-      .localCheckpoint()
+      .materialized
     val oldKeys = IndexMaintenance.minusTombstones(spark, path,
       spark.read.parquet(path))
     val newVsOld = broadcast(newKeys.as("n"))
@@ -198,7 +199,7 @@ object SimHashIndex {
     val cands = incrementalCandidates(spark, path, newDocs, idCol,
         textCol, radius, blocks, maxBucketSize)
       .filter(col("hamming") <= radius)
-      .localCheckpoint()
+      .materialized
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     JaccardVerify.verify(cands,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.BucketCaps
+import graft.operators.Iterate.MaterializeOps
 
 /** Persisted perceptual-hash band index — image (or audio/video-frame)
   * near-dup detection as an INCREMENTAL operation, the multimodal
@@ -88,7 +89,7 @@ object PHashIndex {
     // the probe instead of shuffling per batch (wing-wide posture)
     val newKeys = BucketCaps.capBuckets(explodeBands(newHashes, idCol),
         Seq(col("band"), col("key")), maxBucketSize)
-      .localCheckpoint()
+      .materialized
     val oldKeys = graft.llm.IndexMaintenance.minusTombstones(spark, path,
       spark.read.parquet(path))
     val newVsOld = broadcast(newKeys.as("n"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Connected components over an edge list — the clustering stage of a
   * near-duplicate dedup pipeline (pair graph → dedup groups → one
@@ -91,12 +92,12 @@ object ConnectedComponents {
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .materialized
     var sum = checksum(cur)
     var converged = sum._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).materialized
       val nextSum = checksum(next)
       converged = nextSum == sum
       cur = next

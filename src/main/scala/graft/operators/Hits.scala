@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** HITS hubs & authorities (Kleinberg, JACM'99) over a directed edge
   * list — the second member of the link-analysis pair next to

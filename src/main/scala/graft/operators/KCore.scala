@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** k-core decomposition by bounded peeling (Seidman '83; the
   * Batagelj–Zaveršnik sequential algorithm's bulk-synchronous form):
@@ -60,7 +61,7 @@ object KCore {
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .materialized
     var prev = e.count()
     var round = 0
     var converged = false
@@ -69,7 +70,7 @@ object KCore {
       e = e
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .materialized
       round += 1
       val now = e.count()
       converged = now == prev

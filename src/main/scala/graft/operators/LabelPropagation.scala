@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Synchronous label propagation (Raghavan et al., Phys.Rev.E'07) —
   * community detection over an edge list. Where [[ConnectedComponents]]
@@ -44,11 +45,11 @@ object LabelPropagation {
       .union(edges.filter(col("u") =!= col("v"))
         .select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint()
+      .materialized
 
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .materialized
 
     for (_ <- 1 to iters) {
       // neighbor votes: node u hears the previous label of each neighbor v
@@ -63,7 +64,7 @@ object LabelPropagation {
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb")))
           .as("w"))
         .select(col("node"), col("w").getField("lb").as("label"))
-        .localCheckpoint()
+        .materialized
     }
     labels
   }

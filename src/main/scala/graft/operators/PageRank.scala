@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Fixed-point PageRank — iterative graph analytics as pure dataflow
   * (no driver round-trips: N rides along as a broadcast scalar, each
@@ -23,9 +24,11 @@ import org.apache.spark.sql.functions._
   * through AQE like any other join chain. Each iteration's rank table
   * is `localCheckpoint`ed (mirroring [[ConnectedComponents]]): without
   * lineage truncation the analyzed plan doubles per round and at ~20
-  * iterations analysis time dominates — executor-loss recomputation
-  * risk on a production cluster is the documented trade (prefer
-  * `checkpoint` with a checkpoint dir there).
+  * iterations analysis time dominates. Where the blocks live is the
+  * [[Iterate.materialize]] policy: executor-local by default, reliable
+  * `checkpoint` files when a checkpoint dir (or
+  * `spark.graft.checkpoint.reliable=true`) is configured — set that on
+  * any real cluster so executor loss can't kill iteration 18 of 20.
   */
 object PageRank {
 
@@ -56,7 +59,7 @@ object PageRank {
       .crossJoin(broadcast(n))
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"), col("n"),
         expr(s"$scale div n").as("r"))
-      .localCheckpoint()
+      .materialized
     for (_ <- 1 to iters) {
       // deg-0 nodes contribute nothing (and would divide by zero): only
       // source nodes join the edge list
@@ -68,7 +71,7 @@ object PageRank {
         .select(col("node"), col("deg"), col("n"),
           (expr(s"(3 * $scale) div (20 * n)") +
             expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
-        .localCheckpoint()
+        .materialized
     }
     // every checkpoint above ran eagerly, so the cached edge blocks are
     // no longer referenced by the returned (lineage-truncated) plan
@@ -104,7 +107,7 @@ object PageRank {
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
         coalesce(col("is_seed"), lit(0L)).as("is_seed"), col("ns"),
         expr(s"is_seed * ($scale div ns)").as("r"))
-      .localCheckpoint()
+      .materialized
     for (_ <- 1 to iters) {
       val contrib = ranks.filter(col("deg") > 0)
         .join(e, ranks("node") === e("u"))
@@ -114,7 +117,7 @@ object PageRank {
         .select(col("node"), col("deg"), col("is_seed"), col("ns"),
           (expr(s"is_seed * ((3 * $scale) div (20 * ns))") +
             expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
-        .localCheckpoint()
+        .materialized
     }
     e.unpersist(blocking = false)
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95) — the
   * record-linkage candidate generator orthogonal to LSH banding: sort
@@ -52,7 +53,7 @@ object SortedNeighborhood {
     val parted = keyed
       .repartitionByRange(numPartitions, ks: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .materialized
     // phase 1: partition sizes -> prefix offsets (numPartitions rows)
     val sizes = parted.groupBy("__pid").count()
       .orderBy("__pid").collect()

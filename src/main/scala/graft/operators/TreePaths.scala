@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Hierarchy flattening by pointer doubling (path doubling — the
   * O(log depth) rounds / O(E log d) work scheme classic in PRAM and
@@ -43,13 +44,13 @@ object TreePaths {
       col("node"),
       col("parent").as("anc"),
       when(col("parent") === col("node"), 0L).otherwise(1L).as("dist"))
-      .localCheckpoint()
+      .materialized
     (1 to rounds).foreach { _ =>
       s = s.as("a")
         .join(s.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"),
           (col("a.dist") + col("b.dist")).as("dist"))
-        .localCheckpoint()
+        .materialized
     }
     s.select(col("node"), col("anc").as("root"), col("dist").as("depth"))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{CountMin, LabelPropagation, Skyline}
+import graft.operators.Iterate.MaterializeOps
 
 /** Corpus-structure tier: bounded-memory frequency sketching (count-min),
   * sub-linear corpus-similarity estimation (coordinated bottom-k),
@@ -1268,7 +1269,7 @@ object StructureQueries {
         // attribute reuse breaks the self-join's reference dedup
         val sketch = graft.streaming.StreamOps
           .runToBatch(s, counts, "complete", statePartitions = Some(8))
-          .localCheckpoint()
+          .materialized
         val est = graft.operators.QuantileSketch
           .quantilesBy(sketch, Seq("ws"), Seq(50, 95, 99))
         // exactness envelope: per-(window, p) nearest-rank percentile,

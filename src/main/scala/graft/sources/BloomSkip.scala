@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.util.sketch.BloomFilter
+import graft.operators.Iterate.MaterializeOps
 
 /** Per-file Bloom-filter data skipping — the POINT-LOOKUP sibling of
   * [[ZoneMap]] (the Delta "bloom filter index" idea): zone maps prune
@@ -90,7 +91,7 @@ object BloomSkip {
       .agg(count(lit(1)).as("n_rows"),
         bloomAgg(col(c), expectedItemsPerFile, bits).as("bloom"))
     cur.unionByName(added)
-      .localCheckpoint() // materialize: the overwrite must not read itself
+      .materialized // materialize: the overwrite must not read itself
       .coalesce(1)
       .write.mode("overwrite").parquet(sidecar(tableDir, c))
     freshFiles.size

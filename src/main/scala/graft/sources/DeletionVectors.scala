@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Position-based row-level deletes WITHOUT rewriting data files — the
   * deletion-vector design lakehouse formats use (Delta deletion vectors,
@@ -72,7 +73,7 @@ object DeletionVectors {
       .select("_file", "_pos")
     // Two passes over a cached position set beats materializing to count:
     // the set is small (it's a delete's output), localCheckpoint bounds it.
-    val mat = doomed.localCheckpoint(true)
+    val mat = doomed.materialized
     val n = mat.count()
     if (n > 0)
       mat.write.mode(SaveMode.Append).parquet(dvPath(table))

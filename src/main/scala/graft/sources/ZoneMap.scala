@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Manifest-level data skipping — zone maps over a parquet table's
   * files, the technique Iceberg/Delta manifests and warehouse zone maps
@@ -81,7 +82,7 @@ object ZoneMap {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     cur.unionByName(added)
-      .localCheckpoint() // materialize: the overwrite must not read itself
+      .materialized // materialize: the overwrite must not read itself
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tableDir/_zonemap")
     fresh.size

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Recall-vs-cost curves for the APPROXIMATE dedup tier — the
   * ScaleProof companion the parity oracles can't provide: oracles pin
@@ -53,7 +54,7 @@ object RecallCurves {
     // ---------------- MinHash banding ----------------
     ScaleProof.synthesizeZipfDocs(spark, s"$work/zipf", nDocs)
     val docs = spark.read.parquet(s"$work/zipf/documents.parquet")
-      .localCheckpoint()
+      .materialized
     val plantedIds = spark.range(nDocs)
       .filter(pmod(col("id"), lit(10)) === 9)
       .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
@@ -62,7 +63,7 @@ object RecallCurves {
     // pair that mutated below 0.5 is NOT a miss the banding owes us)
     val truth = graft.llm.JaccardVerify
       .verify(plantedIds, docs, "doc_id", "text", threshold = 0.5)
-      .localCheckpoint()
+      .materialized
     val nTruth = truth.count()
     System.err.println(s"[recall] minhash corpus=$nDocs docs, " +
       s"planted=${nDocs / 10}, true pairs (J>=0.5)=$nTruth")
@@ -74,11 +75,11 @@ object RecallCurves {
       val cand = graft.llm.MinHashDedup
         .candidatePairs(docs, "doc_id", "text", numHashes = 32,
           bands = bands)
-        .localCheckpoint()
+        .materialized
       val nCand = cand.count()
       val verified = graft.llm.JaccardVerify
         .verify(cand, docs, "doc_id", "text", threshold = 0.5)
-        .localCheckpoint()
+        .materialized
       val nVer = verified.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val hits = truth.select("id_a", "id_b")
@@ -111,7 +112,7 @@ object RecallCurves {
               pmod(xxhash64(lit(99L), shiftright(col("id"), 1), j),
                 lit(32)) === 0, -1.0).otherwise(1.0))
             .cast("float")).as("embedding"))
-      .localCheckpoint()
+      .materialized
     val twinIds = spark.range(nVecs / 2)
       .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
     val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -121,7 +122,7 @@ object RecallCurves {
         graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= 0.9)
       .select("id_a", "id_b", "sim")
-      .localCheckpoint()
+      .materialized
     val nVTruth = vTruth.count()
     System.err.println(s"[recall] embed corpus=$nVecs vecs, " +
       s"planted=${nVecs / 2}, true twins (cos>=0.9)=$nVTruth")
@@ -140,7 +141,7 @@ object RecallCurves {
       // run yields both the candidate volume and the verified set
       val all = graft.llm.EmbeddingKnn.nearDupPairsLsh(vecs,
           threshold = -1.0, tables = tables, planesPerTable = planes)
-        .localCheckpoint()
+        .materialized
       val nCand = all.count()
       val verified = all.filter(col("sim") >= 0.9)
       val nVer = verified.count()

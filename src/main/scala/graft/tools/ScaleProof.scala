@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Two-decade scaling measurement — runs flagship compositions at
   * sf0.1 and at synthesized 10x ("sf1.0") and 100x ("sf10") corpora,
@@ -579,7 +580,7 @@ object ScaleProof {
         n.startsWith("q214") || n.startsWith("q215")))) Seq.empty
     else {
       val evalRef = graft.Tables.embeddings(spark, sfDir)
-        .filter(col("vec_id") % 10 === 8).localCheckpoint()
+        .filter(col("vec_id") % 10 === 8).materialized
       def timed(f: => Unit): (Double, Long, Long) =
         (1 to 2).map { _ =>
           System.gc()
