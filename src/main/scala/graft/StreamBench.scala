@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Iterate.MaterializeOps
 
 /** Streaming-throughput micro-benchmark — measures sustained events/sec
   * through the REAL Structured Streaming engine on a representative
@@ -155,7 +156,7 @@ object StreamBench {
         val t0 = System.nanoTime()
         val pairs = graft.llm.MinHashIndex.incrementalNearDupPairs(s,
             s"$idx/mh", b, allDocs, "doc_id", "text", threshold = 0.5)
-          .localCheckpoint()
+          .materialized
         val np = pairs.count() // checkpointed — the count is a scan
         val t1 = System.nanoTime()
         graft.llm.FamilyIndex.addBatch(s, s"$idx/fam", pairs)
@@ -170,9 +171,13 @@ object StreamBench {
       // probe inside the fold reads the pre-batch index state, and a
       // replay after a committed fold must still land the batch's keys
       cacheBatch = true,
-      after = (s, b, idx) => {
+      after = (s, b, idx, bid) => {
         val t0 = System.nanoTime()
-        if (!new java.io.File(s"$idx/mh").exists())
+        // bid == 0, NOT File.exists: the build is an idempotent
+        // overwrite, so a replayed batch 0 (crash mid-build left a
+        // partial dir) re-runs it rather than appending to a
+        // never-committed table and losing batch-0 band keys
+        if (bid == 0L)
           graft.llm.MinHashIndex.build(b, s"$idx/mh", "doc_id", "text")
         else graft.llm.MinHashIndex.append(b, s"$idx/mh", "doc_id", "text")
         System.err.println(f"[family] append=${(System.nanoTime() - t0) / 1e9}%.1fs")
@@ -278,7 +283,7 @@ object StreamBench {
               perturbR00 = if (id % 2 == 1) 8 else 0)), "image")
         }
         val h = PerceptualHash.dHash(MultimodalOps.decodeImages(encoded))
-          .toDF().localCheckpoint()
+          .toDF().materialized
         // radius 2: the fixture's twins sit within 1 bit, and at 500k
         // docs the synthetic hash space has enough birthday pressure
         // that radius 8 admits ~4x collision pairs (production stacks
@@ -363,7 +368,7 @@ object StreamBench {
             (((pmod(xxhash64(shiftright(col("vec_id"), 1), j), lit(2001))
               - 1000L) / 1000.0) *
               when(col("vec_id") % 2 === 1, 2.0).otherwise(1.0))
-              .cast("float")).as("embedding")).localCheckpoint()
+              .cast("float")).as("embedding")).materialized
         val tp0 = System.nanoTime()
         decisions +=
           (if (!new java.io.File(idx).exists())
@@ -530,8 +535,14 @@ object StreamBench {
       // the batch with the fold skipped, and the hook must still run
       // (re-appending band keys is recall-harmless per the wing
       // contract; skipping them loses the batch's keys forever)
-      after: (SparkSession, org.apache.spark.sql.DataFrame, String) => Unit =
-        (_, _, _) => (),
+      // (session, batch, idx, batchId) — batchId so the hook can
+      // discriminate build-vs-append on bid == 0 rather than on
+      // directory existence: a crash mid-build leaves the dir present
+      // with only _temporary files, and an existence test would send
+      // the replay down the append branch of a never-committed table,
+      // silently losing batch-0's keys
+      after: (SparkSession, org.apache.spark.sql.DataFrame, String, Long) => Unit =
+        (_, _, _, _) => (),
       // persist the microbatch across fold + after — ONLY for modes
       // with multiple harness-level consumers (family); single-consumer
       // folds (span) and folds that cache internally (bm25) would pay
@@ -606,7 +617,7 @@ object StreamBench {
             if (versionsOf(idx) == 0) build(cached, idx)
             else add(spark, cached, idx)
           }
-          after(spark, cached, idx)
+          after(spark, cached, idx, bid)
         } finally { if (cacheBatch) { cached.unpersist(); () } }
       }
       .start()

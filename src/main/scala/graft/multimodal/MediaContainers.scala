@@ -328,8 +328,18 @@ object MediaContainers {
     * an exception — the same posture as the uncompressed parsers.
     */
   def decodeImageIoPixels(b: Array[Byte]): Option[RawPixels] = {
-    if (b == null || (parsePng(b).isEmpty && parseJpeg(b).isEmpty &&
-      parseGif(b).isEmpty)) return None
+    if (b == null) return None
+    // Bound the raster from the SNIFFED header BEFORE the codec runs:
+    // ImageIO.read allocates the full decoded raster up front, so a
+    // crafted header claiming huge dims would OOM the executor if the
+    // guard only ran on the returned image.
+    val sniffed = parsePng(b).orElse(parseJpeg(b)).orElse(parseGif(b))
+    sniffed match {
+      case None => return None
+      case Some(m) =>
+        if (m.width <= 0 || m.height <= 0 ||
+          3L * m.width * m.height > Int.MaxValue - 8) return None
+    }
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null) return None
@@ -350,7 +360,11 @@ object MediaContainers {
         y += 1
       }
       Some(RawPixels(w, h, out))
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: JDK ImageIO readers throw
+      // RuntimeExceptions (IllegalArgumentException, ArrayIndexOutOf
+      // Bounds, CMMException) on malformed payloads that pass the
+      // header sniff — all of them are quarantine, never a task kill
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Sniff + pixel decode: the uncompressed paths first (pure byte

@@ -6,6 +6,7 @@ import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.llm.{EmbeddingKnn, JaccardVerify, MinHashDedup, NGramJaccard, ProductQuantization, SimHashDedup, SpanDedup}
 import graft.operators.{Dedup, Stats, TopK}
+import graft.operators.Iterate.MaterializeOps
 
 /** Training-data-pipeline operator corpus over the `documents`,
   * `embeddings` and `events` tables: dedup, text analysis, similarity
@@ -3368,7 +3369,7 @@ object LlmQueries {
         val cleansed = SpanDedupIndex
           .cleanseWith(s, idx, all, "doc_id", "text",
             k = 8, minSpanTokens = 20)
-          .localCheckpoint()
+          .materialized
         val dupsBefore = SpanDedupIndex
           .duplicatedFingerprints(s, idx).count()
         val live = SpanDedupIndex.compact(s, idx)
@@ -3730,7 +3731,7 @@ object LlmQueries {
                 MultimodalOps.synthNoiseBitmap(id / 2, 16, 12,
                   perturbR00 = if (id % 2 == 1) 8 else 0), 16, 12)
               (id, h1, h2)
-            }.toDF("id", "h1", "h2").localCheckpoint()
+            }.toDF("id", "h1", "h2").materialized
             val found =
               if (!new java.io.File(idx).exists())
                 PerceptualHash.nearDupPairs(h, "id", radius = 8)
@@ -3866,7 +3867,7 @@ object LlmQueries {
           .option("checkpointLocation", s"$root/ck")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
             nBatches += 1
-            val batch = b.localCheckpoint()
+            val batch = b.materialized
             val found =
               if (!new java.io.File(idx).exists())
                 EmbeddingKnn.nearDupPairsLsh(batch, threshold = 0.4)
@@ -3993,7 +3994,7 @@ object LlmQueries {
           .option("checkpointLocation", s"$root/ck")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
             nBatches += 1
-            EmbeddingLshIndex.cleanseWith(s, idx, b.localCheckpoint(),
+            EmbeddingLshIndex.cleanseWith(s, idx, b.materialized,
                 threshold = 0.35)
               .select("vec_id", "label")
               .write.mode("append").parquet(admitted)
@@ -4853,7 +4854,7 @@ object LlmQueries {
         }
         val nDeltas = DeltaChain.liveDeltaVersions(s"$root/fam").size
         val composed = FamilyIndex.assignment(s, s"$root/fam")
-          .localCheckpoint() // materialized before vacuum deletes its dirs
+          .materialized // materialized before vacuum deletes its dirs
         val live = FamilyIndex.compact(s, s"$root/fam")
         val removed = FamilyIndex.vacuum(s, s"$root/fam")
         val snapshot = FamilyIndex.assignment(s, s"$root/fam")
@@ -4934,13 +4935,16 @@ object LlmQueries {
             } else {
               // history text is not re-read: verification joins the
               // batch ∪ already-delivered docs, which at ingest time is
-              // exactly the corpus prefix the band keys cover. Lazy —
-              // a skipped fold never evaluates it.
-              val delivered = s.read.parquet(s"$src/*.parquet")
-              val pairs = MinHashIndex.incrementalNearDupPairs(s, mh, b,
-                delivered, "doc_id", "text", threshold = 0.5)
+              // exactly the corpus prefix the band keys cover. The
+              // probe runs INSIDE the foldOnce thunk: it materializes
+              // eagerly (banded join + Jaccard verify), and a replayed
+              // already-committed batch must skip that whole cost, not
+              // just the addBatch write.
               graft.llm.IndexMaintenance.foldOnce(bid,
                   FamilyIndex.latestVersion(fam)) {
+                val delivered = s.read.parquet(s"$src/*.parquet")
+                val pairs = MinHashIndex.incrementalNearDupPairs(s, mh, b,
+                  delivered, "doc_id", "text", threshold = 0.5)
                 FamilyIndex.addBatch(s, fam, pairs)
               }
               MinHashIndex.append(b, mh, "doc_id", "text")
@@ -5077,7 +5081,7 @@ object LlmQueries {
         val root = graft.queries.Scratch.dir("graft-q237-admission")
         // offline: train on the full corpus's pseudo-labels, persist
         val (c0, t0) = NaiveBayes.train(
-          qualityFeatures(dd).localCheckpoint(), "doc_id", "label",
+          qualityFeatures(dd).materialized, "doc_id", "label",
           col("ftext"))
         NaiveBayes.save(s"$root/model", c0, t0)
         // ingest: two microbatches scored against the loaded model
@@ -5410,7 +5414,7 @@ object LlmQueries {
         import graft.llm.NaiveBayes
         val dd = docs(s, d)
         val labeled = qualityFeatures(dd)
-          .localCheckpoint() // two consumers (train, score) — one pass
+          .materialized // two consumers (train, score) — one pass
         val (classes, tokenBits) = NaiveBayes.train(
           labeled, "doc_id", "label", col("ftext"))
         val sc = NaiveBayes.scores(labeled, "doc_id", col("ftext"),

@@ -270,6 +270,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decodeImageIoPixels(png.take(30)).isEmpty)
   }
 
+  test("codec quarantine: crafted huge dims rejected pre-allocation; corrupt body is None") {
+    import MediaContainers._
+    val rgb = MultimodalOps.synthBitmap(9L, 16, 12)
+    val png = pngBytesRgb(16, 12, rgb)
+    // patch IHDR to claim 50000x50000 (7.5 GB raster): the sniffed-dims
+    // guard must reject BEFORE ImageIO.read allocates anything — an OOM
+    // here would be the executor-killer the guard exists for
+    val huge = png.clone()
+    def putBe32(at: Int, v: Int): Unit = {
+      huge(at) = (v >>> 24).toByte; huge(at + 1) = (v >>> 16).toByte
+      huge(at + 2) = (v >>> 8).toByte; huge(at + 3) = v.toByte
+    }
+    putBe32(16, 50000); putBe32(20, 50000)
+    assert(parsePng(huge).contains(ImageMeta(50000, 50000)), "sniff still sees the header")
+    assert(decodeImageIoPixels(huge).isEmpty)
+    // corrupt the compressed body but keep the sniffable header: the
+    // codec throws (IOException OR RuntimeException depending on the
+    // reader) — both are quarantine None, never a task kill
+    val corrupt = png.clone()
+    var i = 40
+    while (i < corrupt.length - 12) { corrupt(i) = (corrupt(i) ^ 0x5a).toByte; i += 1 }
+    assert(parsePng(corrupt).contains(ImageMeta(16, 12)))
+    assert(decodeImageIoPixels(corrupt).isEmpty)
+  }
+
   test("JPEG: header parse and lossy decode with perceptual-hash stability") {
     import MediaContainers._
     // a structured image (smooth gradient), not noise: dHash compares
