@@ -66,14 +66,41 @@ object DeltaChain {
   def writeDelta(df: DataFrame, path: String, v: Int): Unit =
     df.write.mode("overwrite").parquet(s"$path/delta/v=$v")
 
+  /** One consistent capture of the chain's live shape: the latest base
+    * (if any) and the live delta versions above it, listed ONCE. Every
+    * consumer that both reads and labels (compaction) must work from a
+    * single capture — re-listing between "what version am I" and "what
+    * do I fold" lets a concurrently committed delta slip into a base
+    * labeled below it, after which reads double-count it forever.
+    */
+  final case class Capture(base: Option[Int], deltas: Seq[Int]) {
+    def version: Option[Int] = (base.toSeq ++ deltas).maxOption
+  }
+
+  def capture(path: String): Capture = {
+    val b = latestBase(path)
+    Capture(b, IndexVersions.committed(s"$path/delta")
+      .filter(_ > b.getOrElse(0)).sorted)
+  }
+
+  private def segmentsOf(spark: SparkSession, path: String,
+      c: Capture): Seq[DataFrame] =
+    c.base.toSeq.map(v => spark.read.parquet(s"$path/base/v=$v")) ++
+      c.deltas.map(v => spark.read.parquet(s"$path/delta/v=$v"))
+
   /** The live segments (latest base snapshot, then live deltas in
     * version order). Empty when the chain was never built.
     */
   def segments(spark: SparkSession, path: String): Seq[DataFrame] =
-    latestBase(path).toSeq.map(v =>
-      spark.read.parquet(s"$path/base/v=$v")) ++
-      liveDeltaVersions(path).map(v =>
-        spark.read.parquet(s"$path/delta/v=$v"))
+    segmentsOf(spark, path, capture(path))
+
+  private def sumOf(segs: Seq[DataFrame], keys: Seq[String],
+      cnt: String): DataFrame = {
+    require(segs.nonEmpty, "no delta chain segments")
+    if (segs.size == 1) segs.head
+    else segs.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+  }
 
   /** The composed COUNT table: union of segments, summed per key.
     * Exact by associativity of addition. The common no-live-deltas
@@ -84,9 +111,7 @@ object DeltaChain {
       keys: Seq[String], cnt: String): DataFrame = {
     val segs = segments(spark, path)
     require(segs.nonEmpty, s"no delta chain at $path")
-    if (segs.size == 1) segs.head
-    else segs.reduce(_ unionByName _)
-      .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+    sumOf(segs, keys, cnt)
   }
 
   /** Fold the live deltas into a new snapshot carrying the version of
@@ -95,13 +120,19 @@ object DeltaChain {
     * compactions are invisible — the snapshot supersedes the deltas
     * only once its `_SUCCESS` lands — and the retry overwrites.
     * Returns the snapshot's version.
+    *
+    * The version list is captured ONCE and the snapshot is labeled with
+    * the max version actually folded — a delta committed concurrently
+    * with the compose stays live above the new base instead of being
+    * silently folded under a lower label and double-counted on read.
     */
   def compactSum(spark: SparkSession, path: String,
       keys: Seq[String], cnt: String): Int = {
-    val v = latest(path).getOrElse(
+    val c = capture(path)
+    val v = c.version.getOrElse(
       throw new IllegalStateException(s"no delta chain at $path"))
-    if (!latestBase(path).contains(v))
-      writeBase(composedSum(spark, path, keys, cnt), path, v)
+    if (!c.base.contains(v))
+      writeBase(sumOf(segmentsOf(spark, path, c), keys, cnt), path, v)
     v
   }
 

@@ -129,11 +129,19 @@ object FamilyIndex {
     * appeared in a folded pair, read through the composed delta chain:
     * base ∪ new-rows, families routed through the chained remaps.
     */
-  def assignment(spark: SparkSession, path: String): DataFrame = {
-    val b = DeltaChain.latestBase(path).getOrElse(
+  def assignment(spark: SparkSession, path: String): DataFrame =
+    assignmentOf(spark, path, DeltaChain.capture(path))
+
+  /** [[assignment]] over ONE consistent capture of the chain shape —
+    * compaction reads and labels from the same capture (see
+    * [[DeltaChain.compactSum]]'s TOCTOU note).
+    */
+  private def assignmentOf(spark: SparkSession, path: String,
+      c: DeltaChain.Capture): DataFrame = {
+    val b = c.base.getOrElse(
       throw new IllegalStateException(s"no FamilyIndex at $path"))
     val base = spark.read.parquet(s"$path/base/v=$b")
-    val dvs = DeltaChain.liveDeltaVersions(path)
+    val dvs = c.deltas
     if (dvs.isEmpty) base
     else {
       val deltas = dvs.map(dv => spark.read.parquet(s"$path/delta/v=$dv"))
@@ -154,10 +162,14 @@ object FamilyIndex {
     * version ("composed through N"). Returns the snapshot version.
     */
   def compact(spark: SparkSession, path: String): Int = {
-    val v = latestVersion(path).getOrElse(
+    // one capture feeds both the label and the compose: a delta
+    // committed mid-compact stays live above the new base rather than
+    // being folded under a lower label (and then applied twice)
+    val c = DeltaChain.capture(path)
+    val v = c.version.getOrElse(
       throw new IllegalStateException(s"no FamilyIndex at $path"))
-    if (!DeltaChain.latestBase(path).contains(v))
-      DeltaChain.writeBase(assignment(spark, path), path, v)
+    if (!c.base.contains(v))
+      DeltaChain.writeBase(assignmentOf(spark, path, c), path, v)
     v
   }
 

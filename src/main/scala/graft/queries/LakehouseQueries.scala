@@ -805,7 +805,15 @@ object LakehouseQueries {
             }
             it.foreach { r =>
               val p = r.getInt(0)
-              if (p != curP) { flush(); curP = p }
+              if (p != curP) {
+                flush(); curP = p
+                // retry idempotence: this task owns p exclusively, so
+                // truncating at first encounter makes a re-executed
+                // task REWRITE its partitions instead of appending a
+                // second copy of every record (append alone is not
+                // idempotent under task retry)
+                LogTopic.truncate(root, p)
+              }
               buf += LogTopic.Record(r.getLong(1),
                 r.getLong(1).toString.getBytes("UTF-8"),
                 r.getString(2).getBytes("UTF-8"))

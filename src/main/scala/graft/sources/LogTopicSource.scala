@@ -123,6 +123,23 @@ object LogTopic {
     base
   }
 
+  /** Remove every committed segment (and torn `.tmp`) in one partition —
+    * the producer-retry reset. A re-executed producer task truncates the
+    * partitions it owns before re-appending, which makes its side effect
+    * idempotent under task retry: the retry rewrites the partition from
+    * scratch instead of appending a second copy. Concurrent DUPLICATE
+    * attempts (speculation) would still interleave — producers own their
+    * partitions exclusively and run with speculation off, the same
+    * single-writer-per-partition discipline a real log's idempotent
+    * producer enforces with sequence numbers.
+    */
+  def truncate(root: String, partition: Int): Unit = {
+    val dir = new java.io.File(root, s"p$partition")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".log") || f.getName.endsWith(".tmp"))
+      .foreach(_.delete())
+  }
+
   /** Hash-partitioned produce (murmur-free: Kafka's default partitioner
     * is key-hash mod N; any stable hash satisfies the contract).
     */

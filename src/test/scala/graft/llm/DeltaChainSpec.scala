@@ -67,4 +67,23 @@ class DeltaChainSpec extends AnyFunSuite {
     assert(DeltaChain.compactSum(spark, dir, Seq("k"), "n") == 1)
     assert(DeltaChain.vacuum(spark, dir) == 0)
   }
+
+  test("capture is one consistent shape: a later delta never folds under a lower label") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dc5").toString
+    DeltaChain.writeBase(cnt("a" -> 1L), dir, 1)
+    DeltaChain.writeDelta(cnt("a" -> 1L), dir, 2)
+    val c = DeltaChain.capture(dir)
+    assert(c == DeltaChain.Capture(Some(1), Seq(2)) && c.version.contains(2))
+    // the race compactSum closes: a delta lands AFTER the capture —
+    // composing and labeling from the captured shape must not include
+    // it, so it stays live above the new base and is counted once
+    DeltaChain.writeDelta(cnt("a" -> 10L), dir, 3)
+    assert(DeltaChain.capture(dir).version.contains(3))
+    // compactSum's own capture now sees v3; after compaction the chain
+    // reads the same totals (count-once invariant)
+    assert(DeltaChain.compactSum(spark, dir, Seq("k"), "n") == 3)
+    assert(DeltaChain.liveDeltaVersions(dir).isEmpty)
+    assert(DeltaChain.composedSum(spark, dir, Seq("k"), "n")
+      .as[(String, Long)].collect().toSet == Set(("a", 12L)))
+  }
 }

@@ -43,6 +43,34 @@ class LogTopicSpec extends AnyFunSuite {
     assert(spread == 0)
   }
 
+  test("truncate-then-append makes a retried producer task idempotent") {
+    val root = s"${tmp()}/topic"
+    LogTopic.create(root, 2)
+    def produceAttempt(): Unit = (0 to 1).foreach { p =>
+      // the q152 producer-task shape: truncate at first encounter of an
+      // owned partition, then append — a re-executed task rewrites
+      // instead of appending a second copy
+      LogTopic.truncate(root, p)
+      LogTopic.append(root, p, (0 until 10).map(i => rec(p * 100 + i)))
+    }
+    def snapshot(): Seq[String] = spark.read
+      .format("graft.sources.LogTopicSource").option("path", root).load()
+      .select(col("partition"), col("offset"), col("ts"),
+        col("key").cast("string"), col("value").cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    produceAttempt()
+    val first = snapshot()
+    produceAttempt() // the retry
+    val second = snapshot()
+    assert(second == first, "retry must not duplicate records or move offsets")
+    assert(LogTopic.nextOffset(root, 0) == 10L)
+    // truncate also clears torn tmp files
+    val torn = new java.io.File(s"$root/p0/99999999999999999999-1.log.tmp")
+    assert(torn.createNewFile())
+    LogTopic.truncate(root, 0)
+    assert(!torn.exists() && LogTopic.nextOffset(root, 0) == 0L)
+  }
+
   test("maxRecordsPerTrigger splits the stream into bounded microbatches, no loss") {
     val root = s"${tmp()}/topic"
     LogTopic.create(root, 4)
