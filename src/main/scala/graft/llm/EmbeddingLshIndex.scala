@@ -38,6 +38,104 @@ import graft.operators.Iterate.MaterializeOps
   */
 object EmbeddingLshIndex {
 
+  /** Sentinel for geometry parameters: resolve from the index's
+    * persisted build geometry (probe/append/cleanse), or — at [[build]]
+    * — pick `planesPerTable` by the measured decade law
+    * ([[defaultPlanesPerTable]]). Explicit values always win, but when
+    * the index carries a geometry record they are VALIDATED against it:
+    * probing with geometry that differs from the build's produces
+    * signatures that never match (silent 0-recall), so a mismatch is
+    * always a caller bug and fails fast.
+    */
+  final val Auto = 0
+  final val AutoSeed = Long.MinValue
+
+  /** The four signature-defining parameters. Persisted at build as a
+    * one-row parquet sidecar `_geom/` so later appends and probes can't
+    * under- or mis-set them (the round-8 RecallCurves finding: p
+    * under-set by one decade costs two orders of magnitude of
+    * candidates — 371M at p=12/200k vs 2.85M at p=20).
+    */
+  final case class Geometry(
+      tables: Int, planesPerTable: Int, dim: Int, seed: Long)
+
+  /** What every pre-sidecar index was built with (the historical
+    * signature defaults) — the fallback when `_geom/` is absent.
+    */
+  private val LegacyGeometry = Geometry(8, 8, 64, 42L)
+
+  /** planesPerTable by the decade law measured in the round-8 recall
+    * curves: hold expected bucket occupancy n/2^p at ≤ 8 vectors, i.e.
+    * p = ceil(log₂(n/8)), floored at the historical default 8 (the law
+    * only binds above 2^11 vectors) and capped at 48 (sig is a Long;
+    * beyond ~48 planes the per-table dot-product cost dwarfs any
+    * occupancy win). Measured anchors: 2k vecs → 8 planes (avg bucket
+    * 7.8), 20k → 12 (5.3), 200k → 15-16 (3.9); under-setting by a
+    * decade at 200k blew candidates 130× (371M vs 2.85M).
+    */
+  def defaultPlanesPerTable(n: Long): Int =
+    if (n <= 2048L) 8
+    else math.min(48, math.ceil(
+      math.log(n / 8.0) / math.log(2.0)).toInt)
+
+  /** Driver-side cache of per-path geometry: an index's geometry is
+    * immutable once built (rebuilds at the same path go through
+    * [[build]], which refreshes the entry), so probes and appends skip
+    * the sidecar read on every call after the first.
+    */
+  private val geomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Geometry]()
+
+  private def writeGeometry(g: Geometry, path: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    Seq((g.tables, g.planesPerTable, g.dim, g.seed))
+      .toDF("tables", "planes_per_table", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_geom")
+    geomCache.put(path, g)
+  }
+
+  /** The persisted build geometry, when the index carries one. */
+  def geometry(spark: SparkSession, path: String): Option[Geometry] =
+    Option(geomCache.get(path)).orElse {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_geom")
+      if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        None
+      else {
+        val r = spark.read.parquet(s"$path/_geom").head()
+        val g = Geometry(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+        geomCache.put(path, g)
+        Some(g)
+      }
+    }
+
+  /** Resolve (and validate) probe-side geometry against the sidecar. */
+  private def resolve(spark: SparkSession, path: String,
+      tables: Int, planesPerTable: Int, dim: Int, seed: Long): Geometry = {
+    val g = geometry(spark, path)
+    val base = g.getOrElse(LegacyGeometry)
+    def pick(explicitV: Int, geomV: Int, name: String): Int =
+      if (explicitV == Auto) geomV
+      else {
+        require(g.isEmpty || explicitV == geomV,
+          s"$name=$explicitV contradicts the index's build geometry " +
+            s"($name=$geomV) at $path — mismatched geometry produces " +
+            "signatures that never match (silent zero recall)")
+        explicitV
+      }
+    val s =
+      if (seed == AutoSeed) base.seed
+      else {
+        require(g.isEmpty || seed == base.seed,
+          s"seed=$seed contradicts the index's build geometry " +
+            s"(seed=${base.seed}) at $path")
+        seed
+      }
+    Geometry(pick(tables, base.tables, "tables"),
+      pick(planesPerTable, base.planesPerTable, "planesPerTable"),
+      pick(dim, base.dim, "dim"), s)
+  }
+
   private def bandRows(batch: DataFrame, idCol: String, vecCol: String,
       tables: Int, planesPerTable: Int, dim: Int, seed: Long): DataFrame =
     batch.select(col(idCol).as("id"),
@@ -49,28 +147,49 @@ object EmbeddingLshIndex {
 
   private def bucket: Seq[Column] = Seq(col("table"), col("sig"))
 
-  /** Write the index for an initial batch `(id, vec)`. */
+  /** Write the index for an initial batch `(id, vec)`. With
+    * `planesPerTable = Auto` the plane count follows the measured
+    * decade law ([[defaultPlanesPerTable]]) from the build batch's
+    * cardinality; either way the chosen geometry is persisted as the
+    * `_geom/` sidecar so appends and probes resolve (and explicit
+    * callers are validated) against what was actually built. A corpus
+    * that later outgrows its build-time plane count signals through
+    * [[cappedBucketReport]] / deepening buckets — the re-index cue.
+    */
   def build(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
-      seed: Long = 42L, maxBucketSize: Long = 100000L): Unit = {
-    batch.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .write.mode("overwrite").parquet(s"$path/vecs")
+      tables: Int = Auto, planesPerTable: Int = Auto, dim: Int = Auto,
+      seed: Long = AutoSeed, maxBucketSize: Long = 100000L): Unit = {
+    val vecs = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val g = Geometry(
+      if (tables == Auto) LegacyGeometry.tables else tables,
+      if (planesPerTable == Auto) defaultPlanesPerTable(vecs.count())
+      else planesPerTable,
+      if (dim == Auto) LegacyGeometry.dim else dim,
+      if (seed == AutoSeed) LegacyGeometry.seed else seed)
+    vecs.write.mode("overwrite").parquet(s"$path/vecs")
     BucketCaps.capBuckets(
-        bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+        bandRows(batch, idCol, vecCol, g.tables, g.planesPerTable, g.dim,
+          g.seed),
         bucket, maxBucketSize)
       .write.mode("overwrite").parquet(s"$path/bands")
+    writeGeometry(g, path, batch.sparkSession)
   }
 
-  /** Append a new batch (call AFTER probing it). */
+  /** Append a new batch (call AFTER probing it). Geometry resolves
+    * from the `_geom/` sidecar (explicit values validated against it).
+    */
   def append(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
-      seed: Long = 42L, maxBucketSize: Long = 100000L): Unit = {
+      tables: Int = Auto, planesPerTable: Int = Auto, dim: Int = Auto,
+      seed: Long = AutoSeed, maxBucketSize: Long = 100000L): Unit = {
+    val g = resolve(batch.sparkSession, path, tables, planesPerTable,
+      dim, seed)
     batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .write.mode("append").parquet(s"$path/vecs")
     BucketCaps.capBuckets(
-        bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+        bandRows(batch, idCol, vecCol, g.tables, g.planesPerTable, g.dim,
+          g.seed),
         bucket, maxBucketSize)
       .write.mode("append").parquet(s"$path/bands")
   }
@@ -126,11 +245,21 @@ object EmbeddingLshIndex {
     */
   def hotInputBuckets(batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
-      seed: Long = 42L, maxBucketSize: Long = 100000L): DataFrame =
+      tables: Int = Auto, planesPerTable: Int = Auto, dim: Int = Auto,
+      seed: Long = AutoSeed, maxBucketSize: Long = 100000L): DataFrame = {
+    // pre-flight (no index yet): Auto resolves exactly as build would,
+    // so the report names what a subsequent default build will drop
+    val g = Geometry(
+      if (tables == Auto) LegacyGeometry.tables else tables,
+      if (planesPerTable == Auto) defaultPlanesPerTable(batch.count())
+      else planesPerTable,
+      if (dim == Auto) LegacyGeometry.dim else dim,
+      if (seed == AutoSeed) LegacyGeometry.seed else seed)
     BucketCaps.overflowBuckets(
-      bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+      bandRows(batch, idCol, vecCol, g.tables, g.planesPerTable, g.dim,
+        g.seed),
       bucket, maxBucketSize)
+  }
 
   /** Compact a flat-append index into a SUCCESSOR directory: after
     * many small appends (each streamed microbatch leaves
@@ -154,6 +283,9 @@ object EmbeddingLshIndex {
       .coalesce(targetFiles).write.mode("overwrite").parquet(s"$outPath/vecs")
     minusDels(spark, path, spark.read.parquet(s"$path/bands"))
       .coalesce(targetFiles).write.mode("overwrite").parquet(s"$outPath/bands")
+    // the successor answers probes with the SAME signatures, so it
+    // carries the same geometry record
+    geometry(spark, path).foreach(writeGeometry(_, outPath, spark))
   }
 
   /** Admission-time semantic decontamination against a PERSISTED
@@ -168,22 +300,26 @@ object EmbeddingLshIndex {
     * eval/benchmark set is small by construction), so the batch never
     * shuffles: band rows carry the batch vector map-side into the
     * verify, and the only exchange is the distinct over contaminated
-    * ids. Geometry must match what the index was built with.
+    * ids. Geometry resolves from (and is validated against) the
+    * `_geom/` sidecar — it must match what the index was built with.
     */
   def cleanseWith(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.9, tables: Int = 8, planesPerTable: Int = 8,
-      dim: Int = 64, seed: Long = 42L, roundSim: Int = 6): DataFrame = {
+      threshold: Double = 0.9, tables: Int = Auto, planesPerTable: Int = Auto,
+      dim: Int = Auto, seed: Long = AutoSeed, roundSim: Int = 6): DataFrame = {
+    val g = resolve(spark, path, tables, planesPerTable, dim, seed)
+    val (tablesR, planesPerTableR, dimR, seedR) =
+      (g.tables, g.planesPerTable, g.dim, g.seed)
     val ref = broadcast(
       minusDels(spark, path, spark.read.parquet(s"$path/bands")).as("b")
         .join(spark.read.parquet(s"$path/vecs").as("v"),
           col("b.id") === col("v.id"))
         .select(col("b.table"), col("b.sig"), col("v.v").as("rv")))
     val contaminated = batch.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        posexplode(array((0 until tables).map(t =>
+        posexplode(array((0 until tablesR).map(t =>
           EmbeddingKnn.lshSignature(col(vecCol),
-            EmbeddingKnn.rademacherPlanes(planesPerTable, dim, seed,
-              planeOffset = t * planesPerTable))): _*))
+            EmbeddingKnn.rademacherPlanes(planesPerTableR, dimR, seedR,
+              planeOffset = t * planesPerTableR))): _*))
           .as(Seq("table", "sig")))
       .join(ref, Seq("table", "sig"))
       .filter(round(VectorFunctions.cosine(col("cv"), col("rv")), roundSim)
@@ -205,14 +341,16 @@ object EmbeddingLshIndex {
       batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9,
-      tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
-      seed: Long = 42L, maxBucketSize: Long = 100000L,
+      tables: Int = Auto, planesPerTable: Int = Auto, dim: Int = Auto,
+      seed: Long = AutoSeed, maxBucketSize: Long = 100000L,
       roundSim: Int = 6): DataFrame = {
+    val g = resolve(spark, path, tables, planesPerTable, dim, seed)
     // batch band rows broadcast (one materialization, two join
     // consumers): the persisted band table streams map-side past the
     // probe instead of shuffling per batch — the wing-wide posture
     val newBands = BucketCaps.capBuckets(
-        bandRows(batch, idCol, vecCol, tables, planesPerTable, dim, seed),
+        bandRows(batch, idCol, vecCol, g.tables, g.planesPerTable, g.dim,
+          g.seed),
         bucket, maxBucketSize)
       .materialized
     // tombstoned ids leave the candidate space here: pairs only ever

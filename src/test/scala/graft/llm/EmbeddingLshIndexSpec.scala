@@ -133,6 +133,75 @@ class EmbeddingLshIndexSpec extends AnyFunSuite {
     assert(pairs(s"$dir/idx2") == Set((0L, 500L)))
   }
 
+  test("defaultPlanesPerTable follows the measured decade law (occupancy ≤ 8)") {
+    // anchors from the round-8 recall curves / decade table
+    assert(EmbeddingLshIndex.defaultPlanesPerTable(100L) == 8)   // floor
+    assert(EmbeddingLshIndex.defaultPlanesPerTable(2000L) == 8)
+    assert(EmbeddingLshIndex.defaultPlanesPerTable(20000L) == 12)
+    assert(EmbeddingLshIndex.defaultPlanesPerTable(200000L) == 15)
+    // monotone, and capped (sig is a Long; dot cost linear in planes)
+    assert(EmbeddingLshIndex.defaultPlanesPerTable(2000000L) == 18)
+    assert(EmbeddingLshIndex.defaultPlanesPerTable(Long.MaxValue / 2) == 48)
+  }
+
+  test("build persists geometry; probes resolve it; explicit mismatch fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-elidx7").toString
+    // 2-batch split of > 2^11 vectors so the decade law binds: auto
+    // build must pick planes from the BUILD batch's cardinality and
+    // the probe must resolve the same count from the sidecar (a probe
+    // at the legacy default 8 would compute different signatures and
+    // silently find nothing)
+    val even = vecs((0L until 6000L).filter(_ % 2 == 0))
+    EmbeddingLshIndex.build(even, s"$dir/idx")
+    val g = EmbeddingLshIndex.geometry(spark, s"$dir/idx").get
+    assert(g == EmbeddingLshIndex.Geometry(8,
+      EmbeddingLshIndex.defaultPlanesPerTable(3000L), 64, 42L))
+    assert(g.planesPerTable == 9) // ceil(log2(3000/8))
+    // auto probe: every odd twin pairs with its indexed even twin
+    val probed = EmbeddingLshIndex.incrementalNearDupPairs(spark,
+        s"$dir/idx", vecs((0L until 40L).filter(_ % 2 == 1)),
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 20L).map(gid => (gid * 2, gid * 2 + 1)).toSet
+      .subsetOf(probed))
+    // explicit params matching the sidecar are accepted...
+    EmbeddingLshIndex.append(vecs(Seq(10001L)), s"$dir/idx",
+      planesPerTable = 9)
+    // ...an under-set plane count (the round-8 decade-blowup mistake)
+    // or a wrong seed is rejected, not silently zero-recall
+    val e1 = intercept[IllegalArgumentException] {
+      EmbeddingLshIndex.incrementalNearDupPairs(spark, s"$dir/idx",
+        vecs(Seq(1L)), planesPerTable = 8)
+    }
+    assert(e1.getMessage.contains("build geometry"))
+    intercept[IllegalArgumentException] {
+      EmbeddingLshIndex.cleanseWith(spark, s"$dir/idx", vecs(Seq(1L)),
+        seed = 7L)
+    }
+    // compact carries the geometry to the successor
+    EmbeddingLshIndex.compact(spark, s"$dir/idx", s"$dir/idx2")
+    assert(EmbeddingLshIndex.geometry(spark, s"$dir/idx2").contains(g))
+  }
+
+  test("legacy index without a sidecar resolves the historical defaults") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-elidx8").toString
+    EmbeddingLshIndex.build(vecs(0L until 8L), s"$dir/idx")
+    // simulate a pre-sidecar index: drop _geom (and the cache entry via
+    // a fresh path copy)
+    val legacy = s"$dir/legacy"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$dir/idx"), new java.io.File(legacy))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$legacy/_geom"))
+    assert(EmbeddingLshIndex.geometry(spark, legacy).isEmpty)
+    // auto probe falls back to the 8/8/64/42 the index was built with
+    val probed = EmbeddingLshIndex.incrementalNearDupPairs(spark, legacy,
+        vecs(Seq(1L)).select((col("vec_id") + 100L).as("vec_id"),
+          col("embedding")), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == Set((0L, 101L), (1L, 101L)))
+  }
+
   test("cleanseWith: probe-only admission filter matches one-shot cleanseAgainst") {
     val dir = java.nio.file.Files.createTempDirectory("graft-elidx4").toString
     // reference = gids 0-2 complete (their twins included); batch has
