@@ -198,6 +198,270 @@ object MediaContainers {
     if (w <= 0 || h <= 0) None else Some(ImageMeta(w, h))
   }
 
+  // -------------------------------------------------------------------
+  // Dominant crawl A/V containers — header-only walks, no codec: MP4
+  // (ISO BMFF box walk: ftyp sniff, moov/mvhd timescale+duration,
+  // trak/tkhd video dims), FLAC (fLaC STREAMINFO), MP3 (frame header
+  // after an optional ID3v2 skip), Ogg (first-page BOS packet: Opus
+  // "OpusHead" or Vorbis identification header). Same contract as the
+  // image parsers: None on anything malformed, never an exception.
+  // -------------------------------------------------------------------
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def be64(b: Array[Byte], off: Int): Long =
+    ((be32(b, off).toLong & 0xffffffffL) << 32) |
+      (be32(b, off + 4).toLong & 0xffffffffL)
+
+  /** `durationTicks / timescale` = seconds; width/height are present
+    * when the movie carries a visual track (tkhd 16.16 fixed-point,
+    * truncated to pixels).
+    */
+  final case class Mp4Meta(timescale: Int, durationTicks: Long,
+      width: Option[Int], height: Option[Int])
+
+  final case class Mp3Meta(
+      mpegVersion: Int, layer: Int, bitrateKbps: Int, sampleRate: Int,
+      channels: Int)
+
+  /** `totalSamples` is inter-channel sample frames (the STREAMINFO
+    * field); 0 in the container means "unknown" and surfaces as None.
+    */
+  final case class FlacMeta(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Option[Long])
+
+  /** First-page identification header of the mapped codec. For Opus,
+    * `sampleRate` is the id header's input sample rate (decode is
+    * always 48k — the field records the original capture rate).
+    */
+  final case class OggMeta(codec: String, channels: Int, sampleRate: Int)
+
+  private def boxType(b: Array[Byte], off: Int): String =
+    new String(b, off + 4, 4, "US-ASCII")
+
+  /** Walk sibling ISO-BMFF boxes in `[from, until)`, yielding
+    * (type, payloadStart, payloadEnd). Stops at a malformed or
+    * truncated size instead of overrunning — at corpus scale a
+    * truncated tail is data.
+    */
+  private def boxes(b: Array[Byte], from: Int,
+      until: Int): Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+    private var pos = from
+    private var nextBox: (String, Int, Int) = advance()
+    private def advance(): (String, Int, Int) = {
+      if (pos + 8 > until) return null
+      val declared = be32(b, pos).toLong & 0xffffffffL
+      val t = boxType(b, pos)
+      val (size, header) =
+        if (declared == 1L) {
+          if (pos + 16 > until) return null
+          (be64(b, pos + 8), 16)
+        } else if (declared == 0L) ((until - pos).toLong, 8)
+        else (declared, 8)
+      if (size < header || pos + size > until) return null
+      val res = (t, pos + header, pos + size.toInt)
+      pos += size.toInt
+      res
+    }
+    override def hasNext: Boolean = nextBox != null
+    override def next(): (String, Int, Int) = {
+      val r = nextBox; nextBox = advance(); r
+    }
+  }
+
+  /** ISO BMFF (MP4/MOV/M4A): requires the `ftyp` box first (the sniff)
+    * and a complete `moov`/`mvhd` for timescale + duration; video dims
+    * come from the first `trak`/`tkhd` with a nonzero width. Handles
+    * version-0 (32-bit) and version-1 (64-bit) mvhd/tkhd layouts.
+    */
+  def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    if (b == null || b.length < 12 || boxType(b, 0) != "ftyp") return None
+    var meta: Option[Mp4Meta] = None
+    var dims: Option[(Int, Int)] = None
+    boxes(b, 0, b.length).foreach { case (t, s, e) =>
+      if (t == "moov") {
+        boxes(b, s, e).foreach { case (ct, cs, ce) =>
+          if (ct == "mvhd" && meta.isEmpty && ce - cs >= 24) {
+            val version = b(cs) & 0xff
+            if (version == 0 && ce - cs >= 20)
+              meta = Some(Mp4Meta(be32(b, cs + 12),
+                be32(b, cs + 16).toLong & 0xffffffffL, None, None))
+            else if (version == 1 && ce - cs >= 32)
+              meta = Some(Mp4Meta(be32(b, cs + 20), be64(b, cs + 24),
+                None, None))
+          } else if (ct == "trak" && dims.isEmpty) {
+            boxes(b, cs, ce).foreach { case (gt, gs, ge) =>
+              if (gt == "tkhd" && dims.isEmpty) {
+                val version = b(gs) & 0xff
+                val (wOff, need) = if (version == 1) (88, 96) else (76, 84)
+                if (ge - gs >= need) {
+                  val w = be32(b, gs + wOff) >>> 16
+                  val h = be32(b, gs + wOff + 4) >>> 16
+                  if (w > 0 && h > 0) dims = Some((w, h))
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    meta.filter(_.timescale > 0)
+      .map(_.copy(width = dims.map(_._1), height = dims.map(_._2)))
+  }
+
+  /** FLAC: "fLaC" then the mandatory STREAMINFO metadata block
+    * (type 0, 34-byte payload): sample rate (20 bits), channels-1 (3),
+    * bits-per-sample-1 (5), total inter-channel samples (36).
+    */
+  def parseFlac(b: Array[Byte]): Option[FlacMeta] = {
+    if (b == null || b.length < 4 + 4 + 34) return None
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (len < 34) return None
+    val p = 8
+    val sampleRate = ((b(p + 10) & 0xff) << 12) | ((b(p + 11) & 0xff) << 4) |
+      ((b(p + 12) & 0xff) >>> 4)
+    val channels = ((b(p + 12) >>> 1) & 0x7) + 1
+    val bps = (((b(p + 12) & 0x1) << 4) | ((b(p + 13) & 0xff) >>> 4)) + 1
+    val total = ((b(p + 13) & 0x0fL) << 32) |
+      (be32(b, p + 14).toLong & 0xffffffffL)
+    if (sampleRate <= 0) None
+    else Some(FlacMeta(sampleRate, channels, bps,
+      if (total == 0L) None else Some(total)))
+  }
+
+  private val Mp3Rates = Array(
+    Array(11025, 12000, 8000),   // MPEG 2.5
+    null,                        // reserved
+    Array(22050, 24000, 16000),  // MPEG 2
+    Array(44100, 48000, 32000))  // MPEG 1
+  // kbps by [layer], columns = bitrate index 1..14 (0 = free, 15 = bad)
+  private val Mp3BitratesV1 = Array[Array[Int]](
+    null,
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320), // L3
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384), // L2
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)) // L1
+  private val Mp3BitratesV2 = Array[Array[Int]](
+    null,
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),  // L3
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),  // L2
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)) // L1
+
+  /** MP3: optional ID3v2 tag skip (syncsafe size), then the first
+    * frame header — 11-bit sync, MPEG version, layer, bitrate and
+    * sample-rate indices, channel mode. A total duration needs the
+    * whole file (VBR); the header-only tier reports the stream
+    * parameters. The sync sniff is permissive by construction, so this
+    * parser runs LAST in [[parse]]'s chain and rejects every reserved
+    * index combination.
+    */
+  def parseMp3(b: Array[Byte]): Option[Mp3Meta] = {
+    if (b == null || b.length < 4) return None
+    var pos = 0
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3' && b.length >= 10) {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      pos = 10 + size
+      if (pos < 0 || pos + 4 > b.length) return None
+    }
+    if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xe0) != 0xe0) return None
+    val versionBits = (b(pos + 1) >>> 3) & 0x3 // 0=2.5, 2=2, 3=1
+    val layerBits = (b(pos + 1) >>> 1) & 0x3   // 1=III, 2=II, 3=I
+    val bitrateIdx = (b(pos + 2) >>> 4) & 0xf
+    val rateIdx = (b(pos + 2) >>> 2) & 0x3
+    if (versionBits == 1 || layerBits == 0 ||
+      bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+    val sampleRate = Mp3Rates(versionBits)(rateIdx)
+    val kbps = (if (versionBits == 3) Mp3BitratesV1
+      else Mp3BitratesV2)(layerBits)(bitrateIdx - 1)
+    val channels = if (((b(pos + 3) >>> 6) & 0x3) == 3) 1 else 2
+    val version = versionBits match {
+      case 3 => 1
+      case 2 => 2
+      case _ => 25 // MPEG 2.5, encoded as 25 to stay integral
+    }
+    val layer = 4 - layerBits
+    Some(Mp3Meta(version, layer, kbps, sampleRate, channels))
+  }
+
+  /** Ogg: first page must be a BOS page ("OggS", version 0, header
+    * type bit 0x02) whose first packet is the mapped codec's
+    * identification header — "OpusHead" (channels, input rate) or
+    * Vorbis type-1 (channels, rate). Unknown mappings report
+    * codec="unknown" with zeroed parameters rather than None: the
+    * container IS Ogg, the codec just isn't one the metadata tier
+    * knows.
+    */
+  def parseOgg(b: Array[Byte]): Option[OggMeta] = {
+    if (b == null || b.length < 28 ||
+      b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S' ||
+      b(4) != 0 || (b(5) & 0x02) == 0) return None
+    val nSegs = b(26) & 0xff
+    val packetStart = 27 + nSegs
+    if (packetStart > b.length) return None
+    val remain = b.length - packetStart
+    def str(off: Int, n: Int): String =
+      if (packetStart + off + n > b.length) ""
+      else new String(b, packetStart + off, n, "US-ASCII")
+    if (remain >= 19 && str(0, 8) == "OpusHead")
+      Some(OggMeta("opus", b(packetStart + 9) & 0xff,
+        le32(b, packetStart + 12)))
+    else if (remain >= 30 && (b(packetStart) & 0xff) == 1 &&
+      str(1, 6) == "vorbis")
+      Some(OggMeta("vorbis", b(packetStart + 11) & 0xff,
+        le32(b, packetStart + 12)))
+    else Some(OggMeta("unknown", 0, 0))
+  }
+
+  /** The full audiovisual metadata surface over one sniff — what
+    * [[MediaMeta]] can't carry for the A/V containers: stream
+    * parameters (sample rate, channels), movie duration (ticks +
+    * timescale). Field presence by format: images fill dims +
+    * n_frames=1; wav/flac fill n_frames + sample_rate + channels; mp3
+    * and ogg fill sample_rate + channels (no total without the whole
+    * file); mp4 fills dims (when a video track exists) + duration.
+    */
+  final case class AvMeta(format: String,
+      width: Option[Int], height: Option[Int], nFrames: Option[Long],
+      sampleRate: Option[Int], channels: Option[Int],
+      durationTicks: Option[Long], timescale: Option[Int])
+
+  def parseAv(b: Array[Byte]): AvMeta = {
+    val none = AvMeta("unknown", None, None, None, None, None, None, None)
+    if (b == null) return none
+    parseWav(b) match {
+      case Some(w) => return AvMeta("wav", None, None, Some(w.nFrames),
+        Some(w.sampleRate), Some(w.channels), None, None)
+      case None =>
+    }
+    parseMp4(b) match {
+      case Some(m) => return AvMeta("mp4", m.width, m.height, None,
+        None, None, Some(m.durationTicks), Some(m.timescale))
+      case None =>
+    }
+    parseFlac(b) match {
+      case Some(f) => return AvMeta("flac", None, None, f.totalSamples,
+        Some(f.sampleRate), Some(f.channels), None, None)
+      case None =>
+    }
+    parseOgg(b) match {
+      case Some(o) => return AvMeta("ogg", None, None, None,
+        if (o.sampleRate > 0) Some(o.sampleRate) else None,
+        if (o.channels > 0) Some(o.channels) else None, None, None)
+      case None =>
+    }
+    val img = parse(b) // image chain (bmp/ppm/png/jpeg/gif) or mp3
+    if (img.format == "mp3") {
+      val m = parseMp3(b).get
+      AvMeta("mp3", None, None, None, Some(m.sampleRate),
+        Some(m.channels), None, None)
+    } else if (img.width.isDefined)
+      AvMeta(img.format, img.width, img.height, img.nFrames,
+        None, None, None, None)
+    else none
+  }
+
   /** Sniff + parse: images report 1 frame; audio reports sample frames
     * and no dimensions; anything else is ("unknown", None, None, None).
     */
@@ -218,7 +482,22 @@ object MediaContainers {
                 MediaMeta("gif", Some(m.width), Some(m.height), Some(1L))
               case None => parseWav(b) match {
                 case Some(w) => MediaMeta("wav", None, None, Some(w.nFrames))
-                case None => MediaMeta("unknown", None, None, None)
+                case None => parseMp4(b) match {
+                  case Some(m) => MediaMeta("mp4", m.width, m.height, None)
+                  case None => parseFlac(b) match {
+                    case Some(f) =>
+                      MediaMeta("flac", None, None, f.totalSamples)
+                    case None => parseOgg(b) match {
+                      case Some(_) => MediaMeta("ogg", None, None, None)
+                      // mp3 last: its 11-bit sync sniff is the most
+                      // permissive of the chain
+                      case None => parseMp3(b) match {
+                        case Some(_) => MediaMeta("mp3", None, None, None)
+                        case None => MediaMeta("unknown", None, None, None)
+                      }
+                    }
+                  }
+                }
               }
             }
           }
@@ -489,6 +768,29 @@ object MediaContainers {
     out.toByteArray
   }
 
+  /** [[jpegBytesRgb]] at an explicit quality factor (0..1) — the knob
+    * that drives DCT quantization and (implementation-dependent)
+    * chroma subsampling, i.e. the JDK-version-sensitive part of the
+    * JPEG path. Specs re-encode at two qualities and pin perceptual-
+    * hash stability so a JDK upgrade can't silently shift behavior.
+    */
+  def jpegBytesRgbQ(w: Int, h: Int, rgb: Array[Byte],
+      quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(
+        toBufferedImage(w, h, rgb), null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** Encode an RGB888 raster as GIF (JDK ImageIO; palette-indexed —
     * byte-exact round trip only for rasters with ≤256 distinct colors,
     * quantization-lossy otherwise; downstream contracts are perceptual).
@@ -496,6 +798,112 @@ object MediaContainers {
   def gifBytesRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(toBufferedImage(w, h, rgb), "gif", out)
+    out.toByteArray
+  }
+
+  private def wbe16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def wbe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def zeros(out: java.io.ByteArrayOutputStream, n: Int): Unit =
+    out.write(new Array[Byte](n))
+  private def unityMatrix(out: java.io.ByteArrayOutputStream): Unit = {
+    wbe32(out, 0x00010000); wbe32(out, 0); wbe32(out, 0)
+    wbe32(out, 0); wbe32(out, 0x00010000); wbe32(out, 0)
+    wbe32(out, 0); wbe32(out, 0); wbe32(out, 0x40000000)
+  }
+
+  /** Minimal valid ISO-BMFF header: `ftyp` (isom) + `moov` holding a
+    * version-0 `mvhd` and — when `w > 0` — one `trak`/`tkhd` with
+    * 16.16 fixed-point dims. Header-only (no mdat): exactly the bytes
+    * the metadata tier reads.
+    */
+  def mp4Bytes(timescale: Int, durationTicks: Int, w: Int = 0,
+      h: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    wbe32(out, 16); out.write("ftypisom".getBytes("US-ASCII"))
+    wbe32(out, 0)
+    val withTrak = w > 0
+    wbe32(out, 8 + 108 + (if (withTrak) 100 else 0))
+    out.write("moov".getBytes("US-ASCII"))
+    wbe32(out, 108); out.write("mvhd".getBytes("US-ASCII"))
+    wbe32(out, 0)                     // version 0 + flags
+    wbe32(out, 0); wbe32(out, 0)      // creation, modification
+    wbe32(out, timescale); wbe32(out, durationTicks)
+    wbe32(out, 0x00010000); wbe16(out, 0x0100) // rate, volume
+    zeros(out, 10)                    // reserved
+    unityMatrix(out); zeros(out, 24)  // matrix, pre_defined
+    wbe32(out, 2)                     // next_track_ID
+    if (withTrak) {
+      wbe32(out, 100); out.write("trak".getBytes("US-ASCII"))
+      wbe32(out, 92); out.write("tkhd".getBytes("US-ASCII"))
+      wbe32(out, 7)                   // version 0 + enabled/in-movie
+      wbe32(out, 0); wbe32(out, 0)    // creation, modification
+      wbe32(out, 1); wbe32(out, 0)    // track_ID, reserved
+      wbe32(out, durationTicks); zeros(out, 8)
+      wbe16(out, 0); wbe16(out, 0); wbe16(out, 0); wbe16(out, 0)
+      unityMatrix(out)
+      wbe32(out, w << 16); wbe32(out, h << 16)
+    }
+    out.toByteArray
+  }
+
+  /** Minimal FLAC: "fLaC" + a last-flagged STREAMINFO block. */
+  def flacBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    wbe16(out, 4096); wbe16(out, 4096) // min/max block size
+    zeros(out, 6)                      // min/max frame size (unknown)
+    // sr(20) | ch-1(3) | bps-1(5) | totalSamples(36), big-endian
+    val packed = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) | ((bitsPerSample - 1).toLong << 36) |
+      (totalSamples & 0xfffffffffL)
+    wbe32(out, (packed >>> 32).toInt); wbe32(out, packed.toInt)
+    zeros(out, 16)                     // MD5 of unencoded audio
+    out.toByteArray
+  }
+
+  /** One MPEG-1 Layer III frame header (no payload) — the bytes
+    * [[parseMp3]] reads. `bitrateIdx` 1-14, `rateIdx` 0-2, mono flag.
+    */
+  def mp3Bytes(bitrateIdx: Int, rateIdx: Int, mono: Boolean): Array[Byte] =
+    Array(0xff.toByte, 0xfb.toByte,
+      ((bitrateIdx << 4) | (rateIdx << 2)).toByte,
+      (if (mono) 0xc0 else 0x00).toByte)
+
+  /** Minimal Ogg BOS page carrying an OpusHead identification header. */
+  def oggOpusBytes(channels: Int, inputSampleRate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0); out.write(2)        // version, BOS
+    zeros(out, 8 + 4 + 4 + 4)         // granule, serial, seq, crc
+    out.write(1); out.write(19)       // one segment of 19 bytes
+    out.write("OpusHead".getBytes("US-ASCII"))
+    out.write(1); out.write(channels) // id version, channel count
+    w16(out, 312)                     // pre-skip (LE)
+    w32(out, inputSampleRate)         // input sample rate (LE)
+    w16(out, 0); out.write(0)         // output gain, mapping family
+    out.toByteArray
+  }
+
+  /** Minimal Ogg BOS page carrying a Vorbis identification header. */
+  def oggVorbisBytes(channels: Int, sampleRate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0); out.write(2)
+    zeros(out, 8 + 4 + 4 + 4)
+    out.write(1); out.write(30)       // one segment of 30 bytes
+    out.write(1); out.write("vorbis".getBytes("US-ASCII"))
+    w32(out, 0)                       // vorbis version (LE)
+    out.write(channels)
+    w32(out, sampleRate)              // LE
+    w32(out, 0); w32(out, 0); w32(out, 0) // bitrate max/nominal/min
+    out.write(0xb8); out.write(1)     // blocksizes, framing bit
     out.toByteArray
   }
 }

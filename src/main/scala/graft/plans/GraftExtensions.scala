@@ -112,6 +112,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "media_meta takes exactly 1 argument")
         MediaMeta(children.head)
+      }),
+    (FunctionIdentifier("av_meta"),
+      info("av_meta",
+        "av_meta(binary) - struct(format, width, height, n_frames, sample_rate, channels, duration_ticks, timescale) from A/V container headers (images + WAV/MP4/FLAC/Ogg/MP3)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "av_meta takes exactly 1 argument")
+        AvMeta(children.head)
       }))
 
   private def intLiteral(what: String, e: Expression): Int = e match {

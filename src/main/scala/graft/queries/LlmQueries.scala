@@ -4394,6 +4394,138 @@ object LlmQueries {
              |  CAST(closed AS BIGINT) AS closed
              |FROM run ORDER BY source, batch""".stripMargin)),
 
+    // Dominant crawl A/V containers (MP4 box walk, FLAC STREAMINFO,
+    // MP3 frame header, Ogg/Opus BOS page) through the native av_meta
+    // sniff: both engines construct IDENTICAL header bytes in hex (the
+    // checksum pins byte equality), Spark parses the real bytes with
+    // the header-only walks in multimodal/MediaContainers, and the
+    // oracle predicts every field in closed form from the staging
+    // params — a differential proof the parsers read what the specs
+    // say the bytes mean. Header-only is the 100-TB posture: the
+    // metadata tier reads tens of bytes per object, never a payload,
+    // and never needs a codec library. doc_id=1 stages FLAC's
+    // total-samples=0 ("unknown") edge → NULL n_frames.
+    "q242_av_container_meta" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        def be32(v: String) = s"format_string('%08x', $v)"
+        def be16(v: String) = s"format_string('%04x', $v)"
+        def le32(v: String) = s"format_string('%02x%02x%02x%02x', $v & 255, " +
+          s"shiftright($v, 8) & 255, shiftright($v, 16) & 255, shiftright($v, 24) & 255)"
+        val mx = "000100000000000000000000000000000001" +
+          "000000000000000000000000000040000000"
+        val z10 = "0" * 20; val z24 = "0" * 48; val z16 = "0" * 32
+        val mp4Hex = "concat('000000106674797069736f6d00000000', " +
+          "'000000d86d6f6f76', " +
+          s"'0000006c6d766864000000000000000000000000', ${be32("ts")}, " +
+          s"${be32("dur")}, '000100000100', '$z10', '$mx', '$z24', " +
+          "'00000002', '000000647472616b', " +
+          "'0000005c746b686400000007000000000000000000000001', " +
+          s"'00000000', ${be32("dur")}, '0000000000000000', " +
+          s"'0000000000000000', '$mx', ${be16("vw")}, '0000', " +
+          s"${be16("vh")}, '0000')"
+        val flacHex = "concat('664c614380000022', '10001000', " +
+          "'000000000000', format_string('%016x', shiftleft(fr, 44) + " +
+          s"shiftleft(fch - 1, 41) + shiftleft(fbps - 1, 36) + fts), '$z16')"
+        val mp3Hex = "concat('fffb', " +
+          "format_string('%02x', bri * 16 + sri * 4), " +
+          "CASE WHEN mono = 1 THEN 'c0' ELSE '00' END)"
+        val oggHex = "concat('4f6767530002', '" + ("0" * 40) + "', '0113', " +
+          "'4f70757348656164', '01', format_string('%02x', och), '3801', " +
+          s"${le32("orate")}, '000000')"
+        val staged = docs(s, d).select(col("doc_id"),
+          expr("600 + (doc_id % 10) * 100").as("ts"),
+          expr("1000 + (doc_id * 17) % 100000").as("dur"),
+          expr("16 + (doc_id * 3) % 1904").as("vw"),
+          expr("16 + (doc_id * 5) % 1064").as("vh"),
+          expr("8000 + (doc_id % 12) * 4000").as("fr"),
+          expr("1 + doc_id % 8").as("fch"),
+          expr("8 + (doc_id % 3) * 8").as("fbps"),
+          expr("CASE WHEN doc_id = 1 THEN 0 ELSE doc_id * 441 END").as("fts"),
+          expr("1 + doc_id % 14").as("bri"),
+          expr("doc_id % 3").as("sri"),
+          expr("CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END").as("mono"),
+          expr("1 + doc_id % 2").as("och"),
+          expr("8000 + (doc_id % 5) * 8000").as("orate"))
+        staged.withColumn("media", expr(
+            s"unhex(CASE WHEN doc_id % 4 = 0 THEN $mp4Hex " +
+              s"WHEN doc_id % 4 = 1 THEN $flacHex " +
+              s"WHEN doc_id % 4 = 2 THEN $mp3Hex ELSE $oggHex END)"))
+          .select(col("doc_id"),
+            octet_length(col("media")).cast("long").as("byte_len"),
+            expr("av_meta(media)").as("m"),
+            md5(hex(col("media"))).as("checksum"))
+          .select(col("doc_id"), col("byte_len"),
+            col("m.format").as("format"), col("m.width").as("width"),
+            col("m.height").as("height"), col("m.n_frames").as("n_frames"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.channels").as("channels"),
+            col("m.duration_ticks").as("duration_ticks"),
+            col("m.timescale").as("timescale"), col("checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id, doc_id % 4 AS m,
+             |         600 + (doc_id % 10) * 100 AS ts,
+             |         1000 + (doc_id * 17) % 100000 AS dur,
+             |         16 + (doc_id * 3) % 1904 AS vw,
+             |         16 + (doc_id * 5) % 1064 AS vh,
+             |         8000 + (doc_id % 12) * 4000 AS fr,
+             |         1 + doc_id % 8 AS fch,
+             |         8 + (doc_id % 3) * 8 AS fbps,
+             |         CASE WHEN doc_id = 1 THEN 0 ELSE doc_id * 441 END AS fts,
+             |         1 + doc_id % 14 AS bri,
+             |         doc_id % 3 AS sri,
+             |         CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END AS mono,
+             |         1 + doc_id % 2 AS och,
+             |         8000 + (doc_id % 5) * 8000 AS orate
+             |  FROM documents),
+             |blobs AS (
+             |  SELECT *, unhex(CASE
+             |    WHEN m = 0 THEN
+             |      '000000106674797069736f6d00000000' || '000000d86d6f6f76' ||
+             |      '0000006c6d766864000000000000000000000000' ||
+             |      printf('%08x', ts) || printf('%08x', dur) ||
+             |      '000100000100' || repeat('0', 20) ||
+             |      '000100000000000000000000000000000001000000000000000000000000000040000000' ||
+             |      repeat('0', 48) || '00000002' || '000000647472616b' ||
+             |      '0000005c746b686400000007000000000000000000000001' ||
+             |      '00000000' || printf('%08x', dur) || '0000000000000000' ||
+             |      '0000000000000000' ||
+             |      '000100000000000000000000000000000001000000000000000000000000000040000000' ||
+             |      printf('%04x', vw) || '0000' || printf('%04x', vh) || '0000'
+             |    WHEN m = 1 THEN
+             |      '664c614380000022' || '10001000' || '000000000000' ||
+             |      printf('%016x', (fr << 44) + ((fch - 1) << 41) + ((fbps - 1) << 36) + fts) ||
+             |      repeat('0', 32)
+             |    WHEN m = 2 THEN
+             |      'fffb' || printf('%02x', bri * 16 + sri * 4) ||
+             |      CASE WHEN mono = 1 THEN 'c0' ELSE '00' END
+             |    ELSE
+             |      '4f6767530002' || repeat('0', 40) || '0113' ||
+             |      '4f70757348656164' || '01' || printf('%02x', och) || '3801' ||
+             |      printf('%02x%02x%02x%02x', orate & 255, (orate >> 8) & 255,
+             |        (orate >> 16) & 255, (orate >> 24) & 255) || '000000'
+             |    END) AS media
+             |  FROM params)
+             |SELECT doc_id,
+             |  CAST(octet_length(media) AS BIGINT) AS byte_len,
+             |  CASE m WHEN 0 THEN 'mp4' WHEN 1 THEN 'flac'
+             |         WHEN 2 THEN 'mp3' ELSE 'ogg' END AS format,
+             |  CAST(CASE WHEN m = 0 THEN vw END AS INT) AS width,
+             |  CAST(CASE WHEN m = 0 THEN vh END AS INT) AS height,
+             |  CAST(CASE WHEN m = 1 AND fts > 0 THEN fts END AS BIGINT) AS n_frames,
+             |  CAST(CASE WHEN m = 1 THEN fr
+             |            WHEN m = 2 THEN list_extract([44100, 48000, 32000], CAST(sri AS INT) + 1)
+             |            WHEN m = 3 THEN orate END AS INT) AS sample_rate,
+             |  CAST(CASE WHEN m = 1 THEN fch
+             |            WHEN m = 2 THEN (CASE WHEN mono = 1 THEN 1 ELSE 2 END)
+             |            WHEN m = 3 THEN och END AS INT) AS channels,
+             |  CAST(CASE WHEN m = 0 THEN dur END AS BIGINT) AS duration_ticks,
+             |  CAST(CASE WHEN m = 0 THEN ts END AS INT) AS timescale,
+             |  md5(hex(media)) AS checksum
+             |FROM blobs ORDER BY doc_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW

@@ -353,6 +353,149 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.rgb.sameElements(gray))
   }
 
+  test("MP4: box walk reads mvhd duration and tkhd dims; truncation quarantined") {
+    import MediaContainers._
+    // video movie: dims from the trak, duration from mvhd
+    val vid = mp4Bytes(timescale = 600, durationTicks = 3600, w = 640, h = 360)
+    assert(parseMp4(vid).contains(Mp4Meta(600, 3600L, Some(640), Some(360))))
+    assert(parse(vid) == MediaMeta("mp4", Some(640), Some(360), None))
+    // audio-only movie (no trak): duration only
+    val aud = mp4Bytes(timescale = 48000, durationTicks = 96000)
+    assert(parseMp4(aud).contains(Mp4Meta(48000, 96000L, None, None)))
+    // version-1 mvhd (64-bit times): hand-patch the synthesized v0 box —
+    // v1 payload is 12 bytes longer (8-byte creation/modification/duration)
+    val v1 = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(vid, 0, 16)                    // ftyp
+      val moovPayload = new java.io.ByteArrayOutputStream()
+      moovPayload.write(Array[Byte](0, 0, 0, 120) ++ "mvhd".getBytes) // 8+112
+      moovPayload.write(Array[Byte](1, 0, 0, 0))                     // v1
+      moovPayload.write(new Array[Byte](16))   // creation, modification (64-bit)
+      moovPayload.write(Array[Byte](0, 0, 2, 88))                    // timescale 600
+      moovPayload.write(Array[Byte](0, 0, 0, 0, 0, 0, 14, 16))       // duration 3600
+      moovPayload.write(new Array[Byte](112 - 4 - 16 - 4 - 8))       // rest
+      val moov = moovPayload.toByteArray
+      out.write(Array[Byte](0, 0, 0, (8 + moov.length).toByte))
+      out.write("moov".getBytes); out.write(moov)
+      out.toByteArray
+    }
+    assert(parseMp4(v1).contains(Mp4Meta(600, 3600L, None, None)))
+    // truncated mid-moov, zero timescale, wrong leading box: all None
+    assert(parseMp4(vid.take(40)).isEmpty)
+    assert(parseMp4(mp4Bytes(0, 100)).isEmpty)
+    assert(parseMp4("freeformatnotftyp".getBytes).isEmpty)
+    assert(parseMp4(Array.empty[Byte]).isEmpty)
+  }
+
+  test("FLAC: STREAMINFO bit unpacking; zero total = unknown; malformed quarantined") {
+    import MediaContainers._
+    val f = flacBytes(44100, 2, 16, 1234567L)
+    assert(parseFlac(f).contains(FlacMeta(44100, 2, 16, Some(1234567L))))
+    assert(parse(f) == MediaMeta("flac", None, None, Some(1234567L)))
+    // odd geometry exercises every bit boundary: 20-bit rate, 3-bit
+    // channels, 5-bit bps, 36-bit total
+    assert(parseFlac(flacBytes(192000, 8, 24, (1L << 35) + 7L))
+      .contains(FlacMeta(192000, 8, 24, Some((1L << 35) + 7L))))
+    // total samples 0 means "unknown" per spec
+    assert(parseFlac(flacBytes(8000, 1, 8, 0L))
+      .contains(FlacMeta(8000, 1, 8, None)))
+    assert(parseFlac(f.take(20)).isEmpty)             // truncated
+    val notFirst = f.clone(); notFirst(4) = 0x04      // first block not STREAMINFO
+    assert(parseFlac(notFirst).isEmpty)
+    assert(parseFlac("fLaCxxxx".getBytes).isEmpty)
+  }
+
+  test("MP3: frame header fields, ID3v2 skip, reserved combinations rejected") {
+    import MediaContainers._
+    // MPEG-1 Layer III, 128 kbps (idx 9), 44100 (idx 0), stereo
+    val m = mp3Bytes(bitrateIdx = 9, rateIdx = 0, mono = false)
+    assert(parseMp3(m).contains(Mp3Meta(1, 3, 128, 44100, 2)))
+    assert(parse(m) == MediaMeta("mp3", None, None, None))
+    assert(parseMp3(mp3Bytes(14, 2, mono = true))
+      .contains(Mp3Meta(1, 3, 320, 32000, 1)))
+    // ID3v2-prefixed stream: 10-byte tag header + syncsafe size
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 5) ++
+      new Array[Byte](5) ++ m
+    assert(parseMp3(id3).contains(Mp3Meta(1, 3, 128, 44100, 2)))
+    // reserved version (0xE8 = sync + version bits 01), bad bitrate
+    // index 15, bad rate index 3, free bitrate 0: all rejected
+    assert(parseMp3(Array(0xff, 0xe8, 0x90, 0x00).map(_.toByte)).isEmpty)
+    assert(parseMp3(Array(0xff, 0xfb, 0xf0, 0x00).map(_.toByte)).isEmpty)
+    assert(parseMp3(Array(0xff, 0xfb, 0x9c, 0x00).map(_.toByte)).isEmpty)
+    assert(parseMp3(Array(0xff, 0xfb, 0x00, 0x00).map(_.toByte)).isEmpty)
+    assert(parseMp3(m.take(3)).isEmpty)
+  }
+
+  test("Ogg: BOS-page codec id headers (Opus + Vorbis); non-BOS quarantined") {
+    import MediaContainers._
+    val opus = oggOpusBytes(2, 48000)
+    assert(parseOgg(opus).contains(OggMeta("opus", 2, 48000)))
+    assert(parse(opus) == MediaMeta("ogg", None, None, None))
+    val vorbis = oggVorbisBytes(6, 44100)
+    assert(parseOgg(vorbis).contains(OggMeta("vorbis", 6, 44100)))
+    // a BOS page with an unrecognized first packet IS Ogg, codec unknown
+    val alien = opus.clone(); alien(28) = 'X'
+    assert(parseOgg(alien).contains(OggMeta("unknown", 0, 0)))
+    // continuation page (header type 0), truncated page: None
+    val cont = opus.clone(); cont(5) = 0
+    assert(parseOgg(cont).isEmpty)
+    assert(parseOgg(opus.take(20)).isEmpty)
+  }
+
+  test("av_meta expression: one sniff carries stream parameters for every format") {
+    import MediaContainers._
+    graft.plans.GraftExtensions.register(spark)
+    val rows = Seq(
+      ("mp4v", mp4Bytes(600, 3600, 640, 360)),
+      ("flac", flacBytes(44100, 2, 16, 441000L)),
+      ("mp3", mp3Bytes(9, 0, mono = false)),
+      ("opus", oggOpusBytes(2, 48000)),
+      ("wav", wavBytes(2, 8000, 16)),
+      ("bmp", bmpBytes(7, 5)),
+      ("junk", Array[Byte](1, 2, 3)))
+    val df = spark.createDataFrame(rows.map { case (n, b) => (n, b) })
+      .toDF("name", "media")
+      .selectExpr("name", "av_meta(media) AS m")
+      .selectExpr("name", "m.format", "m.width", "m.height", "m.n_frames",
+        "m.sample_rate", "m.channels", "m.duration_ticks", "m.timescale")
+    val got = df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got("mp4v") == Seq("mp4", 640, 360, null, null, null, 3600L, 600))
+    assert(got("flac") == Seq("flac", null, null, 441000L, 44100, 2, null, null))
+    assert(got("mp3") == Seq("mp3", null, null, null, 44100, 2, null, null))
+    assert(got("opus") == Seq("ogg", null, null, null, 48000, 2, null, null))
+    assert(got("wav") == Seq("wav", null, null, 16L, 8000, 2, null, null))
+    assert(got("bmp") == Seq("bmp", 7, 5, 1L, null, null, null, null))
+    assert(got("junk") == Seq("unknown", null, null, null, null, null, null, null))
+  }
+
+  test("JPEG portability pin: dHash stable across re-encode quality levels") {
+    import MediaContainers._
+    // The JDK's JPEG writer picks quantization tables and chroma
+    // subsampling from the quality factor — the implementation-
+    // sensitive surface. Re-encoding the same structured image at two
+    // explicit qualities must keep the perceptual hash within the same
+    // radius the dedup queries use, so a JDK upgrade (or a quality
+    // drift in a corpus) can't silently shift q239-adjacent behavior.
+    val rgb = new Array[Byte](32 * 24 * 3)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val t = (y * 32 + x) * 3
+      rgb(t) = (x * 7).toByte
+      rgb(t + 1) = (y * 9).toByte
+      rgb(t + 2) = ((x + y) * 4).toByte
+    }
+    val (h1, h2) = PerceptualHash.dHashKernel(rgb, 32, 24)
+    for (q <- Seq(0.9f, 0.5f)) {
+      val enc = jpegBytesRgbQ(32, 24, rgb, q)
+      assert(parseJpeg(enc).contains(ImageMeta(32, 24)))
+      val back = decodePixels(enc).get
+      val (b1, b2) = PerceptualHash.dHashKernel(back.rgb, 32, 24)
+      val hamming = java.lang.Long.bitCount(h1 ^ b1) +
+        java.lang.Long.bitCount(h2 ^ b2)
+      assert(hamming <= 8,
+        s"quality $q moved dHash by $hamming bits (near-dup radius is 8)")
+    }
+  }
+
   test("decodeImages decodes PNG payloads end to end (the q239 chain)") {
     val encoded = spark.createDataset((0L until 20L).map { id =>
       MultimodalOps.MediaRecord(id,
