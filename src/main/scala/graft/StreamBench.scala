@@ -181,20 +181,21 @@ object StreamBench {
           graft.llm.MinHashIndex.build(b, s"$idx/mh", "doc_id", "text")
         else graft.llm.MinHashIndex.append(b, s"$idx/mh", "doc_id", "text")
         System.err.println(f"[family] append=${(System.nanoTime() - t0) / 1e9}%.1fs")
-        // LSM cadence: the fold reads the composed view every batch, so
-        // an unbounded delta tail grows read-time composition linearly.
-        // Folding the tail into a snapshot every 4 batches bounds it —
-        // the corpus-sized write the copy-on-write form paid EVERY
-        // batch is paid once per 4, and the cadence is the operator's
-        // knob, not the stream's. Idempotent on replay (compact rewrites
-        // the same snapshot version; vacuum of already-gone dirs is 0).
-        if (graft.llm.DeltaChain.liveDeltaVersions(s"$idx/fam").size >= 4) {
-          val t1 = System.nanoTime()
-          graft.llm.FamilyIndex.compact(s, s"$idx/fam")
-          graft.llm.FamilyIndex.vacuum(s, s"$idx/fam")
-          System.err.println(
-            f"[family] compact=${(System.nanoTime() - t1) / 1e9}%.1fs")
-        }
+        // LSM cadence via the DeltaChain policy seam: the fold reads
+        // the composed view every batch, so an unbounded delta tail
+        // grows read-time composition linearly — the repeated-read
+        // regime where compaction amortizes. The policy triggers
+        // ITSELF (live deltas ≥ 4, or tail bytes rivaling the
+        // snapshot) instead of a hand-placed counter; idempotent on
+        // replay (compact rewrites the same snapshot version; vacuum
+        // of already-gone dirs is 0).
+        val t1 = System.nanoTime()
+        graft.llm.DeltaChain.maybeCompact(s, s"$idx/fam",
+            graft.llm.DeltaChain.CompactionPolicy(maxLiveDeltas = 4))(
+            graft.llm.FamilyIndex.compact(s, s"$idx/fam"),
+            graft.llm.FamilyIndex.vacuum(s, s"$idx/fam"))
+          .foreach(v => System.err.println(
+            f"[family] compact(v=$v)=${(System.nanoTime() - t1) / 1e9}%.1fs"))
       })
 
   /** BM25 index-maintenance throughput: stream a replicated documents

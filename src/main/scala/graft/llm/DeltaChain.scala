@@ -136,6 +136,64 @@ object DeltaChain {
     v
   }
 
+  /** WHEN to fold the live tail back into a snapshot — the cadence
+    * knob the round-8 measurements showed matters both ways: an
+    * unbounded tail grows every composed read linearly (the fold
+    * itself, for chains like [[FamilyIndex]] that read the assignment
+    * per batch), while compacting on a one-read protocol pays a full
+    * corpus write for nothing (q202 measured +14%). The policy fires
+    * when EITHER leg trips:
+    *   - `maxLiveDeltas`: more live deltas than this (read-time
+    *     composition is a union over segments — list-length cost);
+    *   - `maxDeltaBytesRatio`: live delta bytes exceed this fraction
+    *     of the snapshot's bytes (composition shuffle cost — once the
+    *     tail rivals the base, the compact write is amortized by the
+    *     very next composed read).
+    * Apply it inside repeated-read folds (streaming maintenance);
+    * leave one-shot protocols on explicit compaction.
+    */
+  final case class CompactionPolicy(
+      maxLiveDeltas: Int = 8, maxDeltaBytesRatio: Double = 1.0)
+
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Whether `policy` asks for a compaction now. False for an unbuilt
+    * or just-compacted chain (no live tail, nothing to fold).
+    */
+  def shouldCompact(spark: SparkSession, path: String,
+      policy: CompactionPolicy): Boolean = {
+    val c = capture(path)
+    if (c.deltas.isEmpty) false
+    else if (c.deltas.size >= policy.maxLiveDeltas) true
+    else {
+      val base = c.base
+        .map(v => dirBytes(spark, s"$path/base/v=$v")).getOrElse(0L)
+      val tail = c.deltas.map(v => dirBytes(spark, s"$path/delta/v=$v")).sum
+      base == 0L || tail > policy.maxDeltaBytesRatio * base
+    }
+  }
+
+  /** Policy-gated compaction: runs the chain's own `compactFn` (and
+    * then `vacuumFn`) when [[shouldCompact]] fires, returning the new
+    * snapshot version; None when the policy holds off. The single
+    * cadence seam for streaming folds — idempotent on replay exactly
+    * like the underlying compact (same version re-written; vacuum of
+    * already-gone dirs is 0).
+    */
+  def maybeCompact(spark: SparkSession, path: String,
+      policy: CompactionPolicy = CompactionPolicy())(
+      compactFn: => Int, vacuumFn: => Int): Option[Int] =
+    if (!shouldCompact(spark, path, policy)) None
+    else {
+      val v = compactFn
+      vacuumFn
+      Some(v)
+    }
+
   /** Reclaim superseded directories in place: every base below the
     * latest committed base, every delta at or below it — committed or
     * torn, they are equally dead (reads resolve through the latest

@@ -5405,8 +5405,12 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_rows"),
             count(col("p_user")).as("n_purchases"),
             Stats.decimalSum(col("p_value")).as("attributed_value"))
+        // availableNow: the deterministic drain — the engine terminates
+        // itself after the 4th carrier batch instead of racing
+        // processAllAvailable with a trailing no-data flush (the race
+        // made this query's wall BIMODAL: 12.5 s vs 21.8 s modes)
         graft.streaming.StreamOps.runToBatch(s, agg, "append",
-            statePartitions = Some(8))
+            statePartitions = Some(8), availableNow = true)
           .select(col("window").getField("start").cast("long").as("day"),
             col("n_rows"), col("n_purchases"),
             coalesce(col("attributed_value"), lit(0.0))

@@ -257,15 +257,33 @@ object StreamOps {
     * width.
     */
   def runToBatch(spark: SparkSession, stream: DataFrame, outputMode: String,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      availableNow: Boolean = false): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     statePartitions.foreach(n => spark.conf.set(key, n.toString))
     try {
-      val q = stream.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
+      val writer = stream.writeStream.outputMode(outputMode)
+        .format("memory").queryName(name)
+      if (availableNow) {
+        // Deterministic drain: Trigger.AvailableNow processes every
+        // available offset (read limits like maxFilesPerTrigger still
+        // honored per batch) and then terminates ITSELF — no
+        // `processAllAvailable` race with a trailing no-data flush
+        // batch, which on chained stateful queries (outer join → agg)
+        // sometimes cost one whole extra drain cycle and made wall
+        // time bimodal (measured 12.5 s vs 21.8 s on q235's protocol).
+        val q = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      } else {
+        val q = writer.start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }

@@ -68,6 +68,44 @@ class DeltaChainSpec extends AnyFunSuite {
     assert(DeltaChain.vacuum(spark, dir) == 0)
   }
 
+  test("compaction policy: count leg, bytes leg, and the hold-off cases") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dc6").toString
+    val lax = DeltaChain.CompactionPolicy(
+      maxLiveDeltas = 3, maxDeltaBytesRatio = 1e9)
+    // unbuilt chain and fresh build: nothing to fold, never fires
+    assert(!DeltaChain.shouldCompact(spark, dir, lax))
+    DeltaChain.writeBase(cnt((0 until 200).map(i => s"k$i" -> 1L): _*), dir, 1)
+    assert(!DeltaChain.shouldCompact(spark, dir, lax))
+    // one small delta: under both legs -> maybeCompact holds off
+    DeltaChain.writeDelta(cnt("a" -> 1L), dir, 2)
+    assert(!DeltaChain.shouldCompact(spark, dir, lax))
+    assert(DeltaChain.maybeCompact(spark, dir, lax)(
+      DeltaChain.compactSum(spark, dir, Seq("k"), "n"),
+      DeltaChain.vacuum(spark, dir)).isEmpty)
+    assert(DeltaChain.liveDeltaVersions(dir) == Seq(2)) // untouched
+    // bytes leg: a tail rivaling the snapshot fires even at 1 delta
+    val tight = DeltaChain.CompactionPolicy(
+      maxLiveDeltas = 1000, maxDeltaBytesRatio = 0.0)
+    assert(DeltaChain.shouldCompact(spark, dir, tight))
+    // count leg: the third delta trips maxLiveDeltas = 3
+    DeltaChain.writeDelta(cnt("b" -> 1L), dir, 3)
+    assert(!DeltaChain.shouldCompact(spark, dir, lax))
+    DeltaChain.writeDelta(cnt("c" -> 1L), dir, 4)
+    assert(DeltaChain.shouldCompact(spark, dir, lax))
+    // maybeCompact runs the chain's own fold + vacuum and reports the
+    // version; reads unchanged and the tail reclaimed
+    val before = DeltaChain.composedSum(spark, dir, Seq("k"), "n")
+      .as[(String, Long)].collect().toSet
+    assert(DeltaChain.maybeCompact(spark, dir, lax)(
+      DeltaChain.compactSum(spark, dir, Seq("k"), "n"),
+      DeltaChain.vacuum(spark, dir)).contains(4))
+    assert(DeltaChain.liveDeltaVersions(dir).isEmpty)
+    assert(DeltaChain.composedSum(spark, dir, Seq("k"), "n")
+      .as[(String, Long)].collect().toSet == before)
+    // just-compacted: policy quiesces again
+    assert(!DeltaChain.shouldCompact(spark, dir, tight))
+  }
+
   test("capture is one consistent shape: a later delta never folds under a lower label") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dc5").toString
     DeltaChain.writeBase(cnt("a" -> 1L), dir, 1)
