@@ -270,7 +270,8 @@ object ScaleProof {
       !n.startsWith("q191") && !n.startsWith("q210") &&
         !n.startsWith("q213") && !n.startsWith("q214") &&
         !n.startsWith("q215") && !n.startsWith("q225") &&
-        !n.startsWith("q227") && !n.startsWith("zipfdedup")))
+        !n.startsWith("q227") && !n.startsWith("zipfdedup") &&
+        !n.startsWith("giantfam"))) // giantfam synthesizes its own ids
     val decades = Seq("sf1.0" -> 10, "sf10" -> 100)
       .filter(_ => replicaNeeded)
       .filter(_._2 <= copyCapEarly)
@@ -683,6 +684,120 @@ object ScaleProof {
           (name, tag, sec, w, r)
         }
     }
+    // ---------------------------------------------------------------
+    // span8: the q202 decade RE-PROTOCOLED (round-8 verdict #6). The
+    // query's own 2-batch protocol is the delta layout's amortization
+    // floor (batch = corpus/2 ⇒ per-batch-write ∝ batch ≡ ∝ corpus by
+    // construction), so this leg folds each decade's corpus through a
+    // FIXED EIGHT batches and measures what the 2-batch curve cannot
+    // show: the per-fold delta WRITE is flat in the fold index (∝ that
+    // batch's grams, never ∝ accumulated history — the copy-on-write
+    // form it replaced wrote the CUMULATIVE table every fold, Σ ≈ 4.5×
+    // corpus at 8 batches vs the chain's 1×). Enabled via
+    // SPARK_GRAFT_SCALEPROOF_SPAN8=1 (pair with ONLY=span8 to skip the
+    // main query loop; the replica decades are still synthesized).
+    if (sys.env.get("SPARK_GRAFT_SCALEPROOF_SPAN8").contains("1")) {
+      def localBytes(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        walk(new java.io.File(dir))
+      }
+      val legs = ("sf0.1", sfDir) +: decades.map(d => (d._1, d._2))
+      legs.foreach { case (tag, dir) =>
+        import graft.llm.SpanDedupIndex
+        val idx = s"$work/span8-$tag-idx"
+        val all = graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val batches = (0 until 8).map(b =>
+          all.filter(pmod(col("doc_id"), lit(8)) === b).materialized)
+        val t0 = System.nanoTime()
+        val foldSecs = batches.zipWithIndex.map { case (b, i) =>
+          val tf = System.nanoTime()
+          if (i == 0) SpanDedupIndex.build(b, idx, "doc_id", "text")
+          else SpanDedupIndex.addBatch(spark, idx, b, "doc_id", "text")
+          (System.nanoTime() - tf) / 1e9
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val baseBytes = localBytes(s"$idx/base/v=1")
+        val deltaBytes = (2 to 8).map(v => localBytes(s"$idx/delta/v=$v"))
+        // one composed read (the q202 post-drain shape) for the read
+        // side of the trade at this tail length
+        val tr = System.nanoTime()
+        val grams = graft.llm.DeltaChain
+          .composedSum(spark, idx, Seq("f"), "n_occ").count()
+        val readSec = (System.nanoTime() - tr) / 1e9
+        System.err.println(f"[scaleproof] span8 $tag wall=${wall}%.1fs " +
+          s"folds=[${foldSecs.map(s => num(s, 1)).mkString(",")}] " +
+          s"base_mb=${baseBytes >> 20} " +
+          s"delta_mb=[${deltaBytes.map(_ >> 20).mkString(",")}] " +
+          f"composed_read=${readSec}%.1fs grams=$grams")
+        println(s"""{"metric":"span8_decade","scale":"$tag",""" +
+          s""""wall_sec":${num(wall, 1)},""" +
+          s""""fold_secs":[${foldSecs.map(num(_, 1)).mkString(",")}],""" +
+          s""""base_mb":${baseBytes >> 20},""" +
+          s""""delta_mb":[${deltaBytes.map(_ >> 20).mkString(",")}],""" +
+          s""""composed_read_sec":${num(readSec, 1)}}""")
+      }
+    }
+
+    // ---------------------------------------------------------------
+    // giantfam: Zipf duplication means one family can span a large
+    // corpus fraction (round-8 verdict #7). 30% of all ids form ONE
+    // family, grown across all 8 folds (each batch links its giant
+    // members to the previous batch's — after contraction every such
+    // edge is a star on the family rep, the hot-key shape); the other
+    // 70% form 2-member families (the baseline load). Measures the
+    // fold and the composed probe at two decades; the fold's CC runs
+    // on the contracted batch graph where the rep's degree = the
+    // batch's giant mass. SPARK_GRAFT_SCALEPROOF_GIANTFAM=1.
+    if (sys.env.get("SPARK_GRAFT_SCALEPROOF_GIANTFAM").contains("1")) {
+      Seq(("gf-1x", 100000L), ("gf-10x", 1000000L)).foreach { case (tag, n) =>
+        import graft.llm.FamilyIndex
+        val idx = s"$work/giantfam-$tag"
+        val slice = n / 8
+        // pairs of batch b: ids in [b·slice, (b+1)·slice). Giant ids
+        // (id % 10 < 3) link to the previous giant id (same family
+        // rep 0 after closure); ids %10 ∈ {3,4},{5,6},{7,8} pair up;
+        // %10 == 9 never appears (absent-id contract).
+        def pairsOf(b: Int): DataFrame =
+          spark.range(b * slice, (b + 1) * slice)
+            .select(col("id").as("id_b"),
+              when(pmod(col("id"), lit(10)) < 3,
+                when(pmod(col("id"), lit(10)) === 0, col("id") - 8)
+                  .otherwise(col("id") - 1))
+                .when(pmod(col("id"), lit(10)).isin(4, 6, 8), col("id") - 1)
+                .as("id_a"))
+            .filter(col("id_a").isNotNull && col("id_a") >= 0 &&
+              col("id_a") =!= col("id_b"))
+            .select("id_a", "id_b")
+        val t0 = System.nanoTime()
+        val foldSecs = (0 until 8).map { b =>
+          val tf = System.nanoTime()
+          if (b == 0) FamilyIndex.build(pairsOf(0), idx)
+          else FamilyIndex.addBatch(spark, idx, pairsOf(b))
+          (System.nanoTime() - tf) / 1e9
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val tp = System.nanoTime()
+        val asg = FamilyIndex.assignment(spark, idx).materialized
+        val giant = asg.filter(col("family") === 0).count()
+        val nonRep = asg.filter(col("id") =!= col("family")).count()
+        val probeSec = (System.nanoTime() - tp) / 1e9
+        // the giant family must be exactly the 30% slice (ids ≡ 0,1,2
+        // mod 10), fully merged across all 8 folds
+        require(giant == 3 * (n / 10),
+          s"giant family incomplete: $giant of ${3 * (n / 10)}")
+        System.err.println(f"[scaleproof] giantfam $tag wall=${wall}%.1fs " +
+          s"folds=[${foldSecs.map(num(_, 1)).mkString(",")}] " +
+          f"probe=${probeSec}%.1fs giant=$giant non_rep=$nonRep")
+        println(s"""{"metric":"giantfam_decade","scale":"$tag",""" +
+          s""""wall_sec":${num(wall, 1)},""" +
+          s""""fold_secs":[${foldSecs.map(num(_, 1)).mkString(",")}],""" +
+          s""""probe_sec":${num(probeSec, 1)},"giant_members":$giant}""")
+      }
+    }
+
     val json = ((out ++ zipfDedup).map { case (n, t, s, w, r) =>
       s"""{"query":"$n","scale":"$t","sec":${num(s, 2)},""" +
         s""""shuffle_write_mb":${w >> 20},"shuffle_read_mb":${r >> 20}}"""
