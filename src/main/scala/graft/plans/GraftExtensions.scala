@@ -108,7 +108,7 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("media_meta"),
       info("media_meta",
-        "media_meta(binary) - struct(format, width, height, n_frames) from real container headers (BMP/PPM/PGM/WAV)"),
+        "media_meta(binary) - struct(format, width, height, n_frames) from real container headers (BMP/PPM/PGM/PNG/JPEG/GIF/WAV/MP4/FLAC/Ogg/MP3)"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "media_meta takes exactly 1 argument")
         MediaMeta(children.head)

@@ -45,7 +45,10 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sfdir, "*.parquet")):
         stem = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {stem} AS SELECT * FROM '{p}'")
+        # single-file tables (testdata) and Spark directory tables
+        # (ScaleOracle's sf1.0 replicas) both register by stem
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {stem} AS SELECT * FROM '{src}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
