@@ -115,7 +115,8 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("av_meta"),
       info("av_meta",
-        "av_meta(binary) - struct(format, width, height, n_frames, sample_rate, channels, duration_ticks, timescale) from A/V container headers (images + WAV/MP4/FLAC/Ogg/MP3)"),
+        "av_meta(binary) - struct(format, width, height, n_frames, sample_rate, " +
+          "channels, duration_ticks, timescale) from A/V container headers"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "av_meta takes exactly 1 argument")
         AvMeta(children.head)

@@ -3819,7 +3819,7 @@ object LlmQueries {
         val e = emb(s, d)
         val b1 = e.filter(col("vec_id") % 2 === 0)
         val b2 = e.filter(col("vec_id") % 2 === 1)
-        EmbeddingLshIndex.build(b1, s"$dir/idx")
+        EmbeddingLshIndex.build(b1, s"$dir/idx", planesPerTable = 8)
         val p1 = EmbeddingKnn.nearDupPairsLsh(b1, threshold = 0.4,
           tables = 8, planesPerTable = 8, dim = 64)
         val p2 = EmbeddingLshIndex.incrementalNearDupPairs(
@@ -3875,7 +3875,7 @@ object LlmQueries {
                 s, idx, batch, threshold = 0.4)
             found.write.mode("append").parquet(decisions)
             if (!new java.io.File(idx).exists())
-              EmbeddingLshIndex.build(batch, idx)
+              EmbeddingLshIndex.build(batch, idx, planesPerTable = 8)
             else EmbeddingLshIndex.append(batch, idx)
           }
           .start().awaitTermination()
@@ -3982,7 +3982,8 @@ object LlmQueries {
         writeBatch("b1.parquet", 1000000L, train.filter(col("vec_id") % 2 === 0))
         writeBatch("b2.parquet", 2000000L, train.filter(col("vec_id") % 2 === 1))
         val idx = s"$root/idx"
-        EmbeddingLshIndex.build(e.filter(col("vec_id") % 10 === 8), idx)
+        EmbeddingLshIndex.build(e.filter(col("vec_id") % 10 === 8), idx,
+          planesPerTable = 8)
         val admitted = s"$root/admitted"
         var nBatches = 0
         s.readStream
@@ -4545,7 +4546,7 @@ object LlmQueries {
         val b0 = e.filter(col("vec_id") % 3 === 0)
         val b1 = e.filter(col("vec_id") % 3 === 1)
         val b2 = e.filter(col("vec_id") % 3 === 2)
-        EmbeddingLshIndex.build(b0, s"$dir/idx")
+        EmbeddingLshIndex.build(b0, s"$dir/idx", planesPerTable = 8)
         val p0 = EmbeddingKnn.nearDupPairsLsh(b0, threshold = 0.4,
           tables = 8, planesPerTable = 8, dim = 64)
         val p1 = EmbeddingLshIndex.incrementalNearDupPairs(
@@ -4818,8 +4819,12 @@ object LlmQueries {
         val dir = graft.queries.Scratch.dir("graft-q227-forget")
         val e = emb(s, d)
         val b2 = e.filter(col("vec_id") % 3 === 2)
+        // planes pinned to the oracle's replay geometry: the Auto
+        // default follows the decade law from the BUILD batch's size,
+        // which diverges from the SQL oracle's fixed p=8 above 2^11
+        // vectors (caught by the sf1.0 oracle sidecar, round 9)
         EmbeddingLshIndex.build(e.filter(col("vec_id") % 3 === 0),
-          s"$dir/idx")
+          s"$dir/idx", planesPerTable = 8)
         EmbeddingLshIndex.append(e.filter(col("vec_id") % 3 === 1),
           s"$dir/idx")
         // forget ids ≡ 7 (mod 30) — a slice of batch 1's history

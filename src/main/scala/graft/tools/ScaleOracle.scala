@@ -77,8 +77,19 @@ object ScaleOracle {
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
     write("events", replicate(table("events"), copies,
       Seq("event_id", "user_id")))
-    write("documents", replicate(table("documents"), copies, Seq("doc_id")))
-    write("embeddings", replicate(table("embeddings"), copies, Seq("vec_id")))
+    // documents and embeddings replicate MUTATED (ScaleProof's copy-
+    // marked text / sign-flipped vectors), NOT verbatim: both engines
+    // still see identical bytes (mutation happens at generation), but
+    // verbatim copies multiply every shingle's df by `copies` and the
+    // EXACT-join oracle SQL for the dedup queries grows with df² —
+    // measured: the verbatim form spilled >54 GB in DuckDB at 10×,
+    // while the mutated form keeps the oracle's pair space ∝ corpus.
+    ScaleProof.synthesize(spark, sfDir, out, copies)
+    System.err.println("[scaleoracle] documents: " +
+      spark.read.parquet(s"$out/documents.parquet").count() + " rows")
+    ScaleProof.synthesizeEmbeddings(spark, sfDir, out, copies)
+    System.err.println("[scaleoracle] embeddings: " +
+      spark.read.parquet(s"$out/embeddings.parquet").count() + " rows")
     spark.stop()
   }
 }

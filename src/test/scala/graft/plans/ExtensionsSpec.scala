@@ -50,7 +50,8 @@ class ExtensionsSpec extends AnyFunSuite {
       "repetition_stats" -> "repetition_stats(array('a', 'b', 'a', 'b')).top_bigram_frac",
       "minhash_signature" -> "minhash_signature(array('a', 'b'), 4)",
       "winnow_fingerprints" -> "winnow_fingerprints(array('a', 'b', 'c'), 2)",
-      "media_meta" -> "media_meta(CAST('nonsense' AS BINARY)).format")
+      "media_meta" -> "media_meta(CAST('nonsense' AS BINARY)).format",
+      "av_meta" -> "av_meta(CAST('nonsense' AS BINARY)).format")
     // generators can't alias to a single column — probed separately below
     val generators = Set("shingle_generate")
     val registered = GraftExtensions.functions.map(_._1.funcName).toSet

@@ -43,6 +43,11 @@ def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # spill to /tmp, never the cwd (a runaway oracle once left 54 GB of
+    # duckdb_temp_storage in the repo); cap memory below the box's RAM
+    con.execute("SET temp_directory='/tmp/graft-duckdb-spill'")
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET max_temp_directory_size='60GB'")
     for p in glob.glob(os.path.join(sfdir, "*.parquet")):
         stem = os.path.basename(p)[:-len(".parquet")]
         # single-file tables (testdata) and Spark directory tables
