@@ -31,6 +31,30 @@ object MinHashDedup {
     * incremental-dedup index ([[MinHashIndex]]) — the bucket key
     * hashes the band's signature slice, so the join key is one long.
     */
+  /** Threshold-calibrated band count: the CHEAPEST banding of
+    * `numHashes` with P(candidate | J = threshold) = 1-(1-t^r)^b ≥
+    * 0.95, so a pair AT the caller's threshold is a candidate with
+    * high probability rather than a coin flip. The historical default
+    * b=8/r=4 achieves that only for t ≳ 0.75; at t = 0.5 it leaves
+    * P = 0.40, and the sf1.0 oracle sidecar measured the consequence —
+    * an 8% survivor surplus on a borderline-pair-rich corpus, closed
+    * to 0.06% by the b=16 this returns (P = 0.99). More bands = more
+    * candidates, so this is a knob, not a silent default — explicit
+    * `bands` always wins, and banding stays probabilistic even when
+    * calibrated: exact-recall contracts want
+    * [[NGramJaccard.similarPairs]] instead.
+    */
+  def bandsFor(threshold: Double, numHashes: Int = 32): Int = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    def pAtThreshold(b: Int): Double = {
+      val r = numHashes / b
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+    }
+    (1 to numHashes).filter(numHashes % _ == 0) // candidate band counts
+      .filter(pAtThreshold(_) >= 0.95)
+      .minOption.getOrElse(numHashes) // r=1 floor: no banding does better
+  }
+
   def bandKeys(
       docs: DataFrame,
       idCol: String,

@@ -745,7 +745,17 @@ object LlmQueries {
       (s, d) => {
         val gated = graft.llm.TextPipeline.qualityFilter(docs(s, d), "text")
         val exact = Dedup.exactByContent(gated, "doc_id", Seq("text"))
-        val pairs = MinHashDedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.5)
+        // EXACT similarity join (prefix-filtered AllPairs), not MinHash
+        // banding: this flagship's oracle is an exact-Jaccard contract,
+        // and the sf1.0 sidecar measured the banding default's recall
+        // gap at threshold 0.5 (b=8/r=4 S-curve midpoint 0.59 > 0.5 —
+        // 1,167 extra survivors at sf1.0; bandsFor-calibrated b=16
+        // leaves 8; the exact join leaves none at any scale). Banding
+        // remains the probabilistic scale path (q27) — with bandsFor
+        // when the threshold is below the default midpoint.
+        val pairs = NGramJaccard
+          .similarPairs(exact, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id_a", "id_b")
         val corpus = Dedup.byNearDupPairs(exact, "doc_id", pairs)
         corpus.groupBy("lang_id")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))

@@ -141,4 +141,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(SimHashDedup.nearDupPairs(flood, "doc_id", "text",
       maxBucketSize = 0L).count() == 40L * 39 / 2)
   }
+
+  test("bandsFor: cheapest banding with P(candidate | J=threshold) ≥ 0.95") {
+    // anchors at 32 hashes — the historical default b=8/r=4 is only
+    // calibrated for t ≳ 0.75 (at t=0.5 it leaves P=0.40, the sf1.0
+    // sidecar's measured 8% survivor surplus)
+    assert(MinHashDedup.bandsFor(0.95) == 4)  // r=8 already suffices
+    assert(MinHashDedup.bandsFor(0.8) == 8)   // the historical default
+    assert(MinHashDedup.bandsFor(0.7) == 16)
+    assert(MinHashDedup.bandsFor(0.5) == 16)  // P = 0.99
+    assert(MinHashDedup.bandsFor(0.3) == 32)
+    assert(MinHashDedup.bandsFor(0.01) == 32) // r=1 floor: nothing better
+    // calibrated banding always divides the signature, and delivers the
+    // guarantee wherever some divisor banding can
+    for (t <- Seq(0.2, 0.3, 0.5, 0.7, 0.8, 0.9, 0.95)) {
+      val b = MinHashDedup.bandsFor(t); val r = 32 / b
+      assert(32 % b == 0)
+      val p = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+      assert(p >= 0.95, s"t=$t b=$b recall-at-threshold $p")
+    }
+  }
 }
