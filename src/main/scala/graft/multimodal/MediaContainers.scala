@@ -414,13 +414,192 @@ object MediaContainers {
     else Some(OggMeta("unknown", 0, 0))
   }
 
+  // -------------------------------------------------------------------
+  // Matroska / WebM — an EBML walk, the same header-only discipline as
+  // the ISO-BMFF box walk above: element IDs and sizes are EBML
+  // variable-length integers, Info carries TimestampScale + Duration,
+  // the first video TrackEntry carries PixelWidth/PixelHeight, the
+  // first audio TrackEntry carries SamplingFrequency/Channels. No
+  // cluster (payload) bytes are ever touched.
+  // -------------------------------------------------------------------
+
+  /** Matroska/WebM header metadata. `docType` is the EBML DocType
+    * ("webm" or "matroska"); `durationTicks` is Info/Duration (a float
+    * in timestamp-scale units) rounded to whole ticks;
+    * `timestampScaleNs` is nanoseconds per tick (Matroska default
+    * 1,000,000 = millisecond ticks). Dims come from the first video
+    * TrackEntry, stream parameters from the first audio TrackEntry
+    * (with the spec defaults 8000 Hz / 1 channel when the elements are
+    * omitted).
+    */
+  final case class WebmMeta(docType: String, timestampScaleNs: Long,
+      durationTicks: Option[Long], width: Option[Int], height: Option[Int],
+      sampleRate: Option[Int], channels: Option[Int])
+
+  /** EBML variable-length SIZE at `pos`: (value, byteWidth), where
+    * value −1 encodes the spec's "unknown size" (all value bits set —
+    * legal on Segment, meaning "extends to the parent's end"). Null on
+    * malformed or truncated bytes.
+    */
+  private def ebmlSize(b: Array[Byte], pos: Int): (Long, Int) = {
+    if (pos >= b.length) return null
+    val first = b(pos) & 0xff
+    if (first == 0) return null // width > 8 — malformed
+    val n = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (pos + n > b.length) return null
+    var v = (first & (0xff >>> n)).toLong
+    var allOnes = v == (0xffL >>> n)
+    var i = 1
+    while (i < n) {
+      val by = b(pos + i) & 0xff
+      allOnes &&= by == 0xff
+      v = (v << 8) | by
+      i += 1
+    }
+    (if (allOnes) -1L else v, n)
+  }
+
+  /** EBML element ID at `pos` (marker bit KEPT, per spec IDs are
+    * stored verbatim): (id, byteWidth 1..4). Null on malformed.
+    */
+  private def ebmlId(b: Array[Byte], pos: Int): (Long, Int) = {
+    if (pos >= b.length) return null
+    val first = b(pos) & 0xff
+    if ((first & 0xf0) == 0) return null // ID wider than 4 bytes
+    val n = Integer.numberOfLeadingZeros(first) - 23
+    if (pos + n > b.length) return null
+    var v = first.toLong
+    var i = 1
+    while (i < n) { v = (v << 8) | (b(pos + i) & 0xff); i += 1 }
+    (v, n)
+  }
+
+  /** Walk sibling EBML elements in `[from, until)` yielding
+    * (id, payloadStart, payloadEnd). An unknown-size element extends
+    * to the parent's end. Stops at malformed or truncated bytes
+    * instead of overrunning — at corpus scale a truncated tail is
+    * data.
+    */
+  private def ebml(b: Array[Byte], from: Int,
+      until: Int): Iterator[(Long, Int, Int)] = new Iterator[(Long, Int, Int)] {
+    private var pos = from
+    private var nextEl: (Long, Int, Int) = advance()
+    private def advance(): (Long, Int, Int) = {
+      if (pos >= until) return null
+      val id = ebmlId(b, pos)
+      if (id == null) return null
+      val sz = ebmlSize(b, pos + id._2)
+      if (sz == null) return null
+      val payloadStart = pos + id._2 + sz._2
+      val payloadEnd =
+        if (sz._1 < 0) until // unknown size
+        else payloadStart + sz._1
+      if (payloadEnd > until || payloadEnd < payloadStart) return null
+      val res = (id._1, payloadStart, payloadEnd.toInt)
+      pos = payloadEnd.toInt
+      res
+    }
+    override def hasNext: Boolean = nextEl != null
+    override def next(): (Long, Int, Int) = {
+      val r = nextEl; nextEl = advance(); r
+    }
+  }
+
+  private def ebmlUint(b: Array[Byte], s: Int, e: Int): Long = {
+    var v = 0L; var i = s
+    while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  /** EBML float element: 4-byte (float32) or 8-byte (float64) big
+    * endian; a zero-length payload is the value 0 per spec.
+    */
+  private def ebmlFloat(b: Array[Byte], s: Int, e: Int): Option[Double] =
+    (e - s) match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(be32(b, s)).toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(be64(b, s)))
+      case 0 => Some(0.0)
+      case _ => None
+    }
+
+  /** Matroska/WebM: requires the EBML magic (0x1A45DFA3) and a
+    * DocType of "webm" or "matroska" — any other EBML document is not
+    * this container and reports None. Segment commonly carries the
+    * unknown-size VINT (streamed muxers can't know the size up
+    * front); the walk treats it as extending to the end of the
+    * buffer.
+    */
+  def parseWebm(b: Array[Byte]): Option[WebmMeta] = {
+    if (b == null || b.length < 4 ||
+      b(0) != 0x1a.toByte || b(1) != 0x45.toByte ||
+      b(2) != 0xdf.toByte || b(3) != 0xa3.toByte) return None
+    var docType: String = null
+    var tsScale = 1000000L // spec default: 1ms ticks
+    var duration: Option[Double] = None
+    var dims: Option[(Int, Int)] = None
+    var audio: Option[(Int, Int)] = None // (rate, channels)
+    ebml(b, 0, b.length).foreach {
+      case (0x1a45dfa3L, s, e) => // EBML header
+        ebml(b, s, e).foreach {
+          case (0x4282L, cs, ce) if docType == null =>
+            docType = new String(b, cs, ce - cs, "US-ASCII")
+          case _ =>
+        }
+      case (0x18538067L, s, e) => // Segment
+        ebml(b, s, e).foreach {
+          case (0x1549a966L, is, ie) => // Info
+            ebml(b, is, ie).foreach {
+              case (0x2ad7b1L, cs, ce) => tsScale = ebmlUint(b, cs, ce)
+              case (0x4489L, cs, ce) if duration.isEmpty =>
+                duration = ebmlFloat(b, cs, ce).filter(_ > 0)
+              case _ =>
+            }
+          case (0x1654ae6bL, trs, tre) => // Tracks
+            ebml(b, trs, tre).foreach {
+              case (0xaeL, es, ee) => // TrackEntry
+                ebml(b, es, ee).foreach {
+                  case (0xe0L, vs, ve) if dims.isEmpty => // Video
+                    var w = 0; var h = 0
+                    ebml(b, vs, ve).foreach {
+                      case (0xb0L, cs, ce) => w = ebmlUint(b, cs, ce).toInt
+                      case (0xbaL, cs, ce) => h = ebmlUint(b, cs, ce).toInt
+                      case _ =>
+                    }
+                    if (w > 0 && h > 0) dims = Some((w, h))
+                  case (0xe1L, us, ue) if audio.isEmpty => // Audio
+                    var rate = 8000.0 // spec default SamplingFrequency
+                    var ch = 1L       // spec default Channels
+                    ebml(b, us, ue).foreach {
+                      case (0xb5L, cs, ce) =>
+                        ebmlFloat(b, cs, ce).filter(_ > 0).foreach(rate = _)
+                      case (0x9fL, cs, ce) => ch = ebmlUint(b, cs, ce)
+                      case _ =>
+                    }
+                    if (ch > 0) audio = Some((math.rint(rate).toInt, ch.toInt))
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    if (docType != "webm" && docType != "matroska") None
+    else if (tsScale <= 0) None
+    else Some(WebmMeta(docType, tsScale,
+      duration.map(d => math.rint(d).toLong),
+      dims.map(_._1), dims.map(_._2), audio.map(_._1), audio.map(_._2)))
+  }
+
   /** The full audiovisual metadata surface over one sniff — what
     * [[MediaMeta]] can't carry for the A/V containers: stream
     * parameters (sample rate, channels), movie duration (ticks +
     * timescale). Field presence by format: images fill dims +
     * n_frames=1; wav/flac fill n_frames + sample_rate + channels; mp3
     * and ogg fill sample_rate + channels (no total without the whole
-    * file); mp4 fills dims (when a video track exists) + duration.
+    * file); mp4 fills dims (when a video track exists) + duration;
+    * webm/mkv fill dims (video track) + sample_rate/channels (audio
+    * track) + duration.
     */
   final case class AvMeta(format: String,
       width: Option[Int], height: Option[Int], nFrames: Option[Long],
@@ -438,6 +617,21 @@ object MediaContainers {
     parseMp4(b) match {
       case Some(m) => return AvMeta("mp4", m.width, m.height, None,
         None, None, Some(m.durationTicks), Some(m.timescale))
+      case None =>
+    }
+    parseWebm(b) match {
+      case Some(w) =>
+        // AvMeta's timescale is ticks-per-second; Matroska's
+        // TimestampScale is ns-per-tick — exact when it divides 1e9
+        // (every real muxer default does), absent otherwise rather
+        // than rounded wrong.
+        val tps =
+          if (1000000000L % w.timestampScaleNs == 0)
+            Some((1000000000L / w.timestampScaleNs).toInt)
+          else None
+        return AvMeta(if (w.docType == "webm") "webm" else "mkv",
+          w.width, w.height, None, w.sampleRate, w.channels,
+          w.durationTicks, tps)
       case None =>
     }
     parseFlac(b) match {
@@ -484,7 +678,11 @@ object MediaContainers {
                 case Some(w) => MediaMeta("wav", None, None, Some(w.nFrames))
                 case None => parseMp4(b) match {
                   case Some(m) => MediaMeta("mp4", m.width, m.height, None)
-                  case None => parseFlac(b) match {
+                  case None => parseWebm(b) match {
+                    case Some(w) => MediaMeta(
+                      if (w.docType == "webm") "webm" else "mkv",
+                      w.width, w.height, None)
+                    case None => parseFlac(b) match {
                     case Some(f) =>
                       MediaMeta("flac", None, None, f.totalSamples)
                     case None => parseOgg(b) match {
@@ -496,6 +694,7 @@ object MediaContainers {
                         case None => MediaMeta("unknown", None, None, None)
                       }
                     }
+                  }
                   }
                 }
               }
@@ -889,6 +1088,59 @@ object MediaContainers {
     w32(out, inputSampleRate)         // input sample rate (LE)
     w16(out, 0); out.write(0)         // output gain, mapping family
     out.toByteArray
+  }
+
+  /** Minimal Matroska/WebM header: EBML header with the given
+    * DocType, an unknown-size Segment (the streamed-muxer layout)
+    * holding Info (TimestampScale + float64 Duration when > 0) and
+    * Tracks with an optional video TrackEntry (PixelWidth/
+    * PixelHeight, when w > 0) and an optional audio TrackEntry
+    * (float32 SamplingFrequency when > 0 + Channels, when
+    * channels > 0). Header-only, no Cluster — exactly the bytes
+    * [[parseWebm]] reads.
+    */
+  def webmBytes(docType: String, timestampScaleNs: Long = 1000000L,
+      durationTicks: Double = 0, w: Int = 0, h: Int = 0,
+      sampleRate: Double = 0, channels: Int = 0): Array[Byte] = {
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 0x7f, "one-byte-size builder")
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    def uintN(v: Long, n: Int): Array[Byte] =
+      ((n - 1) to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    val info = el(id(0x15, 0x49, 0xa9, 0x66),
+      el(id(0x2a, 0xd7, 0xb1), uintN(timestampScaleNs, 4)) ++
+        (if (durationTicks > 0)
+          el(id(0x44, 0x89),
+            uintN(java.lang.Double.doubleToLongBits(durationTicks), 8))
+        else Array.empty[Byte]))
+    val video =
+      if (w > 0)
+        el(id(0xae), el(id(0x83), uintN(1, 1)) ++
+          el(id(0xe0), el(id(0xb0), uintN(w, 2)) ++
+            el(id(0xba), uintN(h, 2))))
+      else Array.empty[Byte]
+    val audio =
+      if (channels > 0)
+        el(id(0xae), el(id(0x83), uintN(2, 1)) ++
+          el(id(0xe1),
+            (if (sampleRate > 0)
+              el(id(0xb5), uintN(
+                (java.lang.Float.floatToIntBits(sampleRate.toFloat).toLong
+                  & 0xffffffffL), 4))
+            else Array.empty[Byte]) ++
+              el(id(0x9f), uintN(channels, 1))))
+      else Array.empty[Byte]
+    val tracks =
+      if (video.nonEmpty || audio.nonEmpty)
+        el(id(0x16, 0x54, 0xae, 0x6b), video ++ audio)
+      else Array.empty[Byte]
+    el(id(0x1a, 0x45, 0xdf, 0xa3),
+      el(id(0x42, 0x82), docType.getBytes("US-ASCII"))) ++
+      id(0x18, 0x53, 0x80, 0x67) ++ // Segment, unknown-size VINT
+      id(0x01, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff) ++
+      info ++ tracks
   }
 
   /** Minimal Ogg BOS page carrying a Vorbis identification header. */

@@ -120,6 +120,30 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "av_meta takes exactly 1 argument")
         AvMeta(children.head)
+      }),
+    (FunctionIdentifier("warc_records"),
+      info("warc_records",
+        "warc_records(binary) - array<struct(version, warc_type, record_id, " +
+          "target_uri, warc_date, content_type, content_length, content)> " +
+          "from uncompressed WARC (ISO 28500) bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "warc_records takes exactly 1 argument")
+        WarcRecords(children.head)
+      }),
+    (FunctionIdentifier("gzip_bytes"),
+      info("gzip_bytes",
+        "gzip_bytes(binary) - one gzip member (concatenate for .warc.gz framing)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "gzip_bytes takes exactly 1 argument")
+        GzipBytes(children.head)
+      }),
+    (FunctionIdentifier("gunzip_all"),
+      info("gunzip_all",
+        "gunzip_all(binary) - inflate concatenated gzip members; NULL on corrupt " +
+          "bytes or decompression-bomb overflow"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "gunzip_all takes exactly 1 argument")
+        GunzipAll(children.head)
       }))
 
   private def intLiteral(what: String, e: Expression): Int = e match {

@@ -4537,6 +4537,215 @@ object LlmQueries {
              |  md5(hex(media)) AS checksum
              |FROM blobs ORDER BY doc_id""".stripMargin)),
 
+    // WebM/Matroska through the EBML walk — q242's differential-proof
+    // protocol extended to the remaining dominant crawl container:
+    // both engines construct IDENTICAL header bytes in hex (checksum
+    // pins byte equality), Spark parses them with the header-only
+    // EBML element walk in multimodal/MediaContainers, the oracle
+    // predicts every field in closed form from the staging params.
+    // The staged bytes exercise the unknown-size Segment VINT (the
+    // streamed-muxer layout), float64 Duration, float32
+    // SamplingFrequency (IEEE bit patterns staged as literals in both
+    // engines), sub-millisecond and super-millisecond TimestampScale
+    // (ns/tick → ticks/s conversion), and all three track layouts:
+    // doc_id%3 = 0 webm A/V, 1 matroska video-only, 2 webm audio-only.
+    "q243_webm_container_meta" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        val info = "concat('1549a966932ad7b184', format_string('%08x', tsns), " +
+          "'448988', durh)"
+        val video = "concat('ae8d838101e088b082', format_string('%04x', vw), " +
+          "'ba82', format_string('%04x', vh))"
+        val audio = "concat('ae8e838102e189b584', srh, '9f81', " +
+          "format_string('%02x', ch))"
+        val staged = docs(s, d).select(col("doc_id"),
+          expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 250000 " +
+            "WHEN 1 THEN 500000 WHEN 2 THEN 1000000 ELSE 2000000 END").as("tsns"),
+          expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 15000 " +
+            "WHEN 1 THEN 30000 WHEN 2 THEN 60000 ELSE 90000 END").as("dur"),
+          expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '40cd4c0000000000' " +
+            "WHEN 1 THEN '40dd4c0000000000' WHEN 2 THEN '40ed4c0000000000' " +
+            "ELSE '40f5f90000000000' END").as("durh"),
+          expr("16 + (doc_id * 7) % 1904").as("vw"),
+          expr("16 + (doc_id * 11) % 1064").as("vh"),
+          expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 " +
+            "WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END").as("sr"),
+          expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '45fa0000' " +
+            "WHEN 1 THEN '467a0000' WHEN 2 THEN '472c4400' " +
+            "ELSE '473b8000' END").as("srh"),
+          expr("1 + doc_id % 8").as("ch"))
+        staged.withColumn("media", expr(
+            "unhex(concat(" +
+              "CASE WHEN doc_id % 3 = 1 THEN '1a45dfa38b4282886d6174726f736b61' " +
+              "ELSE '1a45dfa3874282847765626d' END, " +
+              "'1853806701ffffffffffffff', " +
+              s"$info, " +
+              s"CASE WHEN doc_id % 3 = 0 THEN concat('1654ae6b9f', $video, $audio) " +
+              s"WHEN doc_id % 3 = 1 THEN concat('1654ae6b8f', $video) " +
+              s"ELSE concat('1654ae6b90', $audio) END))"))
+          .select(col("doc_id"),
+            octet_length(col("media")).cast("long").as("byte_len"),
+            expr("av_meta(media)").as("m"),
+            md5(hex(col("media"))).as("checksum"))
+          .select(col("doc_id"), col("byte_len"),
+            col("m.format").as("format"), col("m.width").as("width"),
+            col("m.height").as("height"), col("m.n_frames").as("n_frames"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.channels").as("channels"),
+            col("m.duration_ticks").as("duration_ticks"),
+            col("m.timescale").as("timescale"), col("checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id, doc_id % 3 AS t,
+             |    CASE doc_id % 4 WHEN 0 THEN 250000 WHEN 1 THEN 500000
+             |         WHEN 2 THEN 1000000 ELSE 2000000 END AS tsns,
+             |    CASE doc_id % 4 WHEN 0 THEN 15000 WHEN 1 THEN 30000
+             |         WHEN 2 THEN 60000 ELSE 90000 END AS dur,
+             |    CASE doc_id % 4 WHEN 0 THEN '40cd4c0000000000'
+             |         WHEN 1 THEN '40dd4c0000000000'
+             |         WHEN 2 THEN '40ed4c0000000000'
+             |         ELSE '40f5f90000000000' END AS durh,
+             |    16 + (doc_id * 7) % 1904 AS vw,
+             |    16 + (doc_id * 11) % 1064 AS vh,
+             |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |         WHEN 2 THEN 44100 ELSE 48000 END AS sr,
+             |    CASE doc_id % 4 WHEN 0 THEN '45fa0000' WHEN 1 THEN '467a0000'
+             |         WHEN 2 THEN '472c4400' ELSE '473b8000' END AS srh,
+             |    1 + doc_id % 8 AS ch
+             |  FROM documents),
+             |blobs AS (
+             |  SELECT *, unhex(
+             |    (CASE WHEN t = 1 THEN '1a45dfa38b4282886d6174726f736b61'
+             |          ELSE '1a45dfa3874282847765626d' END) ||
+             |    '1853806701ffffffffffffff' ||
+             |    '1549a966932ad7b184' || printf('%08x', tsns) ||
+             |    '448988' || durh ||
+             |    CASE WHEN t = 0 THEN
+             |      '1654ae6b9f' || 'ae8d838101e088b082' || printf('%04x', vw) ||
+             |      'ba82' || printf('%04x', vh) ||
+             |      'ae8e838102e189b584' || srh || '9f81' || printf('%02x', ch)
+             |    WHEN t = 1 THEN
+             |      '1654ae6b8f' || 'ae8d838101e088b082' || printf('%04x', vw) ||
+             |      'ba82' || printf('%04x', vh)
+             |    ELSE
+             |      '1654ae6b90' || 'ae8e838102e189b584' || srh || '9f81' ||
+             |      printf('%02x', ch)
+             |    END) AS media
+             |  FROM params)
+             |SELECT doc_id,
+             |  CAST(octet_length(media) AS BIGINT) AS byte_len,
+             |  CASE WHEN t = 1 THEN 'mkv' ELSE 'webm' END AS format,
+             |  CAST(CASE WHEN t IN (0, 1) THEN vw END AS INT) AS width,
+             |  CAST(CASE WHEN t IN (0, 1) THEN vh END AS INT) AS height,
+             |  CAST(NULL AS BIGINT) AS n_frames,
+             |  CAST(CASE WHEN t IN (0, 2) THEN sr END AS INT) AS sample_rate,
+             |  CAST(CASE WHEN t IN (0, 2) THEN ch END AS INT) AS channels,
+             |  CAST(dur AS BIGINT) AS duration_ticks,
+             |  CAST(1000000000 / tsns AS INT) AS timescale,
+             |  md5(hex(media)) AS checksum
+             |FROM blobs ORDER BY doc_id""".stripMargin)),
+
+    // WARC — the container 100-TB crawl corpora actually arrive in
+    // (ISO 28500; Common Crawl's on-disk format). Each document is
+    // staged as a two-record archive (response + metadata), each
+    // record gzip-compressed as its OWN member and the members
+    // concatenated — the exact .warc.gz framing real archives use so
+    // they stay seekable per record. Spark then drives the full
+    // ingest chain: gunzip_all (multi-member inflate, bomb-capped) →
+    // warc_records (header walk, Content-Length-delimited payloads) →
+    // posexplode → typed fields. The oracle never sees a compressed
+    // byte: it predicts every parsed field in closed form from the
+    // same record text, and the md5 over the INFLATED bytes pins the
+    // gzip round trip byte-exactly. Payloads are length-delimited, so
+    // a document whose text contains 'WARC/1.0' can't confuse the
+    // walk — the property that makes the format streamable at scale.
+    "q244_warc_crawl_archive" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        val crlf = "chr(13), chr(10)"
+        val r1 = s"concat('WARC/1.0', $crlf, " +
+          s"'WARC-Type: response', $crlf, " +
+          "'WARC-Record-ID: <urn:uuid:doc-', CAST(doc_id AS STRING), '>', " +
+          s"$crlf, " +
+          "'WARC-Target-URI: https://crawl.test/', source, '/', " +
+          s"CAST(doc_id AS STRING), $crlf, " +
+          s"'WARC-Date: 2026-08-16T00:00:00Z', $crlf, " +
+          s"'Content-Type: text/plain', $crlf, " +
+          "'Content-Length: ', CAST(octet_length(text) AS STRING), " +
+          s"$crlf, $crlf, text, $crlf, $crlf)"
+        val r2 = s"concat('WARC/1.0', $crlf, " +
+          s"'WARC-Type: metadata', $crlf, " +
+          "'WARC-Record-ID: <urn:uuid:meta-', CAST(doc_id AS STRING), '>', " +
+          s"$crlf, " +
+          "'Content-Length: ', " +
+          "CAST(octet_length(concat('lang=', lang)) AS STRING), " +
+          s"$crlf, $crlf, 'lang=', lang, $crlf, $crlf)"
+        docs(s, d).select(col("doc_id"), col("source"), col("lang"),
+            col("text"))
+          .withColumn("r1", expr(r1))
+          .withColumn("r2", expr(r2))
+          .withColumn("media", expr(
+            "concat(gzip_bytes(encode(r1, 'utf-8')), " +
+              "gzip_bytes(encode(r2, 'utf-8')))"))
+          .withColumn("inflated", expr("gunzip_all(media)"))
+          .select(col("doc_id"),
+            expr("md5(hex(inflated))").as("checksum"),
+            expr("posexplode(warc_records(inflated))").as(Seq("rec", "r")))
+          .selectExpr("doc_id", "CAST(rec AS BIGINT) AS rec",
+            "r.version AS version", "r.warc_type AS warc_type",
+            "r.record_id AS record_id", "r.target_uri AS target_uri",
+            "r.warc_date AS warc_date", "r.content_type AS content_type",
+            "r.content_length AS content_length",
+            "decode(r.content, 'utf-8') AS content_text", "checksum")
+          .orderBy("doc_id", "rec")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, source, lang, text,
+             |    'WARC/1.0' || chr(13) || chr(10) ||
+             |    'WARC-Type: response' || chr(13) || chr(10) ||
+             |    'WARC-Record-ID: <urn:uuid:doc-' || CAST(doc_id AS VARCHAR)
+             |      || '>' || chr(13) || chr(10) ||
+             |    'WARC-Target-URI: https://crawl.test/' || source || '/' ||
+             |      CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+             |    'WARC-Date: 2026-08-16T00:00:00Z' || chr(13) || chr(10) ||
+             |    'Content-Type: text/plain' || chr(13) || chr(10) ||
+             |    'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
+             |      chr(13) || chr(10) || chr(13) || chr(10) ||
+             |      text || chr(13) || chr(10) || chr(13) || chr(10) AS r1,
+             |    'WARC/1.0' || chr(13) || chr(10) ||
+             |    'WARC-Type: metadata' || chr(13) || chr(10) ||
+             |    'WARC-Record-ID: <urn:uuid:meta-' || CAST(doc_id AS VARCHAR)
+             |      || '>' || chr(13) || chr(10) ||
+             |    'Content-Length: ' ||
+             |      CAST(strlen('lang=' || lang) AS VARCHAR) ||
+             |      chr(13) || chr(10) || chr(13) || chr(10) ||
+             |      'lang=' || lang || chr(13) || chr(10) || chr(13) || chr(10)
+             |      AS r2
+             |  FROM documents),
+             |c AS (SELECT *, md5(hex(encode(r1 || r2))) AS checksum FROM p)
+             |SELECT doc_id, CAST(0 AS BIGINT) AS rec,
+             |  'WARC/1.0' AS version, 'response' AS warc_type,
+             |  '<urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+             |  'https://crawl.test/' || source || '/' ||
+             |    CAST(doc_id AS VARCHAR) AS target_uri,
+             |  '2026-08-16T00:00:00Z' AS warc_date,
+             |  'text/plain' AS content_type,
+             |  strlen(text) AS content_length,
+             |  text AS content_text, checksum
+             |FROM c
+             |UNION ALL
+             |SELECT doc_id, CAST(1 AS BIGINT) AS rec,
+             |  'WARC/1.0' AS version, 'metadata' AS warc_type,
+             |  '<urn:uuid:meta-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+             |  CAST(NULL AS VARCHAR) AS target_uri,
+             |  CAST(NULL AS VARCHAR) AS warc_date,
+             |  CAST(NULL AS VARCHAR) AS content_type,
+             |  strlen('lang=' || lang) AS content_length,
+             |  'lang=' || lang AS content_text, checksum
+             |FROM c
+             |ORDER BY doc_id, rec""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW

@@ -1,0 +1,93 @@
+package graft.crawl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Crlf = "\r\n"
+
+  private def record(warcType: String, id: String, payload: String,
+      extra: Seq[(String, String)] = Nil): String = {
+    val bytes = payload.getBytes("UTF-8")
+    val headers = Seq("WARC-Type" -> warcType, "WARC-Record-ID" -> id) ++
+      extra ++ Seq("Content-Length" -> bytes.length.toString)
+    "WARC/1.0" + Crlf +
+      headers.map { case (k, v) => s"$k: $v" }.mkString(Crlf) + Crlf +
+      Crlf + payload + Crlf + Crlf
+  }
+
+  test("records: two-record walk, length-delimited payloads, header map") {
+    val r1 = record("response", "<urn:uuid:1>",
+      "hello WARC/1.0 world", // a payload CONTAINING the magic
+      Seq("WARC-Target-URI" -> "https://x.test/a",
+        "WARC-Date" -> "2026-08-16T00:00:00Z",
+        "Content-Type" -> "text/plain"))
+    val r2 = record("metadata", "<urn:uuid:2>", "lang=en")
+    val all = Warc.records((r1 + r2).getBytes("UTF-8")).toSeq
+    assert(all.map(_.warcType) == Seq("response", "metadata"))
+    assert(all.head.targetUri.contains("https://x.test/a"))
+    assert(all.head.date.contains("2026-08-16T00:00:00Z"))
+    assert(all.head.contentType.contains("text/plain"))
+    assert(new String(all.head.content, "UTF-8") == "hello WARC/1.0 world")
+    assert(all.head.contentLength == all.head.content.length)
+    assert(all(1).targetUri.isEmpty && all(1).contentType.isEmpty)
+    assert(new String(all(1).content, "UTF-8") == "lang=en")
+  }
+
+  test("records: truncation at every prefix is throw-free, keeps parsed head") {
+    val bytes = (record("response", "<a>", "x" * 50) +
+      record("metadata", "<b>", "y" * 30)).getBytes("UTF-8")
+    for (n <- 0 to bytes.length) {
+      val got = Warc.records(bytes.take(n)).toSeq // must not throw
+      assert(got.size <= 2)
+    }
+    // a cut inside record 2 keeps the complete record 1
+    assert(Warc.records(bytes.take(bytes.length - 5)).size == 1)
+    // malformed: negative/garbled Content-Length, missing mandatory headers
+    val bad = "WARC/1.0\r\nContent-Length: -4\r\n\r\n"
+    assert(Warc.records(bad.getBytes).isEmpty)
+    val noLen = "WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <i>\r\n\r\npay"
+    assert(Warc.records(noLen.getBytes).isEmpty)
+    assert(Warc.records("HTTP/1.1 200 OK\r\n\r\n".getBytes).isEmpty)
+    assert(Warc.records(Array.empty[Byte]).isEmpty)
+    assert(Warc.records(null).isEmpty)
+  }
+
+  test("gzip member framing: per-record members concatenate and inflate back") {
+    val r1 = record("response", "<a>", "alpha " * 200)
+    val r2 = record("metadata", "<b>", "beta")
+    val plain = (r1 + r2).getBytes("UTF-8")
+    val gz = Warc.gzip(r1.getBytes("UTF-8")) ++ Warc.gzip(r2.getBytes("UTF-8"))
+    val back = Warc.gunzipAll(gz).get
+    assert(back.sameElements(plain))
+    assert(Warc.records(back).map(_.warcType).toSeq ==
+      Seq("response", "metadata"))
+    // corrupt bytes quarantine
+    assert(Warc.gunzipAll("not gzip at all".getBytes).isEmpty)
+    assert(Warc.gunzipAll(gz.take(gz.length / 2)).isEmpty)
+    // decompression-bomb guard: 64 MiB of zeros compresses to ~64 KiB;
+    // the cap must fire DURING inflation, long before 64 MiB commits
+    val bomb = Warc.gzip(new Array[Byte](64 << 20))
+    assert(bomb.length < (1 << 17))
+    assert(Warc.gunzipAll(bomb, maxOut = 1 << 20).isEmpty)
+    assert(Warc.gunzipAll(bomb, maxOut = (64 << 20) + 1).isDefined)
+  }
+
+  test("SQL surface: warc_records / gzip_bytes / gunzip_all registered and codegen-clean") {
+    graft.plans.GraftExtensions.register(spark)
+    val r1 = record("response", "<urn:uuid:9>", "payload-9",
+      Seq("WARC-Target-URI" -> "https://x.test/9"))
+    val df = spark.sql(
+      s"SELECT inline(warc_records(gunzip_all(gzip_bytes(encode('${r1.replace("\r\n", "' || chr(13) || chr(10) || '")}', 'utf-8')))))")
+    val row = df.collect().head
+    assert(row.getAs[String]("warc_type") == "response")
+    assert(row.getAs[String]("target_uri") == "https://x.test/9")
+    assert(row.getAs[Long]("content_length") == 9L)
+    assert(new String(row.getAs[Array[Byte]]("content"), "UTF-8") == "payload-9")
+    // NULL quarantine surfaces as SQL NULL, not an exception
+    assert(spark.sql("SELECT gunzip_all(encode('junk', 'utf-8')) IS NULL")
+      .collect().head.getBoolean(0))
+  }
+}

@@ -442,6 +442,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parseOgg(opus.take(20)).isEmpty)
   }
 
+  test("WebM/Matroska: EBML walk reads Info + Tracks; defaults and malformed pinned") {
+    import MediaContainers._
+    // A/V movie: dims from the video TrackEntry, stream params from
+    // the audio TrackEntry, duration from Info (float64 in ticks)
+    val av = webmBytes("webm", timestampScaleNs = 1000000L,
+      durationTicks = 90000.0, w = 1280, h = 720,
+      sampleRate = 48000.0, channels = 2)
+    assert(parseWebm(av).contains(WebmMeta("webm", 1000000L,
+      Some(90000L), Some(1280), Some(720), Some(48000), Some(2))))
+    assert(parse(av) == MediaMeta("webm", Some(1280), Some(720), None))
+    // matroska DocType surfaces as mkv in the sniff chains
+    val mkv = webmBytes("matroska", timestampScaleNs = 500000L,
+      durationTicks = 1500.0, w = 640, h = 480)
+    assert(parseWebm(mkv).contains(WebmMeta("matroska", 500000L,
+      Some(1500L), Some(640), Some(480), None, None)))
+    assert(parse(mkv) == MediaMeta("mkv", Some(640), Some(480), None))
+    // audio-only, SamplingFrequency omitted → spec defaults 8000 Hz;
+    // Channels element carries the explicit value
+    val aud = parseWebm(webmBytes("webm", channels = 6)).get
+    assert(aud.sampleRate.contains(8000) && aud.channels.contains(6))
+    assert(aud.durationTicks.isEmpty && aud.width.isEmpty)
+    // no Duration element → None; default TimestampScale survives
+    assert(parseWebm(webmBytes("webm", w = 16, h = 16)).get
+      .timestampScaleNs == 1000000L)
+    // non-Matroska EBML DocType is not this container
+    assert(parseWebm(webmBytes("alien", w = 4, h = 4)).isEmpty)
+    // truncation at EVERY prefix length: never a throw, and a cut
+    // inside the Segment yields whatever whole elements survived
+    for (n <- 0 until av.length) parseWebm(av.take(n)) // must not throw
+    assert(parseWebm(av.take(3)).isEmpty)   // magic cut short
+    // EBML header alone (12 bytes): DocType readable, Segment absent —
+    // the container is identified, every field honestly None
+    assert(parseWebm(av.take(12)).contains(
+      WebmMeta("webm", 1000000L, None, None, None, None, None)))
+    assert(parseWebm("notwebmatall.....".getBytes).isEmpty)
+    assert(parseWebm(Array.empty[Byte]).isEmpty)
+  }
+
   test("av_meta expression: one sniff carries stream parameters for every format") {
     import MediaContainers._
     graft.plans.GraftExtensions.register(spark)
@@ -451,6 +489,8 @@ class MultimodalSpec extends AnyFunSuite {
       ("mp3", mp3Bytes(9, 0, mono = false)),
       ("opus", oggOpusBytes(2, 48000)),
       ("wav", wavBytes(2, 8000, 16)),
+      ("webm", webmBytes("webm", 250000L, 60000.0, 1920, 1080, 44100.0, 2)),
+      ("mkv", webmBytes("matroska", 1000000L, 15000.0, 720, 576)),
       ("bmp", bmpBytes(7, 5)),
       ("junk", Array[Byte](1, 2, 3)))
     val df = spark.createDataFrame(rows.map { case (n, b) => (n, b) })
@@ -464,6 +504,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got("mp3") == Seq("mp3", null, null, null, 44100, 2, null, null))
     assert(got("opus") == Seq("ogg", null, null, null, 48000, 2, null, null))
     assert(got("wav") == Seq("wav", null, null, 16L, 8000, 2, null, null))
+    // 250000 ns/tick → 4000 ticks/s; dims + audio params + duration
+    assert(got("webm") == Seq("webm", 1920, 1080, null, 44100, 2, 60000L, 4000))
+    assert(got("mkv") == Seq("mkv", 720, 576, null, null, null, 15000L, 1000))
     assert(got("bmp") == Seq("bmp", 7, 5, 1L, null, null, null, null))
     assert(got("junk") == Seq("unknown", null, null, null, null, null, null, null))
   }
