@@ -4746,6 +4746,109 @@ object LlmQueries {
              |FROM c
              |ORDER BY doc_id, rec""".stripMargin)),
 
+    // CRAWL → CORPUS, end to end: the full ingest a training-data
+    // pipeline runs at 100 TB, composed from this engine's own pieces
+    // and pinned by one oracle — each document is wrapped in q158's
+    // boilerplate HTML, framed as a gzipped WARC response (q244's
+    // member framing), then Spark drives gunzip_all → warc_records →
+    // HTML main-content extraction → the q48 quality gate (token
+    // band, alpha ratio, repetition, lang-id) → per-(source, lang)
+    // corpus rollup with exact-dedup distinct counts. The oracle
+    // replays the gate over the SAME documents (main-content
+    // extraction recovers the text byte-for-byte — q158 pins that
+    // property standalone) and pins the archive BYTES with
+    // min/max per-group md5 over the inflated records (commutative,
+    // O(1) agg state — no per-group list at scale). Any defect in the
+    // gzip chain, the record walk, the extraction, or the gate moves
+    // some group's counts or checksums.
+    "q245_crawl_to_corpus" -> Q(
+      (s, d) => {
+        import graft.functions.HtmlFunctions
+        graft.plans.GraftExtensions.register(s)
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id"),
+          lit(" - "), col("source"),
+          lit("</title><style>.n{c:red}</style><script>var l=\""),
+          col("lang"),
+          lit("\";</script></head><body><div><a href=\"/\">home</a> "),
+          expr("repeat('<a href=\"/t\">tag</a> ', CAST(doc_id % 4 AS INT))"),
+          lit("</div><p>"), col("text"),
+          lit("</p><div><a href=\"/tos\">terms of service</a>" +
+            " copyright corp</div></body></html>"))
+        val r1 = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
+          col("doc_id"), lit(">\r\nWARC-Target-URI: https://crawl.test/"),
+          col("source"), lit("/"), col("doc_id"),
+          lit("\r\nWARC-Date: 2026-08-16T00:00:00Z\r\n" +
+            "Content-Type: text/html\r\nContent-Length: "),
+          octet_length(col("html")), lit("\r\n\r\n"), col("html"),
+          lit("\r\n\r\n"))
+        val chain = docs(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .withColumn("html", html)
+          .withColumn("r1", r1)
+          .withColumn("inflated", expr("gunzip_all(gzip_bytes(encode(r1, 'utf-8')))"))
+          .withColumn("doc_sum", md5(hex(col("inflated"))))
+          .withColumn("rec", expr("element_at(warc_records(inflated), 1)"))
+          .select(col("doc_id"), col("source"), col("doc_sum"),
+            HtmlFunctions.mainBlock(expr("decode(rec.content, 'utf-8')"))
+              .as("text"))
+        // The gate is CONDITIONAL AGGREGATION, not a Filter, on
+        // purpose: a Filter above this projection gets pushed BELOW
+        // it by PushDownPredicates, which substitutes the alias and
+        // re-evaluates the whole gzip→parse→extract chain once per
+        // predicate leg (measured 12 s vs 0.7 s at sf0.1 — a 16×
+        // pushdown trap unique to gates over DERIVED text; over a
+        // scan column the same pushdown is free). when(keep, x)
+        // aggregates skip unkept rows identically (nulls never count),
+        // and groups with zero kept rows drop on the n_docs guard.
+        val sig = graft.llm.TextPipeline
+          .withQualitySignals(chain, "text")
+          .withColumn("keep", graft.llm.TextPipeline.qualityPredicate())
+        sig.groupBy(col("source"), col("lang_id"))
+          .agg(count(when(col("keep"), 1)).as("n_docs"),
+            sum(when(col("keep"), col("n_tokens"))).as("tok_total"),
+            countDistinct(when(col("keep"), col("text"))).as("n_distinct"),
+            min(when(col("keep"), col("doc_sum"))).as("sum_lo"),
+            max(when(col("keep"), col("doc_sum"))).as("sum_hi"))
+          .filter(col("n_docs") > 0)
+          .orderBy("source", "lang_id")
+      },
+      Some(s"""WITH $gateCtes,
+             |h AS (SELECT doc_id, source,
+             |    '<html><head><title>doc ' || doc_id || ' - ' || source ||
+             |    '</title><style>.n{c:red}</style><script>var l="' || lang ||
+             |    '";</script></head><body><div><a href="/">home</a> ' ||
+             |    repeat('<a href="/t">tag</a> ', CAST(doc_id % 4 AS INT)) ||
+             |    '</div><p>' || text || '</p><div><a href="/tos">terms of' ||
+             |    ' service</a> copyright corp</div></body></html>' AS html
+             |  FROM documents),
+             |w AS (SELECT doc_id, source,
+             |    md5(hex(encode(
+             |      'WARC/1.0' || chr(13) || chr(10) ||
+             |      'WARC-Type: response' || chr(13) || chr(10) ||
+             |      'WARC-Record-ID: <urn:uuid:doc-' || CAST(doc_id AS VARCHAR)
+             |        || '>' || chr(13) || chr(10) ||
+             |      'WARC-Target-URI: https://crawl.test/' || source || '/' ||
+             |        CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+             |      'WARC-Date: 2026-08-16T00:00:00Z' || chr(13) || chr(10) ||
+             |      'Content-Type: text/html' || chr(13) || chr(10) ||
+             |      'Content-Length: ' || CAST(strlen(html) AS VARCHAR) ||
+             |        chr(13) || chr(10) || chr(13) || chr(10) ||
+             |        html || chr(13) || chr(10) || chr(13) || chr(10))))
+             |      AS doc_sum
+             |  FROM h)
+             |SELECT d.source, k.lang_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(k.n_tokens) AS BIGINT) AS tok_total,
+             |  CAST(count(DISTINCT d.text) AS BIGINT) AS n_distinct,
+             |  min(w.doc_sum) AS sum_lo, max(w.doc_sum) AS sum_hi
+             |FROM kept k
+             |JOIN documents d USING (doc_id)
+             |JOIN w USING (doc_id)
+             |GROUP BY d.source, k.lang_id
+             |ORDER BY d.source, k.lang_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW
