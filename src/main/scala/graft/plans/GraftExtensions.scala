@@ -144,6 +144,21 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "gunzip_all takes exactly 1 argument")
         GunzipAll(children.head)
+      }),
+    (FunctionIdentifier("zstd_bytes"),
+      info("zstd_bytes",
+        "zstd_bytes(binary) - one zstd frame (concatenate for .jsonl.zst shards)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "zstd_bytes takes exactly 1 argument")
+        ZstdBytes(children.head)
+      }),
+    (FunctionIdentifier("unzstd_all"),
+      info("unzstd_all",
+        "unzstd_all(binary) - inflate concatenated zstd frames; NULL on corrupt " +
+          "bytes or decompression-bomb overflow"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "unzstd_all takes exactly 1 argument")
+        UnzstdAll(children.head)
       }))
 
   private def intLiteral(what: String, e: Expression): Int = e match {

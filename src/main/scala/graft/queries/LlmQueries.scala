@@ -4849,6 +4849,50 @@ object LlmQueries {
              |GROUP BY d.source, k.lang_id
              |ORDER BY d.source, k.lang_id""".stripMargin)),
 
+    // JSONL SHARD ingest — the other container modern LLM corpora
+    // ship in (RedPajama/Dolma-style .jsonl.zst / .jsonl.gz shards).
+    // Documents are packed into bounded shards (the (source, bucket)
+    // key caps shard size at ANY corpus scale — no unbounded
+    // collect_list), serialized as JSON lines, compressed zstd or
+    // gzip per shard (alternating, so ONE query pins both codecs),
+    // then Spark drives the full read path: inflate → line split →
+    // from_json → typed fields. JSON escaping makes the line framing
+    // safe for texts containing newlines; the oracle reads the same
+    // fields straight off the table, so any corruption anywhere in
+    // the codec/framing/parse chain breaks row equality.
+    "q246_jsonl_shard_ingest" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        val lines = docs(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            pmod(col("doc_id"), lit(8)).as("bucket"))
+          .withColumn("line",
+            to_json(struct(col("doc_id"), col("source"), col("text"))))
+        lines.groupBy(col("source"), col("bucket"))
+          .agg(concat_ws("\n", sort_array(collect_list(col("line"))))
+            .as("jsonl"))
+          .withColumn("shard",
+            when(pmod(col("bucket"), lit(2)) === 0,
+              expr("zstd_bytes(encode(jsonl, 'utf-8'))"))
+            .otherwise(expr("gzip_bytes(encode(jsonl, 'utf-8'))")))
+          .withColumn("back",
+            when(pmod(col("bucket"), lit(2)) === 0,
+              expr("unzstd_all(shard)"))
+            .otherwise(expr("gunzip_all(shard)")))
+          .select(explode(split(expr("decode(back, 'utf-8')"), "\n"))
+            .as("line"))
+          .select(from_json(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id LONG, source STRING, text STRING")).as("j"))
+          .select(col("j.doc_id").as("doc_id"),
+            col("j.source").as("source"), col("j.text").as("text"),
+            octet_length(col("j.text")).cast("long").as("text_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, text,
+             |  CAST(strlen(text) AS BIGINT) AS text_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW
