@@ -1,0 +1,127 @@
+package graft.crawl
+
+/** TAR archive walk — WebDataset's shard format (training samples
+  * shipped as members of plain `.tar` shards, sequentially readable
+  * and seekable by 512-byte block). Header-only discipline matching
+  * [[Warc]]: 512-byte headers with octal ASCII fields, payloads
+  * rounded up to block size, the archive terminated by a zero block.
+  * Malformed or truncated bytes end the walk — everything parsed to
+  * that point is kept; never an exception.
+  *
+  * Accepts both pre-POSIX v7 headers and USTAR (magic "ustar"): when
+  * the USTAR prefix field is present, the member name is
+  * `prefix + "/" + name`. The header checksum is surfaced, NOT
+  * verified — the metadata tier reads what the bytes say; a
+  * corrupted size field already stops the walk on its own because
+  * the next header fails to parse.
+  */
+object Tar {
+
+  /** One member: `content.length == size` by construction. */
+  final case class TarEntry(name: String, size: Long, mtime: Long,
+      typeFlag: Char, checksum: Long, content: Array[Byte])
+
+  private val Block = 512
+
+  /** Parse a NUL/space-terminated octal field; None on any non-octal
+    * byte (a blank field — all spaces/NULs — is 0).
+    */
+  private def octal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    // leading spaces/NULs
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    val digitsFrom = i
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = (v << 3) | (b(i) - '0')
+      i += 1
+    }
+    if (i == digitsFrom && digitsFrom == end) return Some(0L) // blank
+    // trailing terminators only
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    if (i == end) Some(v) else None
+  }
+
+  private def str(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val max = off + len
+    while (end < max && b(end) != 0) end += 1
+    new String(b, off, end - off, "UTF-8")
+  }
+
+  private def zeroBlock(b: Array[Byte], off: Int): Boolean = {
+    var i = off
+    while (i < off + Block) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** Walk every member. Stops at the terminating zero block, a
+    * malformed header, or a truncated payload.
+    */
+  def entries(b: Array[Byte]): Iterator[TarEntry] =
+    if (b == null) Iterator.empty
+    else new Iterator[TarEntry] {
+      private var pos = 0
+      private var nextEnt: TarEntry = advance()
+      private def advance(): TarEntry = {
+        if (pos + Block > b.length || zeroBlock(b, pos)) return null
+        val name0 = str(b, pos, 100)
+        if (name0.isEmpty) return null
+        val size = octal(b, pos + 124, 12).getOrElse(return null)
+        val mtime = octal(b, pos + 136, 12).getOrElse(return null)
+        val chksum = octal(b, pos + 148, 8).getOrElse(return null)
+        val tf = b(pos + 156)
+        // v7 marks regular files with NUL; normalize to '0'
+        val typeFlag = if (tf == 0) '0' else tf.toChar
+        val ustar = b(pos + 257) == 'u' && b(pos + 258) == 's' &&
+          b(pos + 259) == 't' && b(pos + 260) == 'a' && b(pos + 261) == 'r'
+        val prefix = if (ustar) str(b, pos + 345, 155) else ""
+        val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
+        if (size < 0 || size > Int.MaxValue.toLong) return null
+        val payloadStart = pos + Block
+        val payloadEnd = payloadStart + size.toInt
+        if (payloadEnd > b.length) return null
+        val content =
+          java.util.Arrays.copyOfRange(b, payloadStart, payloadEnd)
+        val padded = ((size.toInt + Block - 1) / Block) * Block
+        pos = payloadStart + padded
+        TarEntry(name, size, mtime, typeFlag, chksum, content)
+      }
+      override def hasNext: Boolean = nextEnt != null
+      override def next(): TarEntry = {
+        val r = nextEnt; nextEnt = advance(); r
+      }
+    }
+
+  /** Build a USTAR archive (correct checksums, zero-block trailer) —
+    * the writer side of the WebDataset posture, and the fixture
+    * builder the spec verifies [[entries]] against.
+    */
+  def tarBytes(members: Seq[(String, Array[Byte])],
+      mtime: Long = 0L): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, content) =>
+      val h = new Array[Byte](Block)
+      def put(s: String, off: Int): Unit = {
+        val bs = s.getBytes("UTF-8")
+        System.arraycopy(bs, 0, h, off, bs.length)
+      }
+      put(name, 0)
+      put("0000644", 100); put("0000000", 108); put("0000000", 116)
+      put(f"${content.length}%011o", 124)
+      put(f"$mtime%011o", 136)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
+      h(156) = '0'
+      put("ustar", 257); h(262) = 0; put("00", 263)
+      val sum = h.foldLeft(0L)((a, x) => a + (x & 0xff))
+      put(f"$sum%06o", 148); h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(content)
+      val pad = (Block - content.length % Block) % Block
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](2 * Block))
+    out.toByteArray
+  }
+}

@@ -159,6 +159,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "unzstd_all takes exactly 1 argument")
         UnzstdAll(children.head)
+      }),
+    (FunctionIdentifier("tar_entries"),
+      info("tar_entries",
+        "tar_entries(binary) - array<struct(name, size, mtime, type_flag, " +
+          "checksum, content)> from TAR bytes (v7 + USTAR; WebDataset shards)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "tar_entries takes exactly 1 argument")
+        TarEntries(children.head)
       }))
 
   private def intLiteral(what: String, e: Expression): Int = e match {

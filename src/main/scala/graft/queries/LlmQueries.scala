@@ -4893,6 +4893,57 @@ object LlmQueries {
              |  CAST(strlen(text) AS BIGINT) AS text_bytes
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TAR SHARD ingest — WebDataset's format (training samples as
+    // members of plain .tar shards). Both engines construct IDENTICAL
+    // v7 tar bytes (100-byte NUL-padded names, 11-digit octal size/
+    // mtime fields, 512-byte payload rounding, zero-block trailer —
+    // all closed-form string algebra since every field is ASCII and
+    // padding counts BYTES via octet_length/strlen, so multibyte text
+    // keeps block alignment), then Spark walks them with tar_entries
+    // and the oracle predicts every surfaced field. Member order
+    // inside a shard is irrelevant by construction (rows key on the
+    // parsed name), so the bounded (source, bucket) packing is
+    // order-insensitive. The staged checksum field is blank (= 0 when
+    // octal-parsed) — the builder-computed checksum path is pinned in
+    // TarSpec instead, where the real USTAR writer runs.
+    "q247_tar_shard_ingest" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        val member =
+          "concat(" +
+            "rpad(concat('docs/', CAST(doc_id AS STRING), '.txt'), 100, chr(0)), " +
+            "'0000644', chr(0), '0000000', chr(0), '0000000', chr(0), " +
+            "format_string('%011o', octet_length(text)), chr(0), " +
+            "format_string('%011o', 946684800 + doc_id), chr(0), " +
+            "repeat(' ', 8), '0', repeat(chr(0), 355), " +
+            "text, repeat(chr(0), (512 - octet_length(text) % 512) % 512))"
+        docs(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            pmod(col("doc_id"), lit(8)).as("bucket"))
+          .withColumn("member", expr(member))
+          .groupBy(col("source"), col("bucket"))
+          .agg(concat_ws("", sort_array(collect_list(col("member"))))
+            .as("body"))
+          .withColumn("shard",
+            expr("encode(concat(body, repeat(chr(0), 1024)), 'utf-8')"))
+          .select(explode(expr("tar_entries(shard)")).as("e"))
+          .select(
+            expr("CAST(regexp_extract(e.name, 'docs/(\\\\d+)\\\\.txt', 1) " +
+              "AS BIGINT)").as("doc_id"),
+            col("e.name").as("name"), col("e.size").as("size"),
+            col("e.mtime").as("mtime"), col("e.type_flag").as("type_flag"),
+            col("e.checksum").as("checksum"),
+            expr("decode(e.content, 'utf-8')").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             |  CAST(strlen(text) AS BIGINT) AS size,
+             |  CAST(946684800 + doc_id AS BIGINT) AS mtime,
+             |  '0' AS type_flag, CAST(0 AS BIGINT) AS checksum, text
+             |FROM documents WHERE text IS NOT NULL
+             |ORDER BY doc_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW

@@ -75,6 +75,38 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.gunzipAll(bomb, maxOut = (64 << 20) + 1).isDefined)
   }
 
+  test("file posture: .warc.gz files on disk via binaryFile + the SQL chain") {
+    graft.plans.GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
+    try {
+      // 3 archive files, 4 records each, one gzip member per record —
+      // the exact layout a crawl dump ships in
+      for (f <- 0 until 3) {
+        val out = new java.io.FileOutputStream(new java.io.File(dir, f"shard-$f%05d.warc.gz"))
+        for (r <- 0 until 4) {
+          val rec = record("response", s"<urn:uuid:$f-$r>",
+            s"payload $f/$r " + ("x" * (100 * r)),
+            Seq("WARC-Target-URI" -> s"https://x.test/$f/$r"))
+          out.write(Warc.gzip(rec.getBytes("UTF-8")))
+        }
+        out.close()
+      }
+      val rows = spark.read.format("binaryFile")
+        .load(dir.getAbsolutePath + "/*.warc.gz")
+        .selectExpr("path", "inline(warc_records(gunzip_all(content)))")
+        .selectExpr("path", "record_id", "target_uri",
+          "decode(content, 'utf-8') AS body")
+        .collect()
+      assert(rows.length == 12)
+      assert(rows.map(_.getAs[String]("record_id")).distinct.length == 12)
+      val r21 = rows.find(_.getAs[String]("record_id") == "<urn:uuid:2-1>").get
+      assert(r21.getAs[String]("target_uri") == "https://x.test/2/1")
+      assert(r21.getAs[String]("body") == "payload 2/1 " + ("x" * 100))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("SQL surface: warc_records / gzip_bytes / gunzip_all registered and codegen-clean") {
     graft.plans.GraftExtensions.register(spark)
     val r1 = record("response", "<urn:uuid:9>", "payload-9",
