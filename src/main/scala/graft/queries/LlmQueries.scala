@@ -4944,6 +4944,81 @@ object LlmQueries {
              |FROM documents WHERE text IS NOT NULL
              |ORDER BY doc_id""".stripMargin)),
 
+    // WebDataset MULTIMODAL shard — the pairing semantics on top of
+    // q247's tar walk: each training sample is TWO members sharing a
+    // basename ({id}.bmp raster + {id}.json metadata), shards are
+    // bounded (source, bucket) tars, and the reader re-pairs samples
+    // by parsed basename with conditional aggregates (max-when per
+    // extension — one pass, no self-join). Both engines construct
+    // identical tar bytes in hex (headers are ASCII hex'd; BMP
+    // payloads reuse q32's closed-form staging; 512-byte padding
+    // counts payload BYTES), Spark reads dims through media_meta over
+    // the member content and metadata through from_json; the oracle
+    // predicts both from the staging params.
+    "q248_webdataset_pairs" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        def le32(v: String) = s"format_string('%02x%02x%02x%02x', $v & 255, " +
+          s"shiftright($v, 8) & 255, shiftright($v, 16) & 255, shiftright($v, 24) & 255)"
+        def le16(v: String) = s"format_string('%02x%02x', $v & 255, shiftright($v, 8) & 255)"
+        val bmpHex = s"concat('424d', ${le32("(54 + img_size)")}, '00000000', " +
+          s"${le32("54")}, ${le32("40")}, ${le32("bw")}, ${le32("bh")}, " +
+          s"${le16("1")}, ${le16("24")}, ${le32("0")}, ${le32("img_size")}, " +
+          s"${le32("2835")}, ${le32("2835")}, ${le32("0")}, ${le32("0")}, " +
+          "repeat('00', CAST(img_size AS INT)))"
+        // tar member in hex: 100-byte name, mode/uid/gid, octal size,
+        // octal mtime(0), blank checksum, typeflag '0', v7 NUL tail
+        def member(nameExpr: String, lenExpr: String, payloadHex: String) =
+          s"concat(hex(rpad($nameExpr, 100, chr(0))), " +
+            "'3030303036343400', '3030303030303000', '3030303030303000', " +
+            s"hex(format_string('%011o', ($lenExpr))), '00', " +
+            "hex('00000000000'), '00', " +
+            s"'2020202020202020', '30', repeat('00', 355), " +
+            s"$payloadHex, " +
+            s"repeat('00', CAST((512 - ($lenExpr) % 512) % 512 AS INT)))"
+        val staged = docs(s, d).select(col("doc_id"), col("source"),
+            col("lang"),
+            expr("1 + doc_id % 64").as("bw"),
+            expr("1 + (doc_id * 7) % 48").as("bh"),
+            pmod(col("doc_id"), lit(8)).as("bucket"))
+          .withColumn("img_size",
+            expr("(bw * 3 + (4 - (bw * 3) % 4) % 4) * bh"))
+          .withColumn("json_str", expr(
+            "concat('{\"doc_id\":', CAST(doc_id AS STRING), " +
+              "',\"lang\":\"', lang, '\"}')"))
+          .withColumn("pair_hex", expr(
+            member("concat(CAST(doc_id AS STRING), '.bmp')",
+              "54 + img_size", bmpHex) + " || " +
+            member("concat(CAST(doc_id AS STRING), '.json')",
+              "octet_length(json_str)", "hex(json_str)")))
+        staged.groupBy(col("source"), col("bucket"))
+          .agg(concat_ws("", sort_array(collect_list(col("pair_hex"))))
+            .as("body"))
+          .withColumn("shard",
+            expr("unhex(concat(body, repeat('00', 1024)))"))
+          .select(explode(expr("tar_entries(shard)")).as("e"))
+          .select(
+            expr("CAST(regexp_extract(e.name, '(\\\\d+)\\\\.', 1) AS BIGINT)")
+              .as("doc_id"),
+            expr("CASE WHEN e.name LIKE '%.bmp' " +
+              "THEN media_meta(e.content) END").as("m"),
+            expr("CASE WHEN e.name LIKE '%.json' THEN from_json(" +
+              "decode(e.content, 'utf-8'), 'doc_id LONG, lang STRING') END")
+              .as("j"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("m.format")).as("format"),
+            max(col("m.width")).as("width"),
+            max(col("m.height")).as("height"),
+            max(col("j.lang")).as("lang"),
+            count(lit(1)).as("n_members"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'bmp' AS format,
+             |  CAST(1 + doc_id % 64 AS INT) AS width,
+             |  CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
+             |  lang, CAST(2 AS BIGINT) AS n_members
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW
