@@ -5019,6 +5019,87 @@ object LlmQueries {
              |  lang, CAST(2 AS BIGINT) AS n_members
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING crawl ingest — q244's parse chain fed by a file
+    // STREAM: four .warc.gz shards (one gzip member per record, built
+    // with the same closed-form staging as q244) arrive one file per
+    // microbatch; foreachBatch inflates, walks records, and lands
+    // typed rows in an idempotent batch=N sink (q237/q241's replay
+    // protocol — a re-delivered batch overwrites its own directory,
+    // never duplicates). The oracle predicts every parsed field for
+    // the union of all batches, so a dropped shard, a double-applied
+    // batch, or any parse defect breaks row equality. This is the
+    // 100-TB arrival shape: crawl dumps land as shard files on object
+    // storage and ingest incrementally, not as one batch scan.
+    "q249_stream_crawl_ingest" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        val root = graft.queries.Scratch.dir("graft-q249-crawl")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val crlf = "chr(13), chr(10)"
+        val r1 = s"concat('WARC/1.0', $crlf, " +
+          s"'WARC-Type: response', $crlf, " +
+          "'WARC-Record-ID: <urn:uuid:doc-', CAST(doc_id AS STRING), '>', " +
+          s"$crlf, " +
+          "'WARC-Target-URI: https://crawl.test/', source, '/', " +
+          s"CAST(doc_id AS STRING), $crlf, " +
+          "'Content-Length: ', CAST(octet_length(text) AS STRING), " +
+          s"$crlf, $crlf, text, $crlf, $crlf)"
+        // one carrier parquet file per shard: (bucket, media) with the
+        // shard's gzip members concatenated — bounded rows per shard
+        val shards = docs(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            pmod(col("doc_id"), lit(4)).as("bucket"))
+          .withColumn("gzh", expr(s"hex(gzip_bytes(encode($r1, 'utf-8')))"))
+          .groupBy(col("bucket"))
+          .agg(expr("unhex(concat_ws('', sort_array(collect_list(gzh))))")
+            .as("media"))
+        shards.collect().foreach { row =>
+          val b = row.getAs[Long]("bucket")
+          val p = s"$src/shard-$b.parquet"
+          val one = s.createDataFrame(
+            java.util.Arrays.asList(row),
+            shards.schema)
+          one.coalesce(1).write.mode("overwrite").parquet(p)
+          new java.io.File(p).listFiles()
+            .foreach(_.setLastModified(1000000L * (b + 1)))
+          new java.io.File(p).setLastModified(1000000L * (b + 1))
+        }
+        s.readStream
+          .schema("bucket LONG, media BINARY")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            b.selectExpr("bucket",
+                "inline(warc_records(gunzip_all(media)))")
+              .selectExpr("bucket",
+                "CAST(regexp_extract(record_id, 'doc-(\\\\d+)', 1) AS BIGINT)" +
+                  " AS doc_id",
+                "warc_type", "target_uri", "content_length",
+                "decode(content, 'utf-8') AS text")
+              .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
+          }
+          .start().awaitTermination()
+        val batches = Option(new java.io.File(s"$root/out").listFiles())
+          .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))
+          .getOrElse(0)
+        require(batches == 4, s"expected 4 delivered microbatches, got $batches")
+        s.read.parquet(s"$root/out")
+          .select(col("doc_id"), col("bucket"), col("warc_type"),
+            col("target_uri"), col("content_length"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, doc_id % 4 AS bucket,
+             |  'response' AS warc_type,
+             |  'https://crawl.test/' || source || '/' ||
+             |    CAST(doc_id AS VARCHAR) AS target_uri,
+             |  CAST(strlen(text) AS BIGINT) AS content_length,
+             |  text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW
