@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.crawl.{Codecs, Tar, Warc}
+import graft.multimodal.MediaContainers
+
+/** The quarantine contract, fuzzed: every byte-format parser in the
+  * engine must return None/empty/NULL on arbitrary garbage and on
+  * mutations of VALID artifacts — never throw. At 100 TB some
+  * payloads WILL be corrupt; an exception is a task kill and a job
+  * retry storm, a quiet quarantine is a row in the rejects table.
+  * Seeded RNG: failures reproduce.
+  */
+class FormatFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def parseAllFormats(b: Array[Byte]): Unit = {
+    MediaContainers.parse(b)
+    MediaContainers.parseAv(b)
+    MediaContainers.parseWebm(b)
+    MediaContainers.decodePixels(b)
+    Warc.records(b).foreach(_ => ())
+    Tar.entries(b).foreach(_ => ())
+    Warc.gunzipAll(b)
+    Codecs.unzstdAll(b)
+  }
+
+  test("random garbage: every parser quarantines, none throws") {
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 0 until 400) {
+      val n = rnd.nextInt(2048)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      parseAllFormats(b)
+    }
+  }
+
+  test("mutated valid artifacts: single-byte flips and truncations never throw") {
+    val rnd = new scala.util.Random(42L)
+    val valid: Seq[Array[Byte]] = Seq(
+      MediaContainers.webmBytes("webm", 1000000L, 60000.0, 640, 360,
+        48000.0, 2),
+      MediaContainers.mp4Bytes(600, 3600, 320, 240),
+      MediaContainers.flacBytes(44100, 2, 16, 1000L),
+      MediaContainers.oggOpusBytes(2, 48000),
+      Tar.tarBytes(Seq("a.txt" -> ("x" * 700).getBytes("UTF-8"),
+        "b.bin" -> Array.tabulate(64)(_.toByte))),
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <a>\r\n" +
+        "Content-Length: 5\r\n\r\nhello\r\n\r\n").getBytes("UTF-8"),
+      Warc.gzip(("payload " * 100).getBytes("UTF-8")),
+      Codecs.zstd(("payload " * 100).getBytes("UTF-8")))
+    for (base <- valid; _ <- 0 until 60) {
+      val b = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-4 bytes
+          for (_ <- 0 to rnd.nextInt(4))
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          parseAllFormats(b)
+        case 1 => // truncate
+          parseAllFormats(b.take(rnd.nextInt(b.length + 1)))
+        case 2 => // garbage tail
+          val tail = new Array[Byte](rnd.nextInt(64))
+          rnd.nextBytes(tail)
+          parseAllFormats(b ++ tail)
+      }
+    }
+  }
+
+  test("codegen path: the SQL expressions survive a fuzz column without task failure") {
+    graft.plans.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(7L)
+    val payloads = (0 until 64).map { i =>
+      if (i % 4 == 0) {
+        val b = new Array[Byte](rnd.nextInt(512)); rnd.nextBytes(b); b
+      } else {
+        val base = MediaContainers.webmBytes("webm", 1000000L, 1.0, 8, 8)
+        base.take(rnd.nextInt(base.length + 1))
+      }
+    }
+    val df = spark.createDataFrame(payloads.map(Tuple1(_))).toDF("media")
+      .selectExpr(
+        "media_meta(media) AS a", "av_meta(media) AS b",
+        "size(warc_records(media)) AS c", "size(tar_entries(media)) AS d",
+        "gunzip_all(media) IS NULL AS e", "unzstd_all(media) IS NULL AS f")
+    assert(df.count() == 64) // completes without a task failure
+  }
+}

@@ -51,7 +51,15 @@ class ExtensionsSpec extends AnyFunSuite {
       "minhash_signature" -> "minhash_signature(array('a', 'b'), 4)",
       "winnow_fingerprints" -> "winnow_fingerprints(array('a', 'b', 'c'), 2)",
       "media_meta" -> "media_meta(CAST('nonsense' AS BINARY)).format",
-      "av_meta" -> "av_meta(CAST('nonsense' AS BINARY)).format")
+      "av_meta" -> "av_meta(CAST('nonsense' AS BINARY)).format",
+      "warc_records" -> "size(warc_records(CAST('junk' AS BINARY)))",
+      "tar_entries" -> "size(tar_entries(CAST('junk' AS BINARY)))",
+      "gzip_bytes" -> "octet_length(gzip_bytes(encode('x', 'utf-8')))",
+      "gunzip_all" ->
+        "decode(gunzip_all(gzip_bytes(encode('x', 'utf-8'))), 'utf-8')",
+      "zstd_bytes" -> "octet_length(zstd_bytes(encode('x', 'utf-8')))",
+      "unzstd_all" ->
+        "decode(unzstd_all(zstd_bytes(encode('x', 'utf-8'))), 'utf-8')")
     // generators can't alias to a single column — probed separately below
     val generators = Set("shingle_generate")
     val registered = GraftExtensions.functions.map(_._1.funcName).toSet
