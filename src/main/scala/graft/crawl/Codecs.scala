@@ -22,27 +22,32 @@ object Codecs {
   }
 
   /** Inflate a chain of concatenated zstd frames. None on corrupt
-    * bytes or output past `maxOut`.
+    * bytes or output past `maxOut`. The native decompression context
+    * is released deterministically (expression kernels run once per
+    * row — finalizer-paced release accumulates unbounded off-heap
+    * window buffers on an executor).
     */
   def unzstdAll(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] = {
     if (b == null) return None
+    // non-continuous: consumes every frame in the chain AND throws
+    // on a truncated tail ("Truncated source") — continuous mode
+    // would return the empty prefix silently, losing the shard
+    var in: com.github.luben.zstd.ZstdInputStream = null
     try {
-      // non-continuous: consumes every frame in the chain AND throws
-      // on a truncated tail ("Truncated source") — continuous mode
-      // would return the empty prefix silently, losing the shard
-      val in = new com.github.luben.zstd.ZstdInputStream(
+      in = new com.github.luben.zstd.ZstdInputStream(
         new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(b.length.toLong * 4, 1L << 16).toInt)
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) {
-        if (out.size() + n > maxOut) return None
+        if (out.size().toLong + n > maxOut) return None
         out.write(buf, 0, n)
         n = in.read(buf)
       }
       Some(out.toByteArray)
     } catch {
       case scala.util.control.NonFatal(_) => None
-    }
+    } finally if (in != null) in.close()
   }
 }

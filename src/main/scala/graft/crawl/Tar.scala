@@ -8,10 +8,15 @@ package graft.crawl
   * Malformed or truncated bytes end the walk — everything parsed to
   * that point is kept; never an exception.
   *
-  * Accepts both pre-POSIX v7 headers and USTAR (magic "ustar"): when
-  * the USTAR prefix field is present, the member name is
-  * `prefix + "/" + name`. The header checksum is surfaced, NOT
-  * verified — the metadata tier reads what the bytes say; a
+  * Accepts pre-POSIX v7 headers, USTAR (magic "ustar", prefix field
+  * honored: member name is `prefix + "/" + name`), GNU base-256
+  * numeric fields (values past the 8 GiB octal ceiling), and the
+  * long-name conventions real writers emit — PAX extended headers
+  * (typeflag 'x', Python tarfile's default format: the `path` record
+  * overrides the next member's name; 'g' globals are skipped) and GNU
+  * 'L' longname / 'K' longlink members — all consumed as metadata,
+  * never surfaced as data entries. The header checksum is surfaced,
+  * NOT verified — the metadata tier reads what the bytes say; a
   * corrupted size field already stops the walk on its own because
   * the next header fails to parse.
   */
@@ -23,10 +28,22 @@ object Tar {
 
   private val Block = 512
 
-  /** Parse a NUL/space-terminated octal field; None on any non-octal
-    * byte (a blank field — all spaces/NULs — is 0).
+  /** Parse a numeric header field: NUL/space-terminated octal, or the
+    * GNU base-256 form (first byte's top bit set — written for values
+    * past the 8 GiB octal ceiling). None on any other byte (a blank
+    * field — all spaces/NULs — is 0).
     */
   private def octal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    if ((b(off) & 0x80) != 0) { // GNU base-256: big-endian binary
+      var v = (b(off) & 0x7fL)
+      var i = off + 1
+      while (i < off + len) {
+        if (v > (Long.MaxValue >> 8)) return None // would overflow
+        v = (v << 8) | (b(i) & 0xffL)
+        i += 1
+      }
+      return Some(v)
+    }
     var v = 0L
     var i = off
     val end = off + len
@@ -41,6 +58,29 @@ object Tar {
     // trailing terminators only
     while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
     if (i == end) Some(v) else None
+  }
+
+  /** PAX extended-header payload: `"%d %s=%s\n"` records. Returns the
+    * value for `key`, or None (malformed records are skipped — PAX
+    * metadata is advisory here, never a walk-stopper).
+    */
+  private def paxValue(payload: Array[Byte], key: String): Option[String] = {
+    val s = new String(payload, "UTF-8")
+    var pos = 0
+    while (pos < s.length) {
+      val sp = s.indexOf(' ', pos)
+      if (sp < 0) return None
+      val recLen =
+        try s.substring(pos, sp).toInt
+        catch { case _: NumberFormatException => return None }
+      if (recLen <= 0 || pos + recLen > s.length) return None
+      val rec = s.substring(sp + 1, pos + recLen)
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == key)
+        return Some(rec.substring(eq + 1).stripSuffix("\n"))
+      pos += recLen
+    }
+    None
   }
 
   private def str(b: Array[Byte], off: Int, len: Int): String = {
@@ -63,30 +103,54 @@ object Tar {
     if (b == null) Iterator.empty
     else new Iterator[TarEntry] {
       private var pos = 0
+      // a PAX 'path' or GNU 'L' longname overriding the NEXT entry
+      private var nameOverride: String = null
       private var nextEnt: TarEntry = advance()
       private def advance(): TarEntry = {
-        if (pos + Block > b.length || zeroBlock(b, pos)) return null
-        val name0 = str(b, pos, 100)
-        if (name0.isEmpty) return null
-        val size = octal(b, pos + 124, 12).getOrElse(return null)
-        val mtime = octal(b, pos + 136, 12).getOrElse(return null)
-        val chksum = octal(b, pos + 148, 8).getOrElse(return null)
-        val tf = b(pos + 156)
-        // v7 marks regular files with NUL; normalize to '0'
-        val typeFlag = if (tf == 0) '0' else tf.toChar
-        val ustar = b(pos + 257) == 'u' && b(pos + 258) == 's' &&
-          b(pos + 259) == 't' && b(pos + 260) == 'a' && b(pos + 261) == 'r'
-        val prefix = if (ustar) str(b, pos + 345, 155) else ""
-        val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
-        if (size < 0 || size > Int.MaxValue.toLong) return null
-        val payloadStart = pos + Block
-        val payloadEnd = payloadStart + size.toInt
-        if (payloadEnd > b.length) return null
-        val content =
-          java.util.Arrays.copyOfRange(b, payloadStart, payloadEnd)
-        val padded = ((size.toInt + Block - 1) / Block) * Block
-        pos = payloadStart + padded
-        TarEntry(name, size, mtime, typeFlag, chksum, content)
+        while (true) {
+          if (pos + Block > b.length || zeroBlock(b, pos)) return null
+          val name0 = str(b, pos, 100)
+          if (name0.isEmpty) return null
+          val size = octal(b, pos + 124, 12).getOrElse(return null)
+          val mtime = octal(b, pos + 136, 12).getOrElse(return null)
+          val chksum = octal(b, pos + 148, 8).getOrElse(return null)
+          val tf = b(pos + 156)
+          // v7 marks regular files with NUL; normalize to '0'
+          val typeFlag = if (tf == 0) '0' else tf.toChar
+          val ustar = b(pos + 257) == 'u' && b(pos + 258) == 's' &&
+            b(pos + 259) == 't' && b(pos + 260) == 'a' && b(pos + 261) == 'r'
+          val prefix = if (ustar) str(b, pos + 345, 155) else ""
+          if (size < 0 || size > Int.MaxValue.toLong) return null
+          val payloadStart = pos + Block
+          val payloadEnd = payloadStart + size.toInt
+          if (payloadEnd > b.length) return null
+          val content =
+            java.util.Arrays.copyOfRange(b, payloadStart, payloadEnd)
+          val padded = ((size.toInt + Block - 1) / Block) * Block
+          pos = payloadStart + padded
+          // metadata members (Python tarfile writes PAX by default;
+          // GNU tar writes 'L'/'K' for >100-char names): consumed,
+          // never surfaced as data entries
+          typeFlag match {
+            case 'x' => // PAX extended header: may carry the real path
+              paxValue(content, "path").foreach(nameOverride = _)
+            case 'g' => // PAX global header: advisory, skipped
+            case 'L' => // GNU longname: payload IS the next entry's name
+              nameOverride = {
+                var end = content.length
+                while (end > 0 && content(end - 1) == 0) end -= 1
+                new String(content, 0, end, "UTF-8")
+              }
+            case 'K' => // GNU longlink: skipped
+            case _ =>
+              val name =
+                if (nameOverride != null) { val n = nameOverride; nameOverride = null; n }
+                else if (prefix.isEmpty) name0
+                else prefix + "/" + name0
+              return TarEntry(name, size, mtime, typeFlag, chksum, content)
+          }
+        }
+        null // unreachable
       }
       override def hasNext: Boolean = nextEnt != null
       override def next(): TarEntry = {
@@ -102,6 +166,9 @@ object Tar {
       mtime: Long = 0L): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     members.foreach { case (name, content) =>
+      require(name.getBytes("UTF-8").length <= 100,
+        s"member name over 100 bytes (USTAR name field): $name — " +
+          "a longer name needs a PAX/longname member this builder doesn't write")
       val h = new Array[Byte](Block)
       def put(s: String, off: Int): Unit = {
         val bs = s.getBytes("UTF-8")

@@ -141,23 +141,75 @@ object Warc {
     out.toByteArray
   }
 
-  /** Inflate a full chain of concatenated gzip members. None on
-    * corrupt bytes OR on output past `maxOut` (decompression-bomb
-    * guard: the cap is enforced DURING inflation, before the memory
-    * is committed).
+  private def le32u(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Inflate a full chain of concatenated gzip members by walking the
+    * member framing EXPLICITLY — header (with the optional
+    * FEXTRA/FNAME/FCOMMENT/FHCRC fields), raw-deflate body, CRC32 +
+    * ISIZE trailer, repeat until the input is exhausted. None on
+    * corrupt bytes, a truncated tail (including truncation AT a
+    * member boundary, which the JDK's GZIPInputStream silently treats
+    * as EOF — the prefix would be returned as if complete), a CRC or
+    * ISIZE mismatch, or output past `maxOut` (decompression-bomb
+    * guard enforced DURING inflation). Inflater contexts are released
+    * deterministically — expression kernels run once per row, so
+    * leaving native state to finalizers accumulates unbounded
+    * off-heap memory on an executor.
     */
   def gunzipAll(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] = {
-    if (b == null) return None
+    if (b == null || b.length < 18) return None // one empty member = 18 bytes
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 4, 1L << 16).toInt)
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (out.size() + n > maxOut) return None
-        out.write(buf, 0, n)
-        n = in.read(buf)
+      var pos = 0
+      while (pos < b.length) {
+        // ---- member header ----
+        if (pos + 10 > b.length) return None
+        if ((b(pos) & 0xff) != 0x1f || (b(pos + 1) & 0xff) != 0x8b ||
+          b(pos + 2) != 8) return None // magic + CM=deflate
+        val flg = b(pos + 3) & 0xff
+        var p = pos + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          if (p + 2 > b.length) return None
+          p += 2 + (((b(p) & 0xff)) | ((b(p + 1) & 0xff) << 8))
+          if (p > b.length) return None
+        }
+        var skipZ = (if ((flg & 8) != 0) 1 else 0) +
+          (if ((flg & 16) != 0) 1 else 0) // FNAME, FCOMMENT
+        while (skipZ > 0) {
+          while (p < b.length && b(p) != 0) p += 1
+          if (p >= b.length) return None
+          p += 1
+          skipZ -= 1
+        }
+        if ((flg & 2) != 0) { // FHCRC
+          p += 2
+          if (p > b.length) return None
+        }
+        // ---- raw-deflate body ----
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(b, p, b.length - p)
+          val crc = new java.util.zip.CRC32
+          val buf = new Array[Byte](8192)
+          var memberOut = 0L
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && !inf.finished()) return None // truncated/dict
+            if (out.size().toLong + n > maxOut) return None
+            out.write(buf, 0, n)
+            crc.update(buf, 0, n)
+            memberOut += n
+          }
+          p += inf.getBytesRead.toInt
+          // ---- trailer: CRC32 + ISIZE (mod 2^32) ----
+          if (p + 8 > b.length) return None
+          if (le32u(b, p) != crc.getValue ||
+            le32u(b, p + 4) != (memberOut & 0xffffffffL)) return None
+          pos = p + 8
+        } finally inf.end()
       }
       Some(out.toByteArray)
     } catch {

@@ -542,7 +542,11 @@ object MediaContainers {
       case (0x1a45dfa3L, s, e) => // EBML header
         ebml(b, s, e).foreach {
           case (0x4282L, cs, ce) if docType == null =>
-            docType = new String(b, cs, ce - cs, "US-ASCII")
+            // EBML string elements may be zero-padded to the declared
+            // size — truncate at the first NUL before comparing
+            var de = cs
+            while (de < ce && b(de) != 0) de += 1
+            docType = new String(b, cs, de - cs, "US-ASCII")
           case _ =>
         }
       case (0x18538067L, s, e) => // Segment

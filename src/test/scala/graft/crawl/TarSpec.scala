@@ -46,6 +46,61 @@ class TarSpec extends AnyFunSuite {
     assert(Tar.entries(null).isEmpty)
   }
 
+  test("real-writer conventions: PAX path override, GNU longname, base-256 size, builder guard") {
+    // hand-build a PAX pair: an 'x' member whose payload carries the
+    // real path, then the data member with the truncated name
+    def hdr(name: String, size: Int, typeFlag: Byte): Array[Byte] = {
+      val base = Tar.tarBytes(Seq(name -> new Array[Byte](size)))
+      val h = java.util.Arrays.copyOf(base, 512)
+      h(156) = typeFlag
+      // re-checksum after the typeflag patch
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = h.foldLeft(0L)((a, x) => a + (x & 0xff))
+      val cs = f"$sum%06o".getBytes("US-ASCII")
+      System.arraycopy(cs, 0, h, 148, cs.length)
+      h(154) = 0; h(155) = ' '
+      h
+    }
+    def block(payload: Array[Byte]): Array[Byte] =
+      payload ++ new Array[Byte]((512 - payload.length % 512) % 512)
+    val longPath = "very/deep/" + ("d" * 120) + "/sample.txt"
+    val paxRecord = {
+      // "%d %s\n" where %d counts the WHOLE record incl. its own digits
+      val body = s" path=$longPath\n"
+      var len = body.length + 1
+      while ((len.toString.length + body.length) != len) len += 1
+      s"$len$body".getBytes("UTF-8")
+    }
+    val data = "the sample".getBytes("UTF-8")
+    val tar = hdr("PaxHeaders.0/sample.txt", paxRecord.length, 'x') ++
+      block(paxRecord) ++
+      hdr("truncated-name.txt", data.length, 0) ++ block(data) ++
+      new Array[Byte](1024)
+    val got = Tar.entries(tar).toSeq
+    assert(got.map(_.name) == Seq(longPath)) // pax member consumed
+    assert(new String(got.head.content, "UTF-8") == "the sample")
+    // GNU 'L' longname: payload is the next member's name
+    val gnuName = ("g" * 150) + ".bin"
+    val tarL = hdr("././@LongLink", gnuName.length + 1, 'L') ++
+      block(gnuName.getBytes("UTF-8") ++ Array[Byte](0)) ++
+      hdr("short.bin", 3, 0) ++ block("abc".getBytes) ++
+      new Array[Byte](1024)
+    assert(Tar.entries(tarL).map(_.name).toSeq == Seq(gnuName))
+    // GNU base-256 size field (first byte top bit set)
+    val tarB = hdr("b256.bin", 7, 0)
+    tarB(124) = 0x80.toByte
+    for (i <- 125 until 135) tarB(124 + (i - 124)) = 0
+    tarB(135) = 7
+    val withPayload = tarB ++ block("1234567".getBytes) ++ new Array[Byte](1024)
+    val e = Tar.entries(withPayload).toSeq
+    assert(e.map(_.size) == Seq(7L))
+    assert(new String(e.head.content, "UTF-8") == "1234567")
+    // builder refuses a name the USTAR field can't hold
+    intercept[IllegalArgumentException] {
+      Tar.tarBytes(Seq(("n" * 120) -> Array.empty[Byte]))
+    }
+  }
+
   test("SQL surface: tar_entries over a zstd WebDataset-style shard") {
     graft.plans.GraftExtensions.register(spark)
     // WebDataset layout: sample pairs (payload + metadata) in one tar,

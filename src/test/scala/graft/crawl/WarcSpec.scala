@@ -67,6 +67,33 @@ class WarcSpec extends AnyFunSuite {
     // corrupt bytes quarantine
     assert(Warc.gunzipAll("not gzip at all".getBytes).isEmpty)
     assert(Warc.gunzipAll(gz.take(gz.length / 2)).isEmpty)
+    // truncation AT a member boundary — the shape the JDK's
+    // GZIPInputStream silently treats as EOF (returning the prefix as
+    // if complete): the explicit member walk quarantines it
+    val m1 = Warc.gzip(r1.getBytes("UTF-8"))
+    for (cut <- Seq(m1.length + 1, m1.length + 5, m1.length + 9))
+      assert(Warc.gunzipAll(gz.take(cut)).isEmpty,
+        s"cut inside member 2's header at +${cut - m1.length}")
+    // ...while the exact member boundary is a COMPLETE archive
+    assert(Warc.gunzipAll(m1).get.sameElements(r1.getBytes("UTF-8")))
+    // a corrupted trailer CRC is quarantine, not data
+    val badCrc = gz.clone()
+    badCrc(m1.length - 5) = (badCrc(m1.length - 5) ^ 0x55).toByte
+    assert(Warc.gunzipAll(badCrc).isEmpty)
+    // garbage BETWEEN members is quarantine (every byte is framed)
+    assert(Warc.gunzipAll(m1 ++ "gap".getBytes ++
+      Warc.gzip(r2.getBytes("UTF-8"))).isEmpty)
+    // FNAME'd member (gzip -N writes the original filename): parses
+    val named = {
+      val out = new java.io.ByteArrayOutputStream()
+      val base = Warc.gzip("payload".getBytes("UTF-8"))
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 8)) // FLG.FNAME
+      out.write(base, 4, 6)                           // mtime/xfl/os
+      out.write("orig.warc".getBytes("US-ASCII")); out.write(0)
+      out.write(base, 10, base.length - 10)
+      out.toByteArray
+    }
+    assert(Warc.gunzipAll(named).get.sameElements("payload".getBytes))
     // decompression-bomb guard: 64 MiB of zeros compresses to ~64 KiB;
     // the cap must fire DURING inflation, long before 64 MiB commits
     val bomb = Warc.gzip(new Array[Byte](64 << 20))

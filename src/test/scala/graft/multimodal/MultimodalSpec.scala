@@ -468,6 +468,10 @@ class MultimodalSpec extends AnyFunSuite {
       .timestampScaleNs == 1000000L)
     // non-Matroska EBML DocType is not this container
     assert(parseWebm(webmBytes("alien", w = 4, h = 4)).isEmpty)
+    // EBML strings may be zero-padded to the declared size — a padded
+    // DocType still identifies the container
+    assert(parseWebm(webmBytes("webm" + "\u0000\u0000", w = 32, h = 16)).get
+      .width.contains(32))
     // truncation at EVERY prefix length: never a throw, and a cut
     // inside the Segment yields whatever whole elements survived
     for (n <- 0 until av.length) parseWebm(av.take(n)) // must not throw
