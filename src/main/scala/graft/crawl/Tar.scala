@@ -15,10 +15,13 @@ package graft.crawl
   * (typeflag 'x', Python tarfile's default format: the `path` record
   * overrides the next member's name; 'g' globals are skipped) and GNU
   * 'L' longname / 'K' longlink members — all consumed as metadata,
-  * never surfaced as data entries. The header checksum is surfaced,
-  * NOT verified — the metadata tier reads what the bytes say; a
-  * corrupted size field already stops the walk on its own because
-  * the next header fails to parse.
+  * never surfaced as data entries. The header checksum IS verified
+  * (both the POSIX unsigned-byte sum and the historical signed-byte
+  * convention are accepted) — a checksum-corrupt header with a
+  * plausible size field is quarantined rather than parsed as a
+  * member. A BLANK checksum field (all spaces/NULs — writers that
+  * never fill it, including this repo's own closed-form SQL staging)
+  * skips verification and surfaces 0.
   */
 object Tar {
 
@@ -62,25 +65,55 @@ object Tar {
 
   /** PAX extended-header payload: `"%d %s=%s\n"` records. Returns the
     * value for `key`, or None (malformed records are skipped — PAX
-    * metadata is advisory here, never a walk-stopper).
+    * metadata is advisory here, never a walk-stopper). The record
+    * length field counts UTF-8 BYTES, so the walk stays in byte space
+    * end to end — decoding first and using char offsets would drift
+    * the record boundaries as soon as a value holds a multibyte
+    * character (a non-ASCII `path` is the common real-world case).
     */
   private def paxValue(payload: Array[Byte], key: String): Option[String] = {
-    val s = new String(payload, "UTF-8")
     var pos = 0
-    while (pos < s.length) {
-      val sp = s.indexOf(' ', pos)
-      if (sp < 0) return None
-      val recLen =
-        try s.substring(pos, sp).toInt
-        catch { case _: NumberFormatException => return None }
-      if (recLen <= 0 || pos + recLen > s.length) return None
-      val rec = s.substring(sp + 1, pos + recLen)
+    while (pos < payload.length) {
+      var sp = pos // byte index of the space after the length digits
+      while (sp < payload.length && payload(sp) != ' ') sp += 1
+      if (sp >= payload.length || sp == pos) return None
+      var recLen = 0L
+      var i = pos
+      while (i < sp) {
+        val c = payload(i)
+        if (c < '0' || c > '9') return None
+        recLen = recLen * 10 + (c - '0')
+        if (recLen > payload.length) return None
+        i += 1
+      }
+      if (recLen <= 0 || pos + recLen > payload.length) return None
+      val rec = new String(payload, sp + 1,
+        pos + recLen.toInt - (sp + 1), "UTF-8")
       val eq = rec.indexOf('=')
       if (eq > 0 && rec.substring(0, eq) == key)
         return Some(rec.substring(eq + 1).stripSuffix("\n"))
-      pos += recLen
+      pos += recLen.toInt
     }
     None
+  }
+
+  /** POSIX header checksum: simple sum of the 512 header bytes with
+    * the checksum field read as 8 spaces. The spec sums UNSIGNED
+    * bytes; early implementations summed SIGNED chars, and readers
+    * conventionally accept both (a header with any byte >= 0x80 —
+    * base-256 fields, UTF-8 names — sums differently under the two).
+    */
+  private def checksumOk(b: Array[Byte], hdr: Int, stored: Long): Boolean = {
+    var u = 0L
+    var s = 0L
+    var i = 0
+    while (i < Block) {
+      val raw: Byte = if (i >= 148 && i < 156) ' '.toByte else b(hdr + i)
+      u += raw & 0xff
+      s += raw
+      i += 1
+    }
+    stored == u || stored == s
   }
 
   private def str(b: Array[Byte], off: Int, len: Int): String = {
@@ -114,6 +147,15 @@ object Tar {
           val size = octal(b, pos + 124, 12).getOrElse(return null)
           val mtime = octal(b, pos + 136, 12).getOrElse(return null)
           val chksum = octal(b, pos + 148, 8).getOrElse(return null)
+          // blank checksum field (all spaces/NULs): writer never filled
+          // it — skip verification; otherwise both sum conventions
+          var ckOff = pos + 148
+          var ckBlank = true
+          while (ckBlank && ckOff < pos + 156) {
+            if (b(ckOff) != ' ' && b(ckOff) != 0) ckBlank = false
+            ckOff += 1
+          }
+          if (!ckBlank && !checksumOk(b, pos, chksum)) return null
           val tf = b(pos + 156)
           // v7 marks regular files with NUL; normalize to '0'
           val typeFlag = if (tf == 0) '0' else tf.toChar
@@ -122,12 +164,19 @@ object Tar {
           val prefix = if (ustar) str(b, pos + 345, 155) else ""
           if (size < 0 || size > Int.MaxValue.toLong) return null
           val payloadStart = pos + Block
-          val payloadEnd = payloadStart + size.toInt
+          // bound in LONG: an octal size near 2^31 fits the 11-digit
+          // field, and adding it to payloadStart in Int overflows
+          // negative — passing the bound check and then throwing in
+          // copyOfRange, which would break the never-throw contract
+          val payloadEnd = payloadStart.toLong + size
           if (payloadEnd > b.length) return null
           val content =
-            java.util.Arrays.copyOfRange(b, payloadStart, payloadEnd)
-          val padded = ((size.toInt + Block - 1) / Block) * Block
-          pos = payloadStart + padded
+            java.util.Arrays.copyOfRange(b, payloadStart, payloadEnd.toInt)
+          val paddedEnd = payloadStart.toLong +
+            ((size + Block - 1) / Block) * Block
+          // truncated final padding: the member itself is complete —
+          // keep it, and land the cursor at EOF so the walk ends
+          pos = math.min(paddedEnd, b.length.toLong).toInt
           // metadata members (Python tarfile writes PAX by default;
           // GNU tar writes 'L'/'K' for >100-char names): consumed,
           // never surfaced as data entries

@@ -35,13 +35,27 @@ object HtmlFunctions {
   def stripTags(html: Column): Column =
     regexp_replace(html, "<[^>]*>", " ")
 
-  /** Collapse whitespace runs and trim — canonical text form. */
+  /** Collapse whitespace runs (ALL whitespace — tabs/CR/LF, plus the
+    * no-break space `&nbsp;` decodes to, which Java's `\s` excludes)
+    * to one space and trim — canonical text form.
+    */
   def squeeze(text: Column): Column =
-    trim(regexp_replace(text, " +", " "))
+    trim(regexp_replace(text, "[\\s\\u00A0]+", " "))
 
-  /** Full extraction: active blocks out, tags to spaces, squeezed. */
+  /** Decode HTML character references (named core set + numeric
+    * dec/hex, single pass — [[graft.plans.HtmlUnescapeKernel]]): runs
+    * AFTER tag stripping so `&lt;script&gt;` in page text stays text.
+    */
+  def decodeEntities(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.HtmlUnescape(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** Full extraction: active blocks out, tags to spaces, entities
+    * decoded, squeezed.
+    */
   def extractText(html: Column): Column =
-    squeeze(stripTags(stripActiveBlocks(html)))
+    squeeze(decodeEntities(stripTags(stripActiveBlocks(html))))
 
   /** Inner text of the &lt;title&gt; element ("" when absent). */
   def title(html: Column): Column =

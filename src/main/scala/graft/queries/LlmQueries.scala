@@ -2044,32 +2044,36 @@ object LlmQueries {
     // HTML -> training-text extraction (the crawl-pipeline pass before
     // any quality gate): wrap each doc in a deterministic page skeleton
     // (head with title/style/script, nav links varying per doc, main
-    // <p>, link footer), then run the real extraction — script/style
-    // blocks dropped WITH content, tags to spaces, whitespace squeezed,
-    // title + first-paragraph main block + link-density signals pulled
-    // out (functions/HtmlFunctions.scala). Patterns live in the
-    // Java/RE2 common subset so the oracle replays the extraction
-    // verbatim ('g' flag on DuckDB replaces, q79's dialect note);
+    // <p>, an entity-laden link footer — real pages carry &amp;/&copy;/
+    // &#NNN;/&nbsp; into extraction), then run the real extraction —
+    // script/style blocks dropped WITH content, tags to spaces,
+    // character references DECODED (plans/HtmlUnescapeExpression, the
+    // single-pass scanner), whitespace squeezed including the no-break
+    // space nbsp decodes to. Patterns live in the Java/RE2 common
+    // subset and the entity set is staged, so the oracle replays the
+    // extraction verbatim (replace chain with &amp; FIRST — no later
+    // pattern contains '&', so chain order equals single-pass here);
     // `recovered` pins that main-block extraction returns the original
-    // text EXACTLY — the invariant a training pipeline needs before it
-    // dares feed extraction output to a tokenizer.
+    // text EXACTLY, and title_text pins decode-after-extract layering
+    // (page_title stays RAW — title() itself never decodes).
     "q158_html_extract" -> Q(
       (s, d) => {
         import graft.functions.HtmlFunctions._
         val html = concat(
           lit("<html><head><title>doc "), col("doc_id"),
-          lit(" - "), col("source"),
+          lit(" &#8211; "), col("source"),
           lit("</title><style>.n{c:red}</style><script>var l=\""),
           col("lang"),
           lit("\";</script></head><body><div><a href=\"/\">home</a> "),
           expr("repeat('<a href=\"/t\">tag</a> ', CAST(doc_id % 4 AS INT))"),
           lit("</div><p>"), col("text"),
-          lit("</p><div><a href=\"/tos\">terms of service</a>" +
-            " copyright corp</div></body></html>"))
+          lit("</p><div><a href=\"/tos\">terms &amp; conditions</a>" +
+            " &copy; corp &#8212;&nbsp;2026</div></body></html>"))
         docs(s, d).select(col("doc_id"), col("text"), html.as("html"))
           .select(
             col("doc_id"),
             title(col("html")).as("page_title"),
+            squeeze(decodeEntities(title(col("html")))).as("title_text"),
             linkCount(col("html")).as("n_links"),
             linkTextLen(col("html")).as("link_text_len"),
             length(col("html")).cast("long").as("html_len"),
@@ -2079,30 +2083,39 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("""WITH h AS (SELECT doc_id, text,
-             |    '<html><head><title>doc ' || doc_id || ' - ' || source ||
+             |    '<html><head><title>doc ' || doc_id || ' &#8211; ' || source ||
              |    '</title><style>.n{c:red}</style><script>var l="' || lang ||
              |    '";</script></head><body><div><a href="/">home</a> ' ||
              |    repeat('<a href="/t">tag</a> ', CAST(doc_id % 4 AS INT)) ||
-             |    '</div><p>' || text || '</p><div><a href="/tos">terms of' ||
-             |    ' service</a> copyright corp</div></body></html>' AS html
-             |  FROM documents)
-             |SELECT doc_id,
-             |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS page_title,
+             |    '</div><p>' || text || '</p><div><a href="/tos">terms ' ||
+             |    '&amp; conditions</a> &copy; corp &#8212;&nbsp;2026' ||
+             |    '</div></body></html>' AS html
+             |  FROM documents),
+             |x AS (SELECT *,
+             |    regexp_extract(html, '<title>([^<]*)</title>', 1) AS ttl,
+             |    replace(replace(replace(replace(replace(
+             |      regexp_replace(regexp_replace(
+             |        html, '<(script|style)[^>]*>[\s\S]*?</(script|style)>',
+             |          ' ', 'g'), '<[^>]*>', ' ', 'g'),
+             |      '&amp;', '&'), '&copy;', chr(169)), '&#8212;', chr(8212)),
+             |      '&nbsp;', chr(160)), '&#8211;', chr(8211)) AS decoded
+             |  FROM h)
+             |SELECT doc_id, ttl AS page_title,
+             |  trim(regexp_replace(replace(ttl, '&#8211;', chr(8211)),
+             |    '[\s\x{00A0}]+', ' ', 'g')) AS title_text,
              |  CAST(len(regexp_extract_all(html, '<a [^>]*>')) AS BIGINT)
              |    AS n_links,
              |  CAST(length(list_aggregate(
              |    regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1),
              |    'string_agg', '')) AS BIGINT) AS link_text_len,
              |  CAST(length(html) AS BIGINT) AS html_len,
-             |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
-             |    html, '<(script|style)[^>]*>[\s\S]*?</(script|style)>', ' ',
-             |      'g'), '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')))
-             |    AS BIGINT) AS text_len,
+             |  CAST(length(trim(regexp_replace(decoded, '[\s\x{00A0}]+', ' ',
+             |    'g'))) AS BIGINT) AS text_len,
              |  CAST(length(regexp_extract(html, '<p>([\s\S]*?)</p>', 1))
              |    AS BIGINT) AS main_len,
              |  (regexp_extract(html, '<p>([\s\S]*?)</p>', 1) = text)
              |    AS recovered
-             |FROM h ORDER BY doc_id""".stripMargin)),
+             |FROM x ORDER BY doc_id""".stripMargin)),
 
     // URL canonicalization + registered-domain rollup (the crawl-dedup
     // key problem): synthesize per-doc URLs exercising every rule —

@@ -37,6 +37,45 @@ class HtmlFunctionsSpec extends AnyFunSuite {
     assert(run(h, HtmlFunctions.linkTextLen(_)) == ("home" + "about us").length.toLong)
   }
 
+  test("entity decoding: named, numeric dec/hex, single-pass double-escape") {
+    assert(run("Tom &amp; Jerry", HtmlFunctions.decodeEntities(_)) ==
+      "Tom & Jerry")
+    assert(run("&lt;b&gt;not markup&lt;/b&gt;", HtmlFunctions.decodeEntities(_)) ==
+      "<b>not markup</b>")
+    assert(run("caf&#233; / caf&#xE9; / caf&#xe9;", HtmlFunctions.decodeEntities(_)) ==
+      "café / café / café")
+    assert(run("em&#8212;dash &mdash; again", HtmlFunctions.decodeEntities(_)) ==
+      "em—dash — again")
+    // astral-plane numeric reference: surrogate pair emitted
+    assert(run("&#x1F600;", HtmlFunctions.decodeEntities(_)) ==
+      new String(Character.toChars(0x1F600)))
+    // single pass: double-escaped stays escaped by exactly one level
+    assert(run("&amp;lt;", HtmlFunctions.decodeEntities(_)) == "&lt;")
+    assert(run("&amp;amp;", HtmlFunctions.decodeEntities(_)) == "&amp;")
+  }
+
+  test("malformed references pass through verbatim, never throw") {
+    for (s <- Seq(
+      "&unknown;", "&amp", "5 &lt 6", "&;", "&#;", "&#x;",
+      "&#xD800;", "&#0;", "&#1114112;", "&#99999999;", "& amp;",
+      "a & b", "100% &&& done", "&" /* trailing lone ampersand */)) {
+      assert(run(s, HtmlFunctions.decodeEntities(_)) == s, s"input: $s")
+    }
+    // mixed: the valid reference decodes, the broken ones stay
+    assert(run("&amp; &bogus; &#xZZ;", HtmlFunctions.decodeEntities(_)) ==
+      "& &bogus; &#xZZ;")
+  }
+
+  test("squeeze collapses ALL whitespace including the decoded nbsp") {
+    val h = "<p>a\tb\r\nc&nbsp;d&#160;e</p>"
+    assert(run(h, HtmlFunctions.extractText(_)) == "a b c d e")
+  }
+
+  test("extraction decodes entities AFTER stripping, so escaped markup stays text") {
+    val h = "<p>use &lt;script&gt; tags &amp; enjoy</p>"
+    assert(run(h, HtmlFunctions.extractText(_)) == "use <script> tags & enjoy")
+  }
+
   test("pages without the elements degrade to empty, not error") {
     val h = "<div>no title no para no links</div>"
     assert(run(h, HtmlFunctions.title(_)) == "")
