@@ -1,0 +1,275 @@
+package graft.crawl
+
+import java.nio.charset.{Charset, CodingErrorAction}
+
+/** The HTTP message layer inside WARC `response` record payloads —
+  * what a real crawl actually stores is `HTTP/1.1 200 OK\r\nheaders
+  * \r\n\r\nbody`, not bare HTML, and ~15-20% of the web is not UTF-8.
+  * Two kernels under the same quarantine contract as [[Warc]]:
+  *
+  *  - [[parseResponse]] — RFC 9112's simple subset: status line,
+  *    header fields to the empty line, then the body, de-chunked when
+  *    `Transfer-Encoding: chunked` and truncated to `Content-Length`
+  *    when present. Malformed bytes → None, never a throw (a task
+  *    kill at 100 TB is a retry storm; a None is a rejects-table row).
+  *  - [[decodeCharset]] — the browser charset resolution order:
+  *    BOM > Content-Type `charset=` parameter > `<meta charset>` /
+  *    `<meta http-equiv>` sniff in the first 1024 bytes > UTF-8
+  *    default. Decoding NEVER fails: unmappable bytes become U+FFFD
+  *    and the replacement count is surfaced, so a lying charset label
+  *    degrades measurably instead of silently mojibaking the corpus.
+  *
+  * Per WHATWG encoding rules, `iso-8859-1`/`latin1`/`us-ascii` labels
+  * resolve to windows-1252 — the superset every browser actually
+  * decodes them as (0x80-0x9F are typographic characters on the real
+  * web, not C1 controls).
+  */
+object Http {
+
+  final case class HttpResponse(
+      statusCode: Int,
+      reason: String,
+      headers: Seq[(String, String)], // names lowercased, in order
+      body: Array[Byte])
+
+  final case class Decoded(text: String, charset: String, nReplaced: Int)
+
+  private val MaxLineBytes = 8192
+  private val MaxHeaders = 256
+
+  /** Index of the next CRLF at/after `from` (bounded scan), or -1. */
+  private def eol(b: Array[Byte], from: Int): Int = {
+    var i = from
+    val limit = math.min(b.length - 1, from + MaxLineBytes)
+    while (i < limit) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse one HTTP response message. None on malformed/truncated
+    * framing. The body is de-chunked / length-truncated as the
+    * framing headers direct; `Content-Encoding` is NOT undone here —
+    * compose with `gunzip_all`/`unzstd_all` downstream.
+    */
+  def parseResponse(b: Array[Byte]): Option[HttpResponse] = {
+    if (b == null || b.length < 12) return None
+    // ---- status line: HTTP/D.D SP 3DIGIT [SP reason] CRLF ----
+    val sEnd = eol(b, 0)
+    if (sEnd < 0) return None
+    val line = new String(b, 0, sEnd, "US-ASCII")
+    if (!line.startsWith("HTTP/")) return None
+    val sp1 = line.indexOf(' ')
+    if (sp1 < 0 || sp1 + 4 > line.length) return None
+    val codeStr = line.substring(sp1 + 1, sp1 + 4)
+    if (!codeStr.forall(c => c >= '0' && c <= '9')) return None
+    if (sp1 + 4 < line.length && line.charAt(sp1 + 4) != ' ') return None
+    val status = codeStr.toInt
+    val reason =
+      if (sp1 + 5 <= line.length) line.substring(math.min(sp1 + 5, line.length))
+      else ""
+    // ---- header fields until the empty line ----
+    var p = sEnd + 2
+    val headers = Seq.newBuilder[(String, String)]
+    var contentLength = -1L
+    var chunked = false
+    var guard = 0
+    while (guard <= MaxHeaders) {
+      guard += 1
+      val e = eol(b, p)
+      if (e < 0) return None
+      if (e == p) { // empty line: headers done, body follows
+        val bodyStart = p + 2
+        val raw =
+          if (chunked) dechunk(b, bodyStart).getOrElse(return None)
+          else java.util.Arrays.copyOfRange(b, bodyStart, b.length)
+        // Content-Length > available bytes = a truncated CAPTURE
+        // (WARC-Truncated territory — ubiquitous in real crawls):
+        // surface what was stored, don't quarantine data. CL shorter
+        // than available trims trailing junk per the header.
+        val body =
+          if (chunked || contentLength < 0 || contentLength > raw.length) raw
+          else java.util.Arrays.copyOfRange(raw, 0, contentLength.toInt)
+        return Some(HttpResponse(status, reason, headers.result(), body))
+      }
+      val hline = new String(b, p, e - p, "UTF-8")
+      val colon = hline.indexOf(':')
+      if (colon <= 0) return None // includes obs-fold continuations
+      val name = hline.substring(0, colon).trim.toLowerCase
+      if (name.exists(c => c <= ' ')) return None
+      val value = hline.substring(colon + 1).trim
+      headers += name -> value
+      name match {
+        case "content-length" =>
+          contentLength =
+            try value.toLong
+            catch { case _: NumberFormatException => return None }
+          if (contentLength < 0 || contentLength > Int.MaxValue) return None
+        case "transfer-encoding" =>
+          if (value.toLowerCase.split(",").map(_.trim).contains("chunked"))
+            chunked = true
+        case _ =>
+      }
+      p = e + 2
+    }
+    None // header count bomb
+  }
+
+  /** Decode chunked transfer coding from `from`: hex-size line (with
+    * optional `;ext`), chunk bytes, CRLF, repeat; 0-size chunk then
+    * trailer fields to the empty line end the body. None on malformed
+    * sizes, truncation, or a >256 MiB reassembly (bomb guard).
+    */
+  private def dechunk(b: Array[Byte], from: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    var p = from
+    var guard = 0
+    while (guard < (1 << 20)) {
+      guard += 1
+      val e = eol(b, p)
+      if (e < 0) return None
+      var sizeEnd = p
+      while (sizeEnd < e && b(sizeEnd) != ';' && b(sizeEnd) != ' ')
+        sizeEnd += 1
+      if (sizeEnd == p || sizeEnd - p > 8) return None
+      var size = 0L
+      var i = p
+      while (i < sizeEnd) {
+        val d = Character.digit(b(i).toChar, 16)
+        if (d < 0) return None
+        size = size * 16 + d
+        i += 1
+      }
+      if (out.size().toLong + size > (1L << 28)) return None // bomb
+      if (size == 0) {
+        // trailer section: consume fields until the empty line
+        var q = e + 2
+        var g2 = 0
+        while (g2 <= MaxHeaders) {
+          g2 += 1
+          val te = eol(b, q)
+          if (te < 0) return None
+          if (te == q) return Some(out.toByteArray)
+          q = te + 2
+        }
+        return None
+      }
+      val dataStart = e + 2
+      val dataEnd = dataStart.toLong + size
+      if (dataEnd + 2 > b.length) return None // chunk or its CRLF truncated
+      out.write(b, dataStart, size.toInt)
+      if (b(dataEnd.toInt) != '\r' || b(dataEnd.toInt + 1) != '\n') return None
+      p = dataEnd.toInt + 2
+    }
+    None
+  }
+
+  /** Resolve a charset LABEL to the Java charset actually used —
+    * WHATWG aliasing: the latin-1 family decodes as windows-1252.
+    * None for labels this engine doesn't ship (caller falls back).
+    */
+  def resolveLabel(label: String): Option[Charset] = {
+    val l = label.trim.toLowerCase.stripPrefix("\"").stripSuffix("\"")
+    l match {
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" =>
+        Some(java.nio.charset.StandardCharsets.UTF_8)
+      case "iso-8859-1" | "iso8859-1" | "iso_8859-1" | "latin1" | "latin-1" |
+           "l1" | "ascii" | "us-ascii" | "windows-1252" | "cp1252" |
+           "x-cp1252" | "ansi_x3.4-1968" =>
+        Some(Charset.forName("windows-1252"))
+      case "utf-16" | "utf-16le" => Some(Charset.forName("UTF-16LE"))
+      case "utf-16be" => Some(Charset.forName("UTF-16BE"))
+      case _ => None
+    }
+  }
+
+  /** Find `charset=LABEL` inside a Content-Type value. */
+  private def charsetParam(contentType: String): Option[String] = {
+    val lower = contentType.toLowerCase
+    val i = lower.indexOf("charset")
+    if (i < 0) return None
+    var p = i + "charset".length
+    while (p < contentType.length && contentType.charAt(p) == ' ') p += 1
+    if (p >= contentType.length || contentType.charAt(p) != '=') return None
+    p += 1
+    while (p < contentType.length && contentType.charAt(p) == ' ') p += 1
+    val quoted = p < contentType.length &&
+      (contentType.charAt(p) == '"' || contentType.charAt(p) == '\'')
+    val quote = if (quoted) contentType.charAt(p) else ' '
+    if (quoted) p += 1
+    val from = p
+    while (p < contentType.length && {
+      val c = contentType.charAt(p)
+      if (quoted) c != quote else c != ';' && c != ' '
+    }) p += 1
+    if (p == from) None else Some(contentType.substring(from, p))
+  }
+
+  /** Sniff `<meta charset="...">` / `<meta http-equiv=... content=
+    * "...charset=...">` in the first 1024 bytes (the prescan window
+    * browsers use), reading bytes as ASCII — charset labels are.
+    */
+  private def metaCharset(body: Array[Byte]): Option[String] = {
+    val n = math.min(body.length, 1024)
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) { // ASCII lowercase view; non-ASCII bytes -> '.'
+      val c = body(i) & 0xff
+      sb.append(if (c >= 128) '.' else Character.toLowerCase(c.toChar))
+      i += 1
+    }
+    val s = sb.toString
+    val ci = s.indexOf("charset")
+    if (ci < 0) return None
+    var p = ci + "charset".length
+    while (p < s.length && (s.charAt(p) == ' ' || s.charAt(p) == '=')) p += 1
+    if (p < s.length && (s.charAt(p) == '"' || s.charAt(p) == '\'')) p += 1
+    val from = p
+    while (p < s.length && (s.charAt(p).isLetterOrDigit ||
+      s.charAt(p) == '-' || s.charAt(p) == '_' || s.charAt(p) == '.')) p += 1
+    if (p == from) None else Some(s.substring(from, p))
+  }
+
+  /** Decode body bytes to text: BOM > Content-Type charset > meta
+    * sniff > UTF-8. Never fails — unmappable/malformed sequences
+    * decode to U+FFFD and are counted. Surfaces the RESOLVED charset
+    * name (so `iso-8859-1` reports as `windows-1252`).
+    */
+  def decodeCharset(body: Array[Byte], contentType: String): Decoded = {
+    if (body == null) return Decoded("", "utf-8", 0)
+    // ---- BOM wins over every label ----
+    val (payload, bomCs): (Array[Byte], Option[Charset]) =
+      if (body.length >= 3 && (body(0) & 0xff) == 0xEF &&
+        (body(1) & 0xff) == 0xBB && (body(2) & 0xff) == 0xBF)
+        (java.util.Arrays.copyOfRange(body, 3, body.length),
+          Some(java.nio.charset.StandardCharsets.UTF_8))
+      else if (body.length >= 2 && (body(0) & 0xff) == 0xFF &&
+        (body(1) & 0xff) == 0xFE)
+        (java.util.Arrays.copyOfRange(body, 2, body.length),
+          Some(Charset.forName("UTF-16LE")))
+      else if (body.length >= 2 && (body(0) & 0xff) == 0xFE &&
+        (body(1) & 0xff) == 0xFF)
+        (java.util.Arrays.copyOfRange(body, 2, body.length),
+          Some(Charset.forName("UTF-16BE")))
+      else (body, None)
+    val cs = bomCs
+      .orElse(Option(contentType).flatMap(charsetParam).flatMap(resolveLabel))
+      .orElse(metaCharset(payload).flatMap(resolveLabel))
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val text =
+      try dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
+      catch { case scala.util.control.NonFatal(_) =>
+        new String(payload, java.nio.charset.StandardCharsets.UTF_8) }
+    var nRep = 0
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == 0xFFFD.toChar) nRep += 1
+      i += 1
+    }
+    Decoded(text, cs.name().toLowerCase, nRep)
+  }
+}

@@ -160,6 +160,32 @@ object GraftExtensions {
         require(children.size == 1, "unzstd_all takes exactly 1 argument")
         UnzstdAll(children.head)
       }),
+    (FunctionIdentifier("http_parts"),
+      info("http_parts",
+        "http_parts(binary) - struct(status, reason, headers map, body) " +
+          "from an HTTP response message (chunked de-chunked, " +
+          "Content-Length trimmed); NULL on malformed framing"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "http_parts takes exactly 1 argument")
+        HttpParts(children.head)
+      }),
+    (FunctionIdentifier("decode_charset"),
+      info("decode_charset",
+        "decode_charset(binary, content_type) - struct(text, charset, " +
+          "n_replaced): BOM > charset= param > meta sniff > UTF-8, " +
+          "U+FFFD replacement counted"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "decode_charset takes exactly 2 arguments")
+        DecodeCharset(children(0), children(1))
+      }),
+    (FunctionIdentifier("html_unescape"),
+      info("html_unescape",
+        "html_unescape(string) - decode HTML character references " +
+          "(named core set + numeric dec/hex), single pass"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "html_unescape takes exactly 1 argument")
+        HtmlUnescape(children.head)
+      }),
     (FunctionIdentifier("tar_entries"),
       info("tar_entries",
         "tar_entries(binary) - array<struct(name, size, mtime, type_flag, " +

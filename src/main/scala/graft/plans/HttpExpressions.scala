@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.crawl.Http
+
+/** Native kernels for the HTTP message layer inside WARC payloads —
+  * same one-static-call codegen shape as [[WarcRecordsKernel]].
+  */
+object HttpPartsKernel {
+  def compute(bytes: Array[Byte]): GenericInternalRow =
+    Http.parseResponse(bytes) match {
+      case None => null
+      case Some(r) =>
+        // duplicate header names: last occurrence wins in the map form
+        // (the full ordered list is framing detail, not query surface)
+        val keys = r.headers.map(h => UTF8String.fromString(h._1): Any)
+        val vals = r.headers.map(h => UTF8String.fromString(h._2): Any)
+        new GenericInternalRow(Array[Any](
+          r.statusCode,
+          UTF8String.fromString(r.reason),
+          ArrayBasedMapData(keys.toArray, vals.toArray),
+          r.body))
+    }
+}
+
+object DecodeCharsetKernel {
+  def compute(body: Array[Byte], contentType: UTF8String): GenericInternalRow = {
+    val d = Http.decodeCharset(body,
+      if (contentType == null) null else contentType.toString)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(d.text),
+      UTF8String.fromString(d.charset),
+      d.nReplaced))
+  }
+}
+
+/** binary → struct(status, reason, headers map, body binary) | NULL:
+  * parse the HTTP response message a WARC `response` payload actually
+  * is ([[Http.parseResponse]] — RFC 9112 simple subset, chunked
+  * de-chunking, Content-Length trim). NULL on malformed framing —
+  * quarantine, never a task kill.
+  */
+case class HttpParts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("reason", StringType, nullable = false),
+    StructField("headers", MapType(StringType, StringType,
+      valueContainsNull = false), nullable = false),
+    StructField("body", BinaryType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"http_parts requires binary, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HttpPartsKernel.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.HttpPartsKernel$$.MODULE$$.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): HttpParts =
+    copy(child = newChild)
+  override def prettyName: String = "http_parts"
+}
+
+/** (binary, string) → struct(text, charset, n_replaced): decode body
+  * bytes by the browser resolution order — BOM > Content-Type charset
+  * parameter (2nd argument, nullable) > meta-tag sniff > UTF-8 —
+  * with U+FFFD replacement COUNTED, so a lying label degrades
+  * measurably instead of silently mojibaking ([[Http.decodeCharset]]).
+  */
+case class DecodeCharset(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("charset", StringType, nullable = false),
+    StructField("n_replaced", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"decode_charset requires (binary, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  // the CONTENT-TYPE side is legitimately null (header absent) — only
+  // a null body nulls the result, so eval is hand-rolled
+  override def nullable: Boolean = left.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = left.eval(input)
+    if (b == null) null
+    else DecodeCharsetKernel.compute(b.asInstanceOf[Array[Byte]],
+      right.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${rightGen.code}
+          ${ev.value} = graft.plans.DecodeCharsetKernel$$.MODULE$$.compute(
+            ${leftGen.value},
+            ${rightGen.isNull} ? null : ${rightGen.value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecodeCharset =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "decode_charset"
+}

@@ -4788,23 +4788,35 @@ object LlmQueries {
           lit("</div><p>"), col("text"),
           lit("</p><div><a href=\"/tos\">terms of service</a>" +
             " copyright corp</div></body></html>"))
+        // the payload is a full HTTP response message (what a real
+        // crawl stores — WARC Content-Type application/http), so the
+        // chain exercises http_parts + decode_charset before
+        // extraction ever sees markup
+        val httpMsg = concat(
+          lit("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=utf-8\r\nContent-Length: "),
+          octet_length(col("html")), lit("\r\n\r\n"), col("html"))
         val r1 = concat(
           lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
           col("doc_id"), lit(">\r\nWARC-Target-URI: https://crawl.test/"),
           col("source"), lit("/"), col("doc_id"),
           lit("\r\nWARC-Date: 2026-08-16T00:00:00Z\r\n" +
-            "Content-Type: text/html\r\nContent-Length: "),
-          octet_length(col("html")), lit("\r\n\r\n"), col("html"),
+            "Content-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "),
+          octet_length(col("http_msg")), lit("\r\n\r\n"), col("http_msg"),
           lit("\r\n\r\n"))
         val chain = docs(s, d)
           .select(col("doc_id"), col("source"), col("lang"), col("text"))
           .withColumn("html", html)
+          .withColumn("http_msg", httpMsg)
           .withColumn("r1", r1)
           .withColumn("inflated", expr("gunzip_all(gzip_bytes(encode(r1, 'utf-8')))"))
           .withColumn("doc_sum", md5(hex(col("inflated"))))
           .withColumn("rec", expr("element_at(warc_records(inflated), 1)"))
+          .withColumn("h", expr("http_parts(rec.content)"))
           .select(col("doc_id"), col("source"), col("doc_sum"),
-            HtmlFunctions.mainBlock(expr("decode(rec.content, 'utf-8')"))
+            HtmlFunctions.mainBlock(expr(
+              "decode_charset(h.body, element_at(h.headers, 'content-type')).text"))
               .as("text"))
         // The gate is CONDITIONAL AGGREGATION, not a Filter, on
         // purpose: a Filter above this projection gets pushed BELOW
@@ -4836,6 +4848,13 @@ object LlmQueries {
              |    '</div><p>' || text || '</p><div><a href="/tos">terms of' ||
              |    ' service</a> copyright corp</div></body></html>' AS html
              |  FROM documents),
+             |hm AS (SELECT doc_id, source,
+             |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+             |    'Content-Type: text/html; charset=utf-8' || chr(13) ||
+             |      chr(10) ||
+             |    'Content-Length: ' || CAST(strlen(html) AS VARCHAR) ||
+             |      chr(13) || chr(10) || chr(13) || chr(10) || html AS http_msg
+             |  FROM h),
              |w AS (SELECT doc_id, source,
              |    md5(hex(encode(
              |      'WARC/1.0' || chr(13) || chr(10) ||
@@ -4845,12 +4864,13 @@ object LlmQueries {
              |      'WARC-Target-URI: https://crawl.test/' || source || '/' ||
              |        CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
              |      'WARC-Date: 2026-08-16T00:00:00Z' || chr(13) || chr(10) ||
-             |      'Content-Type: text/html' || chr(13) || chr(10) ||
-             |      'Content-Length: ' || CAST(strlen(html) AS VARCHAR) ||
+             |      'Content-Type: application/http;msgtype=response' ||
+             |        chr(13) || chr(10) ||
+             |      'Content-Length: ' || CAST(strlen(http_msg) AS VARCHAR) ||
              |        chr(13) || chr(10) || chr(13) || chr(10) ||
-             |        html || chr(13) || chr(10) || chr(13) || chr(10))))
+             |        http_msg || chr(13) || chr(10) || chr(13) || chr(10))))
              |      AS doc_sum
-             |  FROM h)
+             |  FROM hm)
              |SELECT d.source, k.lang_id,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(k.n_tokens) AS BIGINT) AS tok_total,
@@ -5111,6 +5131,128 @@ object LlmQueries {
              |    CAST(doc_id AS VARCHAR) AS target_uri,
              |  CAST(strlen(text) AS BIGINT) AS content_length,
              |  text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // HTTP MESSAGE LAYER + CHARSET DECODE — what a WARC response
+    // payload actually holds: `HTTP/1.1 200 OK\r\nheaders\r\n\r\nbody`
+    // in a charset that is UTF-8 only ~80% of the time. Six staged
+    // classes (doc_id % 6) exercise the full browser resolution order
+    // end to end through the REAL chain (gzip_bytes → gunzip_all →
+    // warc_records → http_parts → decode_charset): UTF-8 labeled,
+    // windows-1252 labeled (high bytes -> typographic chars), label
+    // only in a <meta charset> tag (iso-8859-1 -> 1252 per WHATWG),
+    // BOM with no Content-Type header at all, chunked transfer coding
+    // (de-chunk then decode), and a LYING utf-8 label over 1252 bytes
+    // (U+FFFD replacement COUNTED — mojibake is measured, never
+    // silent). Bodies are staged in hex so non-UTF-8 bytes exist at
+    // all (a String can't hold raw 1252); every surfaced field is
+    // predicted closed-form by the oracle from the same staging
+    // arithmetic — byte counts via strlen/octet_length, decoded text
+    // via chr() codepoints.
+    "q250_http_charset_decode" -> Q(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        val docsDf = docs(s, d).select(col("doc_id"), col("source"),
+          col("text"))
+          .withColumn("c", expr("CAST(doc_id % 6 AS INT)"))
+        val crlf = "\r\n"
+        // HTTP message per class: ASCII prefix hex'd + raw body hex
+        val msgHex = expr(
+          "CASE c " +
+            // utf-8 label; body = text + ' — café' (10 utf-8 bytes)
+            "WHEN 0 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=utf-8', cr, " +
+            "  'Server: graft/1.0', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 10 AS STRING), " +
+            "  cr, cr, text)), '20e2809420636166c3a9') " +
+            // 1252 label; body = text + 93 85 e9 94 -> curly/ellipsis/é
+            "WHEN 1 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=windows-1252', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 4 AS STRING), " +
+            "  cr, cr, text)), '9385e994') " +
+            // no header label; <meta charset=\"iso-8859-1\"> + E9 byte
+            "WHEN 2 THEN concat(hex(concat('HTTP/1.1 404 Not Found', cr, " +
+            "  'Content-Type: text/html', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 28 AS STRING), " +
+            "  cr, cr, '<meta charset=\"iso-8859-1\">', text)), 'e9') " +
+            // UTF-8 BOM, no Content-Type header at all
+            "WHEN 3 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 3 AS STRING), " +
+            "  cr, cr)), 'efbbbf', hex(text)) " +
+            // chunked transfer coding: 16-byte chunk + remainder chunk
+            "WHEN 4 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/plain; charset=utf-8', cr, " +
+            "  'Transfer-Encoding: chunked', cr, cr, " +
+            "  '10', cr, substring(text, 1, 16), cr, " +
+            "  format_string('%x', octet_length(text) - 16), cr, " +
+            "  substring(text, 17), cr, '0', cr, cr)) " +
+            // lying utf-8 label over a 1252 byte: replacement counted
+            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=utf-8', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 1 AS STRING), " +
+            "  cr, cr, text)), '93') END")
+        val chain = docsDf
+          .withColumn("cr", lit(crlf))
+          .withColumn("msg_hex", msgHex)
+          .withColumn("rec", expr(
+            "unhex(concat(hex(concat('WARC/1.0', cr, " +
+              "'WARC-Type: response', cr, " +
+              "'WARC-Record-ID: <urn:uuid:doc-', CAST(doc_id AS STRING), " +
+              "'>', cr, " +
+              "'WARC-Target-URI: https://crawl.test/', source, '/', " +
+              "CAST(doc_id AS STRING), cr, " +
+              "'Content-Length: ', " +
+              "CAST(length(msg_hex) / 2 AS BIGINT), cr, cr)), " +
+              "msg_hex, hex(concat(cr, cr))))"))
+          .withColumn("inflated", expr("gunzip_all(gzip_bytes(rec))"))
+          .withColumn("w", expr("element_at(warc_records(inflated), 1)"))
+          .withColumn("h", expr("http_parts(w.content)"))
+          .withColumn("dd", expr(
+            "decode_charset(h.body, element_at(h.headers, 'content-type'))"))
+        chain.select(col("doc_id"),
+            expr("CAST(h.status AS BIGINT)").as("status"),
+            col("h.reason").as("reason"),
+            expr("CAST(size(h.headers) AS BIGINT)").as("n_headers"),
+            expr("element_at(h.headers, 'content-type')").as("content_type"),
+            expr("CAST(octet_length(h.body) AS BIGINT)").as("body_len"),
+            col("dd.text").as("text_out"),
+            col("dd.charset").as("charset"),
+            expr("CAST(dd.n_replaced AS BIGINT)").as("n_replaced"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 6 = 2 THEN 404 ELSE 200 END AS BIGINT)
+             |    AS status,
+             |  CASE WHEN doc_id % 6 = 2 THEN 'Not Found' ELSE 'OK' END
+             |    AS reason,
+             |  CAST(CASE doc_id % 6 WHEN 0 THEN 3 WHEN 3 THEN 1
+             |    ELSE 2 END AS BIGINT) AS n_headers,
+             |  CASE doc_id % 6
+             |    WHEN 0 THEN 'text/html; charset=utf-8'
+             |    WHEN 1 THEN 'text/html; charset=windows-1252'
+             |    WHEN 2 THEN 'text/html'
+             |    WHEN 3 THEN NULL
+             |    WHEN 4 THEN 'text/plain; charset=utf-8'
+             |    ELSE 'text/html; charset=utf-8' END AS content_type,
+             |  CAST(CASE doc_id % 6
+             |    WHEN 0 THEN strlen(text) + 10
+             |    WHEN 1 THEN strlen(text) + 4
+             |    WHEN 2 THEN strlen(text) + 28
+             |    WHEN 3 THEN strlen(text) + 3
+             |    WHEN 4 THEN strlen(text)
+             |    ELSE strlen(text) + 1 END AS BIGINT) AS body_len,
+             |  CASE doc_id % 6
+             |    WHEN 0 THEN text || ' ' || chr(8212) || ' caf' || chr(233)
+             |    WHEN 1 THEN text || chr(8220) || chr(8230) || chr(233)
+             |      || chr(8221)
+             |    WHEN 2 THEN '<meta charset="iso-8859-1">' || text || chr(233)
+             |    WHEN 3 THEN text
+             |    WHEN 4 THEN text
+             |    ELSE text || chr(65533) END AS text_out,
+             |  CASE WHEN doc_id % 6 IN (1, 2) THEN 'windows-1252'
+             |    ELSE 'utf-8' END AS charset,
+             |  CAST(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS n_replaced
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Index COMPACTION parity: flat-append band indexes accumulate a

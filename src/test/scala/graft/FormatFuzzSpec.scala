@@ -25,6 +25,9 @@ class FormatFuzzSpec extends AnyFunSuite {
     Tar.entries(b).foreach(_ => ())
     Warc.gunzipAll(b)
     Codecs.unzstdAll(b)
+    graft.crawl.Http.parseResponse(b)
+    graft.crawl.Http.decodeCharset(b, "text/html; charset=utf-8")
+    graft.crawl.Http.decodeCharset(b, null)
   }
 
   test("random garbage: every parser quarantines, none throws") {
@@ -49,6 +52,9 @@ class FormatFuzzSpec extends AnyFunSuite {
         "b.bin" -> Array.tabulate(64)(_.toByte))),
       ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <a>\r\n" +
         "Content-Length: 5\r\n\r\nhello\r\n\r\n").getBytes("UTF-8"),
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n6\r\nchunk1\r\n0\r\n\r\n")
+        .getBytes("UTF-8"),
       Warc.gzip(("payload " * 100).getBytes("UTF-8")),
       Codecs.zstd(("payload " * 100).getBytes("UTF-8")))
     for (base <- valid; _ <- 0 until 60) {
