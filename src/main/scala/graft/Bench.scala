@@ -114,6 +114,7 @@ object Bench {
       .config("spark.network.timeout", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 

@@ -29,6 +29,9 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native SQL functions + the null-guard pruning optimizer rule --
+    // idempotent, so repeated getOrCreate callers are safe
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q83_...,q85_... restricts the dump to a subset —
     // same iteration knob as Bench's (full runs leave it unset)

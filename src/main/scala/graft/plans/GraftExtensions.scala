@@ -22,6 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the optimizer rule making the custom node transparent to pruning
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinPruningRule)
+    // drop optimizer-inferred IsNotNull guards that re-evaluate a
+    // derived expression a sibling predicate already null-rejects,
+    // then hoist any still-duplicated expensive filter predicate into
+    // a project below the filter (single evaluation per row)
+    ext.injectOptimizerRule(_ => PruneRedundantNullGuards)
+    ext.injectOptimizerRule(_ => HoistExpensiveFilterPredicates)
   }
 }
 
@@ -205,8 +211,14 @@ object GraftExtensions {
     * notebooks/REPLs where `getOrCreate()` would silently ignore
     * `withExtensions` because the session exists. Idempotent.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    Seq(PruneRedundantNullGuards, HoistExpensiveFilterPredicates).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
+  }
 }

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Levenshtein, NamedExpression, RegExpExtract, RegExpExtractAll, RegExpReplace}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Hoist an expensive expression that appears MORE THAN ONCE inside a
+  * Filter condition into a Project below the Filter, replacing every
+  * occurrence with one attribute reference.
+  *
+  * Why this exists: PushDownPredicates substitutes a derived alias
+  * into every predicate leg that references it, so a quality gate like
+  * `n_tokens BETWEEN … AND alpha_ratio >= … AND top_bigram_frac <= …`
+  * over signals derived from one tokenization chain becomes a Filter
+  * that re-evaluates that chain once per leg (8× for the q48 gate;
+  * the q245 incident measured 16× on a gzip→parse→extract chain).
+  * Filter predicates evaluate with short-circuit semantics, which
+  * blocks reliable common-subexpression elimination — so the
+  * duplication is real per-row work. After hoisting, the chain runs
+  * once per row in the Project (where codegen-level subexpression
+  * elimination also applies across hoisted aliases), and the Filter
+  * tests cheap attribute references.
+  *
+  * Trade-off, documented: hoisting evaluates the expression on every
+  * row, including rows a cheap earlier conjunct would have
+  * short-circuited past. It therefore only fires on expressions that
+  * appear ≥2 times — which could not be skipped more than once anyway.
+  *
+  * Runs in `spark.experimental.extraOptimizations` (after the main
+  * optimizer's pushdown fixed point); idempotent, so the user-batch
+  * fixed point terminates immediately on the second pass.
+  */
+object HoistExpensiveFilterPredicates extends Rule[LogicalPlan] {
+
+  /** The per-node cost anchors worth hoisting: graft native kernels
+    * (codec/parse/shingle/hash chains) and the built-in heavyweights.
+    * Must stay in sync with PlanAudit's audit-side definition.
+    */
+  private def isExpensiveNode(e: Expression): Boolean =
+    e.getClass.getName.startsWith("graft.plans.") ||
+      e.isInstanceOf[RegExpReplace] || e.isInstanceOf[RegExpExtract] ||
+      e.isInstanceOf[RegExpExtractAll] || e.isInstanceOf[Levenshtein]
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      // hoistable = deterministic and computable from the child's
+      // output alone (an expression under a higher-order-function
+      // lambda references lambda variables and cannot move)
+      val dup = cond.collect {
+        case e if isExpensiveNode(e) && e.deterministic &&
+          e.references.subsetOf(child.outputSet) => e
+      }.groupBy(_.canonicalized).values
+        .collect { case es if es.size >= 2 => es.head }
+        .toSeq
+        // outermost-first: replacing a larger duplicated subtree first
+        // removes the smaller duplicates nested inside its occurrences
+        .sortBy(e => (-e.collect { case x => x }.size, e.toString))
+      if (dup.isEmpty) f
+      else {
+        val aliases = dup.zipWithIndex.map { case (e, i) =>
+          Alias(e, s"__hoisted_$i")()
+        }
+        val byCanon: Map[Expression, Attribute] =
+          dup.zip(aliases).map { case (e, a) =>
+            e.canonicalized -> a.toAttribute
+          }.toMap
+        val newCond = cond.transformDown {
+          case e if byCanon.contains(e.canonicalized) => byCanon(e.canonicalized)
+        }
+        val below = Project(
+          child.output.map(a => a: NamedExpression) ++ aliases, child)
+        Project(f.output.map(a => a: NamedExpression),
+          Filter(newCond, below))
+      }
+  }
+}

@@ -5255,6 +5255,232 @@ object LlmQueries {
              |    AS n_replaced
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // CRAWL → CURATED-TRAINING-SET CAPSTONE: the entire 100-TB
+    // pipeline in one oracle-gated query, crawl BYTES in, token-
+    // budgeted training set out. Ingest tier: documents staged as
+    // HTML pages inside full HTTP responses inside gzipped WARC
+    // records (q250's realism), packed into bounded (bucket) .warc.gz
+    // shards, then gunzip_all → warc_records → http_parts →
+    // decode_charset → main-content extraction. The extracted corpus
+    // LANDS in a parquet table — the ingest/curation job boundary
+    // every production pipeline has, and the materialization point
+    // that keeps the curation tier's filters over SCAN columns (the
+    // derived-text pushdown trap q245 pinned cannot reach across a
+    // write). Curation tier: q48 quality gate → exact content dedup →
+    // exact-Jaccard near-dup families (min-id survivor) → token-
+    // budget strict prefix (q218's two-phase cumsum, quality-ranked).
+    // One oracle replays gate → dedup closure → literal-window budget
+    // over the SAME documents (extraction recovers text byte-exactly,
+    // pinned standalone by q158/q245), so a defect in ANY tier —
+    // codec, record walk, HTTP split, charset, extraction, gate,
+    // pairing, closure, cumsum — moves the final training set.
+    "q251_crawl_capstone" -> Q(
+      (s, d) => {
+        import graft.functions.HtmlFunctions
+        graft.plans.GraftExtensions.register(s)
+        val root = graft.queries.Scratch.dir("graft-q251-capstone")
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id"),
+          lit(" - "), col("source"),
+          lit("</title><style>.n{c:red}</style><script>var l=\""),
+          col("lang"),
+          lit("\";</script></head><body><div><a href=\"/\">home</a> "),
+          expr("repeat('<a href=\"/t\">tag</a> ', CAST(doc_id % 4 AS INT))"),
+          lit("</div><p>"), col("text"),
+          lit("</p><div><a href=\"/tos\">terms &amp; conditions</a>" +
+            " &copy; corp</div></body></html>"))
+        val httpMsg = concat(
+          lit("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=utf-8\r\nContent-Length: "),
+          octet_length(col("html")), lit("\r\n\r\n"), col("html"))
+        val r1 = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
+          col("doc_id"), lit(">\r\nWARC-Target-URI: https://crawl.test/"),
+          col("source"), lit("/"), col("doc_id"),
+          lit("\r\nContent-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "),
+          octet_length(col("http_msg")), lit("\r\n\r\n"), col("http_msg"),
+          lit("\r\n\r\n"))
+        val shards = docs(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .withColumn("html", html)
+          .withColumn("http_msg", httpMsg)
+          .withColumn("r1", r1)
+          .withColumn("gzh", expr("hex(gzip_bytes(encode(r1, 'utf-8')))"))
+          .groupBy(pmod(col("doc_id"), lit(8)).as("bucket"))
+          .agg(expr("unhex(concat_ws('', sort_array(collect_list(gzh))))")
+            .as("media"))
+        shards
+          .select(expr("inline(warc_records(gunzip_all(media)))"))
+          .withColumn("h", expr("http_parts(content)"))
+          .select(
+            expr("CAST(regexp_extract(record_id, 'doc-(\\\\d+)', 1) " +
+              "AS BIGINT)").as("doc_id"),
+            HtmlFunctions.mainBlock(expr(
+              "decode_charset(h.body, element_at(h.headers, " +
+                "'content-type')).text")).as("text"))
+          .write.mode("overwrite").parquet(s"$root/corpus")
+        val corpus = s.read.parquet(s"$root/corpus")
+        val gated = graft.llm.TextPipeline.qualityFilter(corpus, "text")
+        val exact = Dedup.exactByContent(gated, "doc_id", Seq("text"))
+        val pairs = NGramJaccard
+          .similarPairs(exact, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+        val surv = Dedup.byNearDupPairs(exact, "doc_id", pairs)
+        graft.llm.TokenBudget.fill(surv, "doc_id",
+            col("n_tokens"), col("alpha_ratio"), budget = 6000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $gateCtes,
+              |keptt AS (SELECT k.*, d.text FROM kept k
+              |  JOIN documents d USING (doc_id)),
+              |exd AS (SELECT doc_id, lang_id, n_tokens, alpha_ratio, text
+              |  FROM (
+              |    SELECT k.*, row_number() OVER (
+              |      PARTITION BY coalesce(text, chr(1)) ORDER BY doc_id) AS rn
+              |    FROM keptt k) t WHERE rn = 1),
+              |${jaccardPairsCtesFrom("exd")},
+              |pr AS (SELECT id_a, id_b FROM sc WHERE jaccard >= 0.5),
+              |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+              |          UNION SELECT id_b, id_a FROM pr),
+              |reach(u, v) AS (SELECT u, v FROM edges
+              |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |comp AS (SELECT u AS doc_id, least(u, min(v)) AS group_id
+              |         FROM reach GROUP BY u),
+              |final AS (SELECT * FROM exd WHERE doc_id NOT IN
+              |  (SELECT doc_id FROM comp WHERE group_id <> doc_id)),
+              |cum AS (SELECT doc_id, n_tokens,
+              |    sum(n_tokens) OVER (ORDER BY (1.0 - alpha_ratio), doc_id
+              |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              |  FROM final)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+              |FROM cum WHERE cum_tokens <= 6000
+              |ORDER BY doc_id""".stripMargin)),
+
+    // The capstone under STREAMING ARRIVAL — same pipeline, but the
+    // ingest tier runs as shard files arriving one per microbatch
+    // (q249's protocol: foreachBatch lands each batch's EXTRACTED
+    // text into an idempotent batch=N directory — re-delivery
+    // overwrites, never duplicates), and the curation tier then runs
+    // BATCH over the landed corpus. This is the production shape:
+    // crawl dumps trickle in and are parsed/extracted incrementally;
+    // curation (dedup families, budgets) is a periodic batch job over
+    // the accumulated corpus, because near-dup survivor selection is
+    // a GLOBAL decision no per-arrival gate can make. Same oracle as
+    // q251: the final training set must be byte-identical whether the
+    // shards arrived in one batch scan or four microbatches.
+    "q252_stream_crawl_capstone" -> Q(
+      (s, d) => {
+        import graft.functions.HtmlFunctions
+        graft.plans.GraftExtensions.register(s)
+        val root = graft.queries.Scratch.dir("graft-q252-capstone")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id"),
+          lit(" - "), col("source"),
+          lit("</title><style>.n{c:red}</style><script>var l=\""),
+          col("lang"),
+          lit("\";</script></head><body><div><a href=\"/\">home</a> "),
+          expr("repeat('<a href=\"/t\">tag</a> ', CAST(doc_id % 4 AS INT))"),
+          lit("</div><p>"), col("text"),
+          lit("</p><div><a href=\"/tos\">terms &amp; conditions</a>" +
+            " &copy; corp</div></body></html>"))
+        val httpMsg = concat(
+          lit("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=utf-8\r\nContent-Length: "),
+          octet_length(col("html")), lit("\r\n\r\n"), col("html"))
+        val r1 = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
+          col("doc_id"), lit(">\r\nWARC-Target-URI: https://crawl.test/"),
+          col("source"), lit("/"), col("doc_id"),
+          lit("\r\nContent-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "),
+          octet_length(col("http_msg")), lit("\r\n\r\n"), col("http_msg"),
+          lit("\r\n\r\n"))
+        val shards = docs(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            pmod(col("doc_id"), lit(4)).as("bucket"))
+          .withColumn("html", html)
+          .withColumn("http_msg", httpMsg)
+          .withColumn("r1", r1)
+          .withColumn("gzh", expr("hex(gzip_bytes(encode(r1, 'utf-8')))"))
+          .groupBy(col("bucket"))
+          .agg(expr("unhex(concat_ws('', sort_array(collect_list(gzh))))")
+            .as("media"))
+        shards.collect().foreach { row =>
+          val b = row.getAs[Long]("bucket")
+          val p = s"$src/shard-$b.parquet"
+          val one = s.createDataFrame(
+            java.util.Arrays.asList(row), shards.schema)
+          one.coalesce(1).write.mode("overwrite").parquet(p)
+          new java.io.File(p).listFiles()
+            .foreach(_.setLastModified(1000000L * (b + 1)))
+          new java.io.File(p).setLastModified(1000000L * (b + 1))
+        }
+        s.readStream
+          .schema("bucket LONG, media BINARY")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            b.select(expr("inline(warc_records(gunzip_all(media)))"))
+              .withColumn("h", expr("http_parts(content)"))
+              .select(
+                expr("CAST(regexp_extract(record_id, 'doc-(\\\\d+)', 1) " +
+                  "AS BIGINT)").as("doc_id"),
+                HtmlFunctions.mainBlock(expr(
+                  "decode_charset(h.body, element_at(h.headers, " +
+                    "'content-type')).text")).as("text"))
+              .write.mode("overwrite").parquet(s"$root/corpus/batch=$bid")
+          }
+          .start().awaitTermination()
+        val batches = Option(new java.io.File(s"$root/corpus").listFiles())
+          .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))
+          .getOrElse(0)
+        require(batches == 4, s"expected 4 delivered microbatches, got $batches")
+        val corpus = s.read.parquet(s"$root/corpus")
+          .select("doc_id", "text")
+        val gated = graft.llm.TextPipeline.qualityFilter(corpus, "text")
+        val exact = Dedup.exactByContent(gated, "doc_id", Seq("text"))
+        val pairs = NGramJaccard
+          .similarPairs(exact, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+        val surv = Dedup.byNearDupPairs(exact, "doc_id", pairs)
+        graft.llm.TokenBudget.fill(surv, "doc_id",
+            col("n_tokens"), col("alpha_ratio"), budget = 6000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $gateCtes,
+              |keptt AS (SELECT k.*, d.text FROM kept k
+              |  JOIN documents d USING (doc_id)),
+              |exd AS (SELECT doc_id, lang_id, n_tokens, alpha_ratio, text
+              |  FROM (
+              |    SELECT k.*, row_number() OVER (
+              |      PARTITION BY coalesce(text, chr(1)) ORDER BY doc_id) AS rn
+              |    FROM keptt k) t WHERE rn = 1),
+              |${jaccardPairsCtesFrom("exd")},
+              |pr AS (SELECT id_a, id_b FROM sc WHERE jaccard >= 0.5),
+              |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+              |          UNION SELECT id_b, id_a FROM pr),
+              |reach(u, v) AS (SELECT u, v FROM edges
+              |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |comp AS (SELECT u AS doc_id, least(u, min(v)) AS group_id
+              |         FROM reach GROUP BY u),
+              |final AS (SELECT * FROM exd WHERE doc_id NOT IN
+              |  (SELECT doc_id FROM comp WHERE group_id <> doc_id)),
+              |cum AS (SELECT doc_id, n_tokens,
+              |    sum(n_tokens) OVER (ORDER BY (1.0 - alpha_ratio), doc_id
+              |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              |  FROM final)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+              |FROM cum WHERE cum_tokens <= 6000
+              |ORDER BY doc_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW

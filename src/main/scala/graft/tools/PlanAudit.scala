@@ -1,6 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, Levenshtein, RegExpExtract, RegExpExtractAll, RegExpReplace}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
@@ -99,8 +101,60 @@ object PlanAudit {
       totalNodes = nodes.size)
   }
 
+  /** One duplicated-expensive-predicate finding: the same expensive
+    * subtree appears `occurrences` times inside ONE Filter condition.
+    */
+  case class DuplicatedExpensiveFilter(
+      expression: String,
+      occurrences: Int,
+      condition: String)
+
+  /** Is this node itself an expensive kernel — a graft native
+    * expression (codec/parse/shingle/hash chains) or one of the
+    * built-in heavyweights (regexp engines, edit distance)? The cost
+    * model is per-NODE, not per-subtree: the duplicated unit the
+    * pushdown trap re-evaluates is always anchored at one of these.
+    */
+  private def isExpensiveNode(e: Expression): Boolean =
+    e.getClass.getName.startsWith("graft.plans.") ||
+      e.isInstanceOf[RegExpReplace] || e.isInstanceOf[RegExpExtract] ||
+      e.isInstanceOf[RegExpExtractAll] || e.isInstanceOf[Levenshtein]
+
+  /** The derived-column pushdown trap, detected mechanically: a
+    * `.filter()` above a Project deriving an expensive column gets
+    * pushed BELOW it by PushDownPredicates, which substitutes the
+    * alias into every predicate leg — so the optimized plan holds a
+    * Filter whose condition contains the SAME expensive subtree once
+    * per leg, and the whole derivation chain re-executes per leg
+    * (measured 16× on q245's gzip→parse→extract gate before it was
+    * rewritten as conditional aggregation). Boolean short-circuiting
+    * blocks common-subexpression elimination inside Filter conditions,
+    * so the duplication is real work, not a codegen artifact.
+    *
+    * Flags every Filter in the OPTIMIZED logical plan whose condition
+    * contains ≥2 canonically-identical expensive nodes. Fix shapes:
+    * conditional aggregation (q245), or materializing the derivation
+    * at a job boundary before filtering (q251's landed corpus).
+    */
+  def duplicatedExpensiveFilters(df: DataFrame): Seq[DuplicatedExpensiveFilter] = {
+    def safeSql(e: Expression): String =
+      try e.sql catch { case scala.util.control.NonFatal(_) => e.toString }
+    df.queryExecution.optimizedPlan.collect {
+      case f: Filter =>
+        f.condition.collect {
+          case e if isExpensiveNode(e) => e
+        }
+          .groupBy(_.canonicalized)
+          .collect { case (_, os) if os.size >= 2 =>
+            DuplicatedExpensiveFilter(safeSql(os.head), os.size,
+              safeSql(f.condition))
+          }
+    }.flatten
+  }
+
   /** CI-style gate: throws with the offending plan when a quadratic
-    * join shape is present.
+    * join shape or a duplicated-expensive-predicate Filter (the
+    * derived-column pushdown trap) is present.
     */
   def assertScaleSafe(df: DataFrame): PlanReport = {
     val report = audit(df)
@@ -108,6 +162,12 @@ object PlanAudit {
       s"plan contains ${report.nestedLoopJoins} nested-loop and " +
         s"${report.cartesianProducts} cartesian joins:\n" +
         df.queryExecution.executedPlan.toString)
+    val dups = duplicatedExpensiveFilters(df)
+    require(dups.isEmpty,
+      s"plan re-evaluates an expensive expression across Filter " +
+        s"predicate legs (the derived-column pushdown trap — express " +
+        s"the gate as conditional aggregation or materialize first):\n" +
+        dups.map(d => s"  ${d.occurrences}x ${d.expression}").mkString("\n"))
     report
   }
 }

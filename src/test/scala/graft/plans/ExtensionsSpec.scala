@@ -59,7 +59,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "decode(gunzip_all(gzip_bytes(encode('x', 'utf-8'))), 'utf-8')",
       "zstd_bytes" -> "octet_length(zstd_bytes(encode('x', 'utf-8')))",
       "unzstd_all" ->
-        "decode(unzstd_all(zstd_bytes(encode('x', 'utf-8'))), 'utf-8')")
+        "decode(unzstd_all(zstd_bytes(encode('x', 'utf-8'))), 'utf-8')",
+      "http_parts" ->
+        ("http_parts(encode('HTTP/1.1 200 OK' || chr(13) || chr(10) ||" +
+          " chr(13) || chr(10) || 'body', 'utf-8')).status"),
+      "decode_charset" ->
+        "decode_charset(encode('x', 'utf-8'), 'text/plain').text",
+      "html_unescape" -> "html_unescape('a &amp; b')")
     // generators can't alias to a single column — probed separately below
     val generators = Set("shingle_generate")
     val registered = GraftExtensions.functions.map(_._1.funcName).toSet

@@ -36,6 +36,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.audit(agg).shuffles >= 1)
   }
 
+  test("the derived-column pushdown trap is flagged; the conditional-aggregation form is clean") {
+    // the q245 shape: a Filter ABOVE a Project deriving `t` through an
+    // expensive chain — PushDownPredicates substitutes the alias into
+    // every predicate leg, so the optimized Filter holds the chain
+    // once per leg and re-executes it per leg at runtime
+    graft.plans.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val derived = docs
+      .withColumn("t", expr(
+        "decode(gunzip_all(gzip_bytes(encode(text, 'utf-8'))), 'utf-8')"))
+    val trapped = derived
+      .filter(length(col("t")) > 10 && col("t").startsWith("a"))
+      .select("doc_id")
+    // the HoistExpensiveFilterPredicates rule auto-fixes this shape;
+    // disable it to demonstrate the raw trap the detector exists for
+    val rules = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = rules.filterNot(
+      _ == graft.plans.HoistExpensiveFilterPredicates)
+    try {
+      val findings = PlanAudit.duplicatedExpensiveFilters(trapped)
+      assert(findings.nonEmpty, "the pushed-down duplicated chain must flag")
+      assert(findings.head.occurrences >= 2)
+      intercept[IllegalArgumentException] {
+        PlanAudit.assertScaleSafe(trapped)
+      }
+    } finally spark.experimental.extraOptimizations = rules
+    // with the rule active the SAME query plans clean — the chain is
+    // hoisted to one evaluation below the filter. (A fresh DataFrame:
+    // QueryExecution caches the optimized plan per Dataset object.)
+    val rehoisted = derived
+      .filter(length(col("t")) > 10 && col("t").startsWith("a"))
+      .select("doc_id")
+    assert(PlanAudit.duplicatedExpensiveFilters(rehoisted).isEmpty,
+      "the hoist rule must neutralize the trap")
+    assert(rehoisted.collect().toSeq.sortBy(_.getLong(0)) ==
+      trapped.collect().toSeq.sortBy(_.getLong(0)))
+    // the fix shape: conditional aggregation — no Filter node exists,
+    // the chain is evaluated once inside the aggregate
+    val fixed = derived
+      .groupBy(col("source"))
+      .agg(count(when(length(col("t")) > 10 && col("t").startsWith("a"), 1))
+        .as("n_kept"))
+    assert(PlanAudit.duplicatedExpensiveFilters(fixed).isEmpty)
+    fixed.collect()
+    PlanAudit.assertScaleSafe(fixed)
+    // a SINGLE-leg filter over the chain is also clean: evaluating the
+    // derivation once per row to decide the row is the honest cost
+    val single = derived.filter(length(col("t")) > 10).select("doc_id")
+    assert(PlanAudit.duplicatedExpensiveFilters(single).isEmpty)
+  }
+
   test("quadratic join shapes are flagged and assertScaleSafe refuses them") {
     val a = (1L to 10L).toDF("x")
     val b = (1L to 10L).toDF("y")
