@@ -108,16 +108,27 @@ object MinHashDedup {
   /** Candidate pairs verified with the exact shingle-set Jaccard
     * similarity; keeps pairs with jaccard >= threshold.
     */
+  /** Near-dup pairs at `threshold`, banding-candidates then
+    * exact-verify. `bands = 0` (the default) self-calibrates via
+    * [[bandsFor]] so P(candidate | J = threshold) ≥ 0.95 — the
+    * round-9 sf1.0 catch showed the fixed b=8 default has P = 0.40
+    * AT a 0.5 threshold, which reads as silent recall loss the moment
+    * a corpus has genuinely-borderline pairs (the planted-pair decade
+    * corpus measured it as 4,535/4,974). Callers needing the raw
+    * S-curve of a specific geometry pass `bands` explicitly.
+    */
   def nearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
       numHashes: Int = 32,
-      bands: Int = 8,
+      bands: Int = 0,
       shingleWords: Int = 3,
-      maxBucketSize: Long = 100000L): DataFrame =
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val b = if (bands == 0) bandsFor(threshold, numHashes) else bands
     JaccardVerify.verify(
-      candidatePairs(docs, idCol, textCol, numHashes, bands, shingleWords, maxBucketSize),
+      candidatePairs(docs, idCol, textCol, numHashes, b, shingleWords, maxBucketSize),
       docs, idCol, textCol, threshold, shingleWords)
+  }
 }

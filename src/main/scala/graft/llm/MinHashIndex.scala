@@ -54,23 +54,61 @@ object MinHashIndex {
     graft.operators.BucketCaps.overflowBuckets(
       spark.read.parquet(path), Seq(col("band"), col("bkey")), maxBucketSize)
 
-  /** Write the band-key index for an initial corpus (overwrites). */
+  /** The banding geometry an index was BUILT with, persisted as a
+    * `_geom/` sidecar inside the index directory (underscore-prefixed
+    * ⇒ invisible to the band-key parquet reads, the
+    * [[EmbeddingLshIndex]] pattern). Probes and appends derive their
+    * geometry FROM the sidecar: band keys joined across mismatched
+    * (numHashes, bands) silently produce ~zero candidates — a recall
+    * collapse, not an error — so geometry must travel with the index,
+    * never be re-guessed per call.
+    */
+  final case class Geometry(numHashes: Int, bands: Int, shingleWords: Int)
+
+  private def writeGeometry(spark: SparkSession, path: String,
+      g: Geometry): Unit = {
+    import spark.implicits._
+    Seq((g.numHashes, g.bands, g.shingleWords))
+      .toDF("num_hashes", "bands", "shingle_words")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_geom")
+  }
+
+  /** The persisted geometry, or None for a pre-sidecar (legacy) index. */
+  def geometry(spark: SparkSession, path: String): Option[Geometry] =
+    try {
+      val r = spark.read.parquet(s"$path/_geom").collect().head
+      Some(Geometry(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+        r.getAs[Int]("shingle_words")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Write the band-key index for an initial corpus (overwrites),
+    * `bands = 0` self-calibrating for `calibrateThreshold` via
+    * [[MinHashDedup.bandsFor]]. The geometry is persisted in the
+    * `_geom/` sidecar; every later append/probe follows it.
+    */
   def build(
       docs: DataFrame,
       path: String,
       idCol: String,
       textCol: String,
       numHashes: Int = 32,
-      bands: Int = 8,
+      bands: Int = 0,
       shingleWords: Int = 3,
-      maxBucketSize: Long = 100000L): Unit =
+      maxBucketSize: Long = 100000L,
+      calibrateThreshold: Double = 0.5): Unit = {
+    val b = if (bands == 0) MinHashDedup.bandsFor(calibrateThreshold, numHashes)
+      else bands
     graft.operators.BucketCaps.capBuckets(
-        MinHashDedup.bandKeys(docs, idCol, textCol, numHashes, bands, shingleWords),
+        MinHashDedup.bandKeys(docs, idCol, textCol, numHashes, b, shingleWords),
         Seq(col("band"), col("bkey")), maxBucketSize)
       .write.mode("overwrite").parquet(path)
+    writeGeometry(docs.sparkSession, path, Geometry(numHashes, b, shingleWords))
+  }
 
   /** Append a new batch's band keys to the index (call AFTER the batch
-    * has been deduped against it).
+    * has been deduped against it). Geometry comes from the `_geom`
+    * sidecar when present — the arguments apply only to a legacy index
+    * without one.
     */
   def append(
       docs: DataFrame,
@@ -80,11 +118,15 @@ object MinHashIndex {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleWords: Int = 3,
-      maxBucketSize: Long = 100000L): Unit =
+      maxBucketSize: Long = 100000L): Unit = {
+    val g = geometry(docs.sparkSession, path)
+      .getOrElse(Geometry(numHashes, bands, shingleWords))
     graft.operators.BucketCaps.capBuckets(
-        MinHashDedup.bandKeys(docs, idCol, textCol, numHashes, bands, shingleWords),
+        MinHashDedup.bandKeys(docs, idCol, textCol,
+          g.numHashes, g.bands, g.shingleWords),
         Seq(col("band"), col("bkey")), maxBucketSize)
       .write.mode("append").parquet(path)
+  }
 
   /** Compact the band-key table into a SUCCESSOR directory — see
     * [[IndexMaintenance]] for why never in place. Probes through the
@@ -92,8 +134,12 @@ object MinHashIndex {
     * tombstones ([[forget]]) are materialized by the rewrite.
     */
   def compact(spark: SparkSession, path: String, outPath: String,
-      targetFiles: Int = 8): Unit =
+      targetFiles: Int = 8): Unit = {
     IndexMaintenance.compactTable(spark, path, outPath, targetFiles)
+    // geometry travels with the index: the successor must probe with
+    // the same banding or candidates silently vanish
+    geometry(spark, path).foreach(writeGeometry(spark, outPath, _))
+  }
 
   /** Tombstone-forget indexed docs — the takedown path; see
     * [[IndexMaintenance.appendTombstones]] for the full contract
@@ -122,10 +168,15 @@ object MinHashIndex {
       bands: Int = 8,
       shingleWords: Int = 3,
       maxBucketSize: Long = 100000L): DataFrame = {
+    // geometry from the index's own sidecar when present — probe keys
+    // computed under a different (numHashes, bands) join to ~nothing
+    val g = geometry(spark, path)
+      .getOrElse(Geometry(numHashes, bands, shingleWords))
     // the batch's keys are admission-bounded; materialize once (two
     // join consumers) so the shingle+minhash pass runs a single time
     val newKeys = graft.operators.BucketCaps.capBuckets(
-        MinHashDedup.bandKeys(newDocs, idCol, textCol, numHashes, bands, shingleWords),
+        MinHashDedup.bandKeys(newDocs, idCol, textCol,
+          g.numHashes, g.bands, g.shingleWords),
         Seq(col("band"), col("bkey")), maxBucketSize)
       .materialized
     val oldKeys = IndexMaintenance.minusTombstones(spark, path,
@@ -154,6 +205,6 @@ object MinHashIndex {
       .union(cands.select(col("id_b").as(idCol))).distinct()
     JaccardVerify.verify(cands,
       allDocs.join(candIds, Seq(idCol), "left_semi"),
-      idCol, textCol, threshold, shingleWords)
+      idCol, textCol, threshold, g.shingleWords)
   }
 }

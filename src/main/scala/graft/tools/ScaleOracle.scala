@@ -90,6 +90,29 @@ object ScaleOracle {
     ScaleProof.synthesizeEmbeddings(spark, sfDir, out, copies)
     System.err.println("[scaleoracle] embeddings: " +
       spark.read.parquet(s"$out/embeddings.parquet").count() + " rows")
+    // Zipf-vocabulary PLANTED-pair corpus for the three pair-graph
+    // flagships (q27/q42/q229), at the same decade doc count: the
+    // mutated word-soup replica above has a ~31-word vocabulary, which
+    // makes the exact shingle-pair-join oracle df² (DuckDB exceeded a
+    // 60 GB spill cap at 50k docs) — a corpus artifact, not an
+    // operator property. On a 50k-word Zipf vocabulary the same exact
+    // oracle is ~linear (shingle df is small, measured 26 s at 50k
+    // docs), and the only true pairs are the generator's PLANTS
+    // (id%10==9 copies id-1). rewriteDenom=100 puts the plants at
+    // J≈0.94: P(banding miss | b=8, r=4) ≈ 4e-6 per pair, so the
+    // seeded-deterministic banding has recall exactly 1.0 on the
+    // generated corpus and the full rows+schema+hash gate applies —
+    // no oracle_infeasible carve-out, no probabilistic slack. (A
+    // 1-in-20 rewrite rate gives mid-J plants at ~0.75, where ~5% of
+    // pairs deterministically miss the default bands — that regime is
+    // RecallCurves' subject, not a hash gate's: measured 4,535/4,974
+    // on the first probe of this protocol.)
+    val zipfDocs = args.lift(3).map(_.toLong)
+      .getOrElse(copies * 5000L)
+    ScaleProof.synthesizeZipfDocs(spark, s"$out/zipf", zipfDocs,
+      rewriteDenom = 100)
+    System.err.println("[scaleoracle] zipf documents: " +
+      spark.read.parquet(s"$out/zipf/documents.parquet").count() + " rows")
     spark.stop()
   }
 }

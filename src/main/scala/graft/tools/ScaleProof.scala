@@ -125,7 +125,8 @@ object ScaleProof {
     */
   def synthesizeZipfDocs(spark: SparkSession, outDir: String, nDocs: Long,
       vocab: Int = 50000, wordsPerDoc: Int = 80,
-      gatePassable: Boolean = false): Long = {
+      gatePassable: Boolean = false,
+      rewriteDenom: Int = 20): Long = {
     val isCopy = pmod(col("id"), lit(10)) === 9
     val wid = col("id") - when(isCopy, 1L).otherwise(0L)
     // gatePassable: words encode their rank in LETTERS (digit-heavy
@@ -155,7 +156,7 @@ object ScaleProof {
         sequence(lit(0), lit(wordsPerDoc - 1)),
         p => {
           val body = when(isCopy && pmod(xxhash64(col("id"), p, lit(13L)),
-              lit(20)) === 0,
+              lit(rewriteDenom)) === 0,
             enc("m", pmod(xxhash64(col("id"), p, lit(7L)),
               lit(vocab.toLong))))
             .otherwise(zipfWord(wid, p))
@@ -255,6 +256,12 @@ object ScaleProof {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR flips every Iterate.materialize in the
+    // run to RELIABLE checkpoints (operators/Iterate.scala: dir set ⇒
+    // reliable) — the knob for measuring reliable-mode overhead on an
+    // iterative decade leg
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
 
     // two measured decades: 10x and 100x the sf0.1 corpus (the second
     // decade is what separates "fixed overhead still dominates" from a

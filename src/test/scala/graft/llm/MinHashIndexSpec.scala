@@ -36,8 +36,41 @@ class MinHashIndexSpec extends AnyFunSuite {
     MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")
     MinHashIndex.append(newDocs, s"$dir/idx", "doc_id", "text")
     val indexed = spark.read.parquet(s"$dir/idx").count()
-    val direct = MinHashDedup.bandKeys(docs, "doc_id", "text").count()
+    // compare against a direct pass under the index's OWN persisted
+    // geometry (build self-calibrates bands; append must follow it)
+    val g = MinHashIndex.geometry(spark, s"$dir/idx").get
+    val direct = MinHashDedup
+      .bandKeys(docs, "doc_id", "text", g.numHashes, g.bands).count()
     assert(indexed == direct)
+  }
+
+  test("geometry sidecar: append and probe follow the built banding, compact carries it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhgeom").toString
+    MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text", bands = 16)
+    assert(MinHashIndex.geometry(spark, s"$dir/idx")
+      .contains(MinHashIndex.Geometry(32, 16, 3)))
+    // append called with MISMATCHED args still writes 16-band keys —
+    // the sidecar, not the call site, owns the geometry
+    MinHashIndex.append(newDocs, s"$dir/idx", "doc_id", "text", bands = 4)
+    val perDoc = spark.read.parquet(s"$dir/idx")
+      .groupBy("id").count().select("count").distinct().collect()
+    assert(perDoc.map(_.getLong(0)).toSeq == Seq(16L))
+    // probe under the sidecar geometry reproduces the one-shot pairs
+    // computed at the same banding
+    val inc = MinHashIndex.incrementalNearDupPairs(
+      spark, s"$dir/idx", newDocs, docs, "doc_id", "text",
+      threshold = 0.5, bands = 4 /* ignored: sidecar wins */)
+    val full = MinHashDedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, bands = 16)
+    val newIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val slice = full.collect()
+      .filter(r => newIds(r.getLong(0)) || newIds(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == slice)
+    // compaction carries the sidecar to the successor
+    MinHashIndex.compact(spark, s"$dir/idx", s"$dir/idx2")
+    assert(MinHashIndex.geometry(spark, s"$dir/idx2")
+      .contains(MinHashIndex.Geometry(32, 16, 3)))
   }
 
   test("cappedBucketReport flags cross-batch occupancy over the cap") {
