@@ -105,7 +105,10 @@ object Http {
           contentLength =
             try value.toLong
             catch { case _: NumberFormatException => return None }
-          if (contentLength < 0 || contentLength > Int.MaxValue) return None
+          // negative is malformed; a huge-but-valid length (>2 GiB
+          // media) is NOT — it simply exceeds what was stored and the
+          // truncated-capture rule below surfaces the stored bytes
+          if (contentLength < 0) return None
         case "transfer-encoding" =>
           if (value.toLowerCase.split(",").map(_.trim).contains("chunked"))
             chunked = true
@@ -220,15 +223,23 @@ object Http {
       i += 1
     }
     val s = sb.toString
-    val ci = s.indexOf("charset")
-    if (ci < 0) return None
-    var p = ci + "charset".length
-    while (p < s.length && (s.charAt(p) == ' ' || s.charAt(p) == '=')) p += 1
-    if (p < s.length && (s.charAt(p) == '"' || s.charAt(p) == '\'')) p += 1
-    val from = p
-    while (p < s.length && (s.charAt(p).isLetterOrDigit ||
-      s.charAt(p) == '-' || s.charAt(p) == '_' || s.charAt(p) == '.')) p += 1
-    if (p == from) None else Some(s.substring(from, p))
+    // try EVERY 'charset' occurrence in the window, keeping the first
+    // whose label resolves to a shipped charset — a page whose text
+    // happens to say the word "charset" before its real <meta charset>
+    // tag must not shadow the tag (first-occurrence-only did)
+    var ci = s.indexOf("charset")
+    while (ci >= 0) {
+      var p = ci + "charset".length
+      while (p < s.length && (s.charAt(p) == ' ' || s.charAt(p) == '=')) p += 1
+      if (p < s.length && (s.charAt(p) == '"' || s.charAt(p) == '\'')) p += 1
+      val from = p
+      while (p < s.length && (s.charAt(p).isLetterOrDigit ||
+        s.charAt(p) == '-' || s.charAt(p) == '_' || s.charAt(p) == '.')) p += 1
+      if (p > from && resolveLabel(s.substring(from, p)).isDefined)
+        return Some(s.substring(from, p))
+      ci = s.indexOf("charset", ci + 1)
+    }
+    None
   }
 
   /** Decode body bytes to text: BOM > Content-Type charset > meta

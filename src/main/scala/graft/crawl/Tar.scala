@@ -86,7 +86,11 @@ object Tar {
         if (recLen > payload.length) return None
         i += 1
       }
-      if (recLen <= 0 || pos + recLen > payload.length) return None
+      // a record shorter than its own "<len> " prefix is malformed —
+      // without this check the value substring length goes negative
+      // and throws, breaking the never-throw contract
+      if (recLen <= 0 || pos + recLen > payload.length ||
+        pos + recLen < sp + 1) return None
       val rec = new String(payload, sp + 1,
         pos + recLen.toInt - (sp + 1), "UTF-8")
       val eq = rec.indexOf('=')

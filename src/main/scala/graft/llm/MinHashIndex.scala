@@ -73,13 +73,22 @@ object MinHashIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_geom")
   }
 
-  /** The persisted geometry, or None for a pre-sidecar (legacy) index. */
-  def geometry(spark: SparkSession, path: String): Option[Geometry] =
-    try {
+  /** The persisted geometry, or None for a pre-sidecar (legacy) index.
+    * Only ABSENCE maps to None: a transient read failure or a corrupt
+    * sidecar must propagate, because silently falling back to
+    * call-site defaults is exactly the mismatched-geometry recall
+    * collapse the sidecar exists to prevent.
+    */
+  def geometry(spark: SparkSession, path: String): Option[Geometry] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_geom")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
       val r = spark.read.parquet(s"$path/_geom").collect().head
       Some(Geometry(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
         r.getAs[Int]("shingle_words")))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
 
   /** Write the band-key index for an initial corpus (overwrites),
     * `bands = 0` self-calibrating for `calibrateThreshold` via

@@ -23,11 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinPruningRule)
     // drop optimizer-inferred IsNotNull guards that re-evaluate a
-    // derived expression a sibling predicate already null-rejects,
-    // then hoist any still-duplicated expensive filter predicate into
-    // a project below the filter (single evaluation per row)
+    // derived expression a sibling predicate already null-rejects.
+    // (Removal is monotone, so the rule is safe inside the operator-
+    // optimization fixed point this hook injects into.)
     ext.injectOptimizerRule(_ => PruneRedundantNullGuards)
-    ext.injectOptimizerRule(_ => HoistExpensiveFilterPredicates)
+    // HoistExpensiveFilterPredicates is deliberately NOT injected here:
+    // this hook lands rules in the operator-optimization FIXED POINT,
+    // where PushDownPredicates would substitute the hoisted aliases
+    // back every iteration and the fresh Alias exprIds would keep the
+    // plans from converging (maxIterations error). It must run AFTER
+    // the pushdown fixed point — [[GraftExtensions.register]] places
+    // it in experimental.extraOptimizations, which does exactly that.
   }
 }
 

@@ -21,10 +21,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * elimination also applies across hoisted aliases), and the Filter
   * tests cheap attribute references.
   *
-  * Trade-off, documented: hoisting evaluates the expression on every
-  * row, including rows a cheap earlier conjunct would have
-  * short-circuited past. It therefore only fires on expressions that
-  * appear ≥2 times — which could not be skipped more than once anyway.
+  * Short-circuit guard: hoisting evaluates expressions on EVERY row,
+  * while short-circuiting could skip them all on rows a cheap earlier
+  * conjunct rejects. The rule therefore fires only when the FIRST
+  * conjunct (always evaluated) itself contains an expensive node —
+  * then every row pays for the derivation chain regardless, and
+  * hoisting the filter's duplicates turns 2+ evaluations on surviving
+  * rows into 1 on all rows (the win that measured 16× on q245's
+  * shape). A filter whose expensive duplicates hide entirely behind a
+  * CHEAP leading leg is left alone — hoisting there could multiply
+  * work by the leg's selectivity — and stays FLAGGED by
+  * PlanAudit.duplicatedExpensiveFilters, surfacing the reorder-or-
+  * restructure decision to the author instead of guessing.
   *
   * Runs in `spark.experimental.extraOptimizations` (after the main
   * optimizer's pushdown fixed point); idempotent, so the user-batch
@@ -43,10 +51,23 @@ object HoistExpensiveFilterPredicates extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
+      // the leading conjunct is evaluated on every row regardless of
+      // short-circuiting — only expressions it contains are hoistable
+      // without ever increasing per-row work
+      val firstConjunct = cond match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, _) =>
+          var h: Expression = l
+          while (h.isInstanceOf[org.apache.spark.sql.catalyst.expressions.And])
+            h = h.asInstanceOf[org.apache.spark.sql.catalyst.expressions.And].left
+          h
+        case other => other
+      }
+      val leadingLegIsExpensive = firstConjunct.exists(isExpensiveNode)
       // hoistable = deterministic and computable from the child's
       // output alone (an expression under a higher-order-function
       // lambda references lambda variables and cannot move)
-      val dup = cond.collect {
+      val dup = if (!leadingLegIsExpensive) Seq.empty[Expression]
+      else cond.collect {
         case e if isExpensiveNode(e) && e.deterministic &&
           e.references.subsetOf(child.outputSet) => e
       }.groupBy(_.canonicalized).values

@@ -20,13 +20,27 @@ object HttpPartsKernel {
       case None => null
       case Some(r) =>
         // duplicate header names: last occurrence wins in the map form
-        // (the full ordered list is framing detail, not query surface)
-        val keys = r.headers.map(h => UTF8String.fromString(h._1): Any)
-        val vals = r.headers.map(h => UTF8String.fromString(h._2): Any)
+        // (the full ordered list is framing detail, not query surface).
+        // The dedup must happen HERE — Spark map lookup returns the
+        // FIRST match and duplicate-key MapData is undefined behavior,
+        // so repeated Set-Cookie/Content-Type headers (common in real
+        // crawls) must collapse before the map is built.
+        val dedup = new java.util.LinkedHashMap[String, String]()
+        r.headers.foreach { case (k, v) => dedup.put(k, v); () }
+        val keys = new Array[Any](dedup.size)
+        val vals = new Array[Any](dedup.size)
+        var i = 0
+        val it = dedup.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          keys(i) = UTF8String.fromString(e.getKey)
+          vals(i) = UTF8String.fromString(e.getValue)
+          i += 1
+        }
         new GenericInternalRow(Array[Any](
           r.statusCode,
           UTF8String.fromString(r.reason),
-          ArrayBasedMapData(keys.toArray, vals.toArray),
+          ArrayBasedMapData(keys, vals),
           r.body))
     }
 }

@@ -2051,8 +2051,11 @@ object LlmQueries {
     // single-pass scanner), whitespace squeezed including the no-break
     // space nbsp decodes to. Patterns live in the Java/RE2 common
     // subset and the entity set is staged, so the oracle replays the
-    // extraction verbatim (replace chain with &amp; FIRST — no later
-    // pattern contains '&', so chain order equals single-pass here);
+    // extraction verbatim. ORACLE PRECONDITION: the replace chain
+    // (&amp; first) equals single-pass semantics only because the
+    // corpus text contains no '&' (verified: zero rows at sf0.01/0.1
+    // — a doc containing '&amp;copy;' would double-decode in the
+    // chain but stay one-level in the engine's single pass);
     // `recovered` pins that main-block extraction returns the original
     // text EXACTLY, and title_text pins decode-after-extract layering
     // (page_title stays RAW — title() itself never decodes).

@@ -105,6 +105,30 @@ class HttpSpec extends AnyFunSuite {
     assert(Http.decodeCharset(Array.empty[Byte], null).text == "")
   }
 
+  test("review pins: huge Content-Length, meta-shadowing text, duplicate headers") {
+    // CL past Int.MaxValue = a truncated >2GiB capture, not junk:
+    // surface the stored bytes
+    val big = Http.parseResponse(ascii(
+      "HTTP/1.1 200 OK\r\nContent-Length: 3000000000\r\n\r\nstored-prefix")).get
+    assert(new String(big.body, "US-ASCII") == "stored-prefix")
+    // the word 'charset' in page text before the real meta tag must
+    // not shadow it
+    val shadowed = ("<title>charset test page</title>" +
+      "<meta charset=\"windows-1252\"><body>").getBytes("US-ASCII") ++
+      Array[Byte](0xE9.toByte)
+    val d = Http.decodeCharset(shadowed, "text/html")
+    assert(d.charset == "windows-1252" && d.text.endsWith("é"))
+    // duplicate header names: LAST occurrence wins in the map surface
+    graft.plans.GraftExtensions.register(spark)
+    val dup = ("HTTP/1.1 200 OK\r\nX-H: first\r\nX-H: second\r\n" +
+      "Content-Length: 2\r\n\r\nok").getBytes("US-ASCII")
+    val row = spark.createDataFrame(Seq(Tuple1(dup))).toDF("m")
+      .selectExpr("http_parts(m) AS h")
+      .selectExpr("h.headers['x-h'] AS v", "size(h.headers) AS n")
+      .collect().head
+    assert(row.getString(0) == "second" && row.getInt(1) == 2)
+  }
+
   test("SQL surface: http_parts + decode_charset inside a WARC chain") {
     graft.plans.GraftExtensions.register(spark)
     val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
