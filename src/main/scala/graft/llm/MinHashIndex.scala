@@ -84,10 +84,38 @@ object MinHashIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(s"$path/_geom").collect().head
+      // an interrupted build can leave _geom/ with no data row — that
+      // is a CORRUPT sidecar, and must fail with a diagnosis, not a
+      // bare NoSuchElementException (and never a silent fallback to
+      // call-site defaults, the recall collapse this sidecar prevents)
+      val r = spark.read.parquet(s"$path/_geom").collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"corrupt _geom sidecar at $path/_geom: directory exists but " +
+            "holds no geometry row (interrupted index build?) — rebuild " +
+            "the index or restore the sidecar"))
       Some(Geometry(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
         r.getAs[Int]("shingle_words")))
     }
+  }
+
+  /** Callers passing explicit geometry args against a sidecar-bearing
+    * index silently have them overridden (the sidecar is authoritative
+    * — mismatched band keys join to ~nothing). Surface that override:
+    * warn when the caller's args differ from BOTH the method defaults
+    * (i.e. were plausibly passed on purpose) and the persisted values.
+    */
+  private def warnIfArgsConflict(op: String, g: Geometry,
+      numHashes: Int, bands: Int, shingleWords: Int,
+      defaults: (Int, Int, Int)): Unit = {
+    val passed = (numHashes, bands, shingleWords)
+    if (passed != defaults &&
+        passed != ((g.numHashes, g.bands, g.shingleWords)))
+      System.err.println(
+        s"[minhash-index] $op: caller geometry (numHashes=$numHashes, " +
+          s"bands=$bands, shingleWords=$shingleWords) conflicts with the " +
+          s"index's _geom sidecar (${g.numHashes}, ${g.bands}, " +
+          s"${g.shingleWords}); the sidecar wins — keys computed under " +
+          "any other geometry would match ~nothing")
   }
 
   /** Write the band-key index for an initial corpus (overwrites),
@@ -128,8 +156,10 @@ object MinHashIndex {
       bands: Int = 8,
       shingleWords: Int = 3,
       maxBucketSize: Long = 100000L): Unit = {
-    val g = geometry(docs.sparkSession, path)
-      .getOrElse(Geometry(numHashes, bands, shingleWords))
+    val side = geometry(docs.sparkSession, path)
+    side.foreach(warnIfArgsConflict("append", _, numHashes, bands,
+      shingleWords, (32, 8, 3)))
+    val g = side.getOrElse(Geometry(numHashes, bands, shingleWords))
     graft.operators.BucketCaps.capBuckets(
         MinHashDedup.bandKeys(docs, idCol, textCol,
           g.numHashes, g.bands, g.shingleWords),
@@ -179,8 +209,10 @@ object MinHashIndex {
       maxBucketSize: Long = 100000L): DataFrame = {
     // geometry from the index's own sidecar when present — probe keys
     // computed under a different (numHashes, bands) join to ~nothing
-    val g = geometry(spark, path)
-      .getOrElse(Geometry(numHashes, bands, shingleWords))
+    val side = geometry(spark, path)
+    side.foreach(warnIfArgsConflict("incrementalNearDupPairs", _,
+      numHashes, bands, shingleWords, (32, 8, 3)))
+    val g = side.getOrElse(Geometry(numHashes, bands, shingleWords))
     // the batch's keys are admission-bounded; materialize once (two
     // join consumers) so the shingle+minhash pass runs a single time
     val newKeys = graft.operators.BucketCaps.capBuckets(

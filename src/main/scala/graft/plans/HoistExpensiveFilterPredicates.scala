@@ -28,9 +28,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * then every row pays for the derivation chain regardless, and
   * hoisting the filter's duplicates turns 2+ evaluations on surviving
   * rows into 1 on all rows (the win that measured 16× on q245's
-  * shape). A filter whose expensive duplicates hide entirely behind a
-  * CHEAP leading leg is left alone — hoisting there could multiply
-  * work by the leg's selectivity — and stays FLAGGED by
+  * shape) — and, within such a filter, hoists only duplicates that
+  * SHARE an expensive subtree with that leading conjunct (their own
+  * form or their derivation chain occurs in it). A filter whose
+  * expensive duplicates hide entirely behind a CHEAP leading leg, or
+  * an INDEPENDENT expensive chain duplicated only in short-circuited
+  * later legs, is left alone — hoisting there could multiply work by
+  * the leading leg's selectivity — and stays FLAGGED by
   * PlanAudit.duplicatedExpensiveFilters, surfacing the reorder-or-
   * restructure decision to the author instead of guessing.
   *
@@ -63,12 +67,35 @@ object HoistExpensiveFilterPredicates extends Rule[LogicalPlan] {
         case other => other
       }
       val leadingLegIsExpensive = firstConjunct.exists(isExpensiveNode)
+      // every-row cost anchor: only work the LEADING conjunct itself
+      // evaluates is already paid on every row. An INDEPENDENT
+      // expensive chain duplicated only in later, short-circuited
+      // conjuncts goes from ~0 evaluations/row (behind a selective
+      // leading leg) to 1 on every row if hoisted — a regression, not
+      // a win — so the dup collection is restricted to expressions
+      // that SHARE an expensive subtree with the leading conjunct:
+      // either their own canonical form occurs there, or their
+      // derivation chain does (a gate leg like repetition_stats(
+      // split(CHAIN)) whose CHAIN the first leg evaluates anyway only
+      // adds its marginal cost above the per-row floor, while leaving
+      // it duplicated re-runs the whole chain per leg). Independent
+      // later-leg duplicates stay flagged by PlanAudit for the author
+      // to reorder.
+      val leadingCanon: Set[Expression] =
+        if (!leadingLegIsExpensive) Set.empty
+        else firstConjunct.collect {
+          case e if isExpensiveNode(e) => e.canonicalized
+        }.toSet
+      def sharesLeadingWork(e: Expression): Boolean = e.collect {
+        case x if isExpensiveNode(x) => x.canonicalized
+      }.exists(leadingCanon.contains)
       // hoistable = deterministic and computable from the child's
       // output alone (an expression under a higher-order-function
       // lambda references lambda variables and cannot move)
       val dup = if (!leadingLegIsExpensive) Seq.empty[Expression]
       else cond.collect {
         case e if isExpensiveNode(e) && e.deterministic &&
+          sharesLeadingWork(e) &&
           e.references.subsetOf(child.outputSet) => e
       }.groupBy(_.canonicalized).values
         .collect { case es if es.size >= 2 => es.head }

@@ -73,6 +73,19 @@ class MinHashIndexSpec extends AnyFunSuite {
       .contains(MinHashIndex.Geometry(32, 16, 3)))
   }
 
+  test("a rowless _geom sidecar (interrupted build) fails with a diagnosis, not NoSuchElement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhgeom2").toString
+    // simulate the interrupted build: _geom/ exists with schema but no row
+    spark.emptyDataFrame
+      .withColumn("num_hashes", lit(0)).withColumn("bands", lit(0))
+      .withColumn("shingle_words", lit(0))
+      .write.parquet(s"$dir/idx/_geom")
+    val e = intercept[IllegalStateException] {
+      MinHashIndex.geometry(spark, s"$dir/idx")
+    }
+    assert(e.getMessage.contains("corrupt _geom sidecar"))
+  }
+
   test("cappedBucketReport flags cross-batch occupancy over the cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mhidx3").toString
     MinHashIndex.build(oldDocs, s"$dir/idx", "doc_id", "text")

@@ -87,6 +87,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.duplicatedExpensiveFilters(single).isEmpty)
   }
 
+  test("an independent expensive chain behind the leading leg is NOT hoisted — stays flagged") {
+    // the hoist rule's soundness boundary: chain B is duplicated only
+    // in later, short-circuited conjuncts and shares NO expensive
+    // subtree with the leading conjunct's chain A — hoisting it would
+    // turn ~0 evaluations/row (behind a selective leading leg) into 1
+    // on every row, so the rule must leave it alone and the detector
+    // must surface it to the author
+    graft.plans.GraftExtensions.register(spark)
+    val derived = Tables.documents(spark, sf)
+      .withColumn("a", expr(
+        "decode(gunzip_all(gzip_bytes(encode(text, 'utf-8'))), 'utf-8')"))
+      .withColumn("b", expr(
+        "decode(gunzip_all(gzip_bytes(encode(source, 'utf-8'))), 'utf-8')"))
+    val mixed = derived
+      .filter(length(col("a")) > 10 &&
+        length(col("b")) > 1 && col("b").startsWith("w"))
+      .select("doc_id")
+    val findings = PlanAudit.duplicatedExpensiveFilters(mixed)
+    assert(findings.nonEmpty,
+      "the independent later-leg duplicate must remain flagged, not hoisted")
+    // whereas a later-leg expression BUILT ON the leading chain (shares
+    // its derivation) IS hoisted along with it — the q251 gate shape
+    val shared = derived
+      .filter(length(col("a")) > 10 &&
+        substring(col("a"), 1, 3) === "abc" && col("a").endsWith("z"))
+      .select("doc_id")
+    assert(PlanAudit.duplicatedExpensiveFilters(shared).isEmpty,
+      "duplicates sharing the leading conjunct's chain must hoist clean")
+  }
+
   test("quadratic join shapes are flagged and assertScaleSafe refuses them") {
     val a = (1L to 10L).toDF("x")
     val b = (1L to 10L).toDF("y")
