@@ -102,13 +102,20 @@ object Http {
       headers += name -> value
       name match {
         case "content-length" =>
-          contentLength =
+          val cl =
             try value.toLong
             catch { case _: NumberFormatException => return None }
           // negative is malformed; a huge-but-valid length (>2 GiB
           // media) is NOT — it simply exceeds what was stored and the
-          // truncated-capture rule below surfaces the stored bytes
-          if (contentLength < 0) return None
+          // truncated-capture rule below surfaces the stored bytes.
+          // Repeated Content-Length with DIFFERING values is malformed
+          // per RFC 9110 §8.6 (request-smuggling surface — upstream
+          // crawl toolchains reject it, so last-one-wins here would
+          // silently yield a different body than theirs); identical
+          // repeats are the recoverable duplicate the RFC permits.
+          if (cl < 0) return None
+          if (contentLength >= 0 && contentLength != cl) return None
+          contentLength = cl
         case "transfer-encoding" =>
           if (value.toLowerCase.split(",").map(_.trim).contains("chunked"))
             chunked = true
@@ -168,9 +175,21 @@ object Http {
     None
   }
 
-  /** Resolve a charset LABEL to the Java charset actually used —
-    * WHATWG aliasing: the latin-1 family decodes as windows-1252.
-    * None for labels this engine doesn't ship (caller falls back).
+  /** Resolve a charset LABEL to the Java charset actually used,
+    * following the WHATWG Encoding label table for every encoding a
+    * real crawl hits at volume — a label this table misses decodes as
+    * UTF-8 and every non-ASCII byte becomes counted-but-LOST U+FFFD,
+    * which at the first pipeline stage silently deletes that page's
+    * training text. WHATWG aliasing is deliberate where it differs
+    * from the IANA registry, because it is what the bytes on the web
+    * were actually written for: the latin-1/ascii family decodes as
+    * windows-1252 (0x80-0x9F are typographic characters on the real
+    * web), shift_jis as windows-31j, euc-kr as windows-949, the
+    * gbk/gb2312 family via the gb18030 decoder (WHATWG: "gbk's
+    * decoder is gb18030's decoder"), big5 with the HKSCS extensions,
+    * iso-8859-9 as windows-1254, and tis-620/iso-8859-11 as
+    * windows-874. None for labels this engine doesn't ship (caller
+    * falls back to UTF-8).
     */
   def resolveLabel(label: String): Option[Charset] = {
     val l = label.trim.toLowerCase.stripPrefix("\"").stripSuffix("\"")
@@ -183,6 +202,83 @@ object Http {
         Some(Charset.forName("windows-1252"))
       case "utf-16" | "utf-16le" => Some(Charset.forName("UTF-16LE"))
       case "utf-16be" => Some(Charset.forName("UTF-16BE"))
+      // ---- Japanese ----
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" |
+           "csshiftjis" | "ms932" | "windows-31j" =>
+        Some(Charset.forName("windows-31j"))
+      case "euc-jp" | "x-euc-jp" | "cseucpkdfmtjapanese" =>
+        Some(Charset.forName("EUC-JP"))
+      case "iso-2022-jp" | "csiso2022jp" =>
+        Some(Charset.forName("ISO-2022-JP"))
+      // ---- Korean ----
+      case "euc-kr" | "korean" | "ksc_5601" | "ksc5601" | "ks_c_5601-1987" |
+           "ks_c_5601-1989" | "csksc56011987" | "iso-ir-149" |
+           "windows-949" | "x-windows-949" =>
+        Some(Charset.forName("x-windows-949"))
+      // ---- Chinese (simplified): one decoder for the whole family ----
+      case "gb18030" | "gbk" | "gb2312" | "gb_2312" | "gb_2312-80" |
+           "chinese" | "csgb2312" | "csiso58gb231280" | "iso-ir-58" |
+           "x-gbk" =>
+        Some(Charset.forName("GB18030"))
+      // ---- Chinese (traditional) ----
+      case "big5" | "big5-hkscs" | "cn-big5" | "csbig5" | "x-x-big5" =>
+        Some(Charset.forName("Big5-HKSCS"))
+      // ---- Cyrillic ----
+      case "koi8-r" | "koi8" | "koi" | "cskoi8r" | "koi8_r" =>
+        Some(Charset.forName("KOI8-R"))
+      case "koi8-u" | "koi8-ru" => Some(Charset.forName("KOI8-U"))
+      case "windows-1251" | "cp1251" | "x-cp1251" =>
+        Some(Charset.forName("windows-1251"))
+      case "iso-8859-5" | "iso8859-5" | "iso_8859-5" | "cyrillic" |
+           "csisolatincyrillic" | "iso-ir-144" =>
+        Some(Charset.forName("ISO-8859-5"))
+      case "ibm866" | "866" | "cp866" | "csibm866" =>
+        Some(Charset.forName("IBM866"))
+      // ---- the ISO-8859-x / windows-125x European families ----
+      case "iso-8859-2" | "iso8859-2" | "iso_8859-2" | "latin2" | "l2" |
+           "csisolatin2" | "iso-ir-101" =>
+        Some(Charset.forName("ISO-8859-2"))
+      case "iso-8859-3" | "iso8859-3" | "iso_8859-3" | "latin3" | "l3" =>
+        Some(Charset.forName("ISO-8859-3"))
+      case "iso-8859-4" | "iso8859-4" | "iso_8859-4" | "latin4" | "l4" =>
+        Some(Charset.forName("ISO-8859-4"))
+      case "iso-8859-6" | "iso8859-6" | "iso_8859-6" | "arabic" |
+           "ecma-114" | "csisolatinarabic" =>
+        Some(Charset.forName("ISO-8859-6"))
+      case "iso-8859-7" | "iso8859-7" | "iso_8859-7" | "greek" | "greek8" |
+           "ecma-118" | "elot_928" | "csisolatingreek" | "iso-ir-126" |
+           "sun_eu_greek" =>
+        Some(Charset.forName("ISO-8859-7"))
+      case "iso-8859-8" | "iso8859-8" | "iso_8859-8" | "hebrew" |
+           "iso-8859-8-i" | "csiso88598i" | "logical" | "visual" =>
+        Some(Charset.forName("ISO-8859-8"))
+      // WHATWG: the iso-8859-9/latin5 label decodes as windows-1254
+      case "iso-8859-9" | "iso8859-9" | "iso_8859-9" | "latin5" | "l5" |
+           "csisolatin5" | "iso-ir-148" | "windows-1254" | "cp1254" =>
+        Some(Charset.forName("windows-1254"))
+      case "iso-8859-13" | "iso8859-13" | "iso_8859-13" =>
+        Some(Charset.forName("ISO-8859-13"))
+      case "iso-8859-15" | "iso8859-15" | "iso_8859-15" | "latin9" | "l9" |
+           "csisolatin9" =>
+        Some(Charset.forName("ISO-8859-15"))
+      case "iso-8859-16" | "iso8859-16" | "iso_8859-16" =>
+        Some(Charset.forName("ISO-8859-16"))
+      case "windows-1250" | "cp1250" | "x-cp1250" =>
+        Some(Charset.forName("windows-1250"))
+      case "windows-1253" | "cp1253" | "x-cp1253" =>
+        Some(Charset.forName("windows-1253"))
+      case "windows-1255" | "cp1255" | "x-cp1255" =>
+        Some(Charset.forName("windows-1255"))
+      case "windows-1256" | "cp1256" | "x-cp1256" =>
+        Some(Charset.forName("windows-1256"))
+      case "windows-1257" | "cp1257" | "x-cp1257" =>
+        Some(Charset.forName("windows-1257"))
+      case "windows-1258" | "cp1258" | "x-cp1258" =>
+        Some(Charset.forName("windows-1258"))
+      // ---- Thai: WHATWG decodes the whole family as windows-874 ----
+      case "windows-874" | "dos-874" | "cp874" | "tis-620" |
+           "iso-8859-11" | "iso8859-11" | "iso_8859-11" =>
+        Some(Charset.forName("x-windows-874"))
       case _ => None
     }
   }
@@ -264,9 +360,19 @@ object Http {
         (java.util.Arrays.copyOfRange(body, 2, body.length),
           Some(Charset.forName("UTF-16BE")))
       else (body, None)
+    // the <meta> prescan is an HTML mechanism: browsers apply it only
+    // to HTML documents, so a text/plain or JSON body that merely
+    // MENTIONS 'charset=utf-16le' must not be decoded under that label.
+    // An absent/empty Content-Type still sniffs (type unknown — the
+    // body may well be HTML), matching what a browser's HTML sniffer
+    // would reach.
+    val ctLower = Option(contentType).map(_.toLowerCase.trim).getOrElse("")
+    val htmlish = ctLower.isEmpty ||
+      ctLower.startsWith("text/html") ||
+      ctLower.startsWith("application/xhtml+xml")
     val cs = bomCs
       .orElse(Option(contentType).flatMap(charsetParam).flatMap(resolveLabel))
-      .orElse(metaCharset(payload).flatMap(resolveLabel))
+      .orElse(if (htmlish) metaCharset(payload).flatMap(resolveLabel) else None)
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)

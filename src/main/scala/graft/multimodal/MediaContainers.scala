@@ -148,6 +148,53 @@ object MediaContainers {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
+  private def le24(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
+
+  /** WebP — the format that (with AVIF) dominates 2026 crawl images:
+    * 'RIFF' <size> 'WEBP', then the same chunk walk as [[parseWav]]
+    * (RIFF is RIFF). Dimensions per variant chunk:
+    *  - 'VP8 ' (lossy): 3-byte frame tag, the 9D 01 2A keyframe sync,
+    *    then 14-bit little-endian width and height;
+    *  - 'VP8L' (lossless): 0x2F signature byte, then one LE u32
+    *    packing width-1 (bits 0-13) and height-1 (bits 14-27);
+    *  - 'VP8X' (extended/animated): flags + reserved, then 24-bit LE
+    *    canvas width-1 and height-1.
+    */
+  def parseWebp(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 12 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val size = le32(b, pos + 4).toLong & 0xffffffffL
+      val t = new String(b, pos, 4, "US-ASCII")
+      val s = pos + 8
+      t match {
+        case "VP8 " if size >= 10 && s + 10 <= b.length =>
+          // dims only live in a KEYFRAME (sync-coded) payload
+          return if ((b(s + 3) & 0xff) == 0x9d && (b(s + 4) & 0xff) == 0x01 &&
+            (b(s + 5) & 0xff) == 0x2a) {
+            val w = le16(b, s + 6) & 0x3fff
+            val h = le16(b, s + 8) & 0x3fff
+            if (w > 0 && h > 0) Some(ImageMeta(w, h)) else None
+          } else None
+        case "VP8L" if size >= 5 && s + 5 <= b.length =>
+          if ((b(s) & 0xff) != 0x2f) return None
+          val v = le32(b, s + 1)
+          return Some(ImageMeta((v & 0x3fff) + 1, ((v >>> 14) & 0x3fff) + 1))
+        case "VP8X" if size >= 10 && s + 10 <= b.length =>
+          val w = le24(b, s + 4) + 1
+          val h = le24(b, s + 7) + 1
+          return Some(ImageMeta(w, h))
+        case _ => // ICCP/EXIF/ANIM etc. — skip to the next chunk
+      }
+      if (size > b.length) pos = b.length
+      else pos += 8 + size.toInt + (size % 2).toInt
+    }
+    None
+  }
+
   /** PNG header parse: the 8-byte signature, then the mandatory IHDR
     * chunk (always first — its 13-byte payload starts at offset 16
     * with big-endian width/height).
@@ -307,6 +354,46 @@ object MediaContainers {
     }
     meta.filter(_.timescale > 0)
       .map(_.copy(width = dims.map(_._1), height = dims.map(_._2)))
+  }
+
+  /** AVIF — ISO-BMFF stills (the other format dominating 2026 crawl
+    * images): `ftyp` whose major or compatible brands include
+    * avif/avis, then the `meta` FullBox (4 version/flags bytes before
+    * its children) → `iprp` → `ipco` → `ispe` image-spatial-extents
+    * property (FullBox: version/flags, then be32 width and height).
+    * Reuses [[parseMp4]]'s box walk; an AVIF has no `moov`, so the two
+    * sniffs never both match.
+    */
+  def parseAvif(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return None
+    val isAvifBrand = boxes(b, 0, b.length).take(1).exists {
+      case (t, s, e) =>
+        t == "ftyp" && e - s >= 8 && {
+          // major brand, then (skipping minor_version) compatibles
+          val brands = new String(b, s, 4, "US-ASCII") +:
+            (s + 8 until e - 3 by 4).map(new String(b, _, 4, "US-ASCII"))
+          brands.exists(br => br == "avif" || br == "avis")
+        }
+      case _ => false
+    }
+    if (!isAvifBrand) return None
+    var dims: Option[ImageMeta] = None
+    boxes(b, 0, b.length).foreach { case (t, s, e) =>
+      if (t == "meta" && e - s >= 4 && dims.isEmpty) {
+        boxes(b, s + 4, e).foreach { case (pt, ps, pe) =>
+          if (pt == "iprp") boxes(b, ps, pe).foreach { case (ct, cs, ce) =>
+            if (ct == "ipco") boxes(b, cs, ce).foreach { case (it, is, ie) =>
+              if (it == "ispe" && ie - is >= 12 && dims.isEmpty) {
+                val w = be32(b, is + 4)
+                val h = be32(b, is + 8)
+                if (w > 0 && h > 0) dims = Some(ImageMeta(w, h))
+              }
+            }
+          }
+        }
+      }
+    }
+    dims
   }
 
   /** FLAC: "fLaC" then the mandatory STREAMINFO metadata block
@@ -678,7 +765,13 @@ object MediaContainers {
             case None => parseGif(b) match {
               case Some(m) =>
                 MediaMeta("gif", Some(m.width), Some(m.height), Some(1L))
-              case None => parseWav(b) match {
+              case None => parseWebp(b) match {
+                case Some(m) =>
+                  MediaMeta("webp", Some(m.width), Some(m.height), Some(1L))
+                case None => parseAvif(b) match {
+                  case Some(m) =>
+                    MediaMeta("avif", Some(m.width), Some(m.height), Some(1L))
+                  case None => parseWav(b) match {
                 case Some(w) => MediaMeta("wav", None, None, Some(w.nFrames))
                 case None => parseMp4(b) match {
                   case Some(m) => MediaMeta("mp4", m.width, m.height, None)
@@ -705,6 +798,8 @@ object MediaContainers {
             }
           }
         }
+      }
+    }
       }
     }
 
@@ -1052,6 +1147,60 @@ object MediaContainers {
       wbe32(out, w << 16); wbe32(out, h << 16)
     }
     out.toByteArray
+  }
+
+  /** Minimal WebP container per variant ("VP8 " lossy keyframe, "VP8L"
+    * lossless, "VP8X" extended canvas) — exactly the bytes
+    * [[parseWebp]] reads; staging/fuzz fixture.
+    */
+  def webpBytes(variant: String, w: Int, h: Int): Array[Byte] = {
+    val payload: Array[Byte] = variant match {
+      case "VP8 " => Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+        (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
+      case "VP8L" =>
+        val v = (w - 1) | ((h - 1) << 14)
+        Array[Byte](0x2f, (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      case _ => Array[Byte](0, 0, 0, 0) ++ Array(
+        ((w - 1) & 0xff).toByte, (((w - 1) >> 8) & 0xff).toByte,
+        (((w - 1) >> 16) & 0xff).toByte,
+        ((h - 1) & 0xff).toByte, (((h - 1) >> 8) & 0xff).toByte,
+        (((h - 1) >> 16) & 0xff).toByte)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val padded = payload.length + (payload.length % 2)
+    w32(out, 4 + 8 + padded)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(variant.getBytes("US-ASCII"))
+    w32(out, payload.length)
+    out.write(payload)
+    if (payload.length % 2 == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Minimal AVIF: `ftyp` (avif + mif1 brands) and `meta`/`iprp`/
+    * `ipco`/`ispe` — exactly the bytes [[parseAvif]] reads.
+    */
+  def avifBytes(w: Int, h: Int): Array[Byte] = {
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      wbe32(out, 8 + payload.length)
+      out.write(t.getBytes("US-ASCII"))
+      out.write(payload)
+      out.toByteArray
+    }
+    def be(v: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(); wbe32(out, v)
+      out.toByteArray
+    }
+    val ftyp = box("ftyp",
+      "avif".getBytes("US-ASCII") ++ be(0) ++
+        "avifmif1".getBytes("US-ASCII"))
+    val ispe = box("ispe", be(0) ++ be(w) ++ be(h))
+    val meta = box("meta", be(0) ++ box("iprp", box("ipco", ispe)))
+    ftyp ++ meta
   }
 
   /** Minimal FLAC: "fLaC" + a last-flagged STREAMINFO block. */

@@ -55,6 +55,73 @@ object LlmQueries {
       array(concat(lit("(c) "), col("source"), lit(" media group"))))
   }
 
+  /** Mixed-charset crawl shards for the q251/q252 capstones: each
+    * document staged as an HTML page inside a full HTTP response
+    * inside a gzipped WARC record, with the page charset CYCLING
+    * doc_id % 5 over utf-8 / windows-1252 / Shift_JIS / gb2312 /
+    * koi8-r — the ingest tier exercises real multi-byte label
+    * resolution and decode on 4/5 of the records, the realism a
+    * 2026 crawl actually has. The native-script bytes live in the
+    * <title> and are hex-staged (a String cannot hold raw SJIS/1252
+    * bytes); everything else is printable ASCII, which every charset
+    * in the cycle decodes identically (all are ASCII-transparent over
+    * 0x20-0x7E, and the corpus is pure printable ASCII — q158's
+    * precondition gate asserts the stronger no-'&' property), so
+    * main-content extraction still recovers `text` byte-exactly and
+    * the curation-tier oracle is unchanged. Returns (bucket, media):
+    * `buckets` bounded .warc.gz shards.
+    */
+  private def crawlCapstoneShards(s: SparkSession, d: String,
+      buckets: Int): DataFrame = {
+    val htmlHeadHex = hex(concat(
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit(" - "), col("source"), lit(" ")))
+    val htmlTailHex = hex(concat(
+      lit("</title><style>.n{c:red}</style><script>var l=\""),
+      col("lang"),
+      lit("\";</script></head><body><div><a href=\"/\">home</a> "),
+      expr("repeat('<a href=\"/t\">tag</a> ', CAST(doc_id % 4 AS INT))"),
+      lit("</div><p>"), col("text"),
+      lit("</p><div><a href=\"/tos\">terms &amp; conditions</a>" +
+        " &copy; corp</div></body></html>")))
+    // title suffix bytes + matching Content-Type label per class
+    val titleHex = expr("CASE CAST(doc_id % 5 AS INT) " +
+      "WHEN 0 THEN 'E697A5E69CAC' " + // 日本 as UTF-8
+      "WHEN 1 THEN '93E994' " + //       “é” as windows-1252
+      "WHEN 2 THEN '93FA967B' " + //     日本 as Shift_JIS (windows-31j)
+      "WHEN 3 THEN 'D6D0CEC4' " + //     中文 as gb2312 (gb18030 decoder)
+      "ELSE 'C4C1' END") //              да as koi8-r
+    val labelCol = expr("CASE CAST(doc_id % 5 AS INT) " +
+      "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252' " +
+      "WHEN 2 THEN 'Shift_JIS' WHEN 3 THEN 'gb2312' ELSE 'koi8-r' END")
+    val httpHex = concat(
+      hex(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+        col("charset_label"), lit("\r\nContent-Length: "),
+        (length(col("html_hex")) / 2).cast("long"), lit("\r\n\r\n"))),
+      col("html_hex"))
+    val r1Hex = concat(
+      hex(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: " +
+          "<urn:uuid:doc-"),
+        col("doc_id"), lit(">\r\nWARC-Target-URI: https://crawl.test/"),
+        col("source"), lit("/"), col("doc_id"),
+        lit("\r\nContent-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "),
+        (length(col("http_hex")) / 2).cast("long"), lit("\r\n\r\n"))),
+      col("http_hex"), hex(lit("\r\n\r\n")))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("charset_label", labelCol)
+      .withColumn("html_hex", concat(htmlHeadHex, titleHex, htmlTailHex))
+      .withColumn("http_hex", httpHex)
+      .withColumn("r1_hex", r1Hex)
+      .withColumn("gzh", expr("hex(gzip_bytes(unhex(r1_hex)))"))
+      .groupBy(pmod(col("doc_id"), lit(buckets)).as("bucket"))
+      .agg(expr("unhex(concat_ws('', sort_array(collect_list(gzh))))")
+        .as("media"))
+  }
+
   /** DuckDB CTEs rebuilding the PORTABLE Rademacher hyperplane dots of
     * [[EmbeddingKnn.rademacherPlanes]] (MurmurHash3 fmix32 of
     * `p*64 + j + 42`, top bit → sign): one `dots` row per (vec_id,
@@ -2062,6 +2129,16 @@ object LlmQueries {
     "q158_html_extract" -> Q(
       (s, d) => {
         import graft.functions.HtmlFunctions._
+        // assert the oracle precondition IN the query: a future corpus
+        // regeneration containing '&' would make the oracle's replace
+        // chain double-decode ('&amp;copy;' etc.) and the gate would
+        // diverge with no signal that the DATA (not the engine) broke
+        // — fail fast as a staging error instead
+        val nAmp = docs(s, d).filter(col("text").contains("&")).count()
+        require(nAmp == 0,
+          s"q158 oracle precondition violated: $nAmp document(s) contain " +
+            "'&' — the DuckDB replace-chain oracle is only equivalent to " +
+            "single-pass entity decoding on an ampersand-free corpus")
         val html = concat(
           lit("<html><head><title>doc "), col("doc_id"),
           lit(" &#8211; "), col("source"),
@@ -5138,26 +5215,31 @@ object LlmQueries {
 
     // HTTP MESSAGE LAYER + CHARSET DECODE — what a WARC response
     // payload actually holds: `HTTP/1.1 200 OK\r\nheaders\r\n\r\nbody`
-    // in a charset that is UTF-8 only ~80% of the time. Six staged
-    // classes (doc_id % 6) exercise the full browser resolution order
+    // in a charset that is UTF-8 only ~80% of the time. Nine staged
+    // classes (doc_id % 9) exercise the full browser resolution order
     // end to end through the REAL chain (gzip_bytes → gunzip_all →
     // warc_records → http_parts → decode_charset): UTF-8 labeled,
     // windows-1252 labeled (high bytes -> typographic chars), label
     // only in a <meta charset> tag (iso-8859-1 -> 1252 per WHATWG),
     // BOM with no Content-Type header at all, chunked transfer coding
-    // (de-chunk then decode), and a LYING utf-8 label over 1252 bytes
+    // (de-chunk then decode), a LYING utf-8 label over 1252 bytes
     // (U+FFFD replacement COUNTED — mojibake is measured, never
-    // silent). Bodies are staged in hex so non-UTF-8 bytes exist at
-    // all (a String can't hold raw 1252); every surfaced field is
-    // predicted closed-form by the oracle from the same staging
-    // arithmetic — byte counts via strlen/octet_length, decoded text
-    // via chr() codepoints.
+    // silent), and the WHATWG multilingual table that carries most
+    // non-Latin training data: Shift_JIS labeled (日本 as 93FA967B →
+    // windows-31j per WHATWG), a gb2312 label ONLY in a meta tag
+    // (中文 as D6D0CEC4 — the gbk family resolves to the gb18030
+    // decoder), and KOI8-R labeled Cyrillic (да as C4C1). Bodies are
+    // staged in hex so non-UTF-8 bytes exist at all (a String can't
+    // hold raw 1252/SJIS); every surfaced field is predicted
+    // closed-form by the oracle from the same staging arithmetic —
+    // byte counts via strlen/octet_length, decoded text via chr()
+    // codepoints.
     "q250_http_charset_decode" -> Q(
       (s, d) => {
         graft.plans.GraftExtensions.register(s)
         val docsDf = docs(s, d).select(col("doc_id"), col("source"),
           col("text"))
-          .withColumn("c", expr("CAST(doc_id % 6 AS INT)"))
+          .withColumn("c", expr("CAST(doc_id % 9 AS INT)"))
         val crlf = "\r\n"
         // HTTP message per class: ASCII prefix hex'd + raw body hex
         val msgHex = expr(
@@ -5190,10 +5272,25 @@ object LlmQueries {
             "  format_string('%x', octet_length(text) - 16), cr, " +
             "  substring(text, 17), cr, '0', cr, cr)) " +
             // lying utf-8 label over a 1252 byte: replacement counted
-            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "WHEN 5 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
             "  'Content-Type: text/html; charset=utf-8', cr, " +
             "  'Content-Length: ', CAST(octet_length(text) + 1 AS STRING), " +
-            "  cr, cr, text)), '93') END")
+            "  cr, cr, text)), '93') " +
+            // Shift_JIS label; 日本 staged as 93FA967B (windows-31j)
+            "WHEN 6 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=Shift_JIS', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 4 AS STRING), " +
+            "  cr, cr, text)), '93FA967B') " +
+            // gb2312 label ONLY in a meta tag; 中文 staged as D6D0CEC4
+            "WHEN 7 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 27 AS STRING), " +
+            "  cr, cr, '<meta charset=\"gb2312\">', text)), 'D6D0CEC4') " +
+            // KOI8-R labeled Cyrillic; да staged as C4C1
+            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/plain; charset=koi8-r', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 2 AS STRING), " +
+            "  cr, cr, text)), 'C4C1') END")
         val chain = docsDf
           .withColumn("cr", lit(crlf))
           .withColumn("msg_hex", msgHex)
@@ -5224,37 +5321,52 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CAST(CASE WHEN doc_id % 6 = 2 THEN 404 ELSE 200 END AS BIGINT)
+             |  CAST(CASE WHEN doc_id % 9 = 2 THEN 404 ELSE 200 END AS BIGINT)
              |    AS status,
-             |  CASE WHEN doc_id % 6 = 2 THEN 'Not Found' ELSE 'OK' END
+             |  CASE WHEN doc_id % 9 = 2 THEN 'Not Found' ELSE 'OK' END
              |    AS reason,
-             |  CAST(CASE doc_id % 6 WHEN 0 THEN 3 WHEN 3 THEN 1
+             |  CAST(CASE doc_id % 9 WHEN 0 THEN 3 WHEN 3 THEN 1
              |    ELSE 2 END AS BIGINT) AS n_headers,
-             |  CASE doc_id % 6
+             |  CASE doc_id % 9
              |    WHEN 0 THEN 'text/html; charset=utf-8'
              |    WHEN 1 THEN 'text/html; charset=windows-1252'
              |    WHEN 2 THEN 'text/html'
              |    WHEN 3 THEN NULL
              |    WHEN 4 THEN 'text/plain; charset=utf-8'
-             |    ELSE 'text/html; charset=utf-8' END AS content_type,
-             |  CAST(CASE doc_id % 6
+             |    WHEN 5 THEN 'text/html; charset=utf-8'
+             |    WHEN 6 THEN 'text/html; charset=Shift_JIS'
+             |    WHEN 7 THEN 'text/html'
+             |    ELSE 'text/plain; charset=koi8-r' END AS content_type,
+             |  CAST(CASE doc_id % 9
              |    WHEN 0 THEN strlen(text) + 10
              |    WHEN 1 THEN strlen(text) + 4
              |    WHEN 2 THEN strlen(text) + 28
              |    WHEN 3 THEN strlen(text) + 3
              |    WHEN 4 THEN strlen(text)
-             |    ELSE strlen(text) + 1 END AS BIGINT) AS body_len,
-             |  CASE doc_id % 6
+             |    WHEN 5 THEN strlen(text) + 1
+             |    WHEN 6 THEN strlen(text) + 4
+             |    WHEN 7 THEN strlen(text) + 27
+             |    ELSE strlen(text) + 2 END AS BIGINT) AS body_len,
+             |  CASE doc_id % 9
              |    WHEN 0 THEN text || ' ' || chr(8212) || ' caf' || chr(233)
              |    WHEN 1 THEN text || chr(8220) || chr(8230) || chr(233)
              |      || chr(8221)
              |    WHEN 2 THEN '<meta charset="iso-8859-1">' || text || chr(233)
              |    WHEN 3 THEN text
              |    WHEN 4 THEN text
-             |    ELSE text || chr(65533) END AS text_out,
-             |  CASE WHEN doc_id % 6 IN (1, 2) THEN 'windows-1252'
+             |    WHEN 5 THEN text || chr(65533)
+             |    WHEN 6 THEN text || chr(26085) || chr(26412)
+             |    WHEN 7 THEN '<meta charset="gb2312">' || text || chr(20013)
+             |      || chr(25991)
+             |    ELSE text || chr(1076) || chr(1072) END AS text_out,
+             |  CASE doc_id % 9
+             |    WHEN 1 THEN 'windows-1252'
+             |    WHEN 2 THEN 'windows-1252'
+             |    WHEN 6 THEN 'windows-31j'
+             |    WHEN 7 THEN 'gb18030'
+             |    WHEN 8 THEN 'koi8-r'
              |    ELSE 'utf-8' END AS charset,
-             |  CAST(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END AS BIGINT)
+             |  CAST(CASE WHEN doc_id % 9 = 5 THEN 1 ELSE 0 END AS BIGINT)
              |    AS n_replaced
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -5282,37 +5394,10 @@ object LlmQueries {
         import graft.functions.HtmlFunctions
         graft.plans.GraftExtensions.register(s)
         val root = graft.queries.Scratch.dir("graft-q251-capstone")
-        val html = concat(
-          lit("<html><head><title>doc "), col("doc_id"),
-          lit(" - "), col("source"),
-          lit("</title><style>.n{c:red}</style><script>var l=\""),
-          col("lang"),
-          lit("\";</script></head><body><div><a href=\"/\">home</a> "),
-          expr("repeat('<a href=\"/t\">tag</a> ', CAST(doc_id % 4 AS INT))"),
-          lit("</div><p>"), col("text"),
-          lit("</p><div><a href=\"/tos\">terms &amp; conditions</a>" +
-            " &copy; corp</div></body></html>"))
-        val httpMsg = concat(
-          lit("HTTP/1.1 200 OK\r\n" +
-            "Content-Type: text/html; charset=utf-8\r\nContent-Length: "),
-          octet_length(col("html")), lit("\r\n\r\n"), col("html"))
-        val r1 = concat(
-          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
-          col("doc_id"), lit(">\r\nWARC-Target-URI: https://crawl.test/"),
-          col("source"), lit("/"), col("doc_id"),
-          lit("\r\nContent-Type: application/http;msgtype=response\r\n" +
-            "Content-Length: "),
-          octet_length(col("http_msg")), lit("\r\n\r\n"), col("http_msg"),
-          lit("\r\n\r\n"))
-        val shards = docs(s, d)
-          .select(col("doc_id"), col("source"), col("lang"), col("text"))
-          .withColumn("html", html)
-          .withColumn("http_msg", httpMsg)
-          .withColumn("r1", r1)
-          .withColumn("gzh", expr("hex(gzip_bytes(encode(r1, 'utf-8')))"))
-          .groupBy(pmod(col("doc_id"), lit(8)).as("bucket"))
-          .agg(expr("unhex(concat_ws('', sort_array(collect_list(gzh))))")
-            .as("media"))
+        // mixed-charset staging (doc_id % 5 over utf-8/1252/SJIS/
+        // gb2312/koi8-r) — see [[crawlCapstoneShards]]; extraction
+        // still recovers `text` byte-exactly, oracle unchanged
+        val shards = crawlCapstoneShards(s, d, buckets = 8)
         shards
           .select(expr("inline(warc_records(gunzip_all(media)))"))
           .withColumn("h", expr("http_parts(content)"))
@@ -5380,38 +5465,8 @@ object LlmQueries {
         val root = graft.queries.Scratch.dir("graft-q252-capstone")
         val src = s"$root/src"
         new java.io.File(src).mkdirs()
-        val html = concat(
-          lit("<html><head><title>doc "), col("doc_id"),
-          lit(" - "), col("source"),
-          lit("</title><style>.n{c:red}</style><script>var l=\""),
-          col("lang"),
-          lit("\";</script></head><body><div><a href=\"/\">home</a> "),
-          expr("repeat('<a href=\"/t\">tag</a> ', CAST(doc_id % 4 AS INT))"),
-          lit("</div><p>"), col("text"),
-          lit("</p><div><a href=\"/tos\">terms &amp; conditions</a>" +
-            " &copy; corp</div></body></html>"))
-        val httpMsg = concat(
-          lit("HTTP/1.1 200 OK\r\n" +
-            "Content-Type: text/html; charset=utf-8\r\nContent-Length: "),
-          octet_length(col("html")), lit("\r\n\r\n"), col("html"))
-        val r1 = concat(
-          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
-          col("doc_id"), lit(">\r\nWARC-Target-URI: https://crawl.test/"),
-          col("source"), lit("/"), col("doc_id"),
-          lit("\r\nContent-Type: application/http;msgtype=response\r\n" +
-            "Content-Length: "),
-          octet_length(col("http_msg")), lit("\r\n\r\n"), col("http_msg"),
-          lit("\r\n\r\n"))
-        val shards = docs(s, d)
-          .select(col("doc_id"), col("source"), col("lang"), col("text"),
-            pmod(col("doc_id"), lit(4)).as("bucket"))
-          .withColumn("html", html)
-          .withColumn("http_msg", httpMsg)
-          .withColumn("r1", r1)
-          .withColumn("gzh", expr("hex(gzip_bytes(encode(r1, 'utf-8')))"))
-          .groupBy(col("bucket"))
-          .agg(expr("unhex(concat_ws('', sort_array(collect_list(gzh))))")
-            .as("media"))
+        // same mixed-charset staging as q251 ([[crawlCapstoneShards]])
+        val shards = crawlCapstoneShards(s, d, buckets = 4)
         shards.collect().foreach { row =>
           val b = row.getAs[Long]("bucket")
           val p = s"$src/shard-$b.parquet"
@@ -5483,6 +5538,375 @@ object LlmQueries {
               |  CAST(cum_tokens AS BIGINT) AS cum_tokens
               |FROM cum WHERE cum_tokens <= 6000
               |ORDER BY doc_id""".stripMargin)),
+
+    // MIME ROUTING in the extraction chain: real WARC response records
+    // are ~¼ non-HTML, and running tag-stripping over JSON/plain/binary
+    // bodies turns them into garbage prose that flows into the quality
+    // gate. Four staged classes (doc_id % 4) through the REAL chain
+    // (gzip_bytes → gunzip_all → warc_records → http_parts →
+    // ContentRoute): text/html → main-block extraction, an
+    // UPPERCASED 'Text/Plain' label (essence normalization) →
+    // squeeze-only, application/ld+json (the +json structured-syntax
+    // suffix) → $.text field pull, and image/png bytes →
+    // skip-with-reason, decode never touching the binary. Every
+    // branch is closed-form predicted by the oracle from the staging
+    // arithmetic.
+    "q253_mime_routing" -> Q(
+      (s, d) => {
+        import graft.crawl.ContentRoute
+        graft.plans.GraftExtensions.register(s)
+        val docsDf = docs(s, d).select(col("doc_id"), col("source"),
+          col("text"))
+          .withColumn("c", expr("CAST(doc_id % 4 AS INT)"))
+        val msgHex = expr(
+          "CASE c " +
+            // text/html: page skeleton; first <p> recovers text exactly
+            "WHEN 0 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=utf-8', cr, cr, " +
+            "  '<html><head><title>doc ', CAST(doc_id AS STRING), " +
+            "  '</title></head><body><div><a href=\"/\">home</a></div><p>', " +
+            "  text, '</p><div>footer nav</div></body></html>')) " +
+            // Text/Plain (label case + whitespace staged): squeeze only
+            "WHEN 1 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: Text/Plain; charset=utf-8', cr, cr, " +
+            "  '  ', text, '   plain  tail ')) " +
+            // +json suffix: field pull from the decoded body
+            "WHEN 2 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: application/ld+json', cr, cr, " +
+            "  '{\"title\":\"doc ', CAST(doc_id AS STRING), " +
+            "  '\",\"text\":\"', text, '\"}')) " +
+            // binary: PNG magic + junk — skip with reason, no decode
+            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: image/png', cr, " +
+            "  'Content-Length: 12', cr, cr)), " +
+            "  '89504E470D0A1A0ADEADBEEF') END")
+        docsDf
+          .withColumn("cr", lit("\r\n"))
+          .withColumn("msg_hex", msgHex)
+          .withColumn("rec", expr(
+            "unhex(concat(hex(concat('WARC/1.0', cr, " +
+              "'WARC-Type: response', cr, " +
+              "'WARC-Record-ID: <urn:uuid:doc-', CAST(doc_id AS STRING), " +
+              "'>', cr, " +
+              "'Content-Length: ', " +
+              "CAST(length(msg_hex) / 2 AS BIGINT), cr, cr)), " +
+              "msg_hex, hex(concat(cr, cr))))"))
+          .withColumn("inflated", expr("gunzip_all(gzip_bytes(rec))"))
+          .withColumn("w", expr("element_at(warc_records(inflated), 1)"))
+          .withColumn("h", expr("http_parts(w.content)"))
+          .withColumn("ct", expr("element_at(h.headers, 'content-type')"))
+          .select(col("doc_id"),
+            ContentRoute.essence(col("ct")).as("mime"),
+            ContentRoute.route(col("ct")).as("route"),
+            ContentRoute.extractedText(col("h.body"), col("ct"))
+              .as("text_out"),
+            ContentRoute.skipReason(col("ct")).as("skip_reason"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 4 WHEN 0 THEN 'text/html'
+             |    WHEN 1 THEN 'text/plain'
+             |    WHEN 2 THEN 'application/ld+json'
+             |    ELSE 'image/png' END AS mime,
+             |  CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'plain'
+             |    WHEN 2 THEN 'json' ELSE 'skip' END AS route,
+             |  CASE doc_id % 4 WHEN 0 THEN text
+             |    WHEN 1 THEN text || ' plain tail'
+             |    WHEN 2 THEN text
+             |    ELSE NULL END AS text_out,
+             |  CASE WHEN doc_id % 4 = 3 THEN 'image/png' END AS skip_reason
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // WebP + AVIF container metadata — the two formats that dominate
+    // 2026 crawl images, in q32's differential protocol: both engines
+    // construct the byte-identical blob (hex → unhex, checksum-bound
+    // via md5 over the hex form), the engine parses the BINARY with
+    // the real header parsers (RIFF chunk walk for WebP VP8/VP8L/VP8X,
+    // ISO-BMFF meta/iprp/ipco/ispe walk for AVIF via media_meta), and
+    // the oracle re-parses the SAME BYTES relationally — LE16/LE24/
+    // LE32/BE32 fields extracted byte-by-byte from the hex — so the
+    // comparison is parser-vs-parser over one blob, not formula-vs-
+    // formula.
+    "q254_webp_avif_meta" -> Q(
+      (s, d) => {
+        import graft.multimodal.MultimodalOps
+        def le32(v: String) = s"format_string('%02x%02x%02x%02x', $v & 255, " +
+          s"shiftright($v, 8) & 255, shiftright($v, 16) & 255, shiftright($v, 24) & 255)"
+        def le24(v: String) = s"format_string('%02x%02x%02x', $v & 255, " +
+          s"shiftright($v, 8) & 255, shiftright($v, 16) & 255)"
+        def le16(v: String) = s"format_string('%02x%02x', $v & 255, shiftright($v, 8) & 255)"
+        def be32(v: String) = s"format_string('%02x%02x%02x%02x', " +
+          s"shiftright($v, 24) & 255, shiftright($v, 16) & 255, " +
+          s"shiftright($v, 8) & 255, $v & 255)"
+        val staged = docs(s, d).select(col("doc_id"),
+          expr("1 + doc_id % 999").as("w0"),
+          expr("1 + (doc_id * 7) % 777").as("h0"),
+          expr("1 + (doc_id * 3) % 2000").as("w1"),
+          expr("1 + (doc_id * 11) % 1600").as("h1"),
+          expr("1 + (doc_id * 5) % 4000").as("w2"),
+          expr("1 + (doc_id * 13) % 3000").as("h2"),
+          expr("1 + (doc_id * 17) % 8000").as("w3"),
+          expr("1 + (doc_id * 19) % 6000").as("h3"))
+          // VP8L packs (w-1, h-1) as 14+14 bits of one LE u32
+          .withColumn("vl", expr("(w1 - 1) + (h1 - 1) * 16384"))
+        val v8 = s"concat('52494646', '16000000', '57454250', '56503820', " +
+          s"'0a000000', '000000', '9d012a', ${le16("w0")}, ${le16("h0")})"
+        val v8l = s"concat('52494646', '12000000', '57454250', '5650384c', " +
+          s"'05000000', '2f', ${le32("vl")}, '00')"
+        val v8x = s"concat('52494646', '16000000', '57454250', '56503858', " +
+          s"'0a000000', '00000000', ${le24("(w2 - 1)")}, ${le24("(h2 - 1)")})"
+        val avif = s"concat('00000018', '66747970', '61766966', '00000000', " +
+          s"'61766966', '6d696631', '00000030', '6d657461', '00000000', " +
+          s"'00000024', '69707270', '0000001c', '6970636f', '00000014', " +
+          s"'69737065', '00000000', ${be32("w3")}, ${be32("h3")})"
+        val withMedia = staged.withColumn("media", expr(
+          s"unhex(CASE WHEN doc_id % 4 = 0 THEN $v8 " +
+            s"WHEN doc_id % 4 = 1 THEN $v8l " +
+            s"WHEN doc_id % 4 = 2 THEN $v8x ELSE $avif END)"))
+        val meta = MultimodalOps.decodeMetaColumns(col("media"))
+        withMedia.select(col("doc_id"), meta(0), meta(1), meta(2), meta(3),
+            meta(4), md5(hex(col("media"))).as("checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH params AS (
+             |  SELECT doc_id,
+             |    1 + doc_id % 999 AS w0, 1 + (doc_id * 7) % 777 AS h0,
+             |    1 + (doc_id * 3) % 2000 AS w1, 1 + (doc_id * 11) % 1600 AS h1,
+             |    1 + (doc_id * 5) % 4000 AS w2, 1 + (doc_id * 13) % 3000 AS h2,
+             |    1 + (doc_id * 17) % 8000 AS w3, 1 + (doc_id * 19) % 6000 AS h3
+             |  FROM documents),
+             |packed AS (SELECT *, (w1 - 1) + (h1 - 1) * 16384 AS vl FROM params),
+             |blobs AS (
+             |  SELECT doc_id, unhex(CASE
+             |    WHEN doc_id % 4 = 0 THEN
+             |      '52494646' || '16000000' || '57454250' || '56503820' ||
+             |      '0a000000' || '000000' || '9d012a' ||
+             |      printf('%02x%02x', w0 & 255, (w0 >> 8) & 255) ||
+             |      printf('%02x%02x', h0 & 255, (h0 >> 8) & 255)
+             |    WHEN doc_id % 4 = 1 THEN
+             |      '52494646' || '12000000' || '57454250' || '5650384c' ||
+             |      '05000000' || '2f' ||
+             |      printf('%02x%02x%02x%02x', vl & 255, (vl >> 8) & 255,
+             |        (vl >> 16) & 255, (vl >> 24) & 255) || '00'
+             |    WHEN doc_id % 4 = 2 THEN
+             |      '52494646' || '16000000' || '57454250' || '56503858' ||
+             |      '0a000000' || '00000000' ||
+             |      printf('%02x%02x%02x', (w2-1) & 255, ((w2-1) >> 8) & 255,
+             |        ((w2-1) >> 16) & 255) ||
+             |      printf('%02x%02x%02x', (h2-1) & 255, ((h2-1) >> 8) & 255,
+             |        ((h2-1) >> 16) & 255)
+             |    ELSE
+             |      '00000018' || '66747970' || '61766966' || '00000000' ||
+             |      '61766966' || '6d696631' || '00000030' || '6d657461' ||
+             |      '00000000' || '00000024' || '69707270' || '0000001c' ||
+             |      '6970636f' || '00000014' || '69737065' || '00000000' ||
+             |      printf('%02x%02x%02x%02x', (w3 >> 24) & 255, (w3 >> 16) & 255,
+             |        (w3 >> 8) & 255, w3 & 255) ||
+             |      printf('%02x%02x%02x%02x', (h3 >> 24) & 255, (h3 >> 16) & 255,
+             |        (h3 >> 8) & 255, h3 & 255)
+             |    END) AS media
+             |  FROM packed),
+             |hexed AS (
+             |  SELECT doc_id, media, hex(media) AS hs,
+             |    CASE WHEN substr(hex(media), 1, 8) = '52494646'
+             |              AND substr(hex(media), 17, 8) = '57454250' THEN
+             |           CASE substr(hex(media), 25, 8)
+             |             WHEN '56503820' THEN 'vp8'
+             |             WHEN '5650384C' THEN 'vp8l' ELSE 'vp8x' END
+             |         WHEN substr(hex(media), 9, 8) = '66747970'
+             |              AND substr(hex(media), 17, 8) = '61766966' THEN 'avif'
+             |         ELSE 'unknown' END AS variant
+             |  FROM blobs),
+             |parsed AS (
+             |  SELECT doc_id,
+             |    CAST(octet_length(media) AS BIGINT) AS byte_len,
+             |    CASE WHEN variant IN ('vp8', 'vp8l', 'vp8x') THEN 'webp'
+             |         ELSE variant END AS format,
+             |    CASE variant
+             |      WHEN 'vp8' THEN (TRY_CAST('0x'||substr(hs, 2*27-1, 2) AS BIGINT)
+             |        + 256 * TRY_CAST('0x'||substr(hs, 2*28-1, 2) AS BIGINT)) % 16384
+             |      WHEN 'vp8l' THEN ((TRY_CAST('0x'||substr(hs, 2*22-1, 2) AS BIGINT)
+             |        + 256 * TRY_CAST('0x'||substr(hs, 2*23-1, 2) AS BIGINT)
+             |        + 65536 * TRY_CAST('0x'||substr(hs, 2*24-1, 2) AS BIGINT)
+             |        + 16777216 * TRY_CAST('0x'||substr(hs, 2*25-1, 2) AS BIGINT))
+             |        % 16384) + 1
+             |      WHEN 'vp8x' THEN TRY_CAST('0x'||substr(hs, 2*25-1, 2) AS BIGINT)
+             |        + 256 * TRY_CAST('0x'||substr(hs, 2*26-1, 2) AS BIGINT)
+             |        + 65536 * TRY_CAST('0x'||substr(hs, 2*27-1, 2) AS BIGINT) + 1
+             |      ELSE 16777216 * TRY_CAST('0x'||substr(hs, 2*65-1, 2) AS BIGINT)
+             |        + 65536 * TRY_CAST('0x'||substr(hs, 2*66-1, 2) AS BIGINT)
+             |        + 256 * TRY_CAST('0x'||substr(hs, 2*67-1, 2) AS BIGINT)
+             |        + TRY_CAST('0x'||substr(hs, 2*68-1, 2) AS BIGINT)
+             |    END AS width,
+             |    CASE variant
+             |      WHEN 'vp8' THEN (TRY_CAST('0x'||substr(hs, 2*29-1, 2) AS BIGINT)
+             |        + 256 * TRY_CAST('0x'||substr(hs, 2*30-1, 2) AS BIGINT)) % 16384
+             |      WHEN 'vp8l' THEN (((TRY_CAST('0x'||substr(hs, 2*22-1, 2) AS BIGINT)
+             |        + 256 * TRY_CAST('0x'||substr(hs, 2*23-1, 2) AS BIGINT)
+             |        + 65536 * TRY_CAST('0x'||substr(hs, 2*24-1, 2) AS BIGINT)
+             |        + 16777216 * TRY_CAST('0x'||substr(hs, 2*25-1, 2) AS BIGINT))
+             |        // 16384) % 16384) + 1
+             |      WHEN 'vp8x' THEN TRY_CAST('0x'||substr(hs, 2*28-1, 2) AS BIGINT)
+             |        + 256 * TRY_CAST('0x'||substr(hs, 2*29-1, 2) AS BIGINT)
+             |        + 65536 * TRY_CAST('0x'||substr(hs, 2*30-1, 2) AS BIGINT) + 1
+             |      ELSE 16777216 * TRY_CAST('0x'||substr(hs, 2*69-1, 2) AS BIGINT)
+             |        + 65536 * TRY_CAST('0x'||substr(hs, 2*70-1, 2) AS BIGINT)
+             |        + 256 * TRY_CAST('0x'||substr(hs, 2*71-1, 2) AS BIGINT)
+             |        + TRY_CAST('0x'||substr(hs, 2*72-1, 2) AS BIGINT)
+             |    END AS height,
+             |    md5(hs) AS checksum
+             |  FROM hexed)
+             |SELECT doc_id, byte_len, format,
+             |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+             |  CAST(1 AS BIGINT) AS n_frames, checksum
+             |FROM parsed ORDER BY doc_id""".stripMargin)),
+
+    // TRAINED language ID — the statistical upgrade over q22's
+    // caller-supplied marker dictionary (whose coverage is whatever
+    // markers the query ships): train the exact-integer NaiveBayes on
+    // CHAR-3-GRAM features over a seeded per-language corpus, then
+    // classify held-out text — the fastText-langid shape that works at
+    // 100-language scale because the features are learned from counts,
+    // not curated. The corpus synthesizes four script-distinct
+    // languages deterministically (vowel-substitution ciphers into
+    // umlaut/Cyrillic/Greek codepoints, doc_id % 4), trains on
+    // doc_id % 5 <> 0 and predicts the held-out fifth; trigrams are
+    // taken over the space→'_' normalized text so word boundaries stay
+    // inside features. The MARKER heuristic (does the doc contain this
+    // language's ciphered form of the corpus's most-common word?) runs
+    // beside it on the same held-out docs — its per-row correctness
+    // column against the trained model's is exactly the accuracy
+    // comparison a pipeline owner needs before swapping q22-class
+    // routing for the trained model. Oracle replays EVERYTHING —
+    // ciphers, trigram explosion, counts, vocabulary, whole-bit
+    // Laplace surprisal, priors, OOV fallback, the argmin, and the
+    // marker CASE — bit for bit (q232's protocol on char-gram
+    // features). Scale: two count shuffles to train; inference crosses
+    // trigrams with the broadcast 4-class list and left-joins the
+    // model — linear in corpus characters.
+    "q255_trained_langid" -> Q(
+      (s, d) => {
+        import graft.llm.NaiveBayes
+        val uml = "äëïöü"
+        val cyr = "аеиоу"
+        val grk = "αειου"
+        val ciphered = docs(s, d).select(col("doc_id"), col("text"))
+          .withColumn("true_lang", expr(
+            "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'lat' " +
+              "WHEN 1 THEN 'uml' WHEN 2 THEN 'cyr' ELSE 'grk' END"))
+          .withColumn("ctext", expr(
+            "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN text " +
+              s"WHEN 1 THEN translate(text, 'aeiou', '$uml') " +
+              s"WHEN 2 THEN translate(text, 'aeiou', '$cyr') " +
+              s"ELSE translate(text, 'aeiou', '$grk') END"))
+          // hoist the normalized string OUT of the lambda: an
+          // expression inside transform() re-evaluates per element
+          .withColumn("ct2", expr("replace(ctext, ' ', '_')"))
+          .withColumn("grams", expr(
+            "array_join(transform(sequence(1, greatest(length(ct2) - 2, 1)), " +
+              "i -> substring(ct2, i, 3)), ' ')"))
+        val (classes, tokenBits) = NaiveBayes.train(
+          ciphered.filter(col("doc_id") % 5 =!= 0), "doc_id", "true_lang",
+          col("grams"))
+        val test = ciphered.filter(col("doc_id") % 5 === 0)
+        // the marker baseline: each language's ciphered ' batch '
+        // (the corpus's most-document-frequent word, ~80% coverage) —
+        // the engine derives the ciphered markers itself, no
+        // hand-typed mixed-script literals
+        val marker = test.select(col("doc_id"),
+          expr("concat(' ', ctext, ' ')").as("pad"))
+          .select(col("doc_id"), expr(
+            "CASE WHEN contains(pad, ' batch ') THEN 'lat' " +
+              s"WHEN contains(pad, translate(' batch ', 'aeiou', '$uml')) THEN 'uml' " +
+              s"WHEN contains(pad, translate(' batch ', 'aeiou', '$cyr')) THEN 'cyr' " +
+              s"WHEN contains(pad, translate(' batch ', 'aeiou', '$grk')) THEN 'grk' " +
+              "ELSE 'und' END").as("marker_pred"))
+        NaiveBayes.classify(test, "doc_id", col("grams"), classes, tokenBits)
+          .join(test.select(col("doc_id"), col("true_lang").as("actual")),
+            Seq("doc_id"))
+          .join(marker, Seq("doc_id"))
+          .select(col("doc_id"), col("actual"), col("predicted"),
+            col("score_bits"),
+            (col("predicted") === col("actual")).cast("long").as("nb_correct"),
+            col("marker_pred"),
+            (col("marker_pred") === col("actual")).cast("long")
+              .as("marker_correct"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val uml = "äëïöü"
+        val cyr = "аеиоу"
+        val grk = "αειου"
+        s"""WITH c AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'lat'
+           |      WHEN 1 THEN 'uml' WHEN 2 THEN 'cyr' ELSE 'grk' END
+           |      AS true_lang,
+           |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN text
+           |      WHEN 1 THEN translate(text, 'aeiou', '$uml')
+           |      WHEN 2 THEN translate(text, 'aeiou', '$cyr')
+           |      ELSE translate(text, 'aeiou', '$grk') END AS ctext
+           |  FROM documents),
+           |g AS (SELECT doc_id, true_lang, ctext,
+           |    replace(ctext, ' ', '_') AS ct2 FROM c),
+           |tt AS (SELECT doc_id, label, substring(ct2, CAST(i AS INT), 3) AS t
+           |  FROM (SELECT doc_id, true_lang AS label, ct2,
+           |      unnest(generate_series(1, greatest(length(ct2) - 2, 1)))
+           |        AS i
+           |    FROM g WHERE doc_id % 5 <> 0)),
+           |v AS (SELECT count(DISTINCT t) AS v FROM tt),
+           |ct AS (SELECT label, t, count(*) AS n_ct FROM tt
+           |       GROUP BY label, t),
+           |ctot AS (SELECT label, sum(n_ct) AS n_tokens FROM ct
+           |         GROUP BY label),
+           |cdocs AS (SELECT true_lang AS label, count(*) AS n_docs
+           |  FROM c WHERE doc_id % 5 <> 0 GROUP BY 1),
+           |dtot AS (SELECT count(*) AS d FROM c WHERE doc_id % 5 <> 0),
+           |cls AS (SELECT cd.label,
+           |    CAST(length(bin(d // n_docs)) - 1 AS BIGINT) AS prior_bits,
+           |    CAST(length(bin(n_tokens + v)) - 1 AS BIGINT) AS oov_bits
+           |  FROM cdocs cd JOIN ctot USING (label)
+           |  CROSS JOIN dtot CROSS JOIN v),
+           |tb AS (SELECT ct.label, ct.t,
+           |    CAST(length(bin((n_tokens + v) // (n_ct + 1))) - 1
+           |      AS BIGINT) AS bits
+           |  FROM ct JOIN ctot USING (label) CROSS JOIN v),
+           |te AS (SELECT doc_id, substring(ct2, CAST(i AS INT), 3) AS t
+           |  FROM (SELECT doc_id, ct2,
+           |      unnest(generate_series(1, greatest(length(ct2) - 2, 1)))
+           |        AS i
+           |    FROM g WHERE doc_id % 5 = 0)),
+           |st AS (SELECT te.doc_id, cls.label,
+           |    COALESCE(tb.bits, cls.oov_bits) AS bits
+           |  FROM te CROSS JOIN cls
+           |  LEFT JOIN tb ON tb.label = cls.label AND tb.t = te.t),
+           |pc AS (SELECT doc_id, label, sum(bits) AS tok_bits
+           |  FROM st GROUP BY doc_id, label),
+           |sc AS (SELECT pc.doc_id, pc.label,
+           |    tok_bits + prior_bits AS score_bits
+           |  FROM pc JOIN cls USING (label)),
+           |pred AS (SELECT doc_id, label AS predicted, score_bits,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score_bits, label) AS rn
+           |  FROM sc),
+           |mk AS (SELECT doc_id,
+           |    CASE WHEN contains(' ' || ctext || ' ', ' batch ')
+           |           THEN 'lat'
+           |         WHEN contains(' ' || ctext || ' ',
+           |           translate(' batch ', 'aeiou', '$uml')) THEN 'uml'
+           |         WHEN contains(' ' || ctext || ' ',
+           |           translate(' batch ', 'aeiou', '$cyr')) THEN 'cyr'
+           |         WHEN contains(' ' || ctext || ' ',
+           |           translate(' batch ', 'aeiou', '$grk')) THEN 'grk'
+           |         ELSE 'und' END AS marker_pred
+           |  FROM c WHERE doc_id % 5 = 0)
+           |SELECT p.doc_id, g.true_lang AS actual, p.predicted,
+           |  CAST(p.score_bits AS BIGINT) AS score_bits,
+           |  CAST(p.predicted = g.true_lang AS BIGINT) AS nb_correct,
+           |  mk.marker_pred,
+           |  CAST(mk.marker_pred = g.true_lang AS BIGINT) AS marker_correct
+           |FROM pred p JOIN g USING (doc_id) JOIN mk USING (doc_id)
+           |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin
+      }),
 
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;

@@ -46,6 +46,10 @@ class FormatFuzzSpec extends AnyFunSuite {
       MediaContainers.webmBytes("webm", 1000000L, 60000.0, 640, 360,
         48000.0, 2),
       MediaContainers.mp4Bytes(600, 3600, 320, 240),
+      MediaContainers.webpBytes("VP8 ", 640, 480),
+      MediaContainers.webpBytes("VP8L", 320, 240),
+      MediaContainers.webpBytes("VP8X", 4000, 3000),
+      MediaContainers.avifBytes(1920, 1080),
       MediaContainers.flacBytes(44100, 2, 16, 1000L),
       MediaContainers.oggOpusBytes(2, 48000),
       Tar.tarBytes(Seq("a.txt" -> ("x" * 700).getBytes("UTF-8"),
@@ -70,6 +74,60 @@ class FormatFuzzSpec extends AnyFunSuite {
           val tail = new Array[Byte](rnd.nextInt(64))
           rnd.nextBytes(tail)
           parseAllFormats(b ++ tail)
+      }
+    }
+  }
+
+  test("charset surface: label forms, truncated multi-byte prefixes, BOM-vs-label conflicts never throw") {
+    import graft.crawl.Http
+    val rnd = new scala.util.Random(20260816L)
+    // 1) label fuzzing: casing, whitespace, quotes, junk parameters —
+    //    decode must never throw whatever the label string looks like
+    val labels = Seq("utf-8", "Shift_JIS", "EUC-KR", "gb2312", "big5",
+      "koi8-r", "iso-8859-7", "windows-1251", "tis-620", "ibm866",
+      "unknown-enc", "", ";;;", "charset", "\"gbk\"", "'sjis'")
+    val body = "plain ascii body with some text".getBytes("US-ASCII")
+    for (l <- labels; form <- Seq(
+        s"text/html; charset=$l", s"TEXT/HTML;CHARSET=$l",
+        s"text/html ; charset = $l ", s"text/html; charset=$l; foo=bar",
+        s"text/html; charset=\"$l\"", s"text/html; charset=")) {
+      val d = Http.decodeCharset(body, form)
+      assert(d.text.nonEmpty) // ASCII decodes under every resolution
+    }
+    // 2) truncated multi-byte sequences at EVERY prefix of real
+    //    multi-byte payloads, under the matching label and under a
+    //    lying one — replacement-counted, never thrown
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val multis = Seq(
+      ("93FA967B", "shift_jis"), ("C7D1B1B9", "euc-kr"),
+      ("D6D0CEC4", "gb18030"), ("A4A4A4E5", "big5"),
+      ("E697A5E69CAC", "utf-8"), ("81308130", "gb18030") /* 4-byte gb */)
+    for ((hex, label) <- multis; cut <- 0 to hex.length / 2) {
+      val payload = "ascii-lead ".getBytes("US-ASCII") ++ hx(hex).take(cut)
+      Http.decodeCharset(payload, s"text/html; charset=$label")
+      Http.decodeCharset(payload, "text/html; charset=utf-8") // lying
+      Http.decodeCharset(payload, null)
+    }
+    // 3) BOM-vs-label conflicts: every BOM under every label — the BOM
+    //    must win and nothing throws, even when the BOM itself is then
+    //    truncated mid-sequence
+    val boms = Seq(hx("EFBBBF"), hx("FFFE"), hx("FEFF"))
+    for (bom <- boms; l <- Seq("utf-8", "shift_jis", "utf-16be", "gbk")) {
+      val d = Http.decodeCharset(bom ++ "after".getBytes("US-ASCII"),
+        s"text/html; charset=$l")
+      assert(d.charset == "utf-8" || d.charset.startsWith("utf-16"))
+      Http.decodeCharset(bom.take(1), s"text/html; charset=$l")
+      Http.decodeCharset(bom, s"text/html; charset=$l") // BOM only
+    }
+    // 4) random high-byte soup under every shipped label family
+    for (_ <- 0 until 50) {
+      val n = rnd.nextInt(256)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      for (l <- Seq("shift_jis", "euc-jp", "euc-kr", "gbk", "big5",
+          "koi8-r", "iso-8859-5", "windows-1256", "iso-2022-jp")) {
+        val d = Http.decodeCharset(b, s"text/plain; charset=$l")
+        assert(d.nReplaced >= 0)
       }
     }
   }

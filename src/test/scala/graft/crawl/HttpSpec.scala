@@ -129,6 +129,91 @@ class HttpSpec extends AnyFunSuite {
     assert(row.getString(0) == "second" && row.getInt(1) == 2)
   }
 
+  test("WHATWG label families: CJK/Cyrillic/Greek/Thai labels decode real bytes") {
+    // hard byte pins against the external encoding truth (not JDK
+    // round-trips): a regression in label aliasing OR in the decoder
+    // choice moves these
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val sjis = Http.decodeCharset(hx("93fa967b"), "text/html; charset=Shift_JIS")
+    assert(sjis.text == "日本" && sjis.charset == "windows-31j" && sjis.nReplaced == 0)
+    val euckr = Http.decodeCharset(hx("c7d1b1b9"), "text/html; charset=EUC-KR")
+    assert(euckr.text == "한국" && euckr.charset == "x-windows-949")
+    // WHATWG: gbk's decoder IS gb18030's decoder — all labels, one decoder
+    for (label <- Seq("gbk", "GB2312", "gb18030", "csgb2312")) {
+      val d = Http.decodeCharset(hx("d6d0cec4"), s"text/html; charset=$label")
+      assert(d.text == "中文" && d.charset == "gb18030", label)
+    }
+    val big5 = Http.decodeCharset(hx("a4a4a4e5"), "text/html; charset=big5")
+    assert(big5.text == "中文" && big5.charset == "big5-hkscs")
+    val koi = Http.decodeCharset(hx("c4c1"), "text/plain; charset=koi8-r")
+    assert(koi.text == "да" && koi.charset == "koi8-r")
+    val i5 = Http.decodeCharset(hx("d4d0"), "text/html; charset=ISO-8859-5")
+    assert(i5.text == "да" && i5.charset == "iso-8859-5")
+    val w1251 = Http.decodeCharset(hx("e4e0"), "text/html; charset=windows-1251")
+    assert(w1251.text == "да" && w1251.charset == "windows-1251")
+    // WHATWG re-aliasing: iso-8859-9 decodes as windows-1254,
+    // tis-620/iso-8859-11 as windows-874
+    val tr = Http.decodeCharset(hx("f0"), "text/html; charset=iso-8859-9")
+    assert(tr.text == "ğ" && tr.charset == "windows-1254")
+    val th = Http.decodeCharset(hx("a1"), "text/html; charset=tis-620")
+    assert(th.text == "ก" && th.charset == "x-windows-874")
+    val el = Http.decodeCharset(hx("e1"), "text/html; charset=greek")
+    assert(el.text == "α" && el.charset == "iso-8859-7")
+    val dos = Http.decodeCharset(hx("80"), "text/plain; charset=ibm866")
+    assert(dos.text == "А" && dos.charset == "ibm866")
+    // label-alias round-trips through the JDK decoder for the rest of
+    // the families (verifies resolution, not byte tables)
+    for ((label, sample) <- Seq(
+        "euc-jp" -> "日本語", "iso-2022-jp" -> "日本", "koi8-u" -> "ґанок",
+        "iso-8859-2" -> "český", "windows-1250" -> "zażółć",
+        "iso-8859-7" -> "ελλάδα", "windows-1253" -> "ελλάδα",
+        "windows-1255" -> "שלום", "windows-1256" -> "مرحبا",
+        "windows-1257" -> "ąčęė", "iso-8859-15" -> "€uro",
+        "windows-874" -> "ไทย", "iso-8859-13" -> "ņķ")) {
+      val cs = Http.resolveLabel(label).get
+      val d = Http.decodeCharset(sample.getBytes(cs), s"text/html; charset=$label")
+      assert(d.text == sample && d.nReplaced == 0, s"$label: ${d.text}")
+    }
+    // case/whitespace-insensitive labels
+    assert(Http.resolveLabel("  SHIFT_JIS ").get.name == "windows-31j")
+  }
+
+  test("meta charset prescan applies only to HTML (or unknown) content types") {
+    // a text/plain body that merely MENTIONS a charset label must not
+    // be decoded under it — the prescan is an HTML mechanism
+    val body = ("this plain file documents charset=utf-16le markers " +
+      "and nothing else").getBytes("US-ASCII")
+    val plain = Http.decodeCharset(body, "text/plain")
+    assert(plain.charset == "utf-8" && plain.text.startsWith("this plain"))
+    val json = Http.decodeCharset(
+      """{"note":"charset=utf-16le"}""".getBytes("US-ASCII"), "application/json")
+    assert(json.charset == "utf-8")
+    // the same bytes under text/html DO sniff (here: a real meta tag)
+    val html = ("<meta charset='windows-1251'><body>").getBytes("US-ASCII") ++
+      Array[Byte](0xE4.toByte)
+    assert(Http.decodeCharset(html, "text/html").charset == "windows-1251")
+    assert(Http.decodeCharset(html, "application/xhtml+xml").charset == "windows-1251")
+    // absent content type: the body may well be HTML — still sniffs
+    assert(Http.decodeCharset(html, null).charset == "windows-1251")
+    // non-HTML with an HONEST charset param still honors the param
+    val param = Http.decodeCharset(Array[Byte](0xC4.toByte, 0xC1.toByte),
+      "text/plain; charset=koi8-r")
+    assert(param.text == "да")
+  }
+
+  test("conflicting duplicate Content-Length quarantines; identical repeats recover") {
+    // RFC 9110 §8.6: differing duplicate CLs are malformed (smuggling
+    // surface) — last-one-wins would yield a different body than the
+    // upstream toolchain that rejects the capture
+    val conflict = ascii(
+      "HTTP/1.1 200 OK\r\nContent-Length: 5\r\nContent-Length: 7\r\n\r\nhello67")
+    assert(Http.parseResponse(conflict).isEmpty)
+    val same = ascii(
+      "HTTP/1.1 200 OK\r\nContent-Length: 5\r\nContent-Length: 5\r\n\r\nhello67")
+    assert(new String(Http.parseResponse(same).get.body, "US-ASCII") == "hello")
+  }
+
   test("SQL surface: http_parts + decode_charset inside a WARC chain") {
     graft.plans.GraftExtensions.register(spark)
     val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +

@@ -353,6 +353,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.rgb.sameElements(gray))
   }
 
+  test("WebP: VP8/VP8L/VP8X dims via the RIFF walk; malformed quarantined") {
+    import MediaContainers._
+    // VP8 lossy keyframe: 14-bit LE dims behind the 9D 01 2A sync
+    val lossy = webpBytes("VP8 ", 640, 480)
+    assert(parseWebp(lossy).contains(ImageMeta(640, 480)))
+    assert(parse(lossy) == MediaMeta("webp", Some(640), Some(480), Some(1L)))
+    // VP8L lossless: 14+14-bit packed minus-one dims, both extremes
+    assert(parseWebp(webpBytes("VP8L", 1, 1)).contains(ImageMeta(1, 1)))
+    assert(parseWebp(webpBytes("VP8L", 16384, 16384))
+      .contains(ImageMeta(16384, 16384)))
+    // VP8X extended: 24-bit LE canvas dims, minus-one coded
+    assert(parseWebp(webpBytes("VP8X", 4000, 3000))
+      .contains(ImageMeta(4000, 3000)))
+    // a leading foreign chunk is SKIPPED (chunk walk, not fixed offsets)
+    val base = webpBytes("VP8L", 33, 44)
+    val iccp = "ICCP".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+    val spliced = base.take(12) ++ iccp ++ base.drop(12)
+    assert(parseWebp(spliced).contains(ImageMeta(33, 44)))
+    // malformed: WAV is RIFF but not WEBP; bad sync; bad VP8L
+    // signature; truncation at every prefix quarantines, never throws
+    assert(parseWebp(wavBytes(1, 8000, 16)).isEmpty)
+    val badSync = lossy.clone(); badSync(23) = 0 // payload sync byte
+    assert(parseWebp(badSync).isEmpty)
+    val badSig = webpBytes("VP8L", 9, 9); badSig(20) = 0 // 0x2F gone
+    assert(parseWebp(badSig).isEmpty)
+    for (i <- 0 until lossy.length) parseWebp(lossy.take(i))
+    assert(parseWebp(lossy.take(25)).isEmpty)
+  }
+
+  test("AVIF: ftyp brand gate + meta/iprp/ipco/ispe walk; malformed quarantined") {
+    import MediaContainers._
+    val av = avifBytes(1920, 1080)
+    assert(parseAvif(av).contains(ImageMeta(1920, 1080)))
+    assert(parse(av) == MediaMeta("avif", Some(1920), Some(1080), Some(1L)))
+    // the two ISO-BMFF sniffs never cross-claim: an AVIF has no moov,
+    // an MP4 has no avif brand
+    assert(parseMp4(av).isEmpty)
+    assert(parseAvif(mp4Bytes(600, 3600, 64, 48)).isEmpty)
+    // brand in the COMPATIBLE list (major mif1) still accepted
+    val compatOnly = av.clone()
+    System.arraycopy("mif1".getBytes("US-ASCII"), 0, compatOnly, 8, 4)
+    System.arraycopy("avif".getBytes("US-ASCII"), 0, compatOnly, 16, 4)
+    assert(parseAvif(compatOnly).contains(ImageMeta(1920, 1080)))
+    // zero dims, truncation at every prefix: quarantined, never thrown
+    assert(parseAvif(avifBytes(0, 10)).isEmpty)
+    for (i <- 0 until av.length) parseAvif(av.take(i))
+    assert(parseAvif(av.take(40)).isEmpty)
+  }
+
   test("MP4: box walk reads mvhd duration and tkhd dims; truncation quarantined") {
     import MediaContainers._
     // video movie: dims from the trak, duration from mvhd
