@@ -97,6 +97,28 @@ object Bench {
     (System.nanoTime() - t0) / 1000000
   }
 
+  /** Fixed-work single-thread CPU calibration probe: 4e8 fmix64-style
+    * rounds of pure ALU work, no allocation, no syscalls. The host can
+    * silently degrade ~2.5x on pure-CPU work mid-session (observed
+    * round 10: a firecracker-level slowdown with 0% visible steal), which
+    * poisons cross-round pin comparisons; this number, emitted next to
+    * the totals, is the divisor that makes them comparable. Healthy-host
+    * reference value is recorded in BASELINE.md next to the pins.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 400000000) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+      i += 1
+    }
+    // data-dependent side effect so the JIT cannot elide the loop
+    if (x == 42L) System.err.println("calibration fixpoint")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -217,6 +239,11 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "0").toInt
 
+    // calibration brackets the suite: a degraded window shows up as a
+    // high min; a degradation that STARTED mid-run shows up as pre/post
+    // divergence
+    val calPre = if (isChild) -1.0 else calibrate()
+
     val results: Seq[(String, Double)] =
       if (isChild) {
         val spark = newSession(cpus)
@@ -244,6 +271,12 @@ object Bench {
         rs
       }
 
+    val calPost = calibrate()
+    val cal = math.min(calPre match { case v if v < 0 => calPost; case v => v },
+      calPost)
+    val calStr = s""""calibration":${num(cal, 3)},"calibration_pre":${
+      num(calPre, 3)},"calibration_post":${num(calPost, 3)}"""
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     // failed queries report -1 in `queries` but are EXCLUDED from the
@@ -253,8 +286,21 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     System.err.flush()
     val totalStr = num(total, 3)
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","failures":$failures,"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    // the COMPLETE per-query artifact: the driver's stdout capture
+    // truncates the long `queries` line (BENCH_r10 lost q100-q243), so
+    // Bench writes its own file with every timing + the calibration —
+    // regressions anywhere in the suite stay visible without BASELINE
+    // archaeology
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (s"""{"metric":"total","value":$totalStr,"unit":"sec","failures":$failures,""" +
+        s""""passes":$passes,$calStr,"queries":$qs,"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","failures":$failures,"passes":$passes,$calStr,"queries":$qs,"sf":"$sfDir"}""")
     // short summary LAST: always inside any bounded stdout-tail capture
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","failures":$failures,"passes":$passes,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","failures":$failures,"passes":$passes,$calStr,"sf":"$sfDir"}""")
   }
 }
