@@ -5908,6 +5908,117 @@ object LlmQueries {
            |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin
       }),
 
+    // STREAMING MIME-ROUTED multilingual crawl ingest — the production
+    // shape of q253+q250 composed: mixed-media-type records (KOI8-R
+    // HTML with native-script bytes, plain text, JSON, real WebP
+    // binary) packed into .warc.gz shards that arrive one per
+    // microbatch (q249's protocol), each batch inflated → record walk
+    // → http_parts → ContentRoute dispatch → idempotent batch=N
+    // landing. Binary records are SKIPPED with their media type as the
+    // reason (never decoded, never extracted); the KOI8-R class proves
+    // the charset table works through the streaming path. Oracle
+    // predicts every routed row closed-form; batch count from
+    // committed dirs pins true multi-batch delivery.
+    "q256_stream_mime_ingest" -> Q(
+      (s, d) => {
+        import graft.crawl.ContentRoute
+        graft.plans.GraftExtensions.register(s)
+        val root = graft.queries.Scratch.dir("graft-q256-mime")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val msgHex = expr(
+          "CASE CAST(doc_id % 4 AS INT) " +
+            // KOI8-R HTML: ' да' (C4C1) staged inside the main <p>
+            "WHEN 0 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=koi8-r', cr, cr, " +
+            "  '<html><body><div><a href=\"/\">home</a></div><p>', " +
+            "  text, ' ')), 'C4C1', hex('</p><div>footer</div></body></html>')) " +
+            // plain text: squeeze-only route
+            "WHEN 1 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/plain; charset=utf-8', cr, cr, " +
+            "  '  ', text, '   plain  tail ')) " +
+            // JSON: field-pull route
+            "WHEN 2 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: application/json', cr, cr, " +
+            "  '{\"text\":\"', text, '\",\"k\":1}')) " +
+            // real WebP (VP8L 8x8) binary: skip route, decode never runs
+            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: image/webp', cr, " +
+            "  'Content-Length: 26', cr, cr)), " +
+            "  '5249464612000000574542505650384C050000002F07C0010000') END")
+        val shards = docs(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            pmod(expr("doc_id div 4"), lit(4)).as("bucket"))
+          .withColumn("cr", lit("\r\n"))
+          .withColumn("msg_hex", msgHex)
+          .withColumn("r1_hex", expr(
+            "concat(hex(concat('WARC/1.0', cr, " +
+              "'WARC-Type: response', cr, " +
+              "'WARC-Record-ID: <urn:uuid:doc-', CAST(doc_id AS STRING), " +
+              "'>', cr, " +
+              "'Content-Length: ', " +
+              "CAST(length(msg_hex) / 2 AS BIGINT), cr, cr)), " +
+              "msg_hex, hex(concat(cr, cr)))"))
+          .withColumn("gzh", expr("hex(gzip_bytes(unhex(r1_hex)))"))
+          .groupBy(col("bucket"))
+          .agg(expr("unhex(concat_ws('', sort_array(collect_list(gzh))))")
+            .as("media"))
+        shards.collect().foreach { row =>
+          val b = row.getAs[Long]("bucket")
+          val p = s"$src/shard-$b.parquet"
+          val one = s.createDataFrame(
+            java.util.Arrays.asList(row), shards.schema)
+          one.coalesce(1).write.mode("overwrite").parquet(p)
+          new java.io.File(p).listFiles()
+            .foreach(_.setLastModified(1000000L * (b + 1)))
+          new java.io.File(p).setLastModified(1000000L * (b + 1))
+        }
+        s.readStream
+          .schema("bucket LONG, media BINARY")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            b.select(expr("inline(warc_records(gunzip_all(media)))"))
+              .withColumn("h", expr("http_parts(content)"))
+              .withColumn("ct", expr("element_at(h.headers, 'content-type')"))
+              .select(
+                expr("CAST(regexp_extract(record_id, 'doc-(\\\\d+)', 1) " +
+                  "AS BIGINT)").as("doc_id"),
+                ContentRoute.essence(col("ct")).as("mime"),
+                ContentRoute.route(col("ct")).as("route"),
+                ContentRoute.extractedText(col("h.body"), col("ct"))
+                  .as("text_out"),
+                ContentRoute.skipReason(col("ct")).as("skip_reason"))
+              .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
+          }
+          .start().awaitTermination()
+        val batches = Option(new java.io.File(s"$root/out").listFiles())
+          .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))
+          .getOrElse(0)
+        require(batches == 4, s"expected 4 delivered microbatches, got $batches")
+        s.read.parquet(s"$root/out")
+          .select(col("doc_id"), col("mime"), col("route"), col("text_out"),
+            col("skip_reason"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 4 WHEN 0 THEN 'text/html'
+             |    WHEN 1 THEN 'text/plain'
+             |    WHEN 2 THEN 'application/json'
+             |    ELSE 'image/webp' END AS mime,
+             |  CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'plain'
+             |    WHEN 2 THEN 'json' ELSE 'skip' END AS route,
+             |  CASE doc_id % 4
+             |    WHEN 0 THEN text || ' ' || chr(1076) || chr(1072)
+             |    WHEN 1 THEN text || ' plain tail'
+             |    WHEN 2 THEN text
+             |    ELSE NULL END AS text_out,
+             |  CASE WHEN doc_id % 4 = 3 THEN 'image/webp' END AS skip_reason
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW

@@ -130,6 +130,7 @@ class PlanSpec extends AnyFunSuite {
       "q226_bm25_tombstone_delete", // q181's 1-row stats broadcast + delete
       "q228_stream_takedown",    // same, via the streamed fold
       "q232_nb_classifier",      // tokens x broadcast CLASS LIST (|classes|~5)
+      "q255_trained_langid",     // trigrams x broadcast CLASS LIST (4 classes)
       "q233_quality_classifier", // same, 2-class quality margin
       "q234_stream_windowed_quantiles", // 3-row percentile spec (q157's class)
       "q237_stream_classifier_admission") // q233's class-list broadcast at ingest
