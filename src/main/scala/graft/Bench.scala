@@ -105,17 +105,38 @@ object Bench {
     * the totals, is the divisor that makes them comparable. Healthy-host
     * reference value is recorded in BASELINE.md next to the pins.
     */
-  private def calibrate(): Double = {
-    val t0 = System.nanoTime()
+  private def spin(iters: Int): Long = {
     var x = 0x9E3779B97F4A7C15L
     var i = 0
-    while (i < 400000000) {
+    while (i < iters) {
       x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
       x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
       i += 1
     }
+    x
+  }
+
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
     // data-dependent side effect so the JIT cannot elide the loop
-    if (x == 42L) System.err.println("calibration fixpoint")
+    if (spin(400000000) == 42L) System.err.println("calibration fixpoint")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The multi-core leg: the same fixed work on EVERY core at once
+    * (32 threads × 1e8 rounds). The single-thread probe misses
+    * contention-class degradation — a host can lose parallel
+    * throughput (fewer effective cores, co-tenant load) while one
+    * thread still runs at full speed, and the suite's queries run
+    * 32-way. Both numbers together classify a slow round: MT up with
+    * ST flat = contention; both up = core-speed degradation.
+    */
+  private def calibrateMt(threads: Int = 32): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      new Thread(() => { if (spin(100000000) == i.toLong) println(i) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -272,10 +293,12 @@ object Bench {
       }
 
     val calPost = calibrate()
+    val calMt = calibrateMt()
     val cal = math.min(calPre match { case v if v < 0 => calPost; case v => v },
       calPost)
     val calStr = s""""calibration":${num(cal, 3)},"calibration_pre":${
-      num(calPre, 3)},"calibration_post":${num(calPost, 3)}"""
+      num(calPre, 3)},"calibration_post":${num(calPost, 3)},"calibration_mt":${
+      num(calMt, 3)}"""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")

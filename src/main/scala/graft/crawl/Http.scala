@@ -338,10 +338,23 @@ object Http {
     None
   }
 
+  /** Strict UTF-8 validity (overlongs, surrogates, truncated tails
+    * all rejected) — the content-sniff test for unlabeled bodies.
+    */
+  private def isValidUtf8(b: Array[Byte]): Boolean =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(b))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
   /** Decode body bytes to text: BOM > Content-Type charset > meta
-    * sniff > UTF-8. Never fails — unmappable/malformed sequences
-    * decode to U+FFFD and are counted. Surfaces the RESOLVED charset
-    * name (so `iso-8859-1` reports as `windows-1252`).
+    * sniff > content sniff (valid UTF-8 → utf-8, else windows-1252).
+    * Never fails — unmappable/malformed sequences decode to U+FFFD
+    * and are counted. Surfaces the RESOLVED charset name (so
+    * `iso-8859-1` reports as `windows-1252`).
     */
   def decodeCharset(body: Array[Byte], contentType: String): Decoded = {
     if (body == null) return Decoded("", "utf-8", 0)
@@ -373,7 +386,15 @@ object Http {
     val cs = bomCs
       .orElse(Option(contentType).flatMap(charsetParam).flatMap(resolveLabel))
       .orElse(if (htmlish) metaCharset(payload).flatMap(resolveLabel) else None)
-      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+      // content sniff, the browser fallback for the UNLABELED legacy
+      // web: a body that is not valid UTF-8 under a strict decode is
+      // decoded as windows-1252 (the dominant legacy encoding) instead
+      // of dissolving into counted-but-lost U+FFFD. Valid-UTF-8 bodies
+      // (which includes pure ASCII) stay UTF-8. Costs one extra
+      // validation pass, and only for bodies no other rule labeled.
+      .getOrElse(
+        if (isValidUtf8(payload)) java.nio.charset.StandardCharsets.UTF_8
+        else Charset.forName("windows-1252"))
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)

@@ -5224,22 +5224,25 @@ object LlmQueries {
     // BOM with no Content-Type header at all, chunked transfer coding
     // (de-chunk then decode), a LYING utf-8 label over 1252 bytes
     // (U+FFFD replacement COUNTED — mojibake is measured, never
-    // silent), and the WHATWG multilingual table that carries most
+    // silent), the WHATWG multilingual table that carries most
     // non-Latin training data: Shift_JIS labeled (日本 as 93FA967B →
     // windows-31j per WHATWG), a gb2312 label ONLY in a meta tag
     // (中文 as D6D0CEC4 — the gbk family resolves to the gb18030
-    // decoder), and KOI8-R labeled Cyrillic (да as C4C1). Bodies are
-    // staged in hex so non-UTF-8 bytes exist at all (a String can't
-    // hold raw 1252/SJIS); every surfaced field is predicted
-    // closed-form by the oracle from the same staging arithmetic —
-    // byte counts via strlen/octet_length, decoded text via chr()
-    // codepoints.
+    // decoder), and KOI8-R labeled Cyrillic (да as C4C1); plus the
+    // UNLABELED legacy page (no charset anywhere, a 1252 byte — the
+    // content sniff must fall back to windows-1252, not U+FFFD soup)
+    // and STATEFUL ISO-2022-JP (escape-sequence shifts into JIS X
+    // 0208 and back). Bodies are staged in hex so non-UTF-8 bytes
+    // exist at all (a String can't hold raw 1252/SJIS); every
+    // surfaced field is predicted closed-form by the oracle from the
+    // same staging arithmetic — byte counts via strlen/octet_length,
+    // decoded text via chr() codepoints.
     "q250_http_charset_decode" -> Q(
       (s, d) => {
         graft.plans.GraftExtensions.register(s)
         val docsDf = docs(s, d).select(col("doc_id"), col("source"),
           col("text"))
-          .withColumn("c", expr("CAST(doc_id % 9 AS INT)"))
+          .withColumn("c", expr("CAST(doc_id % 11 AS INT)"))
         val crlf = "\r\n"
         // HTTP message per class: ASCII prefix hex'd + raw body hex
         val msgHex = expr(
@@ -5287,10 +5290,21 @@ object LlmQueries {
             "  'Content-Length: ', CAST(octet_length(text) + 27 AS STRING), " +
             "  cr, cr, '<meta charset=\"gb2312\">', text)), 'D6D0CEC4') " +
             // KOI8-R labeled Cyrillic; да staged as C4C1
-            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "WHEN 8 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
             "  'Content-Type: text/plain; charset=koi8-r', cr, " +
             "  'Content-Length: ', CAST(octet_length(text) + 2 AS STRING), " +
-            "  cr, cr, text)), 'C4C1') END")
+            "  cr, cr, text)), 'C4C1') " +
+            // UNLABELED legacy page: no charset anywhere, one 1252
+            // byte — the content sniff resolves windows-1252
+            "WHEN 9 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 1 AS STRING), " +
+            "  cr, cr, text)), '93') " +
+            // ISO-2022-JP: ESC $ B, JIS 日本 (4667 4B5C), ESC ( B
+            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=iso-2022-jp', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) + 10 AS STRING), " +
+            "  cr, cr, text)), '1B2442467C4B5C1B2842') END")
         val chain = docsDf
           .withColumn("cr", lit(crlf))
           .withColumn("msg_hex", msgHex)
@@ -5321,13 +5335,13 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CAST(CASE WHEN doc_id % 9 = 2 THEN 404 ELSE 200 END AS BIGINT)
+             |  CAST(CASE WHEN doc_id % 11 = 2 THEN 404 ELSE 200 END AS BIGINT)
              |    AS status,
-             |  CASE WHEN doc_id % 9 = 2 THEN 'Not Found' ELSE 'OK' END
+             |  CASE WHEN doc_id % 11 = 2 THEN 'Not Found' ELSE 'OK' END
              |    AS reason,
-             |  CAST(CASE doc_id % 9 WHEN 0 THEN 3 WHEN 3 THEN 1
+             |  CAST(CASE doc_id % 11 WHEN 0 THEN 3 WHEN 3 THEN 1
              |    ELSE 2 END AS BIGINT) AS n_headers,
-             |  CASE doc_id % 9
+             |  CASE doc_id % 11
              |    WHEN 0 THEN 'text/html; charset=utf-8'
              |    WHEN 1 THEN 'text/html; charset=windows-1252'
              |    WHEN 2 THEN 'text/html'
@@ -5336,8 +5350,10 @@ object LlmQueries {
              |    WHEN 5 THEN 'text/html; charset=utf-8'
              |    WHEN 6 THEN 'text/html; charset=Shift_JIS'
              |    WHEN 7 THEN 'text/html'
-             |    ELSE 'text/plain; charset=koi8-r' END AS content_type,
-             |  CAST(CASE doc_id % 9
+             |    WHEN 8 THEN 'text/plain; charset=koi8-r'
+             |    WHEN 9 THEN 'text/html'
+             |    ELSE 'text/html; charset=iso-2022-jp' END AS content_type,
+             |  CAST(CASE doc_id % 11
              |    WHEN 0 THEN strlen(text) + 10
              |    WHEN 1 THEN strlen(text) + 4
              |    WHEN 2 THEN strlen(text) + 28
@@ -5346,8 +5362,10 @@ object LlmQueries {
              |    WHEN 5 THEN strlen(text) + 1
              |    WHEN 6 THEN strlen(text) + 4
              |    WHEN 7 THEN strlen(text) + 27
-             |    ELSE strlen(text) + 2 END AS BIGINT) AS body_len,
-             |  CASE doc_id % 9
+             |    WHEN 8 THEN strlen(text) + 2
+             |    WHEN 9 THEN strlen(text) + 1
+             |    ELSE strlen(text) + 10 END AS BIGINT) AS body_len,
+             |  CASE doc_id % 11
              |    WHEN 0 THEN text || ' ' || chr(8212) || ' caf' || chr(233)
              |    WHEN 1 THEN text || chr(8220) || chr(8230) || chr(233)
              |      || chr(8221)
@@ -5358,15 +5376,19 @@ object LlmQueries {
              |    WHEN 6 THEN text || chr(26085) || chr(26412)
              |    WHEN 7 THEN '<meta charset="gb2312">' || text || chr(20013)
              |      || chr(25991)
-             |    ELSE text || chr(1076) || chr(1072) END AS text_out,
-             |  CASE doc_id % 9
+             |    WHEN 8 THEN text || chr(1076) || chr(1072)
+             |    WHEN 9 THEN text || chr(8220)
+             |    ELSE text || chr(26085) || chr(26412) END AS text_out,
+             |  CASE doc_id % 11
              |    WHEN 1 THEN 'windows-1252'
              |    WHEN 2 THEN 'windows-1252'
              |    WHEN 6 THEN 'windows-31j'
              |    WHEN 7 THEN 'gb18030'
              |    WHEN 8 THEN 'koi8-r'
+             |    WHEN 9 THEN 'windows-1252'
+             |    WHEN 10 THEN 'iso-2022-jp'
              |    ELSE 'utf-8' END AS charset,
-             |  CAST(CASE WHEN doc_id % 9 = 5 THEN 1 ELSE 0 END AS BIGINT)
+             |  CAST(CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END AS BIGINT)
              |    AS n_replaced
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -6017,6 +6039,115 @@ object LlmQueries {
              |    WHEN 2 THEN text
              |    ELSE NULL END AS text_out,
              |  CASE WHEN doc_id % 4 = 3 THEN 'image/webp' END AS skip_reason
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ROBOTS.TXT FRONTIER GATE (RFC 9309) — the crawl-side admission
+    // decision before any fetch: parse each host's robots.txt into
+    // groups (consecutive User-agent lines share; rules bind to the
+    // nearest preceding group), select the crawler's groups (specific
+    // token beats '*' — the staged '*' group disallows EVERYTHING, so
+    // a selection bug blanks the frontier and the hash fails), convert
+    // path patterns ('*' wildcard, '$' end anchor) to anchored
+    // regexes, and decide per URL by longest-match with allow winning
+    // ties. The staged policy blocks ids ending in 7 but re-allows
+    // ids ending in 77 (the longer allow must beat the shorter
+    // disallow); 'graftbot-img' and 'otherbot' groups must NOT match
+    // 'graftbot' (exact product-token equality); unknown directives
+    // and comments are ignored. Oracle predicts every decision,
+    // matched pattern, and rule polarity closed-form.
+    "q257_robots_frontier" -> Q(
+      (s, d) => {
+        import graft.crawl.Robots
+        val dd = docs(s, d).select(col("doc_id"), col("source"))
+        val robotsTxt = dd.select(col("source")).distinct()
+          .withColumn("robots_txt", concat(
+            lit("# crawl policy\nUser-agent: graftbot\nDisallow: /"),
+            col("source"), lit("/*7$\nAllow: /"),
+            col("source"), lit("/*77$\nDisallow: /private/\n\n" +
+              "User-agent: otherbot\nUser-agent: graftbot-img\n" +
+              "Disallow: /\n\n" +
+              "User-agent: *\nDisallow: /"),
+            col("source"), lit("/\nCrawl-delay: 5\n")))
+        val ruleRows = Robots.rules(robotsTxt, "source", "robots_txt")
+        val urls = dd.withColumn("path",
+          concat(lit("/"), col("source"), lit("/"), col("doc_id")))
+        Robots.decisions(ruleRows, urls, "source", "doc_id", "path",
+            userAgent = "graftbot")
+          .select(col("doc_id"), col("path"), col("matched_path"),
+            col("matched_allow"), col("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, '/' || source || '/' || doc_id AS path,
+             |  CASE WHEN doc_id % 100 = 77 THEN '/' || source || '/*77$'
+             |       WHEN doc_id % 10 = 7 THEN '/' || source || '/*7$'
+             |       END AS matched_path,
+             |  CASE WHEN doc_id % 100 = 77 THEN true
+             |       WHEN doc_id % 10 = 7 THEN false END AS matched_allow,
+             |  CASE WHEN doc_id % 100 = 77 THEN true
+             |       WHEN doc_id % 10 = 7 THEN false
+             |       ELSE true END AS allowed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // SITEMAP → FRONTIER composition — the discovery half of the crawl
+    // loop q257 gates: per-source sitemap XML (urlset/url/loc/lastmod,
+    // entity-escaped URLs per the sitemaps.org spec, one bounded
+    // sitemap per source exactly like the spec's 50k-URL shards) is
+    // parsed with the regex battery, entity-decoded (html_unescape),
+    // canonicalized (UrlFunctions.normalize: case, utm_* params,
+    // fragment), and admitted through the q257 robots policy. Every
+    // stage — extraction, decode, canonical form, lastmod, decision —
+    // is closed-form predicted.
+    "q258_sitemap_frontier" -> Q(
+      (s, d) => {
+        import graft.crawl.Robots
+        import graft.functions.{HtmlFunctions, UrlFunctions}
+        val dd = docs(s, d).select(col("doc_id"), col("source"))
+        val entry = concat(
+          lit("<url><loc>HTTPS://Crawl.test/"), col("source"), lit("/"),
+          col("doc_id"), lit("?utm_source=feed&amp;ref="),
+          pmod(col("doc_id"), lit(5)), lit("#frag</loc><lastmod>2026-01-"),
+          lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+          lit("</lastmod></url>"))
+        val sitemaps = dd.withColumn("e", entry)
+          .groupBy("source")
+          .agg(concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            concat_ws("", sort_array(collect_list(col("e")))),
+            lit("</urlset>")).as("xml"))
+        val entries = sitemaps.select(col("source"),
+            explode(expr(
+              "regexp_extract_all(xml, '<url>([\\\\s\\\\S]*?)</url>', 1)"))
+              .as("block"))
+          .withColumn("loc", HtmlFunctions.decodeEntities(
+            expr("regexp_extract(block, '<loc>([^<]*)</loc>', 1)")))
+          .withColumn("lastmod",
+            expr("regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1)"))
+          .withColumn("canon", UrlFunctions.normalize(col("loc")))
+          .withColumn("path", UrlFunctions.path(col("canon")))
+          .withColumn("doc_id", expr(
+            "CAST(regexp_extract(canon, '/([0-9]+)\\\\?', 1) AS BIGINT)"))
+        val robotsTxt = dd.select(col("source")).distinct()
+          .withColumn("robots_txt", concat(
+            lit("User-agent: graftbot\nDisallow: /"),
+            col("source"), lit("/*7$\nAllow: /"),
+            col("source"), lit("/*77$\n\nUser-agent: *\nDisallow: /"),
+            col("source"), lit("/\n")))
+        val ruleRows = Robots.rules(robotsTxt, "source", "robots_txt")
+        Robots.decisions(ruleRows, entries, "source", "doc_id", "path",
+            userAgent = "graftbot")
+          .select(col("doc_id"), col("canon"), col("lastmod"),
+            col("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'https://crawl.test/' || source || '/' || doc_id ||
+             |    '?ref=' || (doc_id % 5) AS canon,
+             |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             |    AS lastmod,
+             |  CASE WHEN doc_id % 100 = 77 THEN true
+             |       WHEN doc_id % 10 = 7 THEN false
+             |       ELSE true END AS allowed
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Index COMPACTION parity: flat-append band indexes accumulate a

@@ -202,6 +202,39 @@ class HttpSpec extends AnyFunSuite {
     assert(param.text == "да")
   }
 
+  test("content sniff: unlabeled non-UTF-8 falls back to windows-1252; labels still win") {
+    // the unlabeled legacy page: before the sniff this dissolved into
+    // counted-but-lost U+FFFD
+    val legacy = "legacy page ".getBytes("US-ASCII") ++
+      Array[Byte](0x93.toByte)
+    val d = Http.decodeCharset(legacy, "text/html")
+    assert(d.charset == "windows-1252" && d.text.endsWith("“") &&
+      d.nReplaced == 0)
+    assert(Http.decodeCharset(legacy, null).charset == "windows-1252")
+    // valid UTF-8 (incl. pure ASCII) stays utf-8
+    assert(Http.decodeCharset("é-ok".getBytes("UTF-8"), "text/html")
+      .charset == "utf-8")
+    // an explicit label — even a LYING one — still beats the sniff
+    val lying = Http.decodeCharset(legacy, "text/html; charset=utf-8")
+    assert(lying.charset == "utf-8" && lying.nReplaced == 1)
+    // overlong sequences are invalid UTF-8 under the strict validator
+    assert(Http.decodeCharset(Array[Byte](0xC0.toByte, 0xAF.toByte), null)
+      .charset == "windows-1252")
+  }
+
+  test("ISO-2022-JP: stateful escape-shift decode through the label table") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // ESC $ B  (shift to JIS X 0208), 日本 as 467C 4B5C, ESC ( B back
+    val jp = "jp: ".getBytes("US-ASCII") ++ hx("1B2442467C4B5C1B2842")
+    val d = Http.decodeCharset(jp, "text/plain; charset=iso-2022-jp")
+    assert(d.text == "jp: 日本" && d.charset == "iso-2022-jp" &&
+      d.nReplaced == 0)
+    // a truncated shift sequence degrades measurably, never throws
+    for (i <- 0 until jp.length)
+      Http.decodeCharset(jp.take(i), "text/plain; charset=iso-2022-jp")
+  }
+
   test("conflicting duplicate Content-Length quarantines; identical repeats recover") {
     // RFC 9110 §8.6: differing duplicate CLs are malformed (smuggling
     // surface) — last-one-wins would yield a different body than the

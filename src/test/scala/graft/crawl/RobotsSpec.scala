@@ -1,0 +1,98 @@
+package graft.crawl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val policy =
+    """# comments are stripped   # even mid-line
+      |User-agent: GraftBot
+      |Disallow: /tmp/*.bak$
+      |Allow: /tmp/keep/
+      |Disallow:
+      |Sitemap: https://h/x.xml
+      |
+      |User-agent: alpha
+      |User-agent: beta
+      |Disallow: /shared/
+      |
+      |User-agent: *
+      |Disallow: /
+      |Allow: /public/
+      |""".stripMargin
+
+  private def decide(ua: String, paths: Seq[String]) = {
+    val robots = Seq(("h", policy)).toDF("host", "robots_txt")
+    val rules = Robots.rules(robots, "host", "robots_txt")
+    val urls = paths.zipWithIndex
+      .map { case (p, i) => (i.toLong, "h", p) }
+      .toDF("url_id", "host", "path")
+    Robots.decisions(rules, urls, "host", "url_id", "path", ua)
+      .orderBy("url_id")
+      .select("path", "allowed", "matched_path")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), Option(r.getString(2))))
+  }
+
+  test("group selection: specific token (case-insensitive) wins over '*'; unknown UA falls to '*'") {
+    // graftbot: only its own group applies — '/' from the '*' group
+    // must NOT block it; the empty Disallow matches nothing
+    val g = decide("graftbot", Seq("/anything", "/tmp/a.bak", "/public/x"))
+    assert(g(0) == ("/anything", true, None))
+    assert(g(1) == ("/tmp/a.bak", false, Some("/tmp/*.bak$")))
+    assert(g(2) == ("/public/x", true, None))
+    // an unknown crawler gets the '*' group: / disallows, /public/ allows
+    val u = decide("newbot", Seq("/anything", "/public/x"))
+    assert(u(0) == ("/anything", false, Some("/")))
+    assert(u(1) == ("/public/x", true, Some("/public/")))
+  }
+
+  test("consecutive User-agent lines share one group") {
+    for (ua <- Seq("alpha", "beta")) {
+      val r = decide(ua, Seq("/shared/doc", "/other"))
+      assert(r(0) == ("/shared/doc", false, Some("/shared/")), ua)
+      assert(r(1) == ("/other", true, None), ua)
+    }
+  }
+
+  test("wildcards, end anchor, and longest-match with allow winning ties") {
+    // '$' anchors: /tmp/a.bak blocked, /tmp/a.bak.txt not
+    val r = decide("graftbot",
+      Seq("/tmp/a.bak", "/tmp/a.bak.txt", "/tmp/keep/a.bak"))
+    assert(r(0)._2 == false)
+    assert(r(1)._2 == true)
+    // /tmp/keep/a.bak matches both; disallow '/tmp/*.bak$' (11 chars)
+    // beats allow '/tmp/keep/' (10) on length — most-specific wins
+    assert(r(2) == ("/tmp/keep/a.bak", false, Some("/tmp/*.bak$")))
+    // equal length: allow wins the tie
+    val tie =
+      """User-agent: bot
+        |Disallow: /a/
+        |Allow: /a/
+        |""".stripMargin
+    val rules = Robots.rules(Seq(("h", tie)).toDF("host", "t"), "host", "t")
+    val out = Robots.decisions(rules,
+        Seq((0L, "h", "/a/x")).toDF("url_id", "host", "path"),
+        "host", "url_id", "path", "bot")
+      .select("allowed").collect().head.getBoolean(0)
+    assert(out)
+  }
+
+  test("pathRegex: metacharacters stay literal, '*' and trailing '$' translate") {
+    val df = Seq("/a+b(c)/*x$", "/plain").toDF("p")
+      .select(Robots.pathRegex(col("p")).as("rx")).collect()
+    assert(df(0).getString(0) == "^/a\\+b\\(c\\)/.*x$")
+    assert(df(1).getString(0) == "^/plain")
+    // and the translated pattern actually matches as intended
+    val m = Seq(("/a+b(c)/zzx", true), ("/a+b(c)/zzxy", false))
+      .toDF("path", "want")
+      .withColumn("rx", lit("^/a\\+b\\(c\\)/.*x$"))
+      .withColumn("got", regexp_like(col("path"), col("rx")))
+      .collect()
+    m.foreach(r => assert(r.getBoolean(3) == r.getBoolean(1), r.getString(0)))
+  }
+}
