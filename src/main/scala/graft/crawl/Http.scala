@@ -193,6 +193,14 @@ object Http {
     */
   def resolveLabel(label: String): Option[Charset] = {
     val l = label.trim.toLowerCase.stripPrefix("\"").stripSuffix("\"")
+    // a minimal runtime without jdk.charsets lacks the CJK charsets —
+    // Charset.forName throwing there must degrade to the documented
+    // None (caller falls back), not break the never-fails contract
+    try resolveLabelUnsafe(l)
+    catch { case _: java.nio.charset.UnsupportedCharsetException => None }
+  }
+
+  private def resolveLabelUnsafe(l: String): Option[Charset] = {
     l match {
       case "utf-8" | "utf8" | "unicode-1-1-utf-8" =>
         Some(java.nio.charset.StandardCharsets.UTF_8)
@@ -338,17 +346,19 @@ object Http {
     None
   }
 
-  /** Strict UTF-8 validity (overlongs, surrogates, truncated tails
-    * all rejected) — the content-sniff test for unlabeled bodies.
+  /** Strict UTF-8 decode (overlongs, surrogates, truncated tails all
+    * rejected) — the content-sniff test for unlabeled bodies. Returns
+    * the decoded text on success so the sniff's validation pass IS the
+    * decode (no second pass over the majority-case unlabeled-UTF-8
+    * body).
     */
-  private def isValidUtf8(b: Array[Byte]): Boolean =
-    try {
+  private def strictUtf8(b: Array[Byte]): Option[String] =
+    try Some(
       java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(CodingErrorAction.REPORT)
         .onUnmappableCharacter(CodingErrorAction.REPORT)
-        .decode(java.nio.ByteBuffer.wrap(b))
-      true
-    } catch { case _: java.nio.charset.CharacterCodingException => false }
+        .decode(java.nio.ByteBuffer.wrap(b)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
 
   /** Decode body bytes to text: BOM > Content-Type charset > meta
     * sniff > content sniff (valid UTF-8 → utf-8, else windows-1252).
@@ -383,18 +393,22 @@ object Http {
     val htmlish = ctLower.isEmpty ||
       ctLower.startsWith("text/html") ||
       ctLower.startsWith("application/xhtml+xml")
-    val cs = bomCs
+    val labeled = bomCs
       .orElse(Option(contentType).flatMap(charsetParam).flatMap(resolveLabel))
       .orElse(if (htmlish) metaCharset(payload).flatMap(resolveLabel) else None)
-      // content sniff, the browser fallback for the UNLABELED legacy
-      // web: a body that is not valid UTF-8 under a strict decode is
-      // decoded as windows-1252 (the dominant legacy encoding) instead
-      // of dissolving into counted-but-lost U+FFFD. Valid-UTF-8 bodies
-      // (which includes pure ASCII) stay UTF-8. Costs one extra
-      // validation pass, and only for bodies no other rule labeled.
-      .getOrElse(
-        if (isValidUtf8(payload)) java.nio.charset.StandardCharsets.UTF_8
-        else Charset.forName("windows-1252"))
+    // content sniff, the browser fallback for the UNLABELED legacy
+    // web: a body that is not valid UTF-8 under a strict decode is
+    // decoded as windows-1252 (the dominant legacy encoding) instead
+    // of dissolving into counted-but-lost U+FFFD. Valid-UTF-8 bodies
+    // (which includes pure ASCII) stay UTF-8, and the validation pass
+    // IS their decode — no second pass on the majority case.
+    if (labeled.isEmpty) {
+      strictUtf8(payload) match {
+        case Some(t) => return Decoded(t, "utf-8", 0)
+        case None =>
+      }
+    }
+    val cs = labeled.getOrElse(Charset.forName("windows-1252"))
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)

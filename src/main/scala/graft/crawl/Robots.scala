@@ -78,7 +78,13 @@ object Robots {
       .select(col(idCol), col("section"), col("pos").as("rule_pos"),
         (col("key") === "allow").as("allow"), col("value").as("path"))
       .withColumn("rx", pathRegex(col("path")))
-    agents.join(ruleLines, Seq(idCol, "section"))
+    // LEFT join: a group with no effective rules (the ubiquitous
+    // 'User-agent: x / Disallow:' allow-everything pattern) must still
+    // EXIST — its presence suppresses the '*' fallback in decisions();
+    // an inner join would erase it and wrongly subject the named
+    // crawler to the '*' policy. Rule-less groups carry null path/rx
+    // and never match a URL, which is exactly allow-everything.
+    agents.join(ruleLines, Seq(idCol, "section"), "left")
   }
 
   /** Frontier decisions for `userAgent`: every `urls` row gains

@@ -65,6 +65,13 @@ object MinHashIndex {
     */
   final case class Geometry(numHashes: Int, bands: Int, shingleWords: Int)
 
+  // the one place the append/probe signature defaults live — the
+  // passed-on-purpose heuristic in warnIfArgsConflict compares against
+  // these, so a default change cannot silently desynchronize it
+  private val DefaultNumHashes = 32
+  private val DefaultBands = 8
+  private val DefaultShingleWords = 3
+
   private def writeGeometry(spark: SparkSession, path: String,
       g: Geometry): Unit = {
     import spark.implicits._
@@ -152,13 +159,13 @@ object MinHashIndex {
       path: String,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      shingleWords: Int = 3,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleWords: Int = DefaultShingleWords,
       maxBucketSize: Long = 100000L): Unit = {
     val side = geometry(docs.sparkSession, path)
     side.foreach(warnIfArgsConflict("append", _, numHashes, bands,
-      shingleWords, (32, 8, 3)))
+      shingleWords, (DefaultNumHashes, DefaultBands, DefaultShingleWords)))
     val g = side.getOrElse(Geometry(numHashes, bands, shingleWords))
     graft.operators.BucketCaps.capBuckets(
         MinHashDedup.bandKeys(docs, idCol, textCol,
@@ -203,15 +210,16 @@ object MinHashIndex {
       idCol: String,
       textCol: String,
       threshold: Double,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      shingleWords: Int = 3,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleWords: Int = DefaultShingleWords,
       maxBucketSize: Long = 100000L): DataFrame = {
     // geometry from the index's own sidecar when present — probe keys
     // computed under a different (numHashes, bands) join to ~nothing
     val side = geometry(spark, path)
     side.foreach(warnIfArgsConflict("incrementalNearDupPairs", _,
-      numHashes, bands, shingleWords, (32, 8, 3)))
+      numHashes, bands, shingleWords,
+      (DefaultNumHashes, DefaultBands, DefaultShingleWords)))
     val g = side.getOrElse(Geometry(numHashes, bands, shingleWords))
     // the batch's keys are admission-bounded; materialize once (two
     // join consumers) so the shingle+minhash pass runs a single time

@@ -28,6 +28,12 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) =
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
+  /** Corpus dirs whose q158 ampersand-free precondition has already
+    * been verified in this JVM (one scan per dir, not per bench pass).
+    */
+  private val ampFreeChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Same single-file-fan-out treatment for the embeddings table (the
     * O(n²) similarity joins below parallelize over the left side's
     * partitions).
@@ -2133,12 +2139,17 @@ object LlmQueries {
         // regeneration containing '&' would make the oracle's replace
         // chain double-decode ('&amp;copy;' etc.) and the gate would
         // diverge with no signal that the DATA (not the engine) broke
-        // — fail fast as a staging error instead
-        val nAmp = docs(s, d).filter(col("text").contains("&")).count()
-        require(nAmp == 0,
-          s"q158 oracle precondition violated: $nAmp document(s) contain " +
-            "'&' — the DuckDB replace-chain oracle is only equivalent to " +
-            "single-pass entity decoding on an ampersand-free corpus")
+        // — fail fast as a staging error instead. Memoized per corpus
+        // dir: the check is a data property, and re-scanning on every
+        // bench pass would bill a documents count to q158's timing.
+        if (ampFreeChecked.add(d)) {
+          val nAmp = docs(s, d).filter(col("text").contains("&")).count()
+          require(nAmp == 0,
+            s"q158 oracle precondition violated: $nAmp document(s) " +
+              "contain '&' — the DuckDB replace-chain oracle is only " +
+              "equivalent to single-pass entity decoding on an " +
+              "ampersand-free corpus")
+        }
         val html = concat(
           lit("<html><head><title>doc "), col("doc_id"),
           lit(" &#8211; "), col("source"),
@@ -5215,8 +5226,8 @@ object LlmQueries {
 
     // HTTP MESSAGE LAYER + CHARSET DECODE — what a WARC response
     // payload actually holds: `HTTP/1.1 200 OK\r\nheaders\r\n\r\nbody`
-    // in a charset that is UTF-8 only ~80% of the time. Nine staged
-    // classes (doc_id % 9) exercise the full browser resolution order
+    // in a charset that is UTF-8 only ~80% of the time. Eleven staged
+    // classes (doc_id % 11) exercise the full browser resolution order
     // end to end through the REAL chain (gzip_bytes → gunzip_all →
     // warc_records → http_parts → decode_charset): UTF-8 labeled,
     // windows-1252 labeled (high bytes -> typographic chars), label

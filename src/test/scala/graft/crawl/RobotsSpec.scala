@@ -82,6 +82,35 @@ class RobotsSpec extends AnyFunSuite {
     assert(out)
   }
 
+  test("a rule-less specific group still suppresses the '*' fallback (allow-everything)") {
+    // the ubiquitous real-world pattern: 'graftbot may crawl
+    // everything, others nothing' — the empty Disallow makes the
+    // group rule-less, but its EXISTENCE must keep the '*' policy
+    // away from graftbot (review finding: an inner join erased it and
+    // blanked the whole host)
+    val policy =
+      """User-agent: graftbot
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    val rules = Robots.rules(
+      Seq(("h", policy)).toDF("host", "t"), "host", "t")
+    val out = Robots.decisions(rules,
+        Seq((0L, "h", "/any/page"), (1L, "h", "/")).toDF(
+          "url_id", "host", "path"),
+        "host", "url_id", "path", "graftbot")
+      .orderBy("url_id").select("allowed").collect()
+    assert(out.forall(_.getBoolean(0)), "graftbot must be allowed everywhere")
+    // and a crawler with NO group still gets the '*' policy
+    val other = Robots.decisions(rules,
+        Seq((0L, "h", "/any/page")).toDF("url_id", "host", "path"),
+        "host", "url_id", "path", "newbot")
+      .select("allowed").collect().head.getBoolean(0)
+    assert(!other)
+  }
+
   test("pathRegex: metacharacters stay literal, '*' and trailing '$' translate") {
     val df = Seq("/a+b(c)/*x$", "/plain").toDF("p")
       .select(Robots.pathRegex(col("p")).as("rx")).collect()
