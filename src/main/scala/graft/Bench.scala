@@ -124,14 +124,17 @@ object Bench {
   }
 
   /** The multi-core leg: the same fixed work on EVERY core at once
-    * (32 threads × 1e8 rounds). The single-thread probe misses
-    * contention-class degradation — a host can lose parallel
-    * throughput (fewer effective cores, co-tenant load) while one
-    * thread still runs at full speed, and the suite's queries run
-    * 32-way. Both numbers together classify a slow round: MT up with
-    * ST flat = contention; both up = core-speed degradation.
+    * (`threads` × 1e8 rounds — the caller passes the suite's resolved
+    * SPARK_GRAFT_CPUS so the probe measures the contention class the
+    * queries actually experience; a fixed 32 under a different cpus
+    * setting would skew the ST/MT ratio BASELINE normalizes by). The
+    * single-thread probe misses contention-class degradation — a host
+    * can lose parallel throughput (fewer effective cores, co-tenant
+    * load) while one thread still runs at full speed. Both numbers
+    * together classify a slow round: MT up with ST flat = contention;
+    * both up = core-speed degradation.
     */
-  private def calibrateMt(threads: Int = 32): Double = {
+  private def calibrateMt(threads: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (1 to threads).map { i =>
       new Thread(() => { if (spin(100000000) == i.toLong) println(i) })
@@ -293,7 +296,13 @@ object Bench {
       }
 
     val calPost = calibrate()
-    val calMt = calibrateMt()
+    // local[$cpus] is always numeric here (the env default is "32");
+    // degrade to the physical core count rather than crash the run if
+    // someone exports a non-numeric value like "*"
+    val calMt = calibrateMt(
+      try cpus.toInt
+      catch { case _: NumberFormatException =>
+        Runtime.getRuntime.availableProcessors })
     val cal = math.min(calPre match { case v if v < 0 => calPost; case v => v },
       calPost)
     val calStr = s""""calibration":${num(cal, 3)},"calibration_pre":${

@@ -55,12 +55,45 @@ object ContentRoute {
       .otherwise(lit("skip"))
   }
 
+  /** WHATWG "binary data byte" test over the body's prescan window:
+    * true when any of the first 48 bytes is in 0x00–0x08, 0x0B,
+    * 0x0E–0x1A or 0x1C–0x1F (every text encoding a crawl routes —
+    * UTF-8, the 8-bit legacy families, even UTF-16 text's low bytes —
+    * avoids these in real pages; media containers hit one in the first
+    * magic/length fields). Implemented over hex pairs so the check is
+    * a codegen'd regexp, not a UDF: `(..)*` anchors the alternation to
+    * even offsets, i.e. whole bytes.
+    */
+  def looksBinary(body: Column): Column =
+    regexp_like(hex(substring(body, 1, 48)),
+      lit("^([0-9A-F]{2})*(0[0-8]|0B|0E|0F|1[0-9A]|1[C-F])"))
+
+  /** Body-aware route: like [[route]], but a row whose Content-Type is
+    * ABSENT/empty only keeps the default html route when its leading
+    * bytes pass the WHATWG binary sniff — binary served without a type
+    * (misconfigured servers, common at crawl scale) routes 'skip'
+    * instead of flowing mojibake prose into the quality gate.
+    */
+  def route(contentType: Column, body: Column): Column = {
+    val e = essence(contentType)
+    when(e === "" && looksBinary(body), lit("skip"))
+      .otherwise(route(contentType))
+  }
+
   /** Why a row was skipped: its media-type essence (NULL on text
     * routes) — the rejects-table column that makes "¼ of the crawl
     * was binary" measurable instead of silently vanishing.
     */
   def skipReason(contentType: Column): Column =
     when(route(contentType) === "skip", essence(contentType))
+
+  /** Body-aware skip reason: typed skips carry their essence; an
+    * untyped body that failed the binary sniff carries
+    * 'binary-no-type'.
+    */
+  def skipReason(contentType: Column, body: Column): Column =
+    when(route(contentType) === "skip", essence(contentType))
+      .when(route(contentType, body) === "skip", lit("binary-no-type"))
 
   /** Charset-decoded body text ([[Http.decodeCharset]] resolution
     * order), evaluated only when this row routes to a text branch.
@@ -80,7 +113,9 @@ object ContentRoute {
   def extractedText(body: Column, contentType: Column,
       jsonField: String = "text",
       htmlExtract: Column => Column = HtmlFunctions.mainBlock): Column = {
-    val r = route(contentType)
+    // body-aware: an untyped binary body must NOT reach the decode —
+    // the sniff costs one bounded regexp on the (rare) untyped rows
+    val r = route(contentType, body)
     val dec = decodedText(body, contentType)
     when(r === "html", htmlExtract(dec))
       .when(r === "plain", HtmlFunctions.squeeze(dec))

@@ -34,6 +34,18 @@ object Http {
 
   final case class Decoded(text: String, charset: String, nReplaced: Int)
 
+  /** A body with its `Content-Encoding` chain undone (or not):
+    * `encoding` is the header value as sent (None when absent);
+    * `quarantine` carries the reason the chain could NOT be undone —
+    * and then `body` is the STORED bytes unchanged (rejects-table
+    * posture: surface what the capture holds, never decode garbage
+    * or drop data).
+    */
+  final case class BodyDecoded(
+      body: Array[Byte],
+      encoding: Option[String],
+      quarantine: Option[String])
+
   private val MaxLineBytes = 8192
   private val MaxHeaders = 256
 
@@ -50,8 +62,9 @@ object Http {
 
   /** Parse one HTTP response message. None on malformed/truncated
     * framing. The body is de-chunked / length-truncated as the
-    * framing headers direct; `Content-Encoding` is NOT undone here —
-    * compose with `gunzip_all`/`unzstd_all` downstream.
+    * framing headers direct; `Content-Encoding` is the representation
+    * layer, undone by [[decodeContentEncoding]] (which `http_parts`
+    * applies).
     */
   def parseResponse(b: Array[Byte]): Option[HttpResponse] = {
     if (b == null || b.length < 12) return None
@@ -173,6 +186,98 @@ object Http {
       p = dataEnd.toInt + 2
     }
     None
+  }
+
+  /** Inflate one DEFLATE stream under `maxOut`. `raw` selects headerless
+    * deflate vs zlib-wrapped (RFC 1950 header + adler32 trailer). None
+    * on corrupt bytes, a truncated stream, trailing junk after the
+    * stream, or output past the cap. The native context is released
+    * deterministically (same discipline as [[Warc.gunzipAll]] — this
+    * runs once per row inside expression kernels).
+    */
+  private def inflate(b: Array[Byte], raw: Boolean,
+      maxOut: Int): Option[Array[Byte]] = {
+    if (b == null || b.isEmpty) return None
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(b.length.toLong * 4, 1L << 16).toInt)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && !inf.finished()) return None // truncated / needs dict
+        if (out.size().toLong + n > maxOut) return None // bomb
+        out.write(buf, 0, n)
+      }
+      if (inf.getRemaining > 0) return None // junk after the stream
+      Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  /** Undo one `deflate` content-coding. RFC 9110 says zlib-wrapped
+    * (RFC 1950), but a long tail of real servers (the historical IIS
+    * behavior every browser accommodates) send HEADERLESS deflate
+    * under the same token — so zlib is tried first and raw second,
+    * exactly the browser fallback. A raw stream cannot false-positive
+    * as zlib: the zlib attempt validates the 2-byte header check
+    * (CMF×256+FLG ≡ 0 mod 31) and the adler32 trailer.
+    */
+  def inflateDeflate(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] =
+    inflate(b, raw = false, maxOut).orElse(inflate(b, raw = true, maxOut))
+
+  /** Undo the `Content-Encoding` chain on a parsed response's body —
+    * the representation layer under the transfer framing
+    * [[parseResponse]] already removed. A real WARC capture stores the
+    * response bytes AS SENT, so a gzip-encoded page that skips this
+    * step flows into charset decoding as compressed bytes: mojibake
+    * soup the quality gate then scores.
+    *
+    * Codings (RFC 9110 §8.4.1, applied by the sender in list order, so
+    * undone right-to-left): `gzip`/`x-gzip` ([[Warc.gunzipAll]] — full
+    * member framing with CRC/ISIZE verification), `deflate`
+    * ([[inflateDeflate]] — zlib first, headerless-raw fallback),
+    * `zstd` (RFC 8878, [[Codecs.unzstdAll]]), `identity` (no-op).
+    * `br` (brotli) and unknown tokens quarantine with
+    * `unsupported-coding: <tok>` (no public decoder on the Spark
+    * classpath — decoding garbage instead would silently poison the
+    * corpus); corrupt/truncated/bomb bodies quarantine with
+    * `corrupt-<tok>-body`. Quarantined responses surface the STORED
+    * bytes unchanged plus the reason — a rejects-table row, never a
+    * task kill, never silent data loss.
+    *
+    * Multiple `Content-Encoding` header lines combine in order per
+    * RFC 9110 §5.2 (they are one comma-separated list split across
+    * lines).
+    */
+  def decodeContentEncoding(headers: Seq[(String, String)],
+      body: Array[Byte], maxOut: Int = 1 << 28): BodyDecoded = {
+    val values = headers.collect { case ("content-encoding", v) => v }
+    if (values.isEmpty) return BodyDecoded(body, None, None)
+    val headerValue = values.mkString(", ")
+    val chain = headerValue.split(",").map(_.trim.toLowerCase)
+      .filter(v => v.nonEmpty && v != "identity")
+    var cur = body
+    var i = chain.length - 1
+    while (i >= 0) {
+      val tok = chain(i)
+      val undone: Option[Array[Byte]] = tok match {
+        case "gzip" | "x-gzip" => Warc.gunzipAll(cur, maxOut)
+        case "deflate" => inflateDeflate(cur, maxOut)
+        case "zstd" => Codecs.unzstdAll(cur, maxOut)
+        case other => return BodyDecoded(body, Some(headerValue),
+          Some(s"unsupported-coding: $other"))
+      }
+      undone match {
+        case Some(next) => cur = next
+        case None => return BodyDecoded(body, Some(headerValue),
+          Some(s"corrupt-$tok-body"))
+      }
+      i -= 1
+    }
+    BodyDecoded(cur, Some(headerValue), None)
   }
 
   /** Resolve a charset LABEL to the Java charset actually used,

@@ -78,4 +78,75 @@ object HtmlFunctions {
   def linkTextLen(html: Column): Column =
     length(array_join(regexp_extract_all(html,
       lit("<a [^>]*>([^<]*)</a>"), lit(1)), "")).cast("long")
+
+  // ---- structured page metadata (OpenGraph / meta / canonical /
+  // JSON-LD) — the signals canonical-URL dedup and quality routing
+  // key on. Same Java∩RE2 regex battery as the extraction above: no
+  // DOM parse, every field replayable relationally. Attribute ORDER
+  // varies on real pages (key-first and content-first both ship), and
+  // quote style varies per attribute (double, single, and the
+  // cross-quoted mix), so each accessor tries both orders with a
+  // both-quotes character class. Known, documented limits of the
+  // regex subset: a value containing the OTHER quote character stops
+  // at it, and with several candidate tags the FIRST match wins
+  // (browsers and OG consumers take the first too). ----
+
+  /** `content` of the first tag where `keyAttr="keyValue"` (either
+    * attribute order, either/mixed quote style). NULL when absent.
+    * `keyValue` is escaped, so literal values like `og:title` are safe.
+    */
+  private def metaContent(html: Column, keyAttr: String,
+      keyValue: String): Column = {
+    val kv = java.util.regex.Pattern.quote(keyValue)
+    val q = "[\"']"
+    val keyFirst =
+      s"<meta[^>]*${keyAttr}=$q$kv$q[^>]*content=$q([^\"']*)$q"
+    val contentFirst =
+      s"<meta[^>]*content=$q([^\"']*)$q[^>]*${keyAttr}=$q$kv$q"
+    val a = regexp_extract(html, keyFirst, 1)
+    val b = regexp_extract(html, contentFirst, 1)
+    when(regexp_like(html, lit(keyFirst)), a)
+      .when(regexp_like(html, lit(contentFirst)), b)
+  }
+
+  /** OpenGraph property (`<meta property="og:…" content=…>`). Pass the
+    * full property name, e.g. `og:title`. NULL when absent.
+    */
+  def metaProperty(html: Column, prop: String): Column =
+    metaContent(html, "property", prop)
+
+  /** Named document metadata (`<meta name=… content=…>`), e.g.
+    * `description`, `robots`. NULL when absent.
+    */
+  def metaNamed(html: Column, name: String): Column =
+    metaContent(html, "name", name)
+
+  /** `href` of `<link rel="canonical">` (either attribute order,
+    * either quote style) — the page's self-declared canonical URL,
+    * the strongest dedup-key signal a crawl gets. NULL when absent.
+    * Compose with [[graft.functions.UrlFunctions.normalize]].
+    */
+  def canonicalUrl(html: Column): Column = {
+    val q = "[\"']"
+    val relFirst =
+      s"<link[^>]*rel=${q}canonical$q[^>]*href=$q([^\"']*)$q"
+    val hrefFirst =
+      s"<link[^>]*href=$q([^\"']*)$q[^>]*rel=${q}canonical$q"
+    when(regexp_like(html, lit(relFirst)),
+      regexp_extract(html, relFirst, 1))
+      .when(regexp_like(html, lit(hrefFirst)),
+        regexp_extract(html, hrefFirst, 1))
+  }
+
+  /** Raw inner text of the FIRST `<script type="application/ld+json">`
+    * block (non-greedy; NULL when absent) — JSON-LD structured data.
+    * Pull fields with `get_json_object` downstream; this accessor
+    * stays string-level so malformed JSON is the consumer's quarantine
+    * decision, not a silent extraction miss.
+    */
+  def jsonLd(html: Column): Column = {
+    val pat = "<script[^>]*type=[\"']application/ld\\+json[\"'][^>]*>" +
+      "([\\s\\S]*?)</script>"
+    when(regexp_like(html, lit(pat)), regexp_extract(html, pat, 1))
+  }
 }

@@ -110,6 +110,16 @@ object MinHashIndex {
     * — mismatched band keys join to ~nothing). Surface that override:
     * warn when the caller's args differ from BOTH the method defaults
     * (i.e. were plausibly passed on purpose) and the persisted values.
+    *
+    * Accepted residual gap: a caller who DELIBERATELY passes geometry
+    * equal to the method defaults (32/8/3) against a sidecar persisting
+    * different values gets the silent override with no warning —
+    * indistinguishable from not passing args at all, because Scala
+    * default parameters erase that difference at the call site. The
+    * alternative (splitting probe/append into geometry-free overloads)
+    * would break every existing call site for a warning-only gain; the
+    * sidecar remains authoritative either way, which is the property
+    * that protects recall.
     */
   private def warnIfArgsConflict(op: String, g: Geometry,
       numHashes: Int, bands: Int, shingleWords: Int,

@@ -174,7 +174,8 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("http_parts"),
       info("http_parts",
-        "http_parts(binary) - struct(status, reason, headers map, body) " +
+        "http_parts(binary) - struct(status, reason, headers map, body, " +
+          "content_encoding, quarantine) " +
           "from an HTTP response message (chunked de-chunked, " +
           "Content-Length trimmed); NULL on malformed framing"),
       (children: Seq[Expression]) => {

@@ -28,13 +28,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * then every row pays for the derivation chain regardless, and
   * hoisting the filter's duplicates turns 2+ evaluations on surviving
   * rows into 1 on all rows (the win that measured 16× on q245's
-  * shape) — and, within such a filter, hoists only duplicates that
-  * SHARE an expensive subtree with that leading conjunct (their own
-  * form or their derivation chain occurs in it). A filter whose
-  * expensive duplicates hide entirely behind a CHEAP leading leg, or
-  * an INDEPENDENT expensive chain duplicated only in short-circuited
-  * later legs, is left alone — hoisting there could multiply work by
-  * the leading leg's selectivity — and stays FLAGGED by
+  * shape) — and, within such a filter, hoists only duplicates whose
+  * expensive content is ENTIRELY anchored to that leading conjunct:
+  * every expensive node in the duplicate is either shared with the
+  * leading leg or an ancestor of shared work (so the hoist's marginal
+  * cost above the per-row floor is bounded by the residue steps, not
+  * an unbounded independent chain). A filter whose expensive
+  * duplicates hide entirely behind a CHEAP leading leg, an
+  * INDEPENDENT expensive chain duplicated only in short-circuited
+  * later legs, or a duplicate CARRYING an independent expensive chain
+  * alongside the shared one (levenshtein(sharedChain, otherChain)) is
+  * left alone — hoisting there could multiply work by the leading
+  * leg's selectivity — and stays FLAGGED by
   * PlanAudit.duplicatedExpensiveFilters, surfacing the reorder-or-
   * restructure decision to the author instead of guessing.
   *
@@ -86,9 +91,24 @@ object HoistExpensiveFilterPredicates extends Rule[LogicalPlan] {
         else firstConjunct.collect {
           case e if isExpensiveNode(e) => e.canonicalized
         }.toSet
-      def sharesLeadingWork(e: Expression): Boolean = e.collect {
-        case x if isExpensiveNode(x) => x.canonicalized
-      }.exists(leadingCanon.contains)
+      // An expression shares the leading conjunct's work only when its
+      // ENTIRE expensive content is anchored to it: every expensive
+      // node inside it is either itself in leadingCanon or an ANCESTOR
+      // of a leadingCanon subtree (the marginal-step shape — e.g.
+      // repetition_stats(split(CHAIN)) where CHAIN leads: the extra
+      // cost above the per-row floor is one kernel over already-paid
+      // input). An expensive node that neither is shared nor contains
+      // shared work is an INDEPENDENT chain riding inside the
+      // duplicate — e.g. levenshtein(sharedChain, otherChain) — and
+      // hoisting the duplicate would force that whole independent
+      // chain onto every row behind a possibly-selective leading leg.
+      // Such duplicates stay unhoisted and flagged by PlanAudit.
+      def sharesLeadingWork(e: Expression): Boolean = {
+        val expensive = e.collect { case x if isExpensiveNode(x) => x }
+        expensive.exists(x => leadingCanon.contains(x.canonicalized)) &&
+          expensive.forall(x =>
+            x.exists(d => leadingCanon.contains(d.canonicalized)))
+      }
       // hoistable = deterministic and computable from the child's
       // output alone (an expression under a higher-order-function
       // lambda references lambda variables and cannot move)

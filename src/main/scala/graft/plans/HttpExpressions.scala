@@ -37,11 +37,22 @@ object HttpPartsKernel {
           vals(i) = UTF8String.fromString(e.getValue)
           i += 1
         }
+        // Content-Encoding is undone HERE (gzip/x-gzip/deflate/zstd;
+        // body = stored bytes + quarantine reason when it can't be) —
+        // a WARC capture stores response bytes AS SENT, and surfacing
+        // compressed bytes as `body` would mojibake every downstream
+        // charset decode. NOTE: decodeContentEncoding sees the raw
+        // ordered header list, so repeated Content-Encoding lines
+        // combine per RFC 9110 §5.2 even though the map form above
+        // keeps only the last.
+        val dec = Http.decodeContentEncoding(r.headers, r.body)
         new GenericInternalRow(Array[Any](
           r.statusCode,
           UTF8String.fromString(r.reason),
           ArrayBasedMapData(keys, vals),
-          r.body))
+          dec.body,
+          dec.encoding.map(UTF8String.fromString).orNull,
+          dec.quarantine.map(UTF8String.fromString).orNull))
     }
 }
 
@@ -56,11 +67,15 @@ object DecodeCharsetKernel {
   }
 }
 
-/** binary → struct(status, reason, headers map, body binary) | NULL:
-  * parse the HTTP response message a WARC `response` payload actually
-  * is ([[Http.parseResponse]] — RFC 9112 simple subset, chunked
-  * de-chunking, Content-Length trim). NULL on malformed framing —
-  * quarantine, never a task kill.
+/** binary → struct(status, reason, headers map, body binary,
+  * content_encoding, quarantine) | NULL: parse the HTTP response
+  * message a WARC `response` payload actually is
+  * ([[Http.parseResponse]] — RFC 9112 simple subset, chunked
+  * de-chunking, Content-Length trim), then undo the body's
+  * `Content-Encoding` chain ([[Http.decodeContentEncoding]] —
+  * gzip/x-gzip/deflate/zstd; `quarantine` carries the reason when the
+  * chain can't be undone and `body` stays the stored bytes). NULL on
+  * malformed framing — quarantine, never a task kill.
   */
 case class HttpParts(child: Expression) extends UnaryExpression {
 
@@ -69,7 +84,9 @@ case class HttpParts(child: Expression) extends UnaryExpression {
     StructField("reason", StringType, nullable = false),
     StructField("headers", MapType(StringType, StringType,
       valueContainsNull = false), nullable = false),
-    StructField("body", BinaryType, nullable = false)))
+    StructField("body", BinaryType, nullable = false),
+    StructField("content_encoding", StringType, nullable = true),
+    StructField("quarantine", StringType, nullable = true)))
 
   override def nullable: Boolean = true
 

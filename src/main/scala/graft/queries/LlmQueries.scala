@@ -28,11 +28,25 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) =
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
-  /** Corpus dirs whose q158 ampersand-free precondition has already
-    * been verified in this JVM (one scan per dir, not per bench pass).
+  /** Corpus FINGERPRINTS whose q158 ampersand-free precondition has
+    * already been verified in this JVM (one scan per corpus state, not
+    * per bench pass). Keyed on the documents table's file listing
+    * (name + length + mtime), not the bare dir path: a corpus
+    * regenerated in-place under the same path within one session
+    * changes its data files' identity, so the gate re-checks — the
+    * exact staging-error scenario it exists to catch.
     */
   private val ampFreeChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Cheap content-identity fingerprint of `d`'s documents table. */
+  private def docsFingerprint(d: String): String = {
+    val files = Option(new java.io.File(d, "documents.parquet").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(d + "|", ";", "")
+  }
 
   /** Same single-file-fan-out treatment for the embeddings table (the
     * O(n²) similarity joins below parallelize over the left side's
@@ -67,7 +81,10 @@ object LlmQueries {
     * doc_id % 5 over utf-8 / windows-1252 / Shift_JIS / gb2312 /
     * koi8-r — the ingest tier exercises real multi-byte label
     * resolution and decode on 4/5 of the records, the realism a
-    * 2026 crawl actually has. The native-script bytes live in the
+    * 2026 crawl actually has — AND the body's Content-Encoding
+    * cycling doc_id % 3 over identity / gzip / headerless-raw
+    * deflate (http_parts undoes the representation layer before the
+    * charset resolves). The native-script bytes live in the
     * <title> and are hex-staged (a String cannot hold raw SJIS/1252
     * bytes); everything else is printable ASCII, which every charset
     * in the cycle decodes identically (all are ASCII-transparent over
@@ -100,12 +117,26 @@ object LlmQueries {
     val labelCol = expr("CASE CAST(doc_id % 5 AS INT) " +
       "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252' " +
       "WHEN 2 THEN 'Shift_JIS' WHEN 3 THEN 'gb2312' ELSE 'koi8-r' END")
+    // representation layer: the page bytes additionally cycle
+    // doc_id % 3 over identity / gzip / headerless-raw deflate — the
+    // Content-Encoding mix a real capture holds; http_parts undoes it
+    // before charset decode, so extraction still recovers `text`
+    // byte-exactly and the curation-tier oracle is unchanged
+    val bodyHex = expr("CASE CAST(doc_id % 3 AS INT) " +
+      "WHEN 1 THEN gz_hex " +
+      "WHEN 2 THEN substring(gz_hex, 21, length(gz_hex) - 36) " +
+      "ELSE html_hex END")
+    val ceLine = expr("CASE CAST(doc_id % 3 AS INT) " +
+      "WHEN 1 THEN concat('Content-Encoding: gzip', cr) " +
+      "WHEN 2 THEN concat('Content-Encoding: deflate', cr) " +
+      "ELSE '' END")
     val httpHex = concat(
       hex(concat(
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
-        col("charset_label"), lit("\r\nContent-Length: "),
-        (length(col("html_hex")) / 2).cast("long"), lit("\r\n\r\n"))),
-      col("html_hex"))
+        col("charset_label"), lit("\r\n"), col("ce_line"),
+        lit("Content-Length: "),
+        (length(col("body_hex")) / 2).cast("long"), lit("\r\n\r\n"))),
+      col("body_hex"))
     val r1Hex = concat(
       hex(concat(
         lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: " +
@@ -118,8 +149,12 @@ object LlmQueries {
       col("http_hex"), hex(lit("\r\n\r\n")))
     docs(s, d)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("cr", lit("\r\n"))
       .withColumn("charset_label", labelCol)
       .withColumn("html_hex", concat(htmlHeadHex, titleHex, htmlTailHex))
+      .withColumn("gz_hex", expr("hex(gzip_bytes(unhex(html_hex)))"))
+      .withColumn("body_hex", bodyHex)
+      .withColumn("ce_line", ceLine)
       .withColumn("http_hex", httpHex)
       .withColumn("r1_hex", r1Hex)
       .withColumn("gzh", expr("hex(gzip_bytes(unhex(r1_hex)))"))
@@ -2140,9 +2175,11 @@ object LlmQueries {
         // chain double-decode ('&amp;copy;' etc.) and the gate would
         // diverge with no signal that the DATA (not the engine) broke
         // — fail fast as a staging error instead. Memoized per corpus
-        // dir: the check is a data property, and re-scanning on every
-        // bench pass would bill a documents count to q158's timing.
-        if (ampFreeChecked.add(d)) {
+        // FINGERPRINT (file listing, not bare path): the check is a
+        // data property, re-scanning on every bench pass would bill a
+        // documents count to q158's timing, and an in-place corpus
+        // regeneration must invalidate the memo.
+        if (ampFreeChecked.add(docsFingerprint(d))) {
           val nAmp = docs(s, d).filter(col("text").contains("&")).count()
           require(nAmp == 0,
             s"q158 oracle precondition violated: $nAmp document(s) " +
@@ -5253,7 +5290,14 @@ object LlmQueries {
         graft.plans.GraftExtensions.register(s)
         val docsDf = docs(s, d).select(col("doc_id"), col("source"),
           col("text"))
-          .withColumn("c", expr("CAST(doc_id % 11 AS INT)"))
+          .withColumn("c", expr("CAST(doc_id % 16 AS INT)"))
+          // representation-layer staging bytes for classes 11-13: the
+          // raw-deflate hex is the gzip member minus its fixed 10-byte
+          // JDK header and 8-byte CRC/ISIZE trailer (the headerless
+          // shape real servers send under the `deflate` token)
+          .withColumn("gzh", expr("hex(gzip_bytes(encode(text, 'utf-8')))"))
+          .withColumn("dfh", expr("substring(gzh, 21, length(gzh) - 36)"))
+          .withColumn("zsh", expr("hex(zstd_bytes(encode(text, 'utf-8')))"))
         val crlf = "\r\n"
         // HTTP message per class: ASCII prefix hex'd + raw body hex
         val msgHex = expr(
@@ -5312,10 +5356,43 @@ object LlmQueries {
             "  'Content-Length: ', CAST(octet_length(text) + 1 AS STRING), " +
             "  cr, cr, text)), '93') " +
             // ISO-2022-JP: ESC $ B, JIS 日本 (4667 4B5C), ESC ( B
-            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "WHEN 10 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
             "  'Content-Type: text/html; charset=iso-2022-jp', cr, " +
             "  'Content-Length: ', CAST(octet_length(text) + 10 AS STRING), " +
-            "  cr, cr, text)), '1B2442467C4B5C1B2842') END")
+            "  cr, cr, text)), '1B2442467C4B5C1B2842') " +
+            // gzip content-coding: stored body is the COMPRESSED bytes
+            // (what a WARC capture actually holds); http_parts undoes it
+            "WHEN 11 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=utf-8', cr, " +
+            "  'Content-Encoding: gzip', cr, " +
+            "  'Content-Length: ', CAST(length(gzh) / 2 AS BIGINT), " +
+            "  cr, cr)), gzh) " +
+            // headerless-raw deflate under the `deflate` token (the
+            // real-server long tail browsers accommodate)
+            "WHEN 12 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html', cr, " +
+            "  'Content-Encoding: deflate', cr, " +
+            "  'Content-Length: ', CAST(length(dfh) / 2 AS BIGINT), " +
+            "  cr, cr)), dfh) " +
+            // zstd content-coding (RFC 8878)
+            "WHEN 13 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/plain; charset=utf-8', cr, " +
+            "  'Content-Encoding: zstd', cr, " +
+            "  'Content-Length: ', CAST(length(zsh) / 2 AS BIGINT), " +
+            "  cr, cr)), zsh) " +
+            // brotli: no decoder shipped — quarantined with reason,
+            // stored bytes surfaced unchanged
+            "WHEN 14 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html', cr, " +
+            "  'Content-Encoding: br', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) AS STRING), " +
+            "  cr, cr, text)) " +
+            // gzip label over NOT-gzip bytes: corrupt-coding quarantine
+            "ELSE hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html', cr, " +
+            "  'Content-Encoding: gzip', cr, " +
+            "  'Content-Length: ', CAST(octet_length(text) AS STRING), " +
+            "  cr, cr, text)) END")
         val chain = docsDf
           .withColumn("cr", lit(crlf))
           .withColumn("msg_hex", msgHex)
@@ -5342,17 +5419,21 @@ object LlmQueries {
             expr("CAST(octet_length(h.body) AS BIGINT)").as("body_len"),
             col("dd.text").as("text_out"),
             col("dd.charset").as("charset"),
-            expr("CAST(dd.n_replaced AS BIGINT)").as("n_replaced"))
+            expr("CAST(dd.n_replaced AS BIGINT)").as("n_replaced"),
+            col("h.content_encoding").as("content_encoding"),
+            col("h.quarantine").as("quarantine"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CAST(CASE WHEN doc_id % 11 = 2 THEN 404 ELSE 200 END AS BIGINT)
+             |  CAST(CASE WHEN doc_id % 16 = 2 THEN 404 ELSE 200 END AS BIGINT)
              |    AS status,
-             |  CASE WHEN doc_id % 11 = 2 THEN 'Not Found' ELSE 'OK' END
+             |  CASE WHEN doc_id % 16 = 2 THEN 'Not Found' ELSE 'OK' END
              |    AS reason,
-             |  CAST(CASE doc_id % 11 WHEN 0 THEN 3 WHEN 3 THEN 1
+             |  CAST(CASE doc_id % 16 WHEN 0 THEN 3 WHEN 3 THEN 1
+             |    WHEN 11 THEN 3 WHEN 12 THEN 3 WHEN 13 THEN 3
+             |    WHEN 14 THEN 3 WHEN 15 THEN 3
              |    ELSE 2 END AS BIGINT) AS n_headers,
-             |  CASE doc_id % 11
+             |  CASE doc_id % 16
              |    WHEN 0 THEN 'text/html; charset=utf-8'
              |    WHEN 1 THEN 'text/html; charset=windows-1252'
              |    WHEN 2 THEN 'text/html'
@@ -5363,8 +5444,13 @@ object LlmQueries {
              |    WHEN 7 THEN 'text/html'
              |    WHEN 8 THEN 'text/plain; charset=koi8-r'
              |    WHEN 9 THEN 'text/html'
-             |    ELSE 'text/html; charset=iso-2022-jp' END AS content_type,
-             |  CAST(CASE doc_id % 11
+             |    WHEN 10 THEN 'text/html; charset=iso-2022-jp'
+             |    WHEN 11 THEN 'text/html; charset=utf-8'
+             |    WHEN 12 THEN 'text/html'
+             |    WHEN 13 THEN 'text/plain; charset=utf-8'
+             |    WHEN 14 THEN 'text/html'
+             |    ELSE 'text/html' END AS content_type,
+             |  CAST(CASE doc_id % 16
              |    WHEN 0 THEN strlen(text) + 10
              |    WHEN 1 THEN strlen(text) + 4
              |    WHEN 2 THEN strlen(text) + 28
@@ -5375,8 +5461,9 @@ object LlmQueries {
              |    WHEN 7 THEN strlen(text) + 27
              |    WHEN 8 THEN strlen(text) + 2
              |    WHEN 9 THEN strlen(text) + 1
-             |    ELSE strlen(text) + 10 END AS BIGINT) AS body_len,
-             |  CASE doc_id % 11
+             |    WHEN 10 THEN strlen(text) + 10
+             |    ELSE strlen(text) END AS BIGINT) AS body_len,
+             |  CASE doc_id % 16
              |    WHEN 0 THEN text || ' ' || chr(8212) || ' caf' || chr(233)
              |    WHEN 1 THEN text || chr(8220) || chr(8230) || chr(233)
              |      || chr(8221)
@@ -5389,8 +5476,9 @@ object LlmQueries {
              |      || chr(25991)
              |    WHEN 8 THEN text || chr(1076) || chr(1072)
              |    WHEN 9 THEN text || chr(8220)
-             |    ELSE text || chr(26085) || chr(26412) END AS text_out,
-             |  CASE doc_id % 11
+             |    WHEN 10 THEN text || chr(26085) || chr(26412)
+             |    ELSE text END AS text_out,
+             |  CASE doc_id % 16
              |    WHEN 1 THEN 'windows-1252'
              |    WHEN 2 THEN 'windows-1252'
              |    WHEN 6 THEN 'windows-31j'
@@ -5399,8 +5487,19 @@ object LlmQueries {
              |    WHEN 9 THEN 'windows-1252'
              |    WHEN 10 THEN 'iso-2022-jp'
              |    ELSE 'utf-8' END AS charset,
-             |  CAST(CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END AS BIGINT)
-             |    AS n_replaced
+             |  CAST(CASE WHEN doc_id % 16 = 5 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS n_replaced,
+             |  CASE doc_id % 16
+             |    WHEN 11 THEN 'gzip'
+             |    WHEN 12 THEN 'deflate'
+             |    WHEN 13 THEN 'zstd'
+             |    WHEN 14 THEN 'br'
+             |    WHEN 15 THEN 'gzip'
+             |    END AS content_encoding,
+             |  CASE doc_id % 16
+             |    WHEN 14 THEN 'unsupported-coding: br'
+             |    WHEN 15 THEN 'corrupt-gzip-body'
+             |    END AS quarantine
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // CRAWL → CURATED-TRAINING-SET CAPSTONE: the entire 100-TB
@@ -5575,22 +5674,24 @@ object LlmQueries {
     // MIME ROUTING in the extraction chain: real WARC response records
     // are ~¼ non-HTML, and running tag-stripping over JSON/plain/binary
     // bodies turns them into garbage prose that flows into the quality
-    // gate. Four staged classes (doc_id % 4) through the REAL chain
+    // gate. Six staged classes (doc_id % 6) through the REAL chain
     // (gzip_bytes → gunzip_all → warc_records → http_parts →
     // ContentRoute): text/html → main-block extraction, an
     // UPPERCASED 'Text/Plain' label (essence normalization) →
     // squeeze-only, application/ld+json (the +json structured-syntax
-    // suffix) → $.text field pull, and image/png bytes →
-    // skip-with-reason, decode never touching the binary. Every
-    // branch is closed-form predicted by the oracle from the staging
-    // arithmetic.
+    // suffix) → $.text field pull, image/png bytes →
+    // skip-with-reason, decode never touching the binary — plus the
+    // UNTYPED pair the WHATWG binary sniff splits: PNG bytes served
+    // with NO Content-Type route skip ('binary-no-type'), an untyped
+    // HTML page keeps the browser-sniff html default. Every branch is
+    // closed-form predicted by the oracle from the staging arithmetic.
     "q253_mime_routing" -> Q(
       (s, d) => {
         import graft.crawl.ContentRoute
         graft.plans.GraftExtensions.register(s)
         val docsDf = docs(s, d).select(col("doc_id"), col("source"),
           col("text"))
-          .withColumn("c", expr("CAST(doc_id % 4 AS INT)"))
+          .withColumn("c", expr("CAST(doc_id % 6 AS INT)"))
         val msgHex = expr(
           "CASE c " +
             // text/html: page skeleton; first <p> recovers text exactly
@@ -5609,10 +5710,22 @@ object LlmQueries {
             "  '{\"title\":\"doc ', CAST(doc_id AS STRING), " +
             "  '\",\"text\":\"', text, '\"}')) " +
             // binary: PNG magic + junk — skip with reason, no decode
-            "ELSE concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "WHEN 3 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
             "  'Content-Type: image/png', cr, " +
             "  'Content-Length: 12', cr, cr)), " +
-            "  '89504E470D0A1A0ADEADBEEF') END")
+            "  '89504E470D0A1A0ADEADBEEF') " +
+            // UNTYPED binary: same PNG bytes, NO Content-Type header —
+            // the WHATWG binary sniff must catch it (0x1A in the
+            // signature is a binary data byte)
+            "WHEN 4 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Length: 12', cr, cr)), " +
+            "  '89504E470D0A1A0ADEADBEEF') " +
+            // UNTYPED text: a page served without a type keeps the
+            // browser-sniff html default
+            "ELSE hex(concat('HTTP/1.1 200 OK', cr, cr, " +
+            "  '<html><head><title>doc ', CAST(doc_id AS STRING), " +
+            "  '</title></head><body><p>', text, " +
+            "  '</p></body></html>')) END")
         docsDf
           .withColumn("cr", lit("\r\n"))
           .withColumn("msg_hex", msgHex)
@@ -5630,24 +5743,29 @@ object LlmQueries {
           .withColumn("ct", expr("element_at(h.headers, 'content-type')"))
           .select(col("doc_id"),
             ContentRoute.essence(col("ct")).as("mime"),
-            ContentRoute.route(col("ct")).as("route"),
+            ContentRoute.route(col("ct"), col("h.body")).as("route"),
             ContentRoute.extractedText(col("h.body"), col("ct"))
               .as("text_out"),
-            ContentRoute.skipReason(col("ct")).as("skip_reason"))
+            ContentRoute.skipReason(col("ct"), col("h.body"))
+              .as("skip_reason"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CASE doc_id % 4 WHEN 0 THEN 'text/html'
+             |  CASE doc_id % 6 WHEN 0 THEN 'text/html'
              |    WHEN 1 THEN 'text/plain'
              |    WHEN 2 THEN 'application/ld+json'
-             |    ELSE 'image/png' END AS mime,
-             |  CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'plain'
-             |    WHEN 2 THEN 'json' ELSE 'skip' END AS route,
-             |  CASE doc_id % 4 WHEN 0 THEN text
+             |    WHEN 3 THEN 'image/png'
+             |    ELSE '' END AS mime,
+             |  CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 1 THEN 'plain'
+             |    WHEN 2 THEN 'json' WHEN 3 THEN 'skip' WHEN 4 THEN 'skip'
+             |    ELSE 'html' END AS route,
+             |  CASE doc_id % 6 WHEN 0 THEN text
              |    WHEN 1 THEN text || ' plain tail'
              |    WHEN 2 THEN text
+             |    WHEN 5 THEN text
              |    ELSE NULL END AS text_out,
-             |  CASE WHEN doc_id % 4 = 3 THEN 'image/png' END AS skip_reason
+             |  CASE doc_id % 6 WHEN 3 THEN 'image/png'
+             |    WHEN 4 THEN 'binary-no-type' END AS skip_reason
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // WebP + AVIF container metadata — the two formats that dominate
@@ -6160,6 +6278,620 @@ object LlmQueries {
              |       WHEN doc_id % 10 = 7 THEN false
              |       ELSE true END AS allowed
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // SITEMAP-INDEX composition — the spec's standard sharding above
+    // 50k URLs: a <sitemapindex> names child sitemaps (one GZIPPED, as
+    // .xml.gz members ubiquitously are), each child an <urlset> in
+    // q258's shape. The walk is the real two-fetch composition: parse
+    // the index's <sitemap><loc> refs, join each ref to its fetched
+    // blob, gunzip the .gz member, parse the child urlset, entity-
+    // decode + canonicalize every URL and gate it through the q257
+    // robots policy. Every row — which child carried it, the canonical
+    // form, the lastmod, the decision — is closed-form predicted.
+    "q259_sitemap_index_frontier" -> Q(
+      (s, d) => {
+        import graft.crawl.Robots
+        import graft.functions.{HtmlFunctions, UrlFunctions}
+        graft.plans.GraftExtensions.register(s)
+        val dd = docs(s, d).select(col("doc_id"), col("source"))
+        val entry = concat(
+          lit("<url><loc>HTTPS://Crawl.test/"), col("source"), lit("/"),
+          col("doc_id"), lit("?utm_source=feed&amp;ref="),
+          pmod(col("doc_id"), lit(5)), lit("#frag</loc><lastmod>2026-01-"),
+          lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+          lit("</lastmod></url>"))
+        // two child sitemaps per source; child 0 ships gzipped
+        val children = dd
+          .withColumn("child", pmod(col("doc_id"), lit(2)))
+          .withColumn("e", entry)
+          .groupBy("source", "child")
+          .agg(concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            concat_ws("", sort_array(collect_list(col("e")))),
+            lit("</urlset>")).as("xml"))
+          .withColumn("name", concat(lit("sitemap-"), col("child"),
+            when(col("child") === 0, lit(".xml.gz")).otherwise(lit(".xml"))))
+          .withColumn("blob", expr(
+            "CASE WHEN child = 0 THEN gzip_bytes(encode(xml, 'utf-8')) " +
+              "ELSE encode(xml, 'utf-8') END"))
+          .select("source", "name", "blob")
+        val index = children.groupBy("source")
+          .agg(concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            concat_ws("", sort_array(collect_list(concat(
+              lit("<sitemap><loc>https://crawl.test/"), col("source"),
+              lit("/"), col("name"), lit("</loc></sitemap>"))))),
+            lit("</sitemapindex>")).as("index_xml"))
+        // the walk: index refs -> fetched child blobs -> urlset rows
+        val refs = index.select(col("source"),
+            explode(expr("regexp_extract_all(index_xml, " +
+              "'<sitemap><loc>([^<]*)</loc></sitemap>', 1)")).as("ref"))
+          .withColumn("name", expr("regexp_extract(ref, '/([^/]+)$', 1)"))
+        val fetched = refs.join(children, Seq("source", "name"))
+          .withColumn("child_xml", expr(
+            "decode(CASE WHEN name LIKE '%.gz' THEN gunzip_all(blob) " +
+              "ELSE blob END, 'utf-8')"))
+        val entries = fetched.select(col("source"), col("name"),
+            explode(expr(
+              "regexp_extract_all(child_xml, '<url>([\\\\s\\\\S]*?)</url>', 1)"))
+              .as("block"))
+          .withColumn("loc", HtmlFunctions.decodeEntities(
+            expr("regexp_extract(block, '<loc>([^<]*)</loc>', 1)")))
+          .withColumn("lastmod",
+            expr("regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1)"))
+          .withColumn("canon", UrlFunctions.normalize(col("loc")))
+          .withColumn("path", UrlFunctions.path(col("canon")))
+          .withColumn("doc_id", expr(
+            "CAST(regexp_extract(canon, '/([0-9]+)\\\\?', 1) AS BIGINT)"))
+        val robotsTxt = dd.select(col("source")).distinct()
+          .withColumn("robots_txt", concat(
+            lit("User-agent: graftbot\nDisallow: /"),
+            col("source"), lit("/*7$\nAllow: /"),
+            col("source"), lit("/*77$\n\nUser-agent: *\nDisallow: /"),
+            col("source"), lit("/\n")))
+        val ruleRows = Robots.rules(robotsTxt, "source", "robots_txt")
+        Robots.decisions(ruleRows, entries, "source", "doc_id", "path",
+            userAgent = "graftbot")
+          .select(col("doc_id"), col("name").as("sitemap"), col("canon"),
+            col("lastmod"), col("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'sitemap-0.xml.gz'
+             |       ELSE 'sitemap-1.xml' END AS sitemap,
+             |  'https://crawl.test/' || source || '/' || doc_id ||
+             |    '?ref=' || (doc_id % 5) AS canon,
+             |  '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             |    AS lastmod,
+             |  CASE WHEN doc_id % 100 = 77 THEN true
+             |       WHEN doc_id % 10 = 7 THEN false
+             |       ELSE true END AS allowed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // POLITENESS RATE PLAN — the deterministic scheduling operator a
+    // crawler dispatches from: the q257 policy gains per-host
+    // Crawl-delay directives (sources of even name-length declare
+    // 1 + len % 3 seconds; odd-length hosts stay silent and get the
+    // caller default), the allowed frontier is slotted per host in
+    // doc_id order, and every row carries its send-no-earlier-than
+    // offset slot × delay. Parsing (group binding, fractional-second
+    // unit), group selection, the slot window, and the arithmetic all
+    // replay relationally.
+    "q260_politeness_schedule" -> Q(
+      (s, d) => {
+        import graft.crawl.Robots
+        val dd = docs(s, d).select(col("doc_id"), col("source"))
+        val robotsTxt = dd.select(col("source")).distinct()
+          .withColumn("robots_txt", concat(
+            lit("User-agent: graftbot\nDisallow: /"),
+            col("source"), lit("/*7$\nAllow: /"),
+            col("source"), lit("/*77$\n"),
+            expr("CASE WHEN length(source) % 2 = 0 THEN " +
+              "concat('Crawl-delay: ', " +
+              "CAST(1 + length(source) % 3 AS STRING), chr(10)) " +
+              "ELSE '' END"),
+            lit("\nUser-agent: *\nDisallow: /"), col("source"),
+            lit("/\n")))
+        val ruleRows = Robots.rules(robotsTxt, "source", "robots_txt")
+        val urls = dd.withColumn("path",
+          concat(lit("/"), col("source"), lit("/"), col("doc_id")))
+        val allowed = Robots.decisions(ruleRows, urls, "source", "doc_id",
+            "path", userAgent = "graftbot")
+          .filter(col("allowed"))
+        val delays = Robots.crawlDelays(robotsTxt, "source", "robots_txt",
+          userAgent = "graftbot")
+        Robots.schedule(allowed, delays, "source", "doc_id",
+            defaultDelayMs = 1000L)
+          .select(col("doc_id"), col("path"), col("slot"), col("delay_ms"),
+            col("fetch_at_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH allowed AS (
+             |  SELECT doc_id, source, '/' || source || '/' || doc_id AS path
+             |  FROM documents
+             |  WHERE doc_id % 100 = 77 OR doc_id % 10 <> 7),
+             |slotted AS (
+             |  SELECT doc_id, path,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY doc_id) - 1 AS BIGINT) AS slot,
+             |    CAST(CASE WHEN strlen(source) % 2 = 0
+             |      THEN (1 + strlen(source) % 3) * 1000
+             |      ELSE 1000 END AS BIGINT) AS delay_ms
+             |  FROM allowed)
+             |SELECT doc_id, path, slot, delay_ms,
+             |  slot * delay_ms AS fetch_at_ms
+             |FROM slotted ORDER BY doc_id""".stripMargin)),
+
+    // STRUCTURED PAGE METADATA — the signals canonical-URL dedup and
+    // quality routing key on: OpenGraph properties, <meta name=…>,
+    // <link rel=canonical>, and a JSON-LD block, extracted with the
+    // established regex battery and fed into canonical-URL dedup
+    // (UrlFunctions.normalize + min-id survivor). Staging cycles the
+    // og tag through doc_id % 4 over attribute ORDER × QUOTE STYLE
+    // (property-first/content-first, double/single/cross-quoted) and
+    // the link tag through rel-first/href-first — extraction must
+    // recover identical fields from every variant, which is the pin.
+    // Doc pairs (2k, 2k+1) of one source declare the SAME canonical
+    // target, so the dedup stage has real work whose survivor the
+    // oracle replays relationally.
+    "q261_page_metadata" -> Q(
+      (s, d) => {
+        import graft.functions.{HtmlFunctions, UrlFunctions}
+        val dq = "\""
+        val dd = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+        val c = pmod(col("doc_id"), lit(4))
+        val ogVal = concat(lit("OG doc "), col("doc_id"))
+        val canonHref = concat(lit("HTTPS://Crawl.test/"), col("source"),
+          lit("/"), (col("doc_id") - pmod(col("doc_id"), lit(2))),
+          lit("?utm_campaign=x"))
+        val ogTag =
+          when(c === 0, concat(
+            lit(s"<meta property=${dq}og:title$dq content=$dq"), ogVal,
+            lit(dq + ">")))
+          .when(c === 1, concat(
+            lit(s"<meta content=$dq"), ogVal,
+            lit(s"$dq property=${dq}og:title$dq>")))
+          .when(c === 2, concat(
+            lit("<meta property='og:title' content='"), ogVal, lit("'>")))
+          .otherwise(concat(
+            lit(s"<meta property=${dq}og:title$dq content='"), ogVal,
+            lit("'>")))
+        val descTag = concat(lit("<meta content='desc "), col("source"),
+          lit("' name='description'>"))
+        val linkTag =
+          when(pmod(col("doc_id"), lit(2)) === 0, concat(
+            lit(s"<link rel=${dq}canonical$dq href=$dq"), canonHref,
+            lit(dq + ">")))
+          .otherwise(concat(
+            lit("<link href='"), canonHref, lit("' rel='canonical'>")))
+        val ldTag = concat(
+          lit(s"<script type=${dq}application/ld+json$dq>" +
+            s"{${dq}@type$dq:${dq}Article$dq,${dq}headline$dq:${dq}hl "),
+          col("doc_id"), lit(s"$dq}</script>"))
+        val html = concat(lit("<html><head><title>t</title>"), ogTag,
+          descTag, linkTag, ldTag,
+          lit("</head><body><p>"), col("text"),
+          lit("</p></body></html>"))
+        dd.withColumn("html", html)
+          .select(col("doc_id"),
+            HtmlFunctions.metaProperty(col("html"), "og:title")
+              .as("og_title"),
+            HtmlFunctions.metaNamed(col("html"), "description")
+              .as("description"),
+            UrlFunctions.normalize(HtmlFunctions.canonicalUrl(col("html")))
+              .as("canon"),
+            get_json_object(HtmlFunctions.jsonLd(col("html")),
+              "$.headline").as("headline"))
+          .withColumn("survivor",
+            expr("CAST(min(doc_id) OVER (PARTITION BY canon) AS BIGINT)"))
+          .withColumn("is_dup", col("doc_id") =!= col("survivor"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'OG doc ' || doc_id AS og_title,
+             |  'desc ' || source AS description,
+             |  'https://crawl.test/' || source || '/' ||
+             |    (doc_id - doc_id % 2) AS canon,
+             |  'hl ' || doc_id AS headline,
+             |  CAST(min(doc_id) OVER (PARTITION BY source,
+             |    doc_id - doc_id % 2) AS BIGINT) AS survivor,
+             |  doc_id <> min(doc_id) OVER (PARTITION BY source,
+             |    doc_id - doc_id % 2) AS is_dup
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // UNIFIED INGEST-FUNNEL ACCOUNTING — production loss-accounting as
+    // a first-class object: one pass over a staged mixed-health crawl
+    // corpus emits a row per pipeline stage (gunzip → warc → http →
+    // route → encoding → extract → gate) with input/survivor/drop
+    // counts, where input(n) = survivors(n-1) and every row satisfies
+    // input = survivors + drops (the Σ-invariant the oracle pins).
+    // doc_id % 8 stages one failure class per stage: not-gzip bytes,
+    // not-WARC payload, not-HTTP payload, binary route, brotli
+    // quarantine, paragraph-less page, under-length gate reject —
+    // class 0 survives end-to-end. The engine derives per-record
+    // flags through the REAL chain in one projection (each derivation
+    // evaluated once — the conditional-aggregation shape, no filter
+    // re-evaluation trap) and aggregates them in one job.
+    "q262_ingest_funnel" -> Q(
+      (s, d) => {
+        import graft.crawl.ContentRoute
+        import graft.functions.HtmlFunctions
+        graft.plans.GraftExtensions.register(s)
+        val docsDf = docs(s, d).select(col("doc_id"), col("text"))
+          .withColumn("c", expr("CAST(doc_id % 8 AS INT)"))
+          .withColumn("cr", lit("\r\n"))
+        // the HTTP message per class (hex), NULL where the failure is
+        // staged at an OUTER layer (classes 1/2)
+        val msgHex = expr(
+          "CASE c " +
+            // 0: healthy page, survives the whole funnel
+            "WHEN 0 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html; charset=utf-8', cr, cr, " +
+            "  '<html><body><p>content ', text, '</p></body></html>')) " +
+            // 3: not an HTTP message at all
+            "WHEN 3 THEN hex('plain garbage, no status line') " +
+            // 4: typed binary -> route skip
+            "WHEN 4 THEN concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: image/png', cr, cr)), '89504E470D0A1A0A') " +
+            // 5: brotli content-coding -> encoding quarantine
+            "WHEN 5 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html', cr, " +
+            "  'Content-Encoding: br', cr, cr, 'compressed-ish')) " +
+            // 6: page with no paragraph -> empty extraction
+            "WHEN 6 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html', cr, cr, " +
+            "  '<html><body><div>nav only</div></body></html>')) " +
+            // 7: paragraph present but under the length gate
+            "WHEN 7 THEN hex(concat('HTTP/1.1 200 OK', cr, " +
+            "  'Content-Type: text/html', cr, cr, " +
+            "  '<html><body><p>shrt</p></body></html>')) " +
+            "ELSE NULL END")
+        val staged = docsDf
+          .withColumn("msg_hex", msgHex)
+          .withColumn("media", expr(
+            "CASE c " +
+              // 1: not gzip bytes at all
+              "WHEN 1 THEN unhex('00FF00FF00FF') " +
+              // 2: a gzip member whose payload is not WARC
+              "WHEN 2 THEN gzip_bytes(encode('NOT A WARC RECORD', 'utf-8')) " +
+              "ELSE gzip_bytes(unhex(concat(hex(concat('WARC/1.0', cr, " +
+              "  'WARC-Type: response', cr, " +
+              "  'WARC-Record-ID: <urn:uuid:doc-', CAST(doc_id AS STRING), " +
+              "  '>', cr, 'Content-Length: ', " +
+              "  CAST(length(msg_hex) / 2 AS BIGINT), cr, cr)), " +
+              "  msg_hex, hex(concat(cr, cr))))) END"))
+          // the funnel: each stage derived ONCE per record
+          .withColumn("inflated", expr("gunzip_all(media)"))
+          // try_: class 2's record walk yields an EMPTY array (gzip of
+          // not-WARC bytes), which plain element_at throws on under
+          // ANSI mode — absence is a funnel drop, not an error
+          .withColumn("w", expr("try_element_at(warc_records(inflated), 1)"))
+          .withColumn("h", expr("http_parts(w.content)"))
+          .withColumn("ct", expr("element_at(h.headers, 'content-type')"))
+          .withColumn("routed",
+            ContentRoute.route(col("ct"), col("h.body")))
+          // guard keeps the decode off skip/quarantined rows (CaseWhen
+          // branches evaluate lazily — binary bodies never pay it)
+          .withColumn("extracted",
+            when(col("routed") =!= "skip" && col("h.quarantine").isNull,
+              HtmlFunctions.mainBlock(expr("decode_charset(h.body, ct).text"))))
+          .withColumn("ok1", col("inflated").isNotNull)
+          .withColumn("ok2", col("ok1") && col("w").isNotNull)
+          .withColumn("ok3", col("ok2") && col("h").isNotNull)
+          .withColumn("ok4", col("ok3") && col("routed") =!= "skip")
+          .withColumn("ok5", col("ok4") && col("h.quarantine").isNull)
+          .withColumn("ok6", col("ok5") && col("extracted") =!= "")
+          .withColumn("ok7", col("ok6") && length(col("extracted")) >= 8)
+        val totals = staged.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("ok1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("ok2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("ok3"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("ok4"), 1L).otherwise(0L)).as("n4"),
+          sum(when(col("ok5"), 1L).otherwise(0L)).as("n5"),
+          sum(when(col("ok6"), 1L).otherwise(0L)).as("n6"),
+          sum(when(col("ok7"), 1L).otherwise(0L)).as("n7"))
+        totals.selectExpr(
+          "stack(7, " +
+            "1L, 'gunzip',   n0, n1, " +
+            "2L, 'warc',     n1, n2, " +
+            "3L, 'http',     n2, n3, " +
+            "4L, 'route',    n3, n4, " +
+            "5L, 'encoding', n4, n5, " +
+            "6L, 'extract',  n5, n6, " +
+            "7L, 'gate',     n6, n7) " +
+            "AS (stage_no, stage, input_rows, survivors)")
+          .withColumn("drops", col("input_rows") - col("survivors"))
+          .orderBy("stage_no")
+      },
+      Some("""WITH k AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n0,
+             |    CAST(count(*) FILTER (doc_id % 8 <> 1) AS BIGINT) AS n1,
+             |    CAST(count(*) FILTER (doc_id % 8 NOT IN (1, 2)) AS BIGINT)
+             |      AS n2,
+             |    CAST(count(*) FILTER (doc_id % 8 NOT IN (1, 2, 3))
+             |      AS BIGINT) AS n3,
+             |    CAST(count(*) FILTER (doc_id % 8 NOT IN (1, 2, 3, 4))
+             |      AS BIGINT) AS n4,
+             |    CAST(count(*) FILTER (doc_id % 8 NOT IN (1, 2, 3, 4, 5))
+             |      AS BIGINT) AS n5,
+             |    CAST(count(*) FILTER (doc_id % 8 NOT IN (1, 2, 3, 4, 5, 6))
+             |      AS BIGINT) AS n6,
+             |    CAST(count(*) FILTER (doc_id % 8 = 0) AS BIGINT) AS n7
+             |  FROM documents)
+             |SELECT stage_no, stage, input_rows, survivors,
+             |  input_rows - survivors AS drops
+             |FROM (
+             |  SELECT CAST(1 AS BIGINT) AS stage_no, 'gunzip' AS stage,
+             |    n0 AS input_rows, n1 AS survivors FROM k
+             |  UNION ALL SELECT 2, 'warc', n1, n2 FROM k
+             |  UNION ALL SELECT 3, 'http', n2, n3 FROM k
+             |  UNION ALL SELECT 4, 'route', n3, n4 FROM k
+             |  UNION ALL SELECT 5, 'encoding', n4, n5 FROM k
+             |  UNION ALL SELECT 6, 'extract', n5, n6 FROM k
+             |  UNION ALL SELECT 7, 'gate', n6, n7 FROM k)
+             |ORDER BY stage_no""".stripMargin)),
+
+    // PERSISTED FRONTIER SEEN-FILTER — the crawl loop closed: two REAL
+    // microbatches of candidate URLs (q166's delivery protocol; the
+    // batches OVERLAP on doc_id 200-249) stream through foreachBatch,
+    // each round ADMITTING candidates against the visited-URL index
+    // (llm/FrontierIndex: versioned novel-URL appends, one anti-join,
+    // no history rescan) and landing the admitted rows idempotently
+    // before folding them in (admit + land + fold inside ONE foldOnce
+    // guard: a replayed batch re-computes the same admitted set
+    // against the pre-batch index state, so re-delivery overwrites
+    // byte-identically, never clobbers). Then the re-crawl tier:
+    // exact-URL tombstones (doc_id % 10 = 3) and a whole-host
+    // tombstone (the minimum source's host), after which a full
+    // re-admission round must admit EXACTLY the forgotten rows. Every
+    // row's first-admit batch, seen-twice drop, and re-admission flag
+    // replays relationally.
+    "q263_frontier_seen_filter" -> Q(
+      (s, d) => {
+        import graft.llm.FrontierIndex
+        val root = graft.queries.Scratch.dir("graft-q263-frontier")
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        val all = docs(s, d).select(col("doc_id"), col("source"))
+          .withColumn("url", concat(lit("https://"), col("source"),
+            lit(".crawl.test/"), col("doc_id")))
+        def writeBatch(name: String, mtime: Long,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val p = s"$src/$name"
+          df.coalesce(1).write.parquet(p)
+          new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+          new java.io.File(p).setLastModified(mtime)
+        }
+        writeBatch("b1.parquet", 1000000L, all.filter(col("doc_id") < 250))
+        writeBatch("b2.parquet", 2000000L, all.filter(col("doc_id") >= 200))
+        val idx = s"$root/idx"
+        s.readStream
+          .schema("doc_id LONG, source STRING, url STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*.parquet")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            graft.llm.IndexMaintenance.foldOnce(bid,
+                FrontierIndex.latestVersion(idx)) {
+              // admit BEFORE the fold (and land inside the guard):
+              // deterministic against the pre-batch index state, so a
+              // replayed batch rewrites the identical admitted set
+              val admitted = FrontierIndex.admit(s, idx, b, "url")
+                .withColumn("bid", lit(bid))
+              admitted.write.mode("overwrite")
+                .parquet(s"$root/admitted/batch=$bid")
+              if (FrontierIndex.latestVersion(idx).isEmpty)
+                FrontierIndex.build(admitted, idx, "url")
+              else FrontierIndex.addBatch(s, idx, admitted, "url")
+              ()
+            }
+          }
+          .start().awaitTermination()
+        require(FrontierIndex.latestVersion(idx).contains(2),
+          "expected two delivered frontier microbatches")
+        val landed = s.read.parquet(s"$root/admitted")
+          .select(col("doc_id"), col("bid"))
+        // re-crawl tier: forget exact URLs and one whole host
+        FrontierIndex.forgetUrls(
+          all.filter(col("doc_id") % 10 === 3), idx, "url")
+        val minSource = all.agg(min(col("source"))).head.getString(0)
+        FrontierIndex.forgetHosts(
+          s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(s"$minSource.crawl.test")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("host",
+                org.apache.spark.sql.types.StringType)))),
+          idx, "host")
+        val readmitted = FrontierIndex.admit(s, idx, all, "url")
+          .select(col("doc_id")).withColumn("re", lit(true))
+        all.join(landed, Seq("doc_id"), "left")
+          .join(readmitted, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("bid").as("admit_batch"),
+            (col("doc_id") >= 200 && col("bid") =!= 1L).as("seen_drop"),
+            coalesce(col("re"), lit(false)).as("readmitted"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS BIGINT)
+             |    AS admit_batch,
+             |  (doc_id >= 200 AND doc_id < 250) AS seen_drop,
+             |  (doc_id % 10 = 3 OR
+             |   source = (SELECT min(source) FROM documents)) AS readmitted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // TRAINED LANGUAGE-ID THROUGH THE CHARSET TABLE — q255's protocol
+    // re-run over corpora synthesized through the ACTUAL q250 charset
+    // families, so routing and decoding are exercised as one pipeline:
+    // four script-distinct languages staged as vowel-substitution
+    // ciphers whose native-script BYTES are hex-staged in the family's
+    // legacy encoding (katakana in Shift_JIS, GB2312 row-16 hanzi via
+    // the gb18030 decoder, Cyrillic in KOI8-R; the Latin class stays
+    // UTF-8), wrapped in real HTTP responses with the family's
+    // Content-Type label. The engine must decode the bytes through
+    // http_parts → decode_charset before a single trigram is counted
+    // — a charset-table defect shifts every feature and the hash
+    // fails. Training (4/5), held-out inference, and the per-family
+    // marker baseline all replay relationally; the oracle reproduces
+    // the decode CLOSED-FORM (translate into the same codepoints), so
+    // the comparison is bytes-through-decoder vs predicted text.
+    "q264_charset_langid" -> Q(
+      (s, d) => {
+        import graft.llm.NaiveBayes
+        graft.plans.GraftExtensions.register(s)
+        val jp = "アエイオウ"
+        val gb = "啊阿埃挨哎"
+        val ru = "аеиоу"
+        val staged = docs(s, d).select(col("doc_id"), col("text"))
+          .withColumn("true_lang", expr(
+            "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'lat' " +
+              "WHEN 1 THEN 'jpn' WHEN 2 THEN 'chi' ELSE 'rus' END"))
+          .withColumn("label", expr(
+            "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'utf-8' " +
+              "WHEN 1 THEN 'Shift_JIS' WHEN 2 THEN 'gb2312' " +
+              "ELSE 'koi8-r' END"))
+          // the page BYTES in the family's legacy encoding: vowels map
+          // to fixed native-script code units (SJIS 8341/8347/8343/
+          // 8349/8345, GB2312 B0A1-B0A5, KOI8-R C1/C5/C9/CF/D5), every
+          // other character is ASCII (identical bytes in all four)
+          .withColumn("body_hex", expr(
+            "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN hex(text) " +
+              "ELSE array_join(transform(split(text, ''), ch -> CASE " +
+              "  WHEN CAST(doc_id % 4 AS INT) = 1 THEN " +
+              "    CASE ch WHEN 'a' THEN '8341' WHEN 'e' THEN '8347' " +
+              "      WHEN 'i' THEN '8343' WHEN 'o' THEN '8349' " +
+              "      WHEN 'u' THEN '8345' ELSE hex(ch) END " +
+              "  WHEN CAST(doc_id % 4 AS INT) = 2 THEN " +
+              "    CASE ch WHEN 'a' THEN 'B0A1' WHEN 'e' THEN 'B0A2' " +
+              "      WHEN 'i' THEN 'B0A3' WHEN 'o' THEN 'B0A4' " +
+              "      WHEN 'u' THEN 'B0A5' ELSE hex(ch) END " +
+              "  ELSE " +
+              "    CASE ch WHEN 'a' THEN 'C1' WHEN 'e' THEN 'C5' " +
+              "      WHEN 'i' THEN 'C9' WHEN 'o' THEN 'CF' " +
+              "      WHEN 'u' THEN 'D5' ELSE hex(ch) END END), '') END"))
+          .withColumn("cr", lit("\r\n"))
+          .withColumn("msg", expr(
+            "unhex(concat(hex(concat('HTTP/1.1 200 OK', cr, " +
+              "'Content-Type: text/html; charset=', label, cr, " +
+              "'Content-Length: ', CAST(length(body_hex) / 2 AS BIGINT), " +
+              "cr, cr)), body_hex))"))
+          .withColumn("dd", expr(
+            "decode_charset(http_parts(msg).body, " +
+              "element_at(http_parts(msg).headers, 'content-type'))"))
+        val ciphered = staged
+          .select(col("doc_id"), col("true_lang"),
+            col("dd.text").as("ctext"),
+            col("dd.charset").as("charset"))
+          .withColumn("ct2", expr("replace(ctext, ' ', '_')"))
+          .withColumn("grams", expr(
+            "array_join(transform(sequence(1, greatest(length(ct2) - 2, 1)), " +
+              "i -> substring(ct2, i, 3)), ' ')"))
+        val (classes, tokenBits) = NaiveBayes.train(
+          ciphered.filter(col("doc_id") % 5 =!= 0), "doc_id", "true_lang",
+          col("grams"))
+        val test = ciphered.filter(col("doc_id") % 5 === 0)
+        val marker = test.select(col("doc_id"),
+          expr("concat(' ', ctext, ' ')").as("pad"))
+          .select(col("doc_id"), expr(
+            "CASE WHEN contains(pad, ' batch ') THEN 'lat' " +
+              s"WHEN contains(pad, translate(' batch ', 'aeiou', '$jp')) THEN 'jpn' " +
+              s"WHEN contains(pad, translate(' batch ', 'aeiou', '$gb')) THEN 'chi' " +
+              s"WHEN contains(pad, translate(' batch ', 'aeiou', '$ru')) THEN 'rus' " +
+              "ELSE 'und' END").as("marker_pred"))
+        NaiveBayes.classify(test, "doc_id", col("grams"), classes, tokenBits)
+          .join(test.select(col("doc_id"), col("true_lang").as("actual"),
+            col("charset")), Seq("doc_id"))
+          .join(marker, Seq("doc_id"))
+          .select(col("doc_id"), col("actual"), col("charset"),
+            col("predicted"), col("score_bits"),
+            (col("predicted") === col("actual")).cast("long").as("nb_correct"),
+            col("marker_pred"),
+            (col("marker_pred") === col("actual")).cast("long")
+              .as("marker_correct"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val jp = "アエイオウ"
+        val gb = "啊阿埃挨哎"
+        val ru = "аеиоу"
+        s"""WITH c AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'lat'
+           |      WHEN 1 THEN 'jpn' WHEN 2 THEN 'chi' ELSE 'rus' END
+           |      AS true_lang,
+           |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN text
+           |      WHEN 1 THEN translate(text, 'aeiou', '$jp')
+           |      WHEN 2 THEN translate(text, 'aeiou', '$gb')
+           |      ELSE translate(text, 'aeiou', '$ru') END AS ctext,
+           |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'utf-8'
+           |      WHEN 1 THEN 'windows-31j' WHEN 2 THEN 'gb18030'
+           |      ELSE 'koi8-r' END AS charset
+           |  FROM documents),
+           |g AS (SELECT doc_id, true_lang, charset, ctext,
+           |    replace(ctext, ' ', '_') AS ct2 FROM c),
+           |tt AS (SELECT doc_id, label, substring(ct2, CAST(i AS INT), 3) AS t
+           |  FROM (SELECT doc_id, true_lang AS label, ct2,
+           |      unnest(generate_series(1, greatest(length(ct2) - 2, 1)))
+           |        AS i
+           |    FROM g WHERE doc_id % 5 <> 0)),
+           |v AS (SELECT count(DISTINCT t) AS v FROM tt),
+           |ct AS (SELECT label, t, count(*) AS n_ct FROM tt
+           |       GROUP BY label, t),
+           |ctot AS (SELECT label, sum(n_ct) AS n_tokens FROM ct
+           |         GROUP BY label),
+           |cdocs AS (SELECT true_lang AS label, count(*) AS n_docs
+           |  FROM c WHERE doc_id % 5 <> 0 GROUP BY 1),
+           |dtot AS (SELECT count(*) AS d FROM c WHERE doc_id % 5 <> 0),
+           |cls AS (SELECT cd.label,
+           |    CAST(length(bin(d // n_docs)) - 1 AS BIGINT) AS prior_bits,
+           |    CAST(length(bin(n_tokens + v)) - 1 AS BIGINT) AS oov_bits
+           |  FROM cdocs cd JOIN ctot USING (label)
+           |  CROSS JOIN dtot CROSS JOIN v),
+           |tb AS (SELECT ct.label, ct.t,
+           |    CAST(length(bin((n_tokens + v) // (n_ct + 1))) - 1
+           |      AS BIGINT) AS bits
+           |  FROM ct JOIN ctot USING (label) CROSS JOIN v),
+           |te AS (SELECT doc_id, substring(ct2, CAST(i AS INT), 3) AS t
+           |  FROM (SELECT doc_id, ct2,
+           |      unnest(generate_series(1, greatest(length(ct2) - 2, 1)))
+           |        AS i
+           |    FROM g WHERE doc_id % 5 = 0)),
+           |st AS (SELECT te.doc_id, cls.label,
+           |    COALESCE(tb.bits, cls.oov_bits) AS bits
+           |  FROM te CROSS JOIN cls
+           |  LEFT JOIN tb ON tb.label = cls.label AND tb.t = te.t),
+           |pc AS (SELECT doc_id, label, sum(bits) AS tok_bits
+           |  FROM st GROUP BY doc_id, label),
+           |sc AS (SELECT pc.doc_id, pc.label,
+           |    tok_bits + prior_bits AS score_bits
+           |  FROM pc JOIN cls USING (label)),
+           |pred AS (SELECT doc_id, label AS predicted, score_bits,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score_bits, label) AS rn
+           |  FROM sc),
+           |mk AS (SELECT doc_id,
+           |    CASE WHEN contains(' ' || ctext || ' ', ' batch ')
+           |           THEN 'lat'
+           |         WHEN contains(' ' || ctext || ' ',
+           |           translate(' batch ', 'aeiou', '$jp')) THEN 'jpn'
+           |         WHEN contains(' ' || ctext || ' ',
+           |           translate(' batch ', 'aeiou', '$gb')) THEN 'chi'
+           |         WHEN contains(' ' || ctext || ' ',
+           |           translate(' batch ', 'aeiou', '$ru')) THEN 'rus'
+           |         ELSE 'und' END AS marker_pred
+           |  FROM c WHERE doc_id % 5 = 0)
+           |SELECT p.doc_id, g.true_lang AS actual, g.charset, p.predicted,
+           |  CAST(p.score_bits AS BIGINT) AS score_bits,
+           |  CAST(p.predicted = g.true_lang AS BIGINT) AS nb_correct,
+           |  mk.marker_pred,
+           |  CAST(mk.marker_pred = g.true_lang AS BIGINT) AS marker_correct
+           |FROM pred p JOIN g USING (doc_id) JOIN mk USING (doc_id)
+           |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin
+      }),
 
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;

@@ -131,6 +131,7 @@ class PlanSpec extends AnyFunSuite {
       "q228_stream_takedown",    // same, via the streamed fold
       "q232_nb_classifier",      // tokens x broadcast CLASS LIST (|classes|~5)
       "q255_trained_langid",     // trigrams x broadcast CLASS LIST (4 classes)
+      "q264_charset_langid",     // q255's class-list broadcast, charset-staged
       "q233_quality_classifier", // same, 2-class quality margin
       "q234_stream_windowed_quantiles", // 3-row percentile spec (q157's class)
       "q237_stream_classifier_admission") // q233's class-list broadcast at ingest

@@ -268,4 +268,124 @@ class HttpSpec extends AnyFunSuite {
     assert(row.getString(3) == "windows-1252")
     assert(row.getInt(4) == 0)
   }
+
+  // ---- Content-Encoding (representation layer) ----
+
+  private def withEncoding(enc: String, body: Array[Byte],
+      extra: String = ""): Array[Byte] =
+    ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      (if (enc == null) "" else s"Content-Encoding: $enc\r\n") + extra +
+      s"Content-Length: ${body.length}\r\n\r\n") ++ body
+
+  private def decoded(msg: Array[Byte]): Http.BodyDecoded = {
+    val r = Http.parseResponse(msg).get
+    Http.decodeContentEncoding(r.headers, r.body)
+  }
+
+  test("content-encoding: gzip and x-gzip bodies inflate; identity/absent are no-ops") {
+    val text = "inflated page body — survives the representation layer"
+    val gz = Warc.gzip(text.getBytes("UTF-8"))
+    for (label <- Seq("gzip", "x-gzip", "GZIP")) {
+      val d = decoded(withEncoding(label, gz))
+      assert(new String(d.body, "UTF-8") == text, label)
+      assert(d.encoding.contains(label) && d.quarantine.isEmpty)
+    }
+    val plain = decoded(withEncoding(null, text.getBytes("UTF-8")))
+    assert(new String(plain.body, "UTF-8") == text &&
+      plain.encoding.isEmpty && plain.quarantine.isEmpty)
+    val ident = decoded(withEncoding("identity", text.getBytes("UTF-8")))
+    assert(new String(ident.body, "UTF-8") == text &&
+      ident.quarantine.isEmpty)
+  }
+
+  test("content-encoding: deflate accepts BOTH zlib-wrapped and headerless-raw streams") {
+    val text = "deflate has two real-world shapes and browsers accept both"
+    val data = text.getBytes("UTF-8")
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    for (raw <- Seq(false, true)) {
+      val dd = decoded(withEncoding("deflate", deflate(raw)))
+      assert(new String(dd.body, "UTF-8") == text, s"raw=$raw")
+      assert(dd.quarantine.isEmpty)
+    }
+  }
+
+  test("content-encoding: zstd inflates via the classpath codec") {
+    val text = "zstd content-coding per RFC 8878"
+    val z = Codecs.zstd(text.getBytes("UTF-8"))
+    val d = decoded(withEncoding("zstd", z))
+    assert(new String(d.body, "UTF-8") == text && d.quarantine.isEmpty)
+  }
+
+  test("content-encoding: multi-coding chains undo right-to-left; split headers combine") {
+    val text = "chained codings apply in list order, undo in reverse"
+    val chained = Warc.gzip(Codecs.zstd(text.getBytes("UTF-8")))
+    val d = decoded(withEncoding("zstd, gzip", chained))
+    assert(new String(d.body, "UTF-8") == text && d.quarantine.isEmpty)
+    assert(d.encoding.contains("zstd, gzip"))
+    // the same chain split across two header LINES is one list (§5.2)
+    val split = decoded(withEncoding("zstd", chained,
+      extra = "Content-Encoding: gzip\r\n"))
+    assert(new String(split.body, "UTF-8") == text && split.quarantine.isEmpty)
+  }
+
+  test("content-encoding: br and unknown codings quarantine with the stored bytes intact") {
+    val stored = "not actually brotli".getBytes("UTF-8")
+    val d = decoded(withEncoding("br", stored))
+    assert(d.body.toSeq == stored.toSeq)
+    assert(d.quarantine.contains("unsupported-coding: br"))
+    val u = decoded(withEncoding("compress", stored))
+    assert(u.quarantine.contains("unsupported-coding: compress"))
+  }
+
+  test("content-encoding: corrupt and truncated encoded bodies quarantine, never throw") {
+    val text = "corrupt encodings are rejects-table rows"
+    val gz = Warc.gzip(text.getBytes("UTF-8"))
+    // truncated gzip (mid-stream AND at the trailer boundary)
+    for (cut <- Seq(gz.length - 4, gz.length / 2)) {
+      val d = decoded(withEncoding("gzip",
+        java.util.Arrays.copyOfRange(gz, 0, cut)))
+      assert(d.quarantine.contains("corrupt-gzip-body"), s"cut=$cut")
+    }
+    // not-gzip bytes under a gzip label
+    val ng = decoded(withEncoding("gzip", text.getBytes("UTF-8")))
+    assert(ng.quarantine.contains("corrupt-gzip-body"))
+    assert(new String(ng.body, "UTF-8") == text) // stored bytes surfaced
+    // deflate stream with trailing junk is corrupt, not silently trimmed
+    val dfl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(text.getBytes("UTF-8")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val junk = decoded(withEncoding("deflate", dfl ++ Array[Byte](1, 2, 3)))
+    assert(junk.quarantine.contains("corrupt-deflate-body"))
+  }
+
+  test("SQL surface: http_parts undoes content-encoding and surfaces quarantine") {
+    graft.plans.GraftExtensions.register(spark)
+    val text = "gzip body through the full SQL chain"
+    val good = withEncoding("gzip", Warc.gzip(text.getBytes("UTF-8")))
+    val bad = withEncoding("br", "xx".getBytes("UTF-8"))
+    val df = spark.createDataFrame(Seq(Tuple1(good), Tuple1(bad))).toDF("msg")
+      .selectExpr("http_parts(msg) AS h")
+      .selectExpr("decode(h.body, 'utf-8') AS body",
+        "h.content_encoding AS ce", "h.quarantine AS q")
+      .orderBy("ce")
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "xx" && rows(0).getString(1) == "br" &&
+      rows(0).getString(2) == "unsupported-coding: br")
+    assert(rows(1).getString(0) == text && rows(1).getString(1) == "gzip" &&
+      rows(1).isNullAt(2))
+  }
 }

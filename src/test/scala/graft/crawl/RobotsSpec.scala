@@ -111,6 +111,89 @@ class RobotsSpec extends AnyFunSuite {
     assert(!other)
   }
 
+  test("Crawl-delay: group binding, selection, max-wins, bad values ignored") {
+    val txt =
+      """User-agent: graftbot
+        |Crawl-delay: 2
+        |Disallow: /x/
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 0.5
+        |
+        |User-agent: slowbot
+        |Crawl-delay: notanumber
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    val robots = Seq(("h", txt)).toDF("host", "robots_txt")
+    def delayFor(ua: String): Option[Long] =
+      Robots.crawlDelays(robots, "host", "robots_txt", ua)
+        .collect().headOption.map(_.getAs[Long]("crawl_delay_ms"))
+    // both graftbot groups combine; the max (most conservative) wins
+    assert(delayFor("graftbot").contains(2000L))
+    // slowbot's own group has only an unparseable delay -> NO delay
+    // (its specific group still suppresses the '*' fallback)
+    assert(delayFor("slowbot").isEmpty)
+    // unknown crawler falls to '*'
+    assert(delayFor("newbot").contains(10000L))
+    // fractional seconds survive via the ms unit
+    val frac = Seq(("h", "User-agent: a\nCrawl-delay: 0.5\n"))
+      .toDF("host", "robots_txt")
+    assert(Robots.crawlDelays(frac, "host", "robots_txt", "a")
+      .collect().head.getAs[Long]("crawl_delay_ms") == 500L)
+  }
+
+  test("Crawl-delay coexists with rules without disturbing them; Sitemap lines are global") {
+    // the q257 policy shape: a delay INSIDE the '*' group must not
+    // change any allow/disallow decision, and a delay BETWEEN two UA
+    // lines ends the consecutive-UA run (it is a group member for the
+    // crawlers that honor it)
+    val txt =
+      """User-agent: a
+        |Crawl-delay: 1
+        |User-agent: b
+        |Disallow: /only-b/
+        |Sitemap: https://h/map1.xml
+        |
+        |User-agent: *
+        |Disallow: /
+        |Sitemap: https://h/map2.xml
+        |""".stripMargin
+    val robots = Seq(("h", txt)).toDF("host", "robots_txt")
+    val rules = Robots.rules(robots, "host", "robots_txt")
+    val urls = Seq((0L, "h", "/only-b/x")).toDF("url_id", "host", "path")
+    // 'a' has its own (rule-less) group -> allowed everywhere;
+    // 'b' started a NEW group holding the disallow
+    assert(Robots.decisions(rules, urls, "host", "url_id", "path", "a")
+      .collect().head.getAs[Boolean]("allowed"))
+    assert(!Robots.decisions(rules, urls, "host", "url_id", "path", "b")
+      .collect().head.getAs[Boolean]("allowed"))
+    assert(Robots.crawlDelays(robots, "host", "robots_txt", "a")
+      .collect().head.getAs[Long]("crawl_delay_ms") == 1000L)
+    // sitemaps surface regardless of group position, deduped
+    val maps = Robots.sitemapUrls(robots, "host", "robots_txt")
+      .orderBy("sitemap_url").collect().map(_.getString(1)).toSeq
+    assert(maps == Seq("https://h/map1.xml", "https://h/map2.xml"))
+  }
+
+  test("schedule: per-host slots and fetch offsets, default delay for silent hosts") {
+    val allowed = Seq(
+      (10L, "h1"), (20L, "h1"), (30L, "h1"),
+      (10L, "h2"), (40L, "h2")).toDF("url_id", "host")
+    val delays = Seq(("h1", 2000L)).toDF("host", "crawl_delay_ms")
+    val plan = Robots.schedule(allowed, delays, "host", "url_id",
+        defaultDelayMs = 700L)
+      .orderBy("host", "slot")
+      .select("host", "slot", "delay_ms", "fetch_at_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(plan == Seq(
+      ("h1", 0L, 2000L, 0L), ("h1", 1L, 2000L, 2000L),
+      ("h1", 2L, 2000L, 4000L),
+      ("h2", 0L, 700L, 0L), ("h2", 1L, 700L, 700L)))
+  }
+
   test("pathRegex: metacharacters stay literal, '*' and trailing '$' translate") {
     val df = Seq("/a+b(c)/*x$", "/plain").toDF("p")
       .select(Robots.pathRegex(col("p")).as("rx")).collect()

@@ -76,6 +76,45 @@ class HtmlFunctionsSpec extends AnyFunSuite {
     assert(run(h, HtmlFunctions.extractText(_)) == "use <script> tags & enjoy")
   }
 
+  test("page metadata: og/meta/canonical/JSON-LD extract across attr orders and quote styles") {
+    val h = """<html><head>
+      |<meta property="og:title" content="OG Title">
+      |<meta content='the description' name='description'>
+      |<link href="HTTPS://Ex.com/a/?utm_source=x&ref=1" rel='canonical'>
+      |<script type="application/ld+json">{"@type":"Article","headline":"HL"}</script>
+      |</head><body></body></html>""".stripMargin
+    assert(run(h, HtmlFunctions.metaProperty(_, "og:title")) == "OG Title")
+    // content-first attribute order + single quotes
+    assert(run(h, HtmlFunctions.metaNamed(_, "description")) ==
+      "the description")
+    // cross-quoted link with href first
+    assert(run(h, HtmlFunctions.canonicalUrl(_)) ==
+      "HTTPS://Ex.com/a/?utm_source=x&ref=1")
+    assert(run(h, HtmlFunctions.jsonLd(_)) ==
+      """{"@type":"Article","headline":"HL"}""")
+    // absent fields are NULL, not ''
+    assert(run(h, HtmlFunctions.metaProperty(_, "og:image")) == null)
+    assert(run("<html></html>", HtmlFunctions.canonicalUrl(_)) == null)
+    assert(run("<html></html>", HtmlFunctions.jsonLd(_)) == null)
+  }
+
+  test("page metadata: duplicates take the first match; malformed tags don't bleed") {
+    val dup = """<meta property="og:title" content="first">
+      |<meta property="og:title" content="second">""".stripMargin
+    assert(run(dup, HtmlFunctions.metaProperty(_, "og:title")) == "first")
+    // an unclosed/valueless tag must not satisfy the pattern
+    assert(run("<meta property=\"og:title\" content=>",
+      HtmlFunctions.metaProperty(_, "og:title")) == null)
+    // a DIFFERENT property must not leak into the requested one
+    // (Pattern.quote keeps ':' literal and the key anchored)
+    assert(run("<meta property=\"og:title:x\" content=\"no\">",
+      HtmlFunctions.metaProperty(_, "og:title")) == null)
+    // JSON-LD is non-greedy across sibling scripts
+    val two = "<script type=\"application/ld+json\">{\"a\":1}</script>" +
+      "<script type=\"application/ld+json\">{\"b\":2}</script>"
+    assert(run(two, HtmlFunctions.jsonLd(_)) == "{\"a\":1}")
+  }
+
   test("pages without the elements degrade to empty, not error") {
     val h = "<div>no title no para no links</div>"
     assert(run(h, HtmlFunctions.title(_)) == "")

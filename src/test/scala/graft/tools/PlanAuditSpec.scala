@@ -117,6 +117,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "duplicates sharing the leading conjunct's chain must hoist clean")
   }
 
+  test("a duplicate CARRYING an independent expensive chain is NOT hoisted — stays flagged") {
+    // the round-12 tightening: the duplicated expression touches the
+    // leading conjunct's chain A, but ALSO embeds independent chain B
+    // (levenshtein(A, B) — B appears nowhere in the leading leg).
+    // Hoisting the duplicate would force B's whole derivation onto
+    // every row behind the leading leg's selectivity, so the rule must
+    // decline and the detector must keep the author in the loop.
+    graft.plans.GraftExtensions.register(spark)
+    val derived = Tables.documents(spark, sf)
+      .withColumn("a", expr(
+        "decode(gunzip_all(gzip_bytes(encode(text, 'utf-8'))), 'utf-8')"))
+      .withColumn("b", expr(
+        "decode(gunzip_all(gzip_bytes(encode(source, 'utf-8'))), 'utf-8')"))
+    val carrying = derived
+      .filter(length(col("a")) > 10 &&
+        levenshtein(col("a"), col("b")) > 2 &&
+        levenshtein(col("a"), col("b")) < 1000)
+      .select("doc_id")
+    val findings = PlanAudit.duplicatedExpensiveFilters(carrying)
+    assert(findings.nonEmpty,
+      "a duplicate embedding an independent expensive chain must stay flagged")
+  }
+
   test("quadratic join shapes are flagged and assertScaleSafe refuses them") {
     val a = (1L to 10L).toDF("x")
     val b = (1L to 10L).toDF("y")
