@@ -103,10 +103,24 @@ object HtmlFunctions {
       s"<meta[^>]*${keyAttr}=$q$kv$q[^>]*content=$q([^\"']*)$q"
     val contentFirst =
       s"<meta[^>]*content=$q([^\"']*)$q[^>]*${keyAttr}=$q$kv$q"
-    val a = regexp_extract(html, keyFirst, 1)
-    val b = regexp_extract(html, contentFirst, 1)
-    when(regexp_like(html, lit(keyFirst)), a)
-      .when(regexp_like(html, lit(contentFirst)), b)
+    firstByPosition(html, keyFirst, contentFirst)
+  }
+
+  /** Extract group 1 of whichever of two patterns matches EARLIEST in
+    * the document — the first-match-wins contract must hold across
+    * attribute orders too (a later key-first tag must not shadow an
+    * earlier content-first tag; browsers take the first tag, period).
+    * A start-position tie is impossible between the two orders (one
+    * tag can't have both attribute orders), so `<=` is just the
+    * determinizer. NULL when neither matches.
+    */
+  private def firstByPosition(html: Column, patA: String,
+      patB: String): Column = {
+    val posA = regexp_instr(html, lit(patA))
+    val posB = regexp_instr(html, lit(patB))
+    when(posA > 0 && (posB === 0 || posA <= posB),
+      regexp_extract(html, patA, 1))
+      .when(posB > 0, regexp_extract(html, patB, 1))
   }
 
   /** OpenGraph property (`<meta property="og:…" content=…>`). Pass the
@@ -132,10 +146,7 @@ object HtmlFunctions {
       s"<link[^>]*rel=${q}canonical$q[^>]*href=$q([^\"']*)$q"
     val hrefFirst =
       s"<link[^>]*href=$q([^\"']*)$q[^>]*rel=${q}canonical$q"
-    when(regexp_like(html, lit(relFirst)),
-      regexp_extract(html, relFirst, 1))
-      .when(regexp_like(html, lit(hrefFirst)),
-        regexp_extract(html, hrefFirst, 1))
+    firstByPosition(html, relFirst, hrefFirst)
   }
 
   /** Raw inner text of the FIRST `<script type="application/ld+json">`

@@ -92,14 +92,20 @@ object FrontierIndex {
     * [[visited]] — the rows a crawler actually fetches this round.
     * Candidate-internal duplicates are kept (the caller's rows are
     * the unit); one left-anti equi-join, linear in candidates.
+    *
+    * NULL-url candidates are EXCLUDED: they are unfetchable, the
+    * index can never hold them ([[build]]/[[addBatch]] drop nulls),
+    * and an anti-join would otherwise re-admit them every round
+    * forever — an unkillable dispatch loop with no quarantine signal.
+    * Callers wanting to count them filter `urlCol IS NULL` upstream.
     */
   def admit(spark: SparkSession, path: String, candidates: DataFrame,
       urlCol: String): DataFrame = {
     // rename the visited side: callers routinely name their column
     // `url` too, and a same-name join condition is ambiguous
     val seen = visited(spark, path).select(col("url").as("__seen_url"))
-    candidates.join(seen, candidates(urlCol) === col("__seen_url"),
-      "left_anti")
+    candidates.filter(candidates(urlCol).isNotNull)
+      .join(seen, candidates(urlCol) === col("__seen_url"), "left_anti")
   }
 
   /** Tombstone exact URLs for re-crawl (idempotent append; duplicates
@@ -127,6 +133,12 @@ object FrontierIndex {
     visited(spark, inPath).repartition(targetFiles)
       .write.mode("overwrite").parquet(s"$outPath/v=1")
 
+  // Deliberately NOT IndexMaintenance.tombstones/appendTombstones:
+  // those hardcode the wing tables' long-`id` column and single
+  // `_dels` sidecar, while this index keys on STRING urls and carries
+  // two tombstone kinds (url + host). Generalizing the shared helpers
+  // would touch every wing caller for two ten-line readers; revisit if
+  // a third string-keyed index appears.
   private def sidecar(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None

@@ -39,10 +39,18 @@ object LlmQueries {
   private val ampFreeChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Cheap content-identity fingerprint of `d`'s documents table. */
+  /** Cheap content-identity fingerprint of `d`'s documents table.
+    * Covers both local layouts: a parquet DIRECTORY (file listing) and
+    * a single parquet FILE (its own length+mtime — listFiles is null
+    * there, and a constant fallback would silently disable the
+    * regeneration check this fingerprint exists for). A non-local
+    * filesystem path degrades to the bare path, i.e. the pre-round-12
+    * once-per-dir behavior.
+    */
   private def docsFingerprint(d: String): String = {
-    val files = Option(new java.io.File(d, "documents.parquet").listFiles())
-      .getOrElse(Array.empty[java.io.File])
+    val root = new java.io.File(d, "documents.parquet")
+    val files = Option(root.listFiles())
+      .getOrElse(if (root.isFile) Array(root) else Array.empty[java.io.File])
     files.sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString(d + "|", ";", "")
@@ -6780,9 +6788,9 @@ object LlmQueries {
               "'Content-Type: text/html; charset=', label, cr, " +
               "'Content-Length: ', CAST(length(body_hex) / 2 AS BIGINT), " +
               "cr, cr)), body_hex))"))
+          .withColumn("h", expr("http_parts(msg)"))
           .withColumn("dd", expr(
-            "decode_charset(http_parts(msg).body, " +
-              "element_at(http_parts(msg).headers, 'content-type'))"))
+            "decode_charset(h.body, element_at(h.headers, 'content-type'))"))
         val ciphered = staged
           .select(col("doc_id"), col("true_lang"),
             col("dd.text").as("ctext"),

@@ -28,6 +28,10 @@ class FormatFuzzSpec extends AnyFunSuite {
     graft.crawl.Http.parseResponse(b)
     graft.crawl.Http.decodeCharset(b, "text/html; charset=utf-8")
     graft.crawl.Http.decodeCharset(b, null)
+    graft.crawl.Http.inflateDeflate(b)
+    for (enc <- Seq("gzip", "deflate", "zstd", "br", "gzip, deflate"))
+      graft.crawl.Http.decodeContentEncoding(
+        Seq("content-encoding" -> enc), b)
   }
 
   test("random garbage: every parser quarantines, none throws") {
@@ -128,6 +132,39 @@ class FormatFuzzSpec extends AnyFunSuite {
           "koi8-r", "iso-8859-5", "windows-1256", "iso-2022-jp")) {
         val d = Http.decodeCharset(b, s"text/plain; charset=$l")
         assert(d.nReplaced >= 0)
+      }
+    }
+  }
+
+  test("content-encoding surface: fuzzed bodies under every coding label quarantine or decode, never throw") {
+    val rnd = new scala.util.Random(20260817L)
+    val codings = Seq("gzip", "x-gzip", "deflate", "zstd", "br",
+      "identity", "compress", "gzip, deflate", "zstd, gzip", ", ,", "")
+    for (i <- 0 until 200) {
+      val n = rnd.nextInt(1024)
+      val body = new Array[Byte](n)
+      rnd.nextBytes(body)
+      // raw garbage under every label
+      for (enc <- codings) {
+        val d = graft.crawl.Http.decodeContentEncoding(
+          Seq("content-encoding" -> enc), body)
+        assert(d.body != null)
+      }
+      // mutated VALID encodings: flip one byte / truncate a real
+      // gzip/deflate/zstd stream — must quarantine or decode, not throw
+      if (n > 0) {
+        for (valid <- Seq(
+          "gzip" -> Warc.gzip(body),
+          "zstd" -> Codecs.zstd(body))) {
+          val (enc, bytes) = valid
+          val m = bytes.clone()
+          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+          graft.crawl.Http.decodeContentEncoding(
+            Seq("content-encoding" -> enc), m)
+          graft.crawl.Http.decodeContentEncoding(
+            Seq("content-encoding" -> enc),
+            java.util.Arrays.copyOfRange(bytes, 0, rnd.nextInt(bytes.length)))
+        }
       }
     }
   }

@@ -102,6 +102,15 @@ class HtmlFunctionsSpec extends AnyFunSuite {
     val dup = """<meta property="og:title" content="first">
       |<meta property="og:title" content="second">""".stripMargin
     assert(run(dup, HtmlFunctions.metaProperty(_, "og:title")) == "first")
+    // first-match-wins must hold ACROSS attribute orders: an earlier
+    // content-first tag beats a later key-first tag (browsers take the
+    // first tag, whatever its attribute order)
+    val crossOrder = """<meta content="A" property="og:title">
+      |<meta property="og:title" content="B">""".stripMargin
+    assert(run(crossOrder, HtmlFunctions.metaProperty(_, "og:title")) == "A")
+    val crossLink = """<link href="X" rel="canonical">
+      |<link rel="canonical" href="Y">""".stripMargin
+    assert(run(crossLink, HtmlFunctions.canonicalUrl(_)) == "X")
     // an unclosed/valueless tag must not satisfy the pattern
     assert(run("<meta property=\"og:title\" content=>",
       HtmlFunctions.metaProperty(_, "og:title")) == null)

@@ -83,4 +83,16 @@ class FrontierIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("https://a.x/2", 2L)))
   }
+
+  test("NULL-url candidates are never admitted (no eternal re-admission loop)") {
+    val idx = tmp() + "/idx"
+    FrontierIndex.build(urls("https://a.x/1"), idx, "url")
+    val cands = Seq((Option.empty[String], 1L),
+      (Some("https://a.x/2"), 2L)).toDF("url", "k")
+    // the null row is unfetchable and the index can never hold it —
+    // admitting it would re-dispatch it every round forever
+    val got = FrontierIndex.admit(spark, idx, cands, "url")
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(2L))
+  }
 }
