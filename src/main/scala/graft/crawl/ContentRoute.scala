@@ -55,18 +55,25 @@ object ContentRoute {
       .otherwise(lit("skip"))
   }
 
-  /** WHATWG "binary data byte" test over the body's prescan window:
-    * true when any of the first 48 bytes is in 0x00–0x08, 0x0B,
-    * 0x0E–0x1A or 0x1C–0x1F (every text encoding a crawl routes —
-    * UTF-8, the 8-bit legacy families, even UTF-16 text's low bytes —
-    * avoids these in real pages; media containers hit one in the first
-    * magic/length fields). Implemented over hex pairs so the check is
-    * a codegen'd regexp, not a UDF: `(..)*` anchors the alternation to
-    * even offsets, i.e. whole bytes.
+  /** WHATWG "binary data byte" test over the body's prescan window,
+    * per the spec's misinterpreted-for-compatibility order: a leading
+    * UTF-16 (FF FE / FE FF) or UTF-8 (EF BB BF) BOM means TEXT —
+    * checked FIRST, because UTF-16-encoded ASCII is half 0x00 bytes
+    * and would otherwise always read as binary — then true when any
+    * of the first 48 bytes is in 0x00–0x08, 0x0B, 0x0E–0x1A or
+    * 0x1C–0x1F (UTF-8 and the 8-bit legacy families avoid these in
+    * real pages — ESC/tab/newlines are excluded, so ISO-2022-JP
+    * survives; media containers hit one in the first magic/length
+    * fields). Implemented over hex pairs so the check is a codegen'd
+    * regexp, not a UDF: `(..)*` anchors the alternation to even
+    * offsets, i.e. whole bytes.
     */
-  def looksBinary(body: Column): Column =
-    regexp_like(hex(substring(body, 1, 48)),
-      lit("^([0-9A-F]{2})*(0[0-8]|0B|0E|0F|1[0-9A]|1[C-F])"))
+  def looksBinary(body: Column): Column = {
+    val h = hex(substring(body, 1, 48))
+    !(h.startsWith("FFFE") || h.startsWith("FEFF") ||
+      h.startsWith("EFBBBF")) &&
+      regexp_like(h, lit("^([0-9A-F]{2})*(0[0-8]|0B|0E|0F|1[0-9A]|1[C-F])"))
+  }
 
   /** Body-aware route: like [[route]], but a row whose Content-Type is
     * ABSENT/empty only keeps the default html route when its leading

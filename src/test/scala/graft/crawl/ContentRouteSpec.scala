@@ -47,6 +47,14 @@ class ContentRouteSpec extends AnyFunSuite {
     // high bytes (legacy 8-bit pages) are text, not binary
     val latin = Array(0x3c, 0x70, 0x3e, 0xE9, 0x93, 0xFF).map(_.toByte)
     assert(routeOf("", latin)._1 == "html")
+    // a UTF-16 BOM short-circuits the binary-byte scan (UTF-16 ASCII
+    // text is half NUL bytes — WHATWG checks the BOM first)
+    val utf16le = Array(0xFF, 0xFE).map(_.toByte) ++
+      "<html>".flatMap(c => Seq(c.toByte, 0.toByte))
+    assert(routeOf(null, utf16le)._1 == "html")
+    val utf8bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "<p>x</p>".getBytes("UTF-8")
+    assert(routeOf(null, utf8bom)._1 == "html")
   }
 
   test("an explicit type always wins over the sniff") {
