@@ -6901,6 +6901,93 @@ object LlmQueries {
            |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin
       }),
 
+    // CRAWL-LOOP COMPOSITION CAPSTONE — the three round-12 frontier
+    // pieces working as one loop: two discovery rounds (round 1 finds
+    // the even ids, round 2 re-discovers everything) each flow through
+    // the q257 robots gate, the q263 seen-filter (round 2's
+    // re-discovered evens MUST be dropped by the index — a seen-filter
+    // defect re-admits them, shifts every round-2 slot, and the hash
+    // fails), and the q260 politeness schedule (slots assigned per
+    // (host, round) over exactly the round's ADMITTED rows). Denied
+    // rows surface with allowed=false and no slot. Every row's round,
+    // decision, slot, delay and dispatch offset replays relationally.
+    "q265_crawl_loop" -> Q(
+      (s, d) => {
+        import graft.crawl.Robots
+        import graft.llm.FrontierIndex
+        val root = graft.queries.Scratch.dir("graft-q265-loop")
+        val idx = s"$root/idx"
+        val dd = docs(s, d).select(col("doc_id"), col("source"))
+          .withColumn("path",
+            concat(lit("/"), col("source"), lit("/"), col("doc_id")))
+          .withColumn("url", concat(lit("https://crawl.test"), col("path")))
+        val robotsTxt = dd.select(col("source")).distinct()
+          .withColumn("robots_txt", concat(
+            lit("User-agent: graftbot\nDisallow: /"),
+            col("source"), lit("/*7$\nAllow: /"),
+            col("source"), lit("/*77$\n"),
+            expr("CASE WHEN length(source) % 2 = 0 THEN " +
+              "concat('Crawl-delay: ', " +
+              "CAST(1 + length(source) % 3 AS STRING), chr(10)) " +
+              "ELSE '' END"),
+            lit("\nUser-agent: *\nDisallow: /"), col("source"),
+            lit("/\n")))
+        val ruleRows = Robots.rules(robotsTxt, "source", "robots_txt")
+        val delays = Robots.crawlDelays(robotsTxt, "source", "robots_txt",
+          userAgent = "graftbot")
+        def round(cands: org.apache.spark.sql.DataFrame,
+            rnd: Int): org.apache.spark.sql.DataFrame = {
+          val decided = Robots.decisions(ruleRows, cands, "source",
+            "doc_id", "path", userAgent = "graftbot")
+          val admitted = FrontierIndex.admit(s, idx,
+            decided.filter(col("allowed")), "url")
+          // the dispatch plan LANDS (a crawler executes it from disk,
+          // not from a lazy plan) — one evaluation feeds both the
+          // index fold and the final report
+          Robots.schedule(admitted, delays, "source",
+              "doc_id", defaultDelayMs = 1000L)
+            .write.mode("overwrite").parquet(s"$root/plan/rnd=$rnd")
+          val sched = s.read.parquet(s"$root/plan/rnd=$rnd")
+          if (FrontierIndex.latestVersion(idx).isEmpty)
+            FrontierIndex.build(sched, idx, "url")
+          else FrontierIndex.addBatch(s, idx, sched, "url")
+          sched.select(col("doc_id"), lit(rnd.toLong).as("rnd"),
+            lit(true).as("allowed"), col("slot"), col("delay_ms"),
+            col("fetch_at_ms"))
+        }
+        // round() is EAGER end-to-end: the dispatch plan lands before
+        // the fold, the fold commits before round() returns, so round
+        // 2's admission reads the committed post-round-1 index
+        val r1 = round(dd.filter(col("doc_id") % 2 === 0), 1)
+        val r2 = round(dd, 2)
+        val denied = Robots.decisions(ruleRows, dd, "source", "doc_id",
+            "path", userAgent = "graftbot")
+          .filter(!col("allowed"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, 1L).otherwise(2L).as("rnd"),
+            lit(false).as("allowed"),
+            lit(null).cast("long").as("slot"),
+            lit(null).cast("long").as("delay_ms"),
+            lit(null).cast("long").as("fetch_at_ms"))
+        r1.unionByName(r2).unionByName(denied).orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             |      AS rnd,
+             |    (doc_id % 100 = 77 OR doc_id % 10 <> 7) AS ok
+             |  FROM documents),
+             |a AS (SELECT doc_id, rnd,
+             |    CAST(row_number() OVER (PARTITION BY source, rnd
+             |      ORDER BY doc_id) - 1 AS BIGINT) AS slot,
+             |    CAST(CASE WHEN strlen(source) % 2 = 0
+             |      THEN (1 + strlen(source) % 3) * 1000
+             |      ELSE 1000 END AS BIGINT) AS delay_ms
+             |  FROM d WHERE ok)
+             |SELECT d.doc_id, d.rnd, d.ok AS allowed, a.slot, a.delay_ms,
+             |  a.slot * a.delay_ms AS fetch_at_ms
+             |FROM d LEFT JOIN a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Index COMPACTION parity: flat-append band indexes accumulate a
     // shuffle-partition-count of small files per streamed microbatch;
     // compaction rewrites the tables into a few files — in a NEW
