@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.BucketCaps
+import graft.operators.Iterate.MaterializeOps
 
 /** Exact asymmetric containment search — the quote/subset axis of
   * near-dup detection that symmetric Jaccard misses: a 10-shingle snippet
@@ -65,9 +66,13 @@ object Containment {
       maxDocFreq: Long = 100000L): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100)
     require(maxDocFreq > 0, "maxDocFreq must be positive (it bounds bucket fan-out)")
+    // the shingle sets feed the posting generation AND both sides of the
+    // verification rejoin — materialize once so the shingling expression
+    // runs a single pass over the corpus instead of once per consumer
     val sets = docs.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .materialized
     // hashed postings: 8-byte keys through every shuffle; a collision can
     // only ADD a candidate, which exact verification rejects
     val raw = sets
@@ -78,7 +83,9 @@ object Containment {
     val dfBy = raw.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
-    val postings = raw.join(dfBy, "s")
+    // consumed by the prefix window AND the candidate join's container
+    // side: one eval
+    val postings = raw.join(dfBy, "s").materialized
     val prefixA = postings
       .withColumn("__rnk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))

@@ -21,10 +21,14 @@ import graft.operators.Iterate.MaterializeOps
   * relationally, unrolled round by round.
   *
   * Scale: each half-round is one join + one aggregation shuffled on the
-  * edge keys; the normalization scalar is a 1-row broadcast. Iterations
-  * are few (HITS converges fast; callers unroll 2-3), so no lineage
-  * truncation is needed at this depth — add `localCheckpoint` per round
-  * beyond ~8 like PageRank does. Overflow bound: score ≤ 1e6, so a
+  * edge keys; the normalization scalar is a 1-row broadcast. The edge
+  * list and each half-round's raw sums are materialized
+  * ([[Iterate.materialize]], same discipline as [[PageRank]]): every
+  * score table is consumed twice (renormalize + max scalar) and the edge
+  * list 2× per half-round, so an untruncated unrolled plan re-derives
+  * the edge producer per reference and doubles per half-round — q170's
+  * 2-round run planned 540 Exchange nodes before the truncation, 12
+  * after. Overflow bound: score ≤ 1e6, so a
   * round's raw sum ≤ 1e6·max_degree and the renormalize multiply stays
   * under 2^63 while max_degree < 9.2e6. Long mode enforces that bound
   * LOUDLY (one degree aggregation up front, then a clear error naming
@@ -48,7 +52,13 @@ object Hits {
     */
   def run(edges: DataFrame, iters: Int, decimal: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8, "unrolled HITS wants few rounds")
-    val e = edges.select(col("u"), col("v"))
+    // materialize the edge list ONCE: it is referenced twice per
+    // half-round (join + the renormalization scalar's subtree) plus the
+    // degree probe, and without lineage truncation the unrolled plan
+    // re-derives the producing join per reference — measured on q170
+    // (orders⋈lineitem⋈distinct producer, 2 rounds) as a 540-Exchange
+    // physical plan
+    val e = edges.select(col("u"), col("v")).materialized
     if (!decimal) {
       val maxDeg = e.select(col("u").as("n"))
         .unionAll(e.select(col("v").as("n")))
@@ -66,10 +76,16 @@ object Hits {
       .withColumn("h", lit(Scale))
     var a: DataFrame = null
     (1 to iters).foreach { _ =>
+      // each half-round's raw sum feeds BOTH the renormalized scores and
+      // the max() scalar; truncate its lineage so the second consumer
+      // reads blocks instead of re-running the join+agg, and so the plan
+      // stays linear in rounds instead of doubling per half-round
       val aRaw = e.join(h, "u").groupBy("v").agg(scoreSum("h").as("ar"))
+        .materialized
       a = aRaw.crossJoin(broadcast(aRaw.agg(max("ar").as("m"))))
         .select(col("v"), expr(s"ar * $Scale div m").cast("long").as("a"))
       val hRaw = e.join(a, "v").groupBy("u").agg(scoreSum("a").as("hr"))
+        .materialized
       h = hRaw.crossJoin(broadcast(hRaw.agg(max("hr").as("m"))))
         .select(col("u"), expr(s"hr * $Scale div m").cast("long").as("h"))
     }
