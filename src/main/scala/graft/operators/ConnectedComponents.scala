@@ -82,11 +82,18 @@ object ConnectedComponents {
       srcCol: String = "id_a",
       dstCol: String = "id_b",
       maxIter: Int = 25): DataFrame = {
-    val verts = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id")))
+    // the input pair plan is consumed THREE times below (both vertex-
+    // universe union legs + the canonical edge list) — and for the
+    // near-dup callers that plan is the entire candidates+verify
+    // pipeline (LSH banding, jaccard/cosine verification), measured as
+    // 2 extra full pipeline executions on q209/q215. Materialize it
+    // ONCE; everything else reads the checkpointed pair blocks.
+    val e0 = edges.select(col(srcCol), col(dstCol)).materialized
+    val verts = e0.select(col(srcCol).as("id"))
+      .union(e0.select(col(dstCol).as("id")))
       .distinct()
     // canonical orientation big→small; drop self-loops and duplicates
-    var cur = edges
+    var cur = e0
       .select(
         greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))

@@ -46,8 +46,16 @@ object PageRank {
     // the edge list is scanned iters+3 times (deg, node space twice, one
     // join per round); materialize it ONCE so an expensive producing plan
     // (a join chain, a dedup) doesn't re-execute every round — at any
-    // scale, re-deriving the graph per iteration dwarfs the iteration
-    val e = edges.cache()
+    // scale, re-deriving the graph per iteration dwarfs the iteration.
+    // EAGER materialization (not a lazy .cache()): the first action here
+    // is the initial-ranks checkpoint, whose single job consumes the
+    // edge plan through THREE concurrent subtrees (deg, both node-space
+    // union legs) — concurrent stages of one job race the cache fill and
+    // each re-executes the producing plan (measured on q93: the edge
+    // derivation ran 2-3x before any block landed). One materialize job
+    // runs it exactly once, and exchange reuse inside that job dedups a
+    // symmetrize-union's two legs.
+    val e = edges.materialized
     val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
@@ -73,9 +81,6 @@ object PageRank {
             expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
         .materialized
     }
-    // every checkpoint above ran eagerly, so the cached edge blocks are
-    // no longer referenced by the returned (lineage-truncated) plan
-    e.unpersist(blocking = false)
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
 
@@ -92,7 +97,8 @@ object PageRank {
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
-    val e = edges.cache()
+    // eager materialize, not lazy cache — see run()
+    val e = edges.materialized
     val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
@@ -119,7 +125,6 @@ object PageRank {
             expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
         .materialized
     }
-    e.unpersist(blocking = false)
     ranks.select(col("node"), col("deg"), col("r").as("rank_fp"))
   }
 }
