@@ -451,9 +451,11 @@ object LakehouseQueries {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = Tables.normalizeTs(graft.streaming.StreamOps
           .readStream(s, Tables.path(d, "events")))
+        // state width sized to key cardinality (window × event_type),
+        // the q235/q234 posture — not the corpus-wide shuffle width
         graft.streaming.StreamOps.runToBatch(s,
             graft.streaming.StreamOps.windowedEventStats(raw, "1 hour"),
-            "complete")
+            "complete", statePartitions = Some(8))
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
               .as("hour_start"),

@@ -699,7 +699,13 @@ object LlmQueries {
           .withWatermark("p_ts", "2 hours")
         val joined = graft.streaming.StreamOps.intervalJoin(
           clicks, purchases, "user_id", "p_user", "click_ts", "p_ts", "1 hour")
-        graft.streaming.StreamOps.runToBatch(s, joined, "append")
+        // statePartitions sized to the join's key cardinality (user_id),
+        // not the session's corpus-wide shuffle width — a stream-stream
+        // join materializes FOUR state stores per partition per batch,
+        // and 32 partitions paid 4x the per-batch store lifecycle for
+        // the same keys (the q235/q234 sizing posture, see runToBatch)
+        graft.streaming.StreamOps.runToBatch(s, joined, "append",
+          statePartitions = Some(8))
           .groupBy("click_id")
           .agg(count(lit(1)).as("n_purchases"),
             Stats.decimalSum(col("p_value")).as("attributed_value"))
@@ -728,8 +734,12 @@ object LlmQueries {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         graft.streaming.StreamOps.withRocksDbStateStore(s) {
           val stream = graft.streaming.StreamOps.readStream(s, Tables.path(d, "events"))
+          // per-partition RocksDB instance lifecycle is the dominant
+          // per-batch cost; size state width to the key cardinality
+          // (user_id), the q235/q234 posture
           graft.streaming.StreamOps.runToBatch(s,
-            graft.streaming.StreamOps.eventTypeCountsTws(stream), "update")
+            graft.streaming.StreamOps.eventTypeCountsTws(stream), "update",
+            statePartitions = Some(8))
         }
           .select(col("user_id"), array_join(col("counts"), ",").as("type_counts"))
           .orderBy("user_id")
